@@ -1,0 +1,55 @@
+"""Headline benchmark: runs the registry queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query seconds.
+
+Each query is forced with a count() (no driver-side collect of payload rows); a warmup
+run of the flagship query absorbs JVM/codegen startup so the numbers measure the plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_migration_assessment_tools_spark.config import DEFAULT_CPUS, DEFAULT_SF_DIR
+from hadoop_migration_assessment_tools_spark.queries.registry import QUERIES
+from hadoop_migration_assessment_tools_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        app_name="hadoop-migration-assessment-spark-bench", master=f"local[{DEFAULT_CPUS}]"
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        q(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

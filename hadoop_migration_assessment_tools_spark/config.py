@@ -1,0 +1,69 @@
+"""Engine constants mirroring the reference hook's configuration surface.
+
+Reference: src/java/com/google/cloud/bigquery/dwhassessment/hooks/logger/LoggingHookConstants.java:25-35
+and .../logger/LoggerVarsConfig.java:22-40. We keep the same config keys so a user of the
+reference can carry their settings over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+# File prefix for sink output files (LoggingHookConstants.java:29).
+DWH_ASSESSMENT_FILE_PREFIX = "dwhassessment_"
+
+# Hook version constant stamped on every record (LoggingHookConstants.java:27).
+HOOK_VERSION = "1.0"
+
+# Config keys (LoggerVarsConfig.java:25-40). Same key strings as the reference.
+CONF_BASE_DIRECTORY = "dwhassessment.hook.base-directory"
+CONF_QUEUE_CAPACITY = "dwhassessment.hook.queue.capacity"
+CONF_ROLLOVER_INTERVAL = "dwhassessment.hook.rollover-interval"
+CONF_ROLLOVER_CHECK_INTERVAL = "dwhassessment.hook.rollover-eligibility-check-interval"
+
+# Queue-name config keys dispatched on execution mode (LoggerVarsConfig.java:22-24).
+CONF_MR_QUEUE_NAME = "mapreduce.job.queuename"
+CONF_TEZ_QUEUE_NAME = "tez.queue.name"
+CONF_LLAP_QUEUE_NAME = "hive.llap.daemon.queue.name"
+
+# Defaults (LoggingHookConstants.java:31-33; EventLogger.java:60).
+DEFAULT_QUEUE_CAPACITY = 64
+DEFAULT_ROLLOVER_INTERVAL_SECONDS = 3600  # 1 h
+DEFAULT_ROLLOVER_CHECK_INTERVAL_SECONDS = 600  # 10 min
+
+# Event types (EventType.java:19-22) and statuses (EventStatus.java:19-22).
+EVENT_QUERY_SUBMITTED = "QUERY_SUBMITTED"
+EVENT_QUERY_COMPLETED = "QUERY_COMPLETED"
+STATUS_SUCCESS = "SUCCESS"
+STATUS_FAIL = "FAIL"
+
+# Execution modes (ExecutionMode.java:23-31).
+MODE_MR = "MR"
+MODE_TEZ = "TEZ"
+MODE_LLAP = "LLAP"
+MODE_SPARK = "SPARK"
+MODE_DDL = "DDL"
+MODE_CLIENT_ONLY = "CLIENT_ONLY"
+MODE_NONE = "NONE"
+
+# Hive instance types (EventRecordConstructor.java:358-360).
+INSTANCE_HS2 = "HS2"
+INSTANCE_CLI = "CLI"
+
+# Driver-contract environment knobs.
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Tables in the driver-provided relational corpus (TESTDATA.md).
+CORPUS_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

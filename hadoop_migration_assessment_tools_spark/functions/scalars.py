@@ -1,0 +1,65 @@
+"""Scalar-function surface (SURVEY §2.7) — the reference's transformations as Columns.
+
+Everything here is a pure Column expression (JVM-side, whole-stage-codegen friendly);
+no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Regex the reference uses to gate Hive versions (utils/VersionValidator.java:29).
+_VERSION_RE = r"^(\d+)\.(\d+).*"
+
+
+def coalesce_user(hook_user: Column, ugi_user: Column) -> Column:
+    """PRJ3: RequestUser = coalesce(hookContext.userName, ugi.userName)
+    (EventRecordConstructor.java:307-310)."""
+    return F.coalesce(hook_user, ugi_user)
+
+
+def complete_table_name(db: Column | str, table: Column | str) -> Column:
+    """Table identity 'db@table' (Hive getCompleteName(), EventRecordConstructor.java:277)."""
+    db = F.col(db) if isinstance(db, str) else db
+    table = F.col(table) if isinstance(table, str) else table
+    return F.concat_ws("@", db, table)
+
+
+def partition_name(db: Column, table: Column, part_key: Column, part_val: Column) -> Column:
+    """Partition identity 'db@table@key=val' (golden: EventRecordConstructorTest.java:145-147)."""
+    return F.concat_ws("@", db, table, F.concat_ws("=", part_key, part_val))
+
+
+def version_major_minor(version: Column) -> Column:
+    """PRJ8: parse 'major.minor' out of a version string; null when unparseable
+    (utils/VersionValidator.java:44-51)."""
+    major = F.regexp_extract(version, _VERSION_RE, 1)
+    minor = F.regexp_extract(version, _VERSION_RE, 2)
+    return F.when(
+        major != "", F.concat_ws(".", major, minor)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def is_supported_hive_version(version: Column) -> Column:
+    """PRJ8 range check: 2.2 <= version < 4.0; unparseable -> false
+    (utils/VersionValidator.java:29-55; matrix VersionValidatorTest.java:29-49)."""
+    major = F.regexp_extract(version, _VERSION_RE, 1)
+    minor = F.regexp_extract(version, _VERSION_RE, 2)
+    maj = F.when(major != "", major.cast("int"))
+    mino = F.when(minor != "", minor.cast("int"))
+    num = maj * 1000 + mino  # 2.2 -> 2002; 4.0 -> 4000
+    return F.coalesce((num >= 2002) & (num < 4000), F.lit(False))
+
+
+def mr_job_to_application_id(job_id: Column) -> Column:
+    """FLT7: MR job id -> YARN application id; malformed -> null
+    (ApplicationIdRetriever.java:78-94; golden ApplicationIdRetrieverTest.java:68-97:
+    job_1685098059769_1951 -> application_1685098059769_1951)."""
+    ok = job_id.rlike(r"^job_\d+_\d+$")
+    return F.when(ok, F.regexp_replace(job_id, r"^job_", "application_"))
+
+
+def json_get_long(json_col: Column | str, key: str) -> Column:
+    """JSON scalar extraction used all over the analytics layer (SURVEY §2.7 JSON family)."""
+    c = F.col(json_col) if isinstance(json_col, str) else json_col
+    return F.get_json_object(c, f"$.{key}").cast("long")

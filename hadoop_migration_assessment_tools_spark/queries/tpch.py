@@ -1,0 +1,306 @@
+"""Relational analytics over the TPC-H-ish corpus (SURVEY §2 AGG5, JN4/JN5, WIN2, SET2).
+
+These are the assessment-style rollups/joins the QueryEvents data model exists to serve
+(SURVEY §2.8 Model rows), exercised on the driver's star schema. Every query follows the
+parity numeric discipline of ``functions.parity`` and aliases every computed column
+identically to its oracle SQL twin.
+
+Scale notes per query are inline; the common rules:
+- filters applied before joins/aggs so Parquet pushdown + column pruning engage;
+- dimension joins (region/nation/customer/supplier/part at dim-like sizes) broadcast;
+- top-k = window/orderBy with deterministic tie-breaks, never bare LIMIT on ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.parity import avg_exact, count_big, money, sum_money
+from ..sources.readers import load_table
+
+# --- q1_pricing_summary -----------------------------------------------------------
+# AGG5 flagship (SURVEY §7 Stage 1): scan → filter → hash-agg → sort.
+# Catalyst plan to want: parquet scan with PushedFilters on l_shipdate + ReadSchema of
+# exactly 7 columns, partial_hashagg → shuffle on (l_returnflag,l_linestatus) (12 groups)
+# → final hashagg. At 100 TB the partial agg collapses the shuffle to ~nothing.
+
+Q1_CUTOFF = "2000-12-01 00:00:00"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Parity rule: scale only ever grows through the arithmetic (2 -> 4 -> 6, always
+    # exact); the single ROUND happens on the final sum. Reducing scale via CAST would
+    # diverge (Spark casts round HALF_UP, DuckDB casts truncate).
+    disc_price = (money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + money("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money("l_quantity", "sum_qty"),
+            sum_money("l_extendedprice", "sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            avg_exact("l_quantity", "avg_qty"),
+            avg_exact("l_extendedprice", "avg_price"),
+            avg_exact("l_discount", "avg_disc"),
+            count_big("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3_shipping_priority ---------------------------------------------------------
+# JN4 star join + WIN2 top-k. Plan to want: broadcast(customer-filtered) into orders,
+# then shuffle join lineitem on orderkey (the fact-fact edge), partial agg, global
+# top-10 with deterministic tie-break on o_orderkey.
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = (money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q5_local_supplier_volume -----------------------------------------------------
+# JN4 5-way star join: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with
+# the customer-nation == supplier-nation colocation condition. nation/region broadcast.
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- top_customers_by_revenue -----------------------------------------------------
+# WIN2 ranking: revenue per customer per nation, top-3 per nation by dense window rank.
+# Plan to want: one shuffle on o_custkey for the agg, broadcast dims, one shuffle on
+# n_name for the window (both AQE-coalesced).
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(sum_money("o_totalprice", "total_revenue"), count_big("order_count"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_revenue"), F.asc("o_custkey"))
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rank_in_nation", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("n_name", "c_name", "total_revenue", "order_count", "rank_in_nation")
+        .orderBy("n_name", "rank_in_nation")
+    )
+
+
+TOP_CUSTOMERS_ORACLE = """
+WITH per_cust AS (
+  SELECT
+    o_custkey,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
+    CAST(COUNT(*) AS BIGINT) AS order_count
+  FROM orders
+  GROUP BY o_custkey
+), ranked AS (
+  SELECT
+    n_name, c_name, total_revenue, order_count,
+    CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY total_revenue DESC, o_custkey ASC) AS BIGINT) AS rank_in_nation
+  FROM per_cust
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT * FROM ranked WHERE rank_in_nation <= 3 ORDER BY n_name, rank_in_nation
+"""
+
+
+# --- order_priority_semijoin ------------------------------------------------------
+# JN5 left-semi (TPC-H Q4 shape): orders having at least one late lineitem.
+
+
+def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count_big("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- customers_without_orders -----------------------------------------------------
+# JN5 anti join: customers with no orders in the first half of 1995, counted per nation.
+# (Unqualified "no orders ever" is empty in this corpus — every customer orders.)
+
+CWO_LO = "1995-01-01 00:00:00"
+CWO_HI = "1995-07-01 00:00:00"
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(CWO_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(CWO_HI).cast("timestamp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count_big("customer_count"))
+        .orderBy("n_name")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = f"""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS customer_count
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '{CWO_LO}'
+    AND o_orderdate < TIMESTAMP '{CWO_HI}'
+)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --- rollup_order_status ----------------------------------------------------------
+# AGG5 grouping sets: ROLLUP (o_orderstatus, o_orderpriority) — multi-dim assessment
+# report shape. Map-side partial agg makes rollup ~free at scale.
+
+
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(count_big("order_count"), sum_money("o_totalprice", "total_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_ORDER_STATUS_ORACLE = """
+SELECT
+  o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS order_count,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""

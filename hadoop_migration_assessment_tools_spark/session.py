@@ -1,0 +1,60 @@
+"""SparkSession factory for the engine.
+
+Required semantics (SURVEY §1.4):
+- UTC everywhere (DatePartitionedRecordsWriterFactory.java:205,210 formats in UTC).
+- AQE on: runtime re-planning, skew-join splitting, partition coalescing — our scale story
+  leans on these at 100 TB (SURVEY §4.1).
+- Arrow enabled: every pandas_udf / applyInPandas boundary is Arrow-batched.
+
+Scale notes (local[32] test rig vs 1000-executor target):
+- ``spark.sql.shuffle.partitions`` defaults to 2×cores locally; on a real cluster set it to
+  ~2-3× total executor cores (AQE coalesces the excess, so err high).
+- ``spark.sql.files.maxPartitionBytes`` 128m keeps scan tasks memory-bounded regardless of
+  input size; at 100 TB that is ~800k scan tasks, which Spark schedules fine.
+- broadcast threshold raised to 64m: region/nation/customer-sized dims must never shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CPUS
+
+
+def get_spark(
+    app_name: str = "hadoop-migration-assessment-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine SparkSession with required configs applied."""
+    master = master or os.environ.get("SPARK_MASTER", f"local[{DEFAULT_CPUS}]")
+    cores = DEFAULT_CPUS
+    if master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+    conf = {
+        # Correctness-critical (SURVEY §1.4: UTC everywhere).
+        "spark.sql.session.timeZone": "UTC",
+        # Scale-critical: adaptive execution re-plans joins/partitions at runtime.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Shuffle width: 2×cores locally; AQE coalesces down when partitions are small.
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or max(32, 2 * cores)),
+        # Arrow for every Python<->JVM columnar boundary (pandas_udf, toPandas).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Dimension tables (region/nation/supplier/customer at our SFs) broadcast.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Bound scan-task size irrespective of total input volume.
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+        "spark.driver.host": "127.0.0.1",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

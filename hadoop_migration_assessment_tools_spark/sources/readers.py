@@ -1,0 +1,44 @@
+"""Batch sources (SRC6/SRC7).
+
+Reads the driver-provided relational corpus (TESTDATA.md) and any QueryEvents log
+directory (the output of our sink, or reference-produced dwhassessment_*.avro trees —
+reference reader equivalent: testing/TestUtils.java:173-193).
+
+Scale notes: plain ``spark.read.parquet`` keeps predicate pushdown / column pruning /
+partition pruning in play — never pre-collect or pre-filter driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import CORPUS_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as a DataFrame (lazy scan; pushdown-friendly)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all corpus tables."""
+    return {name: load_table(spark, sf_dir, name) for name in CORPUS_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for spark.sql use."""
+    for name in CORPUS_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_event_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a (possibly date-partitioned, multi-file) QueryEvents log tree as one dataset.
+
+    SET1 multi-source union: a glob/dir read is the Spark-native union of all logger
+    instances × days × rollover files (reference asserts the same invariant across its
+    dir tree in testing/TestUtils.java:178-183).
+    """
+    reader = spark.read
+    if fmt == "avro":
+        return reader.format("avro").load(path)
+    return reader.parquet(path)
