@@ -1,0 +1,12 @@
+from .events import (  # noqa: F401
+    classify_execution_mode,
+    construct_events,
+    counters_json,
+    determine_application_id,
+    extract_entity_names,
+    perf_json,
+    post_hook_event,
+    pre_hook_event,
+    queue_name,
+)
+from .correlate import correlate_submit_complete  # noqa: F401

@@ -1,0 +1,111 @@
+"""Downstream QueryEvents analytics operators (capability layer B, SURVEY §0).
+
+These are the operators the persisted data model is *designed* to support: the schema
+splits one query across a QUERY_SUBMITTED and a QUERY_COMPLETED row keyed by QueryId
+(EventRecordConstructor.java:104,142), making the correlation join, the rollups, and
+the table-frequency explode the defining consumption semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..config import EVENT_QUERY_COMPLETED, EVENT_QUERY_SUBMITTED
+
+
+def deduplicate_events(events: DataFrame) -> DataFrame:
+    """DDP1: at-least-once upstream delivery (retry loop EventLogger.java:196-210) makes
+    duplicates possible; canonical dedup key is (QueryId, EventType). Deterministic:
+    keeps the earliest event timestamp rather than an arbitrary row."""
+    ts = F.coalesce(F.col("StartTime"), F.col("EndTime"))
+    w = Window.partitionBy("QueryId", "EventType").orderBy(ts.asc_nulls_last())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def correlate_submit_complete(events: DataFrame, how: str = "left") -> DataFrame:
+    """JN1: pair each QUERY_SUBMITTED with its QUERY_COMPLETED on QueryId and derive
+    duration/status. Left join keeps never-completed submissions (NULL EndTime).
+
+    Scale: an equi self-join on QueryId — sort-merge under AQE; both sides are
+    pre-projected to only the columns each contributes, so the shuffle carries the
+    minimum payload. Skewed QueryIds can't exist (ids are unique per side after DDP1).
+    """
+    sub = events.filter(F.col("EventType") == EVENT_QUERY_SUBMITTED).select(
+        "QueryId",
+        "QueryType",
+        "QueryText",
+        "ExecutionMode",
+        "ExecutionEngine",
+        "RequestUser",
+        "UserName",
+        "Queue",
+        "StartTime",
+        "TablesRead",
+        "TablesWritten",
+        "DatabasesRead",
+        "DatabasesWritten",
+        "DefaultDatabase",
+        "SessionId",
+    )
+    comp = events.filter(F.col("EventType") == EVENT_QUERY_COMPLETED).select(
+        "QueryId",
+        "EndTime",
+        "Status",
+        "ErrorMessage",
+        "PerfObject",
+        "CountersObject",
+        "YarnApplicationId",
+        F.col("Queue").alias("FinalQueue"),  # post-event Queue overwrite (:162)
+        "HiveHostName",
+    )
+    return sub.join(comp, "QueryId", how).withColumn(
+        "DurationMillis",
+        (F.unix_millis(F.col("EndTime")) - F.unix_millis(F.col("StartTime"))).cast("long"),
+    )
+
+
+def query_log_rollups(correlated: DataFrame, *group_cols: str) -> DataFrame:
+    """AGG5: the assessment rollup — query counts, failure counts, duration stats per
+    arbitrary dimension set (user, queue, mode, day...). Map-side partial agg makes this
+    one cheap shuffle regardless of input size."""
+    if not group_cols:
+        group_cols = ("RequestUser",)
+    return (
+        correlated.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("query_count"),
+            F.sum(F.when(F.col("Status") == "FAIL", 1).otherwise(0)).cast("long").alias("failed_count"),
+            F.round(F.avg("DurationMillis"), 3).alias("avg_duration_ms"),
+            F.max("DurationMillis").alias("max_duration_ms"),
+            F.approx_count_distinct("QueryId").alias("approx_distinct_queries"),
+        )
+    )
+
+
+def table_access_frequency(events: DataFrame) -> DataFrame:
+    """AGG6: explode TablesRead/TablesWritten into per-table read/write counts with a
+    hot-table rank. The explode fans out rows but each carries only (table, flag) —
+    the shuffle payload stays tiny at 100 TB of logs."""
+    sub = events.filter(F.col("EventType") == EVENT_QUERY_SUBMITTED)
+    reads = sub.select(F.explode("TablesRead").alias("table_name")).withColumn(
+        "is_write", F.lit(0)
+    )
+    writes = sub.select(F.explode("TablesWritten").alias("table_name")).withColumn(
+        "is_write", F.lit(1)
+    )
+    counts = (
+        reads.unionByName(writes)
+        .groupBy("table_name")
+        .agg(
+            F.sum(F.lit(1) - F.col("is_write")).cast("long").alias("read_count"),
+            F.sum("is_write").cast("long").alias("write_count"),
+        )
+        .withColumn("total_count", (F.col("read_count") + F.col("write_count")).cast("long"))
+    )
+    w = Window.orderBy(F.desc("total_count"), F.asc("table_name"))
+    return counts.withColumn("hot_rank", F.row_number().over(w).cast("long"))

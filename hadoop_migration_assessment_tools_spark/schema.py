@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 
 _S = T.StringType()
 _TS = T.TimestampType()
-_ARR = T.ArrayType(T.StringType(), containsNull=False)
+_ARR = T.ArrayType(T.StringType())
 
 
 def _f(name: str, dtype: T.DataType) -> T.StructField:
@@ -127,8 +127,17 @@ HOOK_INPUT_SCHEMA = T.StructType(
                 T.StructType([_f("entity_type", _S), _f("name", _S)])
             ),
         ),
-        # Perf map: perf_key -> duration millis; 0 == still running (AGG2).
-        _f("perf", T.MapType(T.StringType(), T.LongType())),
+        # Perf entries: perf_key -> (start millis, duration millis); duration 0 == still
+        # running, resolved against the event clock (AGG2, EventRecordConstructor.java:255-271).
+        _f(
+            "perf",
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [_f("start_millis", T.LongType()), _f("duration_millis", T.LongType())]
+                ),
+            ),
+        ),
         # Counters: per job, per group, counter -> value (AGG1).
         _f(
             "counters_tez",
