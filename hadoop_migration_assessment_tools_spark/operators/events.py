@@ -225,6 +225,13 @@ def post_hook_event(df: DataFrame, yarn_applications: DataFrame | None = None) -
     return out
 
 
+def as_query_events(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Public projection into the 33-field QueryEvents shape: provide any subset of
+    fields as Columns, the rest become typed nulls — GenericRecordBuilder defaults
+    (SURVEY §1.4). Useful for adapting arbitrary sources into the event model."""
+    return _project_to_schema(df, cols)
+
+
 def _project_to_schema(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     """Project to the full 33-field QUERY_EVENTS_SCHEMA, nulling absent fields —
     nullability-first, exactly like GenericRecordBuilder defaults (SURVEY §1.4)."""

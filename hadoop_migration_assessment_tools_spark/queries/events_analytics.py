@@ -1,0 +1,482 @@
+"""Analytics over the `events` stream table (SURVEY §2.4-§2.6: AGG5 rollups, WIN1-3
+windows, JN6 as-of correlation, SET2 set ops, DDP1 dedup, §2.7 JSON/date functions).
+
+These are the batch twins of the streaming semantics in §2.8 (STR7 windows / STR8
+pairing): identical operators run over the same table, which is how the streaming layer
+is parity-tested.
+
+Determinism discipline: every window orders by (ts, event_id) — (user_id, ts) is unique
+in the corpus but event_id makes ordering total regardless; every compared double goes
+through the parity rules of functions/parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.parity import avg_exact, count_big, money, sum_money
+from ..sources.readers import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- events_hourly_rollup ----------------------------------------------------------
+# STR7 tumbling-window batch twin: 1-hour buckets. At scale: partial agg collapses the
+# shuffle; bucket count is bounded by the time range, not input rows.
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            count_big("event_count"),
+            sum_money("value", "total_value"),
+            F.count_distinct(F.col("user_id")).cast("long").alias("distinct_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS hour,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- events_user_activity ----------------------------------------------------------
+# AGG5 per-user rollup: the per-entity workload profile shape.
+
+
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            count_big("event_count"),
+            F.count_distinct(F.col("event_type")).cast("long").alias("distinct_types"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            sum_money("value", "total_value"),
+            avg_exact("value", "avg_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_USER_ACTIVITY_ORACLE = """
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types,
+  MIN(ts) AS first_ts,
+  MAX(ts) AS last_ts,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- events_json_extract -----------------------------------------------------------
+# §2.7 JSON family: the props payload is the engine's JSON-in-string escape hatch
+# (same pattern as PerfObject/CountersObject).
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            count_big("event_count"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_EXTRACT_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_k,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- events_sessionize ------------------------------------------------------------
+# WIN3 + session semantics (batch twin of STR7 session_window): a >30-min gap starts a
+# new session; cumulative sum of gap flags assigns session ids. One shuffle on user_id,
+# everything else within-partition — the scalable sessionization shape.
+
+SESSION_GAP_SECONDS = 1800
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0)
+    sessions = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w).cast("long"))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        count_big("events_in_session"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("session_seconds"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("session_count"),
+            F.sum("events_in_session").cast("long").alias("event_count"),
+            F.max("events_in_session").cast("long").alias("max_session_events"),
+            F.sum("session_seconds").cast("long").alias("total_session_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE
+      WHEN LAG(ts) OVER w IS NULL
+        OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_SECONDS}
+      THEN 1 ELSE 0
+    END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT
+    user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT
+    user_id, session_id,
+    CAST(COUNT(*) AS BIGINT) AS events_in_session,
+    date_diff('second', MIN(ts), MAX(ts)) AS session_seconds
+  FROM numbered
+  GROUP BY user_id, session_id
+)
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS session_count,
+  CAST(SUM(events_in_session) AS BIGINT) AS event_count,
+  CAST(MAX(events_in_session) AS BIGINT) AS max_session_events,
+  CAST(SUM(session_seconds) AS BIGINT) AS total_session_seconds
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- events_running_total ----------------------------------------------------------
+# WIN3 running analytics: cumulative value per user in time order. Exact decimal
+# accumulation keeps the running sum order-independent of engine internals.
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(money("value")).over(w), 2).cast("double").alias("running_value"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("event_seq"),
+    )
+
+
+EVENTS_RUNNING_TOTAL_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  ts,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_seq
+FROM events
+"""
+
+
+# --- events_first_per_user ----------------------------------------------------------
+# WIN1 first-per-group (the reference's first-MR-stage selection shape,
+# ApplicationIdRetriever.java:79-94).
+
+
+def events_first_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+EVENTS_FIRST_PER_USER_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --- events_gap_stats ---------------------------------------------------------------
+# WIN3 lag analytics: inter-event gaps per user (exact integer seconds -> exact stats).
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap")
+    gaps = ev.select("user_id", gap).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            count_big("gap_count"),
+            F.sum("gap").cast("long").alias("total_gap_seconds"),
+            F.max("gap").cast("long").alias("max_gap_seconds"),
+            F.round(F.sum("gap").cast("double") / F.count(F.lit(1)), 6).alias("avg_gap_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_GAP_STATS_ORACLE = """
+WITH gaps AS (
+  SELECT
+    user_id,
+    date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+  FROM events
+)
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS gap_count,
+  CAST(SUM(gap) AS BIGINT) AS total_gap_seconds,
+  CAST(MAX(gap) AS BIGINT) AS max_gap_seconds,
+  ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS avg_gap_seconds
+FROM gaps
+WHERE gap IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- signup_purchase_asof -----------------------------------------------------------
+# JN6 as-of correlation: for each signup, the first strictly-later purchase by the same
+# user. Implemented window-native (reverse-cumulative min over following purchases) —
+# one shuffle on user_id, no self-join, no blowup on hot users.
+
+
+def signup_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_ts", next_purchase)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+            "next_purchase_ts",
+            F.when(
+                F.col("next_purchase_ts").isNotNull(),
+                F.unix_timestamp("next_purchase_ts") - F.unix_timestamp("ts"),
+            )
+            .cast("long")
+            .alias("seconds_to_purchase"),
+        )
+    )
+
+
+SIGNUP_PURCHASE_ASOF_ORACLE = """
+SELECT
+  user_id,
+  event_id AS signup_event_id,
+  ts AS signup_ts,
+  next_purchase_ts,
+  CASE WHEN next_purchase_ts IS NOT NULL
+       THEN date_diff('second', ts, next_purchase_ts) END AS seconds_to_purchase
+FROM (
+  SELECT
+    user_id, event_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM events
+)
+WHERE event_type = 'signup'
+"""
+
+
+# --- events_dedup -------------------------------------------------------------------
+# DDP1 deterministic dedup: keep the earliest event per (user_id, event_type) —
+# row_number, not dropDuplicates, so the survivor is defined, not arbitrary.
+
+
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+EVENTS_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# --- users_signup_and_purchase ------------------------------------------------------
+# SET2 intersect: users who did both. (exceptAll/intersect inter-set family.)
+
+
+def users_signup_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return signup.intersect(purchase).orderBy("user_id")
+
+
+USERS_SIGNUP_AND_PURCHASE_ORACLE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+# --- events_error_never_purchased ---------------------------------------------------
+# SET2/JN5 anti: users who hit an error in the first two days and had not purchased in
+# that window. (Unscoped, every user eventually purchases in this corpus — empty.)
+
+EARLY_WINDOW_END = "2024-01-03 00:00:00"
+
+
+def events_error_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts") < F.lit(EARLY_WINDOW_END).cast("timestamp")
+    )
+    errored = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return errored.exceptAll(purchased).orderBy("user_id")
+
+
+EVENTS_ERROR_NEVER_PURCHASED_ORACLE = f"""
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '{EARLY_WINDOW_END}'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '{EARLY_WINDOW_END}'
+ORDER BY user_id
+"""
+
+
+# --- events_daily_type_matrix -------------------------------------------------------
+# AGG5 multi-dim: per-day × type counts via cube-style grouping sets (day, type, both,
+# grand total) — the assessment report shape on the stream table.
+
+
+def events_daily_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        ev.cube("day", "event_type")
+        .agg(count_big("event_count"), sum_money("value", "total_value"))
+        .orderBy(
+            F.col("day").asc_nulls_first(), F.col("event_type").asc_nulls_first()
+        )
+    )
+
+
+EVENTS_DAILY_TYPE_MATRIX_ORACLE = """
+SELECT
+  CAST(ts AS DATE) AS day,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (day, event_type)
+ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
+
+# --- events_top_users_by_value ------------------------------------------------------
+# WIN2 global top-k with deterministic tie-break.
+
+
+def events_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(sum_money("value", "total_value"), count_big("event_count"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+EVENTS_TOP_USERS_ORACLE = """
+SELECT
+  user_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+  CAST(COUNT(*) AS BIGINT) AS event_count
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 20
+"""

@@ -1,0 +1,340 @@
+"""QueryEvents-model analytics, oracle-checked (SURVEY §2.5 JN1, §2.4 AGG5-6, §2.3 FLT7,
+§2.2 PRJ8, §2.7 scalar surface).
+
+The driver corpus has no QueryEvents parquet, so each query synthesizes a deterministic
+query log from the relational tables *inside the query* — the Spark side builds it
+through the real library operators (as_query_events → deduplicate_events →
+correlate_submit_complete → rollups/frequency), while the oracle reproduces the final
+relational result directly in SQL. A value match therefore certifies the whole operator
+chain, not just the SQL shape.
+
+Log synthesis rules (fixed, mirrored in every oracle):
+- one query per orders row: QueryId = o_orderkey, user = 'user_' || (o_custkey % 10)
+- StartTime = o_orderdate; EndTime = StartTime + (o_orderkey % 3600) seconds
+- Status FAIL when o_orderkey % 10 == 0 else SUCCESS
+- orphan submissions (never completed) when o_orderkey % 17 == 0
+- duplicated completion delivery when o_orderkey % 13 == 0 (exercises DDP1)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.parity import count_big
+from ..functions.scalars import is_supported_hive_version, mr_job_to_application_id
+from ..operators.correlate import (
+    correlate_submit_complete,
+    deduplicate_events,
+    table_access_frequency,
+)
+from ..operators.events import as_query_events
+from ..sources.readers import load_table
+
+
+def _user(col: Column) -> Column:
+    return F.concat(F.lit("user_"), (col % 10).cast("string"))
+
+
+def synthetic_query_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the deterministic QueryEvents log from orders (rules in module docstring)."""
+    orders = load_table(spark, sf_dir, "orders")
+    qid = F.col("o_orderkey").cast("string")
+    sub = as_query_events(
+        orders,
+        {
+            "QueryId": qid,
+            "EventType": F.lit("QUERY_SUBMITTED"),
+            "QueryType": F.lit("QUERY"),
+            "StartTime": F.col("o_orderdate"),
+            "RequestUser": _user(F.col("o_custkey")),
+            "ExecutionMode": F.when(F.col("o_orderkey") % 3 == 0, "TEZ").otherwise("MR"),
+            "Queue": F.concat(F.lit("q"), (F.col("o_orderkey") % 3).cast("string")),
+        },
+    )
+    completed = orders.filter(F.col("o_orderkey") % 17 != 0)
+    comp_cols = {
+        "QueryId": qid,
+        "EventType": F.lit("QUERY_COMPLETED"),
+        "EndTime": F.expr("timestampadd(SECOND, o_orderkey % 3600, o_orderdate)"),
+        "RequestUser": _user(F.col("o_custkey")),
+        "Status": F.when(F.col("o_orderkey") % 10 == 0, "FAIL").otherwise("SUCCESS"),
+    }
+    comp = as_query_events(completed, comp_cols)
+    dup = as_query_events(completed.filter(F.col("o_orderkey") % 13 == 0), comp_cols)
+    return sub.unionByName(comp).unionByName(dup)
+
+
+_LOG_CTES = """
+WITH subs AS (
+  SELECT
+    CAST(o_orderkey AS VARCHAR) AS QueryId,
+    'user_' || CAST(o_custkey % 10 AS VARCHAR) AS RequestUser,
+    o_orderdate AS StartTime,
+    o_orderkey
+  FROM orders
+), comps AS (
+  SELECT
+    CAST(o_orderkey AS VARCHAR) AS QueryId,
+    o_orderdate + (o_orderkey % 3600) * INTERVAL 1 SECOND AS EndTime,
+    CASE WHEN o_orderkey % 10 = 0 THEN 'FAIL' ELSE 'SUCCESS' END AS Status
+  FROM orders
+  WHERE o_orderkey % 17 <> 0
+  -- duplicate deliveries collapse in the dedup the engine applies; the oracle simply
+  -- never materializes them
+)
+"""
+
+
+# --- qe_submit_complete_join --------------------------------------------------------
+# JN1 through the real operator chain: dedup -> correlate -> duration.
+
+
+def qe_submit_complete_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = synthetic_query_log(spark, sf_dir)
+    corr = correlate_submit_complete(deduplicate_events(log))
+    return corr.select(
+        "QueryId",
+        "RequestUser",
+        "StartTime",
+        "EndTime",
+        "Status",
+        F.col("DurationMillis").cast("long").alias("duration_ms"),
+    )
+
+
+QE_SUBMIT_COMPLETE_ORACLE = (
+    _LOG_CTES
+    + """
+SELECT
+  s.QueryId,
+  s.RequestUser,
+  s.StartTime,
+  c.EndTime,
+  c.Status,
+  CAST(epoch_ms(c.EndTime) - epoch_ms(s.StartTime) AS BIGINT) AS duration_ms
+FROM subs s LEFT JOIN comps c ON s.QueryId = c.QueryId
+"""
+)
+
+
+# --- qe_user_rollup -----------------------------------------------------------------
+# AGG5 assessment rollup per user, duration stats exact (long millis).
+
+
+def qe_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = synthetic_query_log(spark, sf_dir)
+    corr = correlate_submit_complete(deduplicate_events(log))
+    completed = F.count(F.col("EndTime")).cast("long")
+    return (
+        corr.groupBy("RequestUser")
+        .agg(
+            count_big("query_count"),
+            completed.alias("completed_count"),
+            F.sum(F.when(F.col("Status") == "FAIL", 1).otherwise(0))
+            .cast("long")
+            .alias("failed_count"),
+            F.sum(F.when(F.col("EndTime").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orphan_count"),
+            F.sum("DurationMillis").cast("long").alias("total_duration_ms"),
+            F.when(
+                completed > 0,
+                F.round(F.sum("DurationMillis").cast("double") / completed, 6),
+            ).alias("avg_duration_ms"),
+        )
+        .orderBy("RequestUser")
+    )
+
+
+QE_USER_ROLLUP_ORACLE = (
+    _LOG_CTES
+    + """
+SELECT
+  s.RequestUser,
+  CAST(COUNT(*) AS BIGINT) AS query_count,
+  CAST(COUNT(c.EndTime) AS BIGINT) AS completed_count,
+  CAST(SUM(CASE WHEN c.Status = 'FAIL' THEN 1 ELSE 0 END) AS BIGINT) AS failed_count,
+  CAST(SUM(CASE WHEN c.EndTime IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_count,
+  CAST(SUM(epoch_ms(c.EndTime) - epoch_ms(s.StartTime)) AS BIGINT) AS total_duration_ms,
+  CASE WHEN COUNT(c.EndTime) > 0 THEN
+    ROUND(CAST(SUM(epoch_ms(c.EndTime) - epoch_ms(s.StartTime)) AS DOUBLE) / COUNT(c.EndTime), 6)
+  END AS avg_duration_ms
+FROM subs s LEFT JOIN comps c ON s.QueryId = c.QueryId
+GROUP BY s.RequestUser
+ORDER BY s.RequestUser
+"""
+)
+
+
+# --- qe_table_read_frequency --------------------------------------------------------
+# AGG6 through the real operator: per-order entity arrays -> explode -> counts -> rank.
+# The oracle computes the same frequencies straight from lineitem — a match certifies
+# the collect_set/explode chain end to end.
+
+
+def qe_table_read_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    read_table = F.concat(F.lit("db@part_"), (F.col("l_partkey") % 50).cast("string"))
+    write_table = F.concat(F.lit("db@sink_"), (F.col("l_orderkey") % 7).cast("string"))
+    per_query = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.array_distinct(F.collect_list(read_table))).alias("TablesRead"),
+        F.array_distinct(F.collect_list(write_table)).alias("TablesWritten"),
+    )
+    events = as_query_events(
+        per_query,
+        {
+            "QueryId": F.col("l_orderkey").cast("string"),
+            "EventType": F.lit("QUERY_SUBMITTED"),
+            "TablesRead": F.col("TablesRead"),
+            "TablesWritten": F.col("TablesWritten"),
+        },
+    )
+    freq = table_access_frequency(events)
+    return freq.select("table_name", "read_count", "write_count", "total_count", "hot_rank")
+
+
+QE_TABLE_READ_FREQUENCY_ORACLE = """
+WITH reads AS (
+  SELECT 'db@part_' || CAST(l_partkey % 50 AS VARCHAR) AS table_name,
+         COUNT(DISTINCT l_orderkey) AS read_count
+  FROM lineitem GROUP BY 1
+), writes AS (
+  SELECT 'db@sink_' || CAST(l_orderkey % 7 AS VARCHAR) AS table_name,
+         COUNT(DISTINCT l_orderkey) AS write_count
+  FROM lineitem GROUP BY 1
+), merged AS (
+  SELECT
+    COALESCE(r.table_name, w.table_name) AS table_name,
+    CAST(COALESCE(r.read_count, 0) AS BIGINT) AS read_count,
+    CAST(COALESCE(w.write_count, 0) AS BIGINT) AS write_count,
+    CAST(COALESCE(r.read_count, 0) + COALESCE(w.write_count, 0) AS BIGINT) AS total_count
+  FROM reads r FULL OUTER JOIN writes w ON r.table_name = w.table_name
+)
+SELECT *,
+  CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, table_name ASC) AS BIGINT) AS hot_rank
+FROM merged
+"""
+
+
+# --- qe_version_gate ----------------------------------------------------------------
+# PRJ8 version gate over synthesized version strings (valid + garbage mix).
+
+
+def qe_version_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    version = F.when(F.col("s_suppkey") % 5 == 0, F.lit("garbage")).otherwise(
+        F.concat(
+            (F.col("s_suppkey") % 4 + 1).cast("string"),
+            F.lit("."),
+            (F.col("s_suppkey") % 6).cast("string"),
+            F.lit("."),
+            (F.col("s_suppkey") % 10).cast("string"),
+        )
+    )
+    df = supp.select("s_suppkey", version.alias("hive_version"))
+    return (
+        df.withColumn("supported", is_supported_hive_version(F.col("hive_version")))
+        .groupBy("hive_version", "supported")
+        .agg(count_big("n"))
+        .orderBy("hive_version")
+    )
+
+
+QE_VERSION_GATE_ORACLE = """
+WITH versions AS (
+  SELECT
+    CASE WHEN s_suppkey % 5 = 0 THEN 'garbage'
+         ELSE CAST(s_suppkey % 4 + 1 AS VARCHAR) || '.' ||
+              CAST(s_suppkey % 6 AS VARCHAR) || '.' ||
+              CAST(s_suppkey % 10 AS VARCHAR)
+    END AS hive_version
+  FROM supplier
+), flagged AS (
+  SELECT
+    hive_version,
+    COALESCE(
+      TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS INTEGER) * 1000 +
+      TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 2) AS INTEGER)
+      BETWEEN 2002 AND 3999, FALSE) AS supported
+  FROM versions
+)
+SELECT hive_version, supported, CAST(COUNT(*) AS BIGINT) AS n
+FROM flagged
+GROUP BY 1, 2
+ORDER BY hive_version
+"""
+
+
+# --- qe_partition_names -------------------------------------------------------------
+# FLT2 partition-identity arrays ('db@table@k=v') with set semantics, per query.
+
+
+def qe_partition_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    pname = F.concat(F.lit("db@lineitem@returnflag="), F.col("l_returnflag"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list(pname))).alias("partitions_read"),
+        )
+        .withColumn("n_partitions", F.size("partitions_read").cast("long"))
+        .orderBy("l_orderkey")
+    )
+
+
+QE_PARTITION_NAMES_ORACLE = """
+SELECT
+  l_orderkey,
+  list_sort(list(DISTINCT 'db@lineitem@returnflag=' || l_returnflag)) AS partitions_read,
+  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_partitions
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+# --- qe_app_id_first_match ----------------------------------------------------------
+# FLT7 + WIN1: convert job ids (skipping malformed), first per user in time order.
+
+
+def qe_app_id_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    job_id = F.when(F.col("event_id") % 7 == 0, F.lit("malformed")).otherwise(
+        F.concat(
+            F.lit("job_17000"),
+            F.col("user_id").cast("string"),
+            F.lit("_"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("app_id", mr_job_to_application_id(job_id))
+        .filter(F.col("app_id").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "app_id", F.col("event_id").alias("first_event_id"))
+        .orderBy("user_id")
+    )
+
+
+QE_APP_ID_FIRST_MATCH_ORACLE = """
+WITH converted AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE WHEN event_id % 7 <> 0 THEN
+      'application_17000' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)
+    END AS app_id
+  FROM events
+), ranked AS (
+  SELECT user_id, app_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM converted
+  WHERE app_id IS NOT NULL
+)
+SELECT user_id, app_id, event_id AS first_event_id
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""

@@ -11,11 +11,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import events_analytics as ea
+from . import query_log as ql
 from . import tpch
 
 Query = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, Query] = {
+    # Relational/TPC-H family (JN4/JN5, AGG5, WIN2, grouping sets)
     "q1_pricing_summary": tpch.q1_pricing_summary,
     "q3_shipping_priority": tpch.q3_shipping_priority,
     "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
@@ -23,6 +26,27 @@ QUERIES: dict[str, Query] = {
     "order_priority_semijoin": tpch.order_priority_semijoin,
     "customers_without_orders": tpch.customers_without_orders,
     "rollup_order_status": tpch.rollup_order_status,
+    # events stream analytics (AGG5-6, WIN1-3, JN6, SET2, DDP1, JSON)
+    "events_hourly_rollup": ea.events_hourly_rollup,
+    "events_user_activity": ea.events_user_activity,
+    "events_json_extract": ea.events_json_extract,
+    "events_sessionize": ea.events_sessionize,
+    "events_running_total": ea.events_running_total,
+    "events_first_per_user": ea.events_first_per_user,
+    "events_gap_stats": ea.events_gap_stats,
+    "signup_purchase_asof": ea.signup_purchase_asof,
+    "events_dedup": ea.events_dedup,
+    "users_signup_and_purchase": ea.users_signup_and_purchase,
+    "events_error_never_purchased": ea.events_error_never_purchased,
+    "events_daily_type_matrix": ea.events_daily_type_matrix,
+    "events_top_users_by_value": ea.events_top_users_by_value,
+    # QueryEvents-model operator chains (JN1, AGG5-6, FLT7/WIN1, PRJ8, FLT2)
+    "qe_submit_complete_join": ql.qe_submit_complete_join,
+    "qe_user_rollup": ql.qe_user_rollup,
+    "qe_table_read_frequency": ql.qe_table_read_frequency,
+    "qe_version_gate": ql.qe_version_gate,
+    "qe_partition_names": ql.qe_partition_names,
+    "qe_app_id_first_match": ql.qe_app_id_first_match,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -33,4 +57,23 @@ ORACLE_SQL: dict[str, str] = {
     "order_priority_semijoin": tpch.ORDER_PRIORITY_ORACLE,
     "customers_without_orders": tpch.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "rollup_order_status": tpch.ROLLUP_ORDER_STATUS_ORACLE,
+    "events_hourly_rollup": ea.EVENTS_HOURLY_ORACLE,
+    "events_user_activity": ea.EVENTS_USER_ACTIVITY_ORACLE,
+    "events_json_extract": ea.EVENTS_JSON_EXTRACT_ORACLE,
+    "events_sessionize": ea.EVENTS_SESSIONIZE_ORACLE,
+    "events_running_total": ea.EVENTS_RUNNING_TOTAL_ORACLE,
+    "events_first_per_user": ea.EVENTS_FIRST_PER_USER_ORACLE,
+    "events_gap_stats": ea.EVENTS_GAP_STATS_ORACLE,
+    "signup_purchase_asof": ea.SIGNUP_PURCHASE_ASOF_ORACLE,
+    "events_dedup": ea.EVENTS_DEDUP_ORACLE,
+    "users_signup_and_purchase": ea.USERS_SIGNUP_AND_PURCHASE_ORACLE,
+    "events_error_never_purchased": ea.EVENTS_ERROR_NEVER_PURCHASED_ORACLE,
+    "events_daily_type_matrix": ea.EVENTS_DAILY_TYPE_MATRIX_ORACLE,
+    "events_top_users_by_value": ea.EVENTS_TOP_USERS_ORACLE,
+    "qe_submit_complete_join": ql.QE_SUBMIT_COMPLETE_ORACLE,
+    "qe_user_rollup": ql.QE_USER_ROLLUP_ORACLE,
+    "qe_table_read_frequency": ql.QE_TABLE_READ_FREQUENCY_ORACLE,
+    "qe_version_gate": ql.QE_VERSION_GATE_ORACLE,
+    "qe_partition_names": ql.QE_PARTITION_NAMES_ORACLE,
+    "qe_app_id_first_match": ql.QE_APP_ID_FIRST_MATCH_ORACLE,
 }

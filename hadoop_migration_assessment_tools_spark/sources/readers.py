@@ -10,13 +10,25 @@ partition pruning in play — never pre-collect or pre-filter driver-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import CORPUS_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table as a DataFrame (lazy scan; pushdown-friendly)."""
+    """Load one corpus table as a DataFrame (lazy scan; pushdown-friendly).
+
+    events.ts is TIMESTAMP(NANOS) in Parquet, which Spark 4 refuses outright
+    (PARQUET_TYPE_ILLEGAL). We read it as epoch-nanos long (legacy conf, set at runtime
+    so it works in any caller's session) and floor-divide to a microsecond timestamp —
+    the same truncation DuckDB applies on read, keeping oracle parity exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
