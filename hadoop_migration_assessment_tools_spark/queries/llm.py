@@ -1,0 +1,422 @@
+"""[EXT] LLM-pipeline queries over documents/embeddings (SURVEY §2.9 [EXT]).
+
+Oracle-checked where SQL-expressible; hash-family operators (MinHash/SimHash/
+fingerprint use engine-specific xxhash64) are registered rows-only and verified in
+pytest instead (planted-duplicate recovery, recall vs bruteforce).
+
+The corpus has no exact duplicates, so dedup queries plant them deterministically
+in-query (doc_id % 7 == 0 re-inserted with id + 1_000_000) — mirrored in each oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..ext.dedup import (
+    duplicate_groups,
+    jaccard_verify,
+    minhash_candidate_pairs,
+    shingle_index,
+    simhash_near_pairs,
+)
+from ..ext.multimodal import extract_features, media_summary, synthesize_media
+from ..ext.similarity import cosine, cosine_topk_bruteforce, cosine_topk_ivf
+from ..ext.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    language_scores,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from ..functions.parity import count_big
+from ..sources.readers import load_table
+
+DUP_OFFSET = 1_000_000
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    return docs.unionByName(dups)
+
+_DOCS_AUG_CTE = f"""
+WITH docs_aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+# --- docs_exact_dedup ---------------------------------------------------------------
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _docs_with_planted_dups(spark, sf_dir)
+    return (
+        duplicate_groups(aug, "text", "doc_id")
+        .select("text_hash", "dup_count", F.col("keeper_id").cast("long").alias("keeper_id"))
+        .orderBy("keeper_id")
+    )
+
+
+DOCS_EXACT_DEDUP_ORACLE = (
+    _DOCS_AUG_CTE
+    + """
+SELECT
+  sha256(text) AS text_hash,
+  CAST(COUNT(*) AS BIGINT) AS dup_count,
+  CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+FROM docs_aug
+GROUP BY sha256(text)
+HAVING COUNT(*) > 1
+ORDER BY keeper_id
+"""
+)
+
+
+# --- docs_token_stats ---------------------------------------------------------------
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    return (
+        docs.withColumn("n_tokens", nt)
+        .groupBy("lang")
+        .agg(
+            count_big("doc_count"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_TOKEN_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT
+    lang, n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS doc_count,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM toks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- docs_quality -------------------------------------------------------------------
+# Per-doc quality decomposition — every component exact/deterministic (SQL-mirrored).
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+DOCS_QUALITY_ORACLE = rf"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                    x -> x IN ({_EN_STOP_SQL}))) AS n_stop,
+    list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                            x -> length(x))) AS alpha_len
+  FROM documents
+), ratios AS (
+  SELECT
+    doc_id,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    CASE WHEN n_tokens > 0 THEN ROUND(CAST(alpha_len AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS mean_token_len,
+    CASE WHEN n_chars > 0 THEN ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_chars > 0 THEN ROUND(CAST(n_upper AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS upper_ratio,
+    CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS stopword_ratio
+  FROM feats
+)
+SELECT
+  doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+  ROUND(
+    LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+    (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+    GREATEST(0.0, 1.0 - (punct_ratio + upper_ratio) * 2.0) * 0.3,
+  6) AS quality
+FROM ratios
+"""
+
+
+# --- docs_lang_scores ---------------------------------------------------------------
+# Language-ID evidence + argmax, fully SQL-mirrored (list_reduce == aggregate).
+
+
+def docs_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        s["de"].cast("long").alias("de_hits"),
+        s["en"].cast("long").alias("en_hits"),
+        s["es"].cast("long").alias("es_hits"),
+        s["fr"].cast("long").alias("fr_hits"),
+        s["zh"].cast("long").alias("zh_hits"),
+        language_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _stop_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+DOCS_LANG_SCORES_ORACLE = rf"""
+WITH scores AS (
+  SELECT
+    doc_id, lang,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({_stop_sql('de')}))) AS BIGINT) AS de_hits,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({_stop_sql('en')}))) AS BIGINT) AS en_hits,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({_stop_sql('es')}))) AS BIGINT) AS es_hits,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({_stop_sql('fr')}))) AS BIGINT) AS fr_hits,
+    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT) AS zh_hits
+  FROM documents
+)
+SELECT
+  doc_id, lang, de_hits, en_hits, es_hits, fr_hits, zh_hits,
+  (SELECT CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END
+   FROM (SELECT list_reduce(
+           [{{'score': de_hits, 'lang': 'de'}}, {{'score': en_hits, 'lang': 'en'}},
+            {{'score': es_hits, 'lang': 'es'}}, {{'score': fr_hits, 'lang': 'fr'}},
+            {{'score': zh_hits, 'lang': 'zh'}}],
+           (acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END) AS best)
+  ) AS lang_pred
+FROM scores
+"""
+
+
+# --- docs_shingle_jaccard -----------------------------------------------------------
+# n-gram Jaccard near-dup via inverted-index join, oracle-mirrored. Planted dups
+# guarantee hits (jaccard 1.0); the index stays sparse because word 4-shingles are
+# distinctive.
+
+# 6-shingles: over the corpus's tiny (~30-word) vocabulary, 4-shingles collide by
+# birthday-bound across unrelated docs and the inverted join explodes (~190M pair rows
+# at sf0.1). 6-shingles push the collision space to 30^6 — the index stays sparse.
+SHINGLE_K = 6
+JACCARD_THRESHOLD = 0.6
+
+
+def docs_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _docs_with_planted_dups(spark, sf_dir)
+    idx = shingle_index(aug, "text", "doc_id", SHINGLE_K)
+    inv = idx.select(
+        F.col("_id").alias("doc_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("n_sh"),
+        F.col("_sh").alias("sh"),
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+DOCS_SHINGLE_JACCARD_ORACLE = (
+    _DOCS_AUG_CTE
+    + rf"""
+, toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+), shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                                      i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' '))) AS shingles
+  FROM toks
+  WHERE len(t) >= {SHINGLE_K}
+), inv AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM shingled
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+# --- emb_cosine_topk ----------------------------------------------------------------
+# Brute-force exact ANN baseline; oracle mirrors the double-precision dot in list order.
+
+TOPK_QUERIES = 20
+TOPK_K = 5
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return cosine_topk_bruteforce(emb, queries, k=TOPK_K)
+
+
+EMB_COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {TOPK_QUERIES}),
+scored AS (
+  SELECT
+    q.query_id,
+    c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.qv, c.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT
+    query_id, neighbor_id,
+    ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM scored
+), final AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM ranked
+)
+SELECT query_id, neighbor_id, cosine, rank FROM final WHERE rank <= {TOPK_K}
+"""
+
+
+# --- emb_label_centroids ------------------------------------------------------------
+# Element-wise centroid per label: exact decimal sums keep the shuffle-order noise out.
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).cast("long").alias("dim"), F.col("v"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val"),
+            count_big("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMB_LABEL_CENTROIDS_ORACLE = """
+SELECT
+  label,
+  i AS dim,
+  ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_val,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings, generate_series(1, 64) s(i)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+# --- rows-only [EXT] queries (engine-specific hashes / pandas UDF paths) ------------
+
+
+def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified with true Jaccard (rows-only: xxhash64 is
+    engine-specific). Planted dups guarantee recovered pairs."""
+    aug = _docs_with_planted_dups(spark, sf_dir)
+    cands = minhash_candidate_pairs(aug)
+    return jaccard_verify(cands, aug, threshold=0.7).orderBy("id_a", "id_b")
+
+
+def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (rows-only)."""
+    aug = _docs_with_planted_dups(spark, sf_dir)
+    return simhash_near_pairs(aug, max_distance=3).orderBy("id_a", "id_b")
+
+
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling token-chain fingerprints + per-source distinct counts (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", doc_fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(
+            count_big("doc_count"),
+            F.count_distinct("fp").cast("long").alias("distinct_fingerprints"),
+        )
+        .orderBy("source")
+    )
+
+
+def emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only; recall vs bruteforce asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return cosine_topk_ivf(emb, queries, k=TOPK_K, nlist=16, nprobe=4)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: synthesize payloads -> Arrow-batched feature extraction
+    -> join with typed-metadata summary (rows-only; decode itself is stubbed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            count_big("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.round(F.sum(F.element_at("features", 1).cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_feature_0"
+            ),
+        )
+        .orderBy("kind")
+    )

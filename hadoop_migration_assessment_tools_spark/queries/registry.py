@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import events_analytics as ea
+from . import llm
 from . import query_log as ql
 from . import tpch
 
@@ -47,6 +48,20 @@ QUERIES: dict[str, Query] = {
     "qe_version_gate": ql.qe_version_gate,
     "qe_partition_names": ql.qe_partition_names,
     "qe_app_id_first_match": ql.qe_app_id_first_match,
+    # [EXT] LLM-pipeline operators (dedup / similarity / text / multimodal)
+    "docs_exact_dedup": llm.docs_exact_dedup,
+    "docs_token_stats": llm.docs_token_stats,
+    "docs_quality": llm.docs_quality,
+    "docs_lang_scores": llm.docs_lang_scores,
+    "docs_shingle_jaccard": llm.docs_shingle_jaccard,
+    "emb_cosine_topk": llm.emb_cosine_topk,
+    "emb_label_centroids": llm.emb_label_centroids,
+    # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
+    "docs_minhash_near_dup": llm.docs_minhash_near_dup,
+    "docs_simhash_near_dup": llm.docs_simhash_near_dup,
+    "docs_fingerprints": llm.docs_fingerprints,
+    "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
+    "multimodal_features": llm.multimodal_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -76,4 +91,11 @@ ORACLE_SQL: dict[str, str] = {
     "qe_version_gate": ql.QE_VERSION_GATE_ORACLE,
     "qe_partition_names": ql.QE_PARTITION_NAMES_ORACLE,
     "qe_app_id_first_match": ql.QE_APP_ID_FIRST_MATCH_ORACLE,
+    "docs_exact_dedup": llm.DOCS_EXACT_DEDUP_ORACLE,
+    "docs_token_stats": llm.DOCS_TOKEN_STATS_ORACLE,
+    "docs_quality": llm.DOCS_QUALITY_ORACLE,
+    "docs_lang_scores": llm.DOCS_LANG_SCORES_ORACLE,
+    "docs_shingle_jaccard": llm.DOCS_SHINGLE_JACCARD_ORACLE,
+    "emb_cosine_topk": llm.EMB_COSINE_TOPK_ORACLE,
+    "emb_label_centroids": llm.EMB_LABEL_CENTROIDS_ORACLE,
 }

@@ -1,0 +1,165 @@
+"""[EXT] operator tests: the rows-only paths (engine-specific hashes, pandas-UDF
+pipelines) get behavioral verification here — planted-duplicate recovery, recall vs
+the exact baseline, heuristic accuracy on crafted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_migration_assessment_tools_spark.ext.dedup import (
+    exact_dedup,
+    hamming_distance,
+    jaccard_verify,
+    minhash_candidate_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+    token_shingles,
+)
+from hadoop_migration_assessment_tools_spark.ext.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    media_summary,
+    synthesize_media,
+)
+from hadoop_migration_assessment_tools_spark.ext.text import language_id, token_count
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = _docs(
+        spark,
+        [(3, "a b c"), (1, "a b c"), (2, "x y z"), (7, "a b c")],
+    )
+    out = exact_dedup(df)
+    got = sorted((r["doc_id"], r["text"]) for r in out.collect())
+    assert got == [(1, "a b c"), (2, "x y z")]  # min-id survivor, not arbitrary
+
+
+def test_minhash_recovers_planted_near_dups(spark):
+    base = (
+        "spark shuffle partition broadcast join aggregate window watermark stream "
+        "batch column parquet pushdown codegen arrow vectorized executor driver task stage"
+    )
+    near = base.replace("driver", "coordinator")  # one-token edit -> high jaccard
+    far = "completely different words entirely unrelated content nothing shared here at all ok then"
+    df = _docs(spark, [(1, base), (2, near), (3, far), (4, base + " extra")])
+    cands = minhash_candidate_pairs(df, num_hashes=64, bands=16)
+    verified = jaccard_verify(cands, df, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_and_near(spark):
+    # SimHash needs enough tokens that a single edit moves few bit-votes: use 48-token
+    # docs (the realistic regime; tiny docs are exact-dedup territory anyway).
+    base = " ".join(f"tok{i}" for i in range(48))
+    near = base.replace("tok7", "edited")  # single-token edit
+    far = " ".join(f"other{i}" for i in range(48))
+    df = _docs(spark, [(1, base), (2, base), (3, near), (4, far)])
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert fp[1] == fp[2]
+    near_h = bin(fp[1] ^ fp[3]).count("1")
+    far_h = bin(fp[1] ^ fp[4]).count("1")
+    assert near_h < far_h, (near_h, far_h)
+    # banding guarantee: distance k is caught when k < bands — use 8 bands for k<=7
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_distance=7, bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] == near_h
+    assert (1, 4) not in pairs
+
+
+def test_hamming_distance_expr(spark):
+    df = spark.createDataFrame([(0b1011, 0b0011)], ["a", "b"])
+    got = df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"]
+    assert got == 1
+
+
+def test_token_shingles_shapes(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b"), (3, "")])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", token_shingles(F.col("text"), 4).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c d", "b c d e"]
+    assert out[2] == [] and out[3] == []
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_language_id_fixtures(spark):
+    rows = [
+        (1, "the cat and the dog went to the park with a ball", "en"),
+        (2, "der hund und die katze sind nicht in dem haus mit den kindern", "de"),
+        (3, "el perro y la casa de la familia es un lugar que se ve", "es"),
+        (4, "le chien et la maison des enfants est une belle chose pour les gens", "fr"),
+        (5, "这是一个中文句子 包含很多汉字", "zh"),
+        (6, "zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text", "expected"])
+    got = df.select("expected", language_id(F.col("text")).alias("pred")).collect()
+    for r in got:
+        assert r["pred"] == r["expected"], r
+
+
+def test_token_count_empty_and_spaces(spark):
+    df = _docs(spark, [(1, "a  b   c"), (2, ""), (3, "   ")])
+    out = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert out == {1: 3, 2: 0, 3: 0}
+
+
+def test_multimodal_plumbing(spark):
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = synthesize_media(docs)
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
+
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["features"])
+        assert r["n_bytes"] > 0
+
+    # determinism: same payload -> same features
+    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["features"] for r in rows}
+    assert again == first
+
+    summary = media_summary(media)
+    kinds = {r["kind"] for r in summary.collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_media_is_stubbed():
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image", None)
