@@ -1,0 +1,12 @@
+from .source import read_event_stream, read_events_table_stream  # noqa: F401
+from .windows import (  # noqa: F401
+    session_window_stats,
+    sliding_window_value,
+    tumbling_window_counts,
+)
+from .pairing import (  # noqa: F401
+    PAIRED_SCHEMA,
+    pair_submit_complete_stream,
+    pair_with_timeout,
+    stream_dedup_events,
+)

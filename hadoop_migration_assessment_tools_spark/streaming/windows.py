@@ -1,0 +1,91 @@
+"""STR7: event-time windows with watermarks (SURVEY §2.8).
+
+Not in the reference (its files are partitioned by processing-time wall clock —
+DatePartitionedRecordsWriterFactory.java:204-206); required for event-time-correct
+analytics over StartTime/EndTime and the events table. Late rows beyond the watermark
+are dropped by the engine; state is bounded by watermark horizon × window count.
+
+Every function works identically on batch DataFrames (same operators) — that is how
+correctness is cross-checked against the batch twins in queries/events_analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling per-window × event_type counts/sums (batch twin: events_hourly_rollup)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_value(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping buckets."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("event_count"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+            "approx_users",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows per user (gap-based), the streaming form of
+    events_sessionize. State closes when the watermark passes session end + gap."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events_in_session"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "events_in_session",
+            "session_value",
+        )
+    )

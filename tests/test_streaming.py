@@ -1,0 +1,290 @@
+"""STR1/STR7/STR8/DDP1 streaming tests: file sources into memory sinks with
+availableNow triggers (deterministic micro-batching), batch-parity cross-checks
+(SURVEY §7 Stage 4), stateful pairing with event-time timeout."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from pyspark.sql import functions as F
+
+from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+from hadoop_migration_assessment_tools_spark.sources.sink import DatePartitionedSink
+from hadoop_migration_assessment_tools_spark.streaming.pairing import (
+    pair_submit_complete_stream,
+    pair_with_timeout,
+    stream_dedup_events,
+)
+from hadoop_migration_assessment_tools_spark.streaming.source import (
+    read_event_stream,
+    read_events_table_stream,
+)
+from hadoop_migration_assessment_tools_spark.streaming.windows import (
+    session_window_stats,
+    tumbling_window_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_flat_file(spark, rows, src_dir, name: str) -> None:
+    """Materialize rows as ONE flat parquet file in src_dir (the file stream source
+    lists files, it does not recurse into nested .parquet directories)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.move(part, os.path.join(src_dir, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_available_now(stream_df, name: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _qe_row(**kw) -> dict:
+    row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+    for c in (
+        "TablesRead",
+        "TablesWritten",
+        "PartitionsRead",
+        "PartitionsWritten",
+        "DatabasesRead",
+        "DatabasesWritten",
+    ):
+        row[c] = []
+    row.update(kw)
+    return row
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    """STR7 batch parity: the same operator over a file stream equals the batch run."""
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SF, "events")
+    events.write.parquet(src)
+
+    stream = read_events_table_stream(spark, src)
+    _run_available_now(tumbling_window_counts(stream), "tumbling_counts", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["total_value"])
+        for r in spark.table("tumbling_counts").collect()
+    }
+    expected = {
+        (r["hour"], r["event_type"]): (r["event_count"], r["total_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_session_window_stream_runs(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF, "events").write.parquet(src)
+    stream = read_events_table_stream(spark, src)
+    _run_available_now(session_window_stats(stream, gap="30 minutes"), "sessions", "complete")
+    rows = spark.table("sessions").collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r["session_end"] > r["session_start"]
+        assert r["events_in_session"] >= 1
+
+
+def test_stream_stream_pairing_join(spark, tmp_path):
+    """STR8 declarative form: pairs within the join window; orphan emits with NULLs
+    once the watermark passes."""
+    src = str(tmp_path / "qe_src")
+    t0 = _ts("2024-01-01 00:00:00")
+    batch1 = [
+        _qe_row(QueryId="q1", EventType="QUERY_SUBMITTED", StartTime=t0),
+        _qe_row(
+            QueryId="q1",
+            EventType="QUERY_COMPLETED",
+            EndTime=t0 + dt.timedelta(minutes=30),
+            Status="SUCCESS",
+        ),
+        _qe_row(
+            QueryId="q2",
+            EventType="QUERY_SUBMITTED",
+            StartTime=t0 + dt.timedelta(minutes=5),
+        ),  # never completes
+    ]
+    # far-future traffic in a SECOND batch pushes the watermark beyond q2's join
+    # window. Both event types must flow: the global watermark is the MIN across the
+    # submit-side and completion-side watermarks (multipleWatermarkPolicy=min), so a
+    # quiet completion stream would hold eviction back forever.
+    batch2 = [
+        _qe_row(
+            QueryId="q99",
+            EventType="QUERY_SUBMITTED",
+            StartTime=t0 + dt.timedelta(hours=12),
+        ),
+        _qe_row(
+            QueryId="q99",
+            EventType="QUERY_COMPLETED",
+            EndTime=t0 + dt.timedelta(hours=12, minutes=1),
+            Status="SUCCESS",
+        ),
+    ]
+    # the watermark computed from batch2 only takes effect in the NEXT batch, so a
+    # third batch is what actually evicts q2's state and emits the orphan row
+    batch3 = [
+        _qe_row(
+            QueryId="q98",
+            EventType="QUERY_SUBMITTED",
+            StartTime=t0 + dt.timedelta(hours=13),
+        ),
+        _qe_row(
+            QueryId="q98",
+            EventType="QUERY_COMPLETED",
+            EndTime=t0 + dt.timedelta(hours=13, minutes=1),
+            Status="SUCCESS",
+        ),
+    ]
+    _write_flat_file(spark, batch1, src, "b1.parquet")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    _write_flat_file(spark, batch2, src, "b2.parquet")
+    time.sleep(1.1)
+    _write_flat_file(spark, batch3, src, "b3.parquet")
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    paired = pair_submit_complete_stream(stream, watermark="1 hour", join_window="2 hours")
+    _run_available_now(paired, "paired_join")
+    got = {r["QueryId"]: r for r in spark.table("paired_join").collect()}
+    assert got["q1"]["Status"] == "SUCCESS"
+    assert got["q1"]["DurationMillis"] == 30 * 60 * 1000
+    assert "q2" in got, f"orphan not emitted: {got}"
+    assert got["q2"]["EndTime"] is None and got["q2"]["Status"] is None
+
+
+def test_pair_with_timeout_emits_timeout_rows(spark, tmp_path):
+    """STR8 stateful form: completion pairs in-state; unmatched submit becomes an
+    explicit TIMEOUT row when the watermark passes StartTime + timeout."""
+    src = str(tmp_path / "qe_state_src")
+    t0 = _ts("2024-01-01 00:00:00")
+    batch1 = [
+        _qe_row(QueryId="q1", EventType="QUERY_SUBMITTED", StartTime=t0),
+        _qe_row(
+            QueryId="q1",
+            EventType="QUERY_COMPLETED",
+            EndTime=t0 + dt.timedelta(minutes=10),
+            Status="SUCCESS",
+        ),
+        # duplicate completion: first-wins
+        _qe_row(
+            QueryId="q1",
+            EventType="QUERY_COMPLETED",
+            EndTime=t0 + dt.timedelta(minutes=50),
+            Status="FAIL",
+        ),
+        _qe_row(QueryId="q2", EventType="QUERY_SUBMITTED", StartTime=t0),  # will time out
+    ]
+    batch2 = [
+        _qe_row(
+            QueryId="q99",
+            EventType="QUERY_SUBMITTED",
+            StartTime=t0 + dt.timedelta(hours=6),
+        )
+    ]
+    _write_flat_file(spark, batch1, src, "f1.parquet")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    _write_flat_file(spark, batch2, src, "f2.parquet")
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    paired = pair_with_timeout(stream, timeout_ms=3_600_000)  # 1 h
+    _run_available_now(paired, "paired_state")
+    got = {}
+    for r in spark.table("paired_state").collect():
+        got.setdefault(r["QueryId"], []).append(r)
+    assert got["q1"][0]["Status"] == "SUCCESS"  # first completion won
+    assert got["q1"][0]["DurationMillis"] == 10 * 60 * 1000
+    assert got["q2"][0]["Status"] == "TIMEOUT"
+    assert got["q2"][0]["EndTime"] is None
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "qe_dedup_src")
+    t0 = _ts("2024-01-01 00:00:00")
+    rows = [
+        _qe_row(QueryId="q1", EventType="QUERY_SUBMITTED", StartTime=t0),
+        _qe_row(QueryId="q1", EventType="QUERY_SUBMITTED", StartTime=t0),  # dup
+        _qe_row(QueryId="q1", EventType="QUERY_SUBMITTED", StartTime=t0),  # dup
+        _qe_row(
+            QueryId="q1",
+            EventType="QUERY_COMPLETED",
+            EndTime=t0 + dt.timedelta(minutes=1),
+            Status="SUCCESS",
+        ),
+    ]
+    spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA).write.parquet(src)
+    deduped = stream_dedup_events(read_event_stream(spark, src), watermark="1 hour")
+    _run_available_now(deduped, "deduped_stream")
+    out = spark.table("deduped_stream").collect()
+    assert len(out) == 2  # one submit + one complete
+
+
+def test_streaming_sink_roundtrip(spark, tmp_path):
+    """SRC2-4 streaming form: micro-batch trigger writes the date-partitioned layout
+    with exactly-once commits."""
+    src = str(tmp_path / "qe_src")
+    out = str(tmp_path / "qe_out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = _ts("2024-01-01 23:59:00")
+    rows = [
+        _qe_row(QueryId="a", EventType="QUERY_SUBMITTED", StartTime=t0),
+        _qe_row(
+            QueryId="b",
+            EventType="QUERY_SUBMITTED",
+            StartTime=t0 + dt.timedelta(minutes=2),  # next UTC day
+        ),
+    ]
+    spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA).write.parquet(src)
+    sink = DatePartitionedSink(out)
+    q = (
+        sink.write_stream(
+            read_event_stream(spark, src), checkpoint_dir=ckpt, trigger_seconds=1
+        )
+    )
+    deadline = time.time() + 60
+    import os
+
+    while time.time() < deadline:
+        dirs = set(os.listdir(out)) if os.path.exists(out) else set()
+        if {"EventDate=2024-01-01", "EventDate=2024-01-02"} <= dirs:
+            break
+        time.sleep(0.5)
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {r["EventDate"].isoformat() for r in back.collect()} == {
+        "2024-01-01",
+        "2024-01-02",
+    }
