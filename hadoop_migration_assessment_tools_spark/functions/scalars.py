@@ -59,6 +59,12 @@ def mr_job_to_application_id(job_id: Column) -> Column:
     return F.when(ok, F.regexp_replace(job_id, r"^job_", "application_"))
 
 
+def writer_id(length: int = 10) -> Column:
+    """PRJ10 (utils/IdGenerator.java:22-30): random alphanumeric writer id, default 10
+    chars — used to tag sink files/instances. uuid-derived (hex subset of alnum)."""
+    return F.substring(F.regexp_replace(F.uuid(), "-", ""), 1, length)
+
+
 def json_get_long(json_col: Column | str, key: str) -> Column:
     """JSON scalar extraction used all over the analytics layer (SURVEY §2.7 JSON family)."""
     c = F.col(json_col) if isinstance(json_col, str) else json_col

@@ -80,10 +80,22 @@ class DatePartitionedSink:
             return "parquet"
         return self.fmt
 
-    def write_batch(self, df: DataFrame, mode: str = "append") -> None:
-        """Batch write, partitioned by UTC event date (SRC3)."""
+    def write_batch(self, df: DataFrame, mode: str = "append", time_sorted: bool = True) -> None:
+        """Batch write, partitioned by UTC event date (SRC3).
+
+        time_sorted (SRT1): records land in event-time order within each file, the
+        Spark-native form of the reference's arrival-ordered, instant-named files
+        (DatePartitionedRecordsWriterFactory.java:208-214). Cheap (intra-partition
+        sort, no shuffle) and makes time-range scans of a file monotone.
+        """
         if self.partition_col not in df.columns:
             df = with_event_date(df)
+        if time_sorted:
+            df = df.sortWithinPartitions(
+                F.coalesce(F.col("StartTime"), F.col("EndTime"))
+                if "StartTime" in df.columns
+                else F.col(self.partition_col)
+            )
         writer = df.write.mode(mode).partitionBy(self.partition_col)
         if self.rollover_records:
             # File-size rollover equivalent (SRC4): caps records per physical file the way

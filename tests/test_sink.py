@@ -65,6 +65,20 @@ def test_batch_append_accumulates(spark, tmp_path):
     assert read_event_log(spark, base).count() == 2
 
 
+def test_avro_falls_back_to_parquet_when_module_absent(spark, tmp_path):
+    """SRC2: fmt='avro' matches the reference's container format when spark-avro is on
+    the classpath; this container has only avro-core jars, so the sink must degrade to
+    parquet with a warning rather than fail."""
+    import warnings
+
+    base = str(tmp_path / "events")
+    df = spark.createDataFrame([_event("q", dt.datetime(2024, 1, 1))], schema=QUERY_EVENTS_SCHEMA)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        DatePartitionedSink(base, fmt="avro").write_batch(df)
+    assert read_event_log(spark, base).count() == 1  # parquet fallback readable
+
+
 def test_rollover_records_split_files(spark, tmp_path):
     """SRC4 equivalent: maxRecordsPerFile caps records per physical file the way the
     reference's time rotation caps records per Avro container."""
