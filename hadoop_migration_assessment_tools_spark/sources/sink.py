@@ -30,15 +30,8 @@ from ..config import DEFAULT_ROLLOVER_INTERVAL_SECONDS
 PARTITION_COL = "EventDate"
 
 
-def _avro_available(df: DataFrame) -> bool:
-    spark = df.sparkSession
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.avro.AvroFileFormat"
-        )
-        return True
-    except Exception:
-        return False
+def _is_missing_datasource_error(exc: Exception) -> bool:
+    return "Failed to find data source" in str(exc)
 
 
 def with_event_date(df: DataFrame, ts_cols: tuple[str, str] = ("StartTime", "EndTime")) -> DataFrame:
@@ -72,14 +65,6 @@ class DatePartitionedSink:
         self.rollover_records = rollover_records
         self.partition_col = partition_col
 
-    def _resolve_fmt(self, df: DataFrame) -> str:
-        if self.fmt == "avro" and not _avro_available(df):
-            import warnings
-
-            warnings.warn("spark-avro not on classpath; falling back to parquet")
-            return "parquet"
-        return self.fmt
-
     def write_batch(self, df: DataFrame, mode: str = "append", time_sorted: bool = True) -> None:
         """Batch write, partitioned by UTC event date (SRC3).
 
@@ -101,7 +86,17 @@ class DatePartitionedSink:
             # File-size rollover equivalent (SRC4): caps records per physical file the way
             # the reference's time-based rotation caps records per Avro container.
             writer = writer.option("maxRecordsPerFile", self.rollover_records)
-        writer.format(self._resolve_fmt(df)).save(self.base_dir)
+        try:
+            writer.format(self.fmt).save(self.base_dir)
+        except Exception as exc:  # spark-avro module absent in some deployments
+            if self.fmt == "avro" and _is_missing_datasource_error(exc):
+                import warnings
+
+                warnings.warn("spark-avro data source unavailable; falling back to parquet")
+                self.fmt = "parquet"
+                writer.format("parquet").save(self.base_dir)
+            else:
+                raise
 
     def write_stream(
         self,
@@ -119,7 +114,7 @@ class DatePartitionedSink:
         if self.partition_col not in df.columns:
             df = with_event_date(df)
         return (
-            df.writeStream.format(self._resolve_fmt(df))
+            df.writeStream.format(self.fmt)
             .option("checkpointLocation", checkpoint_dir)
             .option("path", self.base_dir)
             .partitionBy(self.partition_col)
