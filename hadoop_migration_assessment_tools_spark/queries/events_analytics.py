@@ -480,3 +480,139 @@ GROUP BY user_id
 ORDER BY total_value DESC, user_id ASC
 LIMIT 20
 """
+
+
+# --- events_value_percentiles -------------------------------------------------------
+# AGG5 distribution stats: exact interpolated percentiles (Spark `percentile` and
+# DuckDB `quantile_cont` share the linear-interpolation definition). Exact percentile
+# needs a per-group sort — at 100 TB switch to approx_percentile (t-digest, mergeable
+# map-side) and accept the documented error bound.
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            count_big("event_count"),
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VALUE_PERCENTILES_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+  ROUND(MIN(value), 6) AS min_value,
+  ROUND(MAX(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- events_session_windows ---------------------------------------------------------
+# Native session_window in BATCH, certified against the manual lag/cumsum
+# sessionization (the oracle) — proves the two forms agree, which is what lets the
+# streaming layer (STR7) share correctness with the batch twin.
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), f"{SESSION_GAP_SECONDS} seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(count_big("events_in_session"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "events_in_session",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+EVENTS_SESSION_WINDOWS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+      OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_SECONDS}
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS events_in_session
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+# --- events_props_roundtrip ---------------------------------------------------------
+# §2.7 JSON family end to end: build a JSON payload in-query (to_json over a struct,
+# the AGG2/PerfObject shape), re-parse it with from_json, and aggregate the extracted
+# values. The oracle computes the same result without ever touching JSON — a match
+# certifies the serialize→parse→consume cycle.
+
+
+def events_props_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.unix_millis("ts").alias("ms"),
+        )
+    )
+    parsed = F.from_json(
+        F.col("payload"),
+        T.StructType(
+            [
+                T.StructField("t", T.StringType()),
+                T.StructField("k", T.LongType()),
+                T.StructField("ms", T.LongType()),
+            ]
+        ),
+    )
+    return (
+        ev.withColumn("payload", payload)
+        .withColumn("parsed", parsed)
+        .groupBy(F.col("parsed.t").alias("event_type"))
+        .agg(
+            F.sum("parsed.k").cast("long").alias("sum_k"),
+            F.min("parsed.ms").cast("long").alias("first_ms"),
+            count_big("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_ROUNDTRIP_ORACLE = """
+SELECT
+  event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MIN(epoch_ms(ts)) AS BIGINT) AS first_ms,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -41,6 +41,10 @@ QUERIES: dict[str, Query] = {
     "events_error_never_purchased": ea.events_error_never_purchased,
     "events_daily_type_matrix": ea.events_daily_type_matrix,
     "events_top_users_by_value": ea.events_top_users_by_value,
+    "events_value_percentiles": ea.events_value_percentiles,
+    "events_session_windows": ea.events_session_windows,
+    "events_props_roundtrip": ea.events_props_roundtrip,
+    "min_cost_supplier": tpch.min_cost_supplier,
     # QueryEvents-model operator chains (JN1, AGG5-6, FLT7/WIN1, PRJ8, FLT2)
     "qe_submit_complete_join": ql.qe_submit_complete_join,
     "qe_user_rollup": ql.qe_user_rollup,
@@ -85,6 +89,10 @@ ORACLE_SQL: dict[str, str] = {
     "events_error_never_purchased": ea.EVENTS_ERROR_NEVER_PURCHASED_ORACLE,
     "events_daily_type_matrix": ea.EVENTS_DAILY_TYPE_MATRIX_ORACLE,
     "events_top_users_by_value": ea.EVENTS_TOP_USERS_ORACLE,
+    "events_value_percentiles": ea.EVENTS_VALUE_PERCENTILES_ORACLE,
+    "events_session_windows": ea.EVENTS_SESSION_WINDOWS_ORACLE,
+    "events_props_roundtrip": ea.EVENTS_PROPS_ROUNDTRIP_ORACLE,
+    "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,
     "qe_submit_complete_join": ql.QE_SUBMIT_COMPLETE_ORACLE,
     "qe_user_rollup": ql.QE_USER_ROLLUP_ORACLE,
     "qe_table_read_frequency": ql.QE_TABLE_READ_FREQUENCY_ORACLE,

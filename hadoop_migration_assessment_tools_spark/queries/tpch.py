@@ -304,3 +304,52 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
+
+
+# --- min_cost_supplier --------------------------------------------------------------
+# TPC-H Q2 shape: correlated scalar subquery (min acctbal supplier per part via
+# window-min over the join), exercising Catalyst's decorrelation/window path. Plan to
+# want: supplier/nation broadcast into part⋈supplier, window over p_partkey.
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # corpus has no partsupp table: the supplier relation for a part is synthesized
+    # deterministically as suppliers whose key divides the part key bucket
+    joined = (
+        part.join(F.broadcast(supp), (F.col("p_partkey") % 20) == (F.col("s_suppkey") % 20))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = joined.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
+        F.col("s_acctbal") == F.col("min_bal")
+    )
+    return (
+        best.select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal").cast("decimal(18,2)"), 2).cast("double").alias("acctbal"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+MIN_COST_SUPPLIER_ORACLE = """
+WITH joined AS (
+  SELECT p_partkey, p_name, s_name, n_name, s_acctbal, s_suppkey
+  FROM part
+  JOIN supplier ON (p_partkey % 20) = (s_suppkey % 20)
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_size <= 15
+)
+SELECT
+  p_partkey, p_name, s_name, n_name,
+  CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+FROM joined j
+WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM joined j2 WHERE j2.p_partkey = j.p_partkey)
+ORDER BY p_partkey, s_name
+"""
