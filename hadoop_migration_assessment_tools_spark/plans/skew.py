@@ -1,0 +1,61 @@
+"""Physical-plan strategies: salting for skewed keys.
+
+AQE's skew-join handles skewed *joins*; skewed *aggregations* and window partitions
+(one user producing 1% of 100 TB of events) still hot-spot a single task. Salting
+splits a hot key across `salt_buckets` partial groups, then merges — two cheap
+shuffles instead of one stuck straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for algebraic aggregates (sum/count/min/max).
+
+    agg_exprs: {output_col: "sum(col)" | "count(1)" | "min(col)" | "max(col)"}.
+    Phase 1 groups on (group_cols + salt), phase 2 merges partials — sum/count merge
+    with sum, min/max with min/max. Average callers express sum+count and divide.
+    """
+    mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).alias("_salt")
+
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, expr in agg_exprs.items():
+        fn_name = expr.split("(", 1)[0].strip().lower()
+        if fn_name not in mergers:
+            raise ValueError(f"non-algebraic aggregate {fn_name!r} cannot be salted")
+        phase1_aggs.append(F.expr(expr).alias(out))
+        phase2_aggs.append(mergers[fn_name](F.col(out)).alias(out))
+
+    partial = df.withColumn("_salt", salt).groupBy(*group_cols, "_salt").agg(*phase1_aggs)
+    return partial.groupBy(*group_cols).agg(*phase2_aggs)
+
+
+def salted_join_left(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join without AQE: salt the big side's key, replicate the small side
+    across all salt values, join on (key, salt). Use when the small side is too big to
+    broadcast but the big side's key distribution is pathological.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(salt_buckets)])
+    ).alias("_salt")
+    replicated_small = small.select("*", salts)
+    out = salted_big.join(replicated_small, [key, "_salt"], how)
+    return out.drop("_salt")
