@@ -338,3 +338,79 @@ SELECT user_id, app_id, event_id AS first_event_id
 FROM ranked WHERE rn = 1
 ORDER BY user_id
 """
+
+
+# --- qe_counters_roundtrip ----------------------------------------------------------
+# AGG1 consumption end to end: build the nested counters structure from lineitem
+# (one "job" per order, one counter group per returnflag), serialize it with the real
+# counters_json operator (the [[{group:{counter:long}}]] shape of
+# EventRecordConstructor.java:223-253), re-parse with COUNTERS_OBJECT_SCHEMA, explode,
+# and re-aggregate. The oracle computes the same totals without ever touching JSON —
+# a match certifies serialize -> parse -> consume for the counters escape hatch.
+
+
+def qe_counters_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import counters_json
+    from ..schema import COUNTERS_OBJECT_SCHEMA
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    per_group = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    per_job = per_group.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.concat(F.lit("flag_"), F.col("l_returnflag")).alias("group"),
+                F.create_map(
+                    F.lit("qty"), F.col("qty"), F.lit("cnt"), F.col("cnt")
+                ).alias("counters"),
+            )
+        ).alias("groups")
+    )
+    serialized = per_job.select(
+        "l_orderkey", counters_json(F.array(F.col("groups"))).alias("counters_obj")
+    )
+    parsed = serialized.select(
+        "l_orderkey",
+        F.from_json(F.col("counters_obj"), COUNTERS_OBJECT_SCHEMA).alias("jobs"),
+    )
+    exploded = (
+        parsed.select("l_orderkey", F.explode("jobs").alias("job"))
+        .select("l_orderkey", F.explode("job").alias("group_map"))
+        .select("l_orderkey", F.explode("group_map").alias("group_name", "counters"))
+        .select("l_orderkey", "group_name", F.explode("counters").alias("counter_name", "val"))
+    )
+    return (
+        exploded.groupBy("group_name", "counter_name")
+        .agg(
+            F.sum("val").cast("long").alias("total"),
+            count_big("n_jobs"),
+        )
+        .orderBy("group_name", "counter_name")
+    )
+
+
+QE_COUNTERS_ROUNDTRIP_ORACLE = """
+WITH per_group AS (
+  SELECT
+    l_orderkey,
+    'flag_' || l_returnflag AS group_name,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+  WHERE l_orderkey % 20 = 0
+  GROUP BY l_orderkey, l_returnflag
+), unpivoted AS (
+  SELECT l_orderkey, group_name, 'qty' AS counter_name, qty AS val FROM per_group
+  UNION ALL
+  SELECT l_orderkey, group_name, 'cnt' AS counter_name, cnt AS val FROM per_group
+)
+SELECT
+  group_name, counter_name,
+  CAST(SUM(val) AS BIGINT) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n_jobs
+FROM unpivoted
+GROUP BY group_name, counter_name
+ORDER BY group_name, counter_name
+"""

@@ -52,6 +52,11 @@ QUERIES: dict[str, Query] = {
     "qe_version_gate": ql.qe_version_gate,
     "qe_partition_names": ql.qe_partition_names,
     "qe_app_id_first_match": ql.qe_app_id_first_match,
+    "qe_counters_roundtrip": ql.qe_counters_roundtrip,
+    "nation_volume_by_year": tpch.nation_volume_by_year,
+    "customer_order_histogram": tpch.customer_order_histogram,
+    "brand_supplier_counts": tpch.brand_supplier_counts,
+    "large_quantity_orders": tpch.large_quantity_orders,
     # [EXT] LLM-pipeline operators (dedup / similarity / text / multimodal)
     "docs_exact_dedup": llm.docs_exact_dedup,
     "docs_token_stats": llm.docs_token_stats,
@@ -99,6 +104,11 @@ ORACLE_SQL: dict[str, str] = {
     "qe_version_gate": ql.QE_VERSION_GATE_ORACLE,
     "qe_partition_names": ql.QE_PARTITION_NAMES_ORACLE,
     "qe_app_id_first_match": ql.QE_APP_ID_FIRST_MATCH_ORACLE,
+    "qe_counters_roundtrip": ql.QE_COUNTERS_ROUNDTRIP_ORACLE,
+    "nation_volume_by_year": tpch.NATION_VOLUME_ORACLE,
+    "customer_order_histogram": tpch.CUSTOMER_ORDER_HISTOGRAM_ORACLE,
+    "brand_supplier_counts": tpch.BRAND_SUPPLIER_COUNTS_ORACLE,
+    "large_quantity_orders": tpch.LARGE_QUANTITY_ORDERS_ORACLE,
     "docs_exact_dedup": llm.DOCS_EXACT_DEDUP_ORACLE,
     "docs_token_stats": llm.DOCS_TOKEN_STATS_ORACLE,
     "docs_quality": llm.DOCS_QUALITY_ORACLE,

@@ -353,3 +353,155 @@ FROM joined j
 WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM joined j2 WHERE j2.p_partkey = j.p_partkey)
 ORDER BY p_partkey, s_name
 """
+
+
+# --- nation_volume_by_year ----------------------------------------------------------
+# TPC-H Q7 shape: shipping volume between nation pairs per year — CASE-free variant
+# grouping on (supplier nation, order year). Exercises year extraction + multi-dim agg
+# over a 4-way join.
+
+
+def nation_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("volume"), count_big("line_count"))
+        .orderBy("supp_nation", "order_year")
+    )
+
+
+NATION_VOLUME_ORACLE = """
+SELECT
+  n_name AS supp_nation,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume,
+  CAST(COUNT(*) AS BIGINT) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY supp_nation, order_year
+"""
+
+
+# --- customer_order_histogram -------------------------------------------------------
+# TPC-H Q13 shape: distribution of customers by order count, including zero-order
+# customers via left outer join — the outer-join + double-groupBy histogram.
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("order_count"))
+    )
+    return (
+        per_cust.groupBy("order_count")
+        .agg(count_big("customer_count"))
+        .orderBy(F.desc("customer_count"), F.desc("order_count"))
+    )
+
+
+CUSTOMER_ORDER_HISTOGRAM_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS order_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT order_count, CAST(COUNT(*) AS BIGINT) AS customer_count
+FROM per_cust
+GROUP BY order_count
+ORDER BY customer_count DESC, order_count DESC
+"""
+
+
+# --- brand_supplier_counts ----------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier counts per part attribute bucket with a HAVING
+# gate (partsupp synthesized from lineitem's (partkey, suppkey) pairs).
+
+
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_count"))
+        .filter(F.col("supplier_count") >= 4)
+        .orderBy(F.desc("supplier_count"), F.asc("p_brand"), F.asc("p_type"))
+    )
+
+
+BRAND_SUPPLIER_COUNTS_ORACLE = """
+SELECT
+  p_brand, p_type,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_count
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+HAVING COUNT(DISTINCT l_suppkey) >= 4
+ORDER BY supplier_count DESC, p_brand ASC, p_type ASC
+"""
+
+
+# --- large_quantity_orders ----------------------------------------------------------
+# TPC-H Q18 shape: orders whose summed quantity clears a threshold (IN-subquery over a
+# grouped fact), joined back to customers.
+
+Q18_THRESHOLD = 210
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(money("l_quantity")), 2).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_THRESHOLD)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+LARGE_QUANTITY_ORDERS_ORACLE = f"""
+SELECT
+  c_name, o_orderkey, o_orderdate,
+  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total_price,
+  total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > {Q18_THRESHOLD}
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
