@@ -157,3 +157,82 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- embedding near-duplicate detection ---------------------------------------------
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cosine >= threshold) by full pairwise
+    comparison — the small-N baseline and the verifier for the LSH path."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def signlsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane (sign) LSH.
+
+    Each table hashes a vector to n_planes sign bits (P[bit differs] = angle/pi, so
+    high-cosine pairs collide with high probability in at least one table); candidate
+    pairs are bucket-joins per table, verified with exact cosine. Corpus is touched
+    once for hashing (vectorized pandas UDF) and once per candidate for verification —
+    no O(n²) stage anywhere.
+    """
+    rng = np.random.default_rng(seed)
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = []
+        signs = [(x @ planes[t].T) > 0 for t in range(n_tables)]
+        weights = 1 << np.arange(n_planes)
+        buckets = np.stack([s @ weights for s in signs], axis=1)
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    hashed = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket_ids(F.col(vec_col)).alias("_b")
+    ).select("_id", "_v", F.posexplode("_b").alias("table_idx", "bucket"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

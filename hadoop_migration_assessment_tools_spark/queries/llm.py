@@ -420,3 +420,64 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --- emb_near_dup_pairs -------------------------------------------------------------
+# [EXT] embedding-cosine near-dup. The corpus has no natural near-dups (max pairwise
+# cosine ~0.51), so duplicates are planted exactly like the docs queries: vec_id % 25
+# == 0 re-inserted with id + DUP_OFFSET (cosine 1.0). Exact path scoped to vec_id <
+# 500 originals to bound the pairwise stage at every scale factor; the LSH variant
+# covers the full corpus rows-only.
+
+NEAR_DUP_SCOPE = 500
+NEAR_DUP_THRESHOLD = 0.9
+
+
+def _embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + DUP_OFFSET
+    )
+    return emb.unionByName(dups)
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import cosine_near_dup_pairs
+
+    aug = _embeddings_with_planted_dups(spark, sf_dir).filter(
+        (F.col("vec_id") % DUP_OFFSET) < NEAR_DUP_SCOPE
+    )
+    return cosine_near_dup_pairs(aug, threshold=NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")
+
+
+EMB_NEAR_DUP_PAIRS_ORACLE = f"""
+WITH emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+), scoped AS (
+  SELECT * FROM emb_aug WHERE (vec_id % {DUP_OFFSET}) < {NEAR_DUP_SCOPE}
+), pairs AS (
+  SELECT
+    a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_ab,
+    sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+  FROM scoped a JOIN scoped b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot_ab / (na * nb) ELSE 0.0 END, 6) AS cosine
+FROM pairs
+WHERE ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot_ab / (na * nb) ELSE 0.0 END, 6) >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup over the full augmented corpus (rows-only; recall vs the
+    exact path asserted in pytest)."""
+    from ..ext.similarity import signlsh_near_dup_pairs
+
+    aug = _embeddings_with_planted_dups(spark, sf_dir)
+    return signlsh_near_dup_pairs(aug, threshold=NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")

@@ -65,11 +65,13 @@ QUERIES: dict[str, Query] = {
     "docs_shingle_jaccard": llm.docs_shingle_jaccard,
     "emb_cosine_topk": llm.emb_cosine_topk,
     "emb_label_centroids": llm.emb_label_centroids,
+    "emb_near_dup_pairs": llm.emb_near_dup_pairs,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "docs_minhash_near_dup": llm.docs_minhash_near_dup,
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
     "docs_fingerprints": llm.docs_fingerprints,
     "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
+    "emb_near_dup_lsh": llm.emb_near_dup_lsh,
     "multimodal_features": llm.multimodal_features,
 }
 
@@ -116,4 +118,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_shingle_jaccard": llm.DOCS_SHINGLE_JACCARD_ORACLE,
     "emb_cosine_topk": llm.EMB_COSINE_TOPK_ORACLE,
     "emb_label_centroids": llm.EMB_LABEL_CENTROIDS_ORACLE,
+    "emb_near_dup_pairs": llm.EMB_NEAR_DUP_PAIRS_ORACLE,
 }

@@ -10,3 +10,4 @@ from .pairing import (  # noqa: F401
     pair_with_timeout,
     stream_dedup_events,
 )
+from .foreach import IdempotentBatchSink  # noqa: F401

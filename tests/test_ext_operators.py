@@ -163,3 +163,24 @@ def test_decode_media_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image", None)
+
+
+def test_signlsh_near_dup_recovers_planted(spark):
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        cosine_near_dup_pairs,
+        signlsh_near_dup_pairs,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    aug = emb.unionByName(dups)
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(aug, 0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in signlsh_near_dup_pairs(aug, 0.9).collect()}
+    assert exact, "planted duplicates must produce exact pairs"
+    # identical vectors hash identically in every table -> LSH recall is 1.0 on them
+    assert exact <= lsh or exact == lsh
+    assert lsh == exact  # verification step kills any false positives

@@ -288,3 +288,25 @@ def test_streaming_sink_roundtrip(spark, tmp_path):
         "2024-01-01",
         "2024-01-02",
     }
+
+
+def test_idempotent_foreachbatch_sink(spark, tmp_path):
+    """STR3: a replayed micro-batch (same batch_id) overwrites its own output —
+    duplicates impossible by construction."""
+    from hadoop_migration_assessment_tools_spark.streaming.foreach import IdempotentBatchSink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = _ts("2024-01-01 00:00:00")
+    rows = [_qe_row(QueryId=f"q{i}", EventType="QUERY_SUBMITTED", StartTime=t0) for i in range(5)]
+    spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA).write.parquet(src)
+
+    sink = IdempotentBatchSink(out)
+    q = sink.attach(read_event_stream(spark, src), ckpt, available_now=True)
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 5
+
+    # simulate a retry-after-partial-write replay of batch 0: same batch_id, same data
+    sink(spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA), 0)
+    assert spark.read.parquet(out).count() == 5  # still exactly once
