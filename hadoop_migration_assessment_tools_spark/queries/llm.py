@@ -426,10 +426,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [EXT] embedding-cosine near-dup. The corpus has no natural near-dups (max pairwise
 # cosine ~0.51), so duplicates are planted exactly like the docs queries: vec_id % 25
 # == 0 re-inserted with id + DUP_OFFSET (cosine 1.0). Exact path scoped to vec_id <
-# 500 originals to bound the pairwise stage at every scale factor; the LSH variant
-# covers the full corpus rows-only.
+# 250 originals: the pairwise stage is O(n²) with interpreted array HOFs — it exists
+# as the oracle-checkable baseline, while the LSH variant covers the FULL corpus
+# rows-only and runs ~5x faster despite 8x the vectors (the whole point).
 
-NEAR_DUP_SCOPE = 500
+NEAR_DUP_SCOPE = 250
 NEAR_DUP_THRESHOLD = 0.9
 
 
