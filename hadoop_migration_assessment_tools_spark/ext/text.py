@@ -129,3 +129,42 @@ def doc_fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+def tf_idf_terms(df, text_col: str = "text", id_col: str = "doc_id", top_k: int = 5):
+    """[EXT] TF-IDF: explode tokens -> per-(doc,term) tf -> per-term document
+    frequency -> tfidf = tf * ln(N/df) -> top-k terms per doc.
+
+    Scale shape: two shuffles (doc-term grouping, term df) + a broadcast of the term
+    df table back onto doc-terms (term vocabulary << corpus), then a per-doc window.
+    ln() on doubles is deterministic; scores are rounded for engine parity.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("doc_freq"),
+            "tfidf",
+            "term_rank",
+        )
+    )

@@ -616,3 +616,83 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- events_sliding_windows ---------------------------------------------------------
+# STR7 sliding-window batch twin: window('1 hour', slide '30 min') — every event lands
+# in 2 overlapping buckets. The oracle reproduces bucket membership arithmetically
+# (bucket starts = the two 30-min-aligned origins whose 1h span covers ts), which
+# certifies Spark's window() bucket assignment itself.
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(count_big("event_count"), sum_money("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_SLIDING_WINDOWS_ORACLE = """
+WITH buckets AS (
+  SELECT
+    value,
+    unnest([
+      time_bucket(INTERVAL '30 minutes', ts),
+      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+    ]) AS window_start
+  FROM events
+)
+SELECT
+  window_start,
+  window_start + INTERVAL 1 HOUR AS window_end,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM buckets
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+# --- events_time_hierarchy_rollup ---------------------------------------------------
+# Hypertable-style hierarchical time rollup: hour AND day aggregates in ONE scan via
+# grouping sets (continuous-aggregate shape). At 100 TB this is one shuffle with
+# partial aggs, vs two separate jobs.
+
+
+def events_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [[F.col("day")], [F.col("day"), F.col("hour")]],
+            F.col("day"),
+            F.col("hour"),
+        )
+        .agg(count_big("event_count"), sum_money("value", "total_value"))
+        .orderBy(
+            F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first()
+        )
+    )
+
+
+EVENTS_TIME_HIERARCHY_ORACLE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  date_trunc('hour', ts) AS hour,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS TIMESTAMP)), (CAST(date_trunc('day', ts) AS TIMESTAMP), date_trunc('hour', ts)))
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST
+"""

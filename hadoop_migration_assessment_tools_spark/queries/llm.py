@@ -482,3 +482,42 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _embeddings_with_planted_dups(spark, sf_dir)
     return signlsh_near_dup_pairs(aug, threshold=NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")
+
+
+# --- docs_tfidf_top_terms -----------------------------------------------------------
+# [EXT] TF-IDF top terms per doc, fully oracle-mirrored (ln() is deterministic on both
+# engines; ranking by rounded score with term tie-break).
+
+
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import tf_idf_terms
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tf_idf_terms(docs, top_k=5).orderBy("doc_id", "term_rank")
+
+
+DOCS_TFIDF_ORACLE = r"""
+WITH scoped AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM scoped
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM scoped
+), scored AS (
+  SELECT
+    tf.doc_id, tf.term, tf.tf, df.doc_freq,
+    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq, tfidf, term_rank
+FROM ranked WHERE term_rank <= 5
+ORDER BY doc_id, term_rank
+"""

@@ -44,6 +44,8 @@ QUERIES: dict[str, Query] = {
     "events_value_percentiles": ea.events_value_percentiles,
     "events_session_windows": ea.events_session_windows,
     "events_props_roundtrip": ea.events_props_roundtrip,
+    "events_sliding_windows": ea.events_sliding_windows,
+    "events_time_hierarchy_rollup": ea.events_time_hierarchy_rollup,
     "min_cost_supplier": tpch.min_cost_supplier,
     # QueryEvents-model operator chains (JN1, AGG5-6, FLT7/WIN1, PRJ8, FLT2)
     "qe_submit_complete_join": ql.qe_submit_complete_join,
@@ -64,6 +66,7 @@ QUERIES: dict[str, Query] = {
     "docs_lang_scores": llm.docs_lang_scores,
     "docs_shingle_jaccard": llm.docs_shingle_jaccard,
     "emb_cosine_topk": llm.emb_cosine_topk,
+    "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
     "emb_label_centroids": llm.emb_label_centroids,
     "emb_near_dup_pairs": llm.emb_near_dup_pairs,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
@@ -99,6 +102,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_value_percentiles": ea.EVENTS_VALUE_PERCENTILES_ORACLE,
     "events_session_windows": ea.EVENTS_SESSION_WINDOWS_ORACLE,
     "events_props_roundtrip": ea.EVENTS_PROPS_ROUNDTRIP_ORACLE,
+    "events_sliding_windows": ea.EVENTS_SLIDING_WINDOWS_ORACLE,
+    "events_time_hierarchy_rollup": ea.EVENTS_TIME_HIERARCHY_ORACLE,
     "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,
     "qe_submit_complete_join": ql.QE_SUBMIT_COMPLETE_ORACLE,
     "qe_user_rollup": ql.QE_USER_ROLLUP_ORACLE,
@@ -117,6 +122,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_lang_scores": llm.DOCS_LANG_SCORES_ORACLE,
     "docs_shingle_jaccard": llm.DOCS_SHINGLE_JACCARD_ORACLE,
     "emb_cosine_topk": llm.EMB_COSINE_TOPK_ORACLE,
+    "docs_tfidf_top_terms": llm.DOCS_TFIDF_ORACLE,
     "emb_label_centroids": llm.EMB_LABEL_CENTROIDS_ORACLE,
     "emb_near_dup_pairs": llm.EMB_NEAR_DUP_PAIRS_ORACLE,
 }
