@@ -696,3 +696,27 @@ FROM events
 GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS TIMESTAMP)), (CAST(date_trunc('day', ts) AS TIMESTAMP), date_trunc('hour', ts)))
 ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST
 """
+
+
+# --- events_sql_interface -----------------------------------------------------------
+# The engine's SQL surface: this query is ONE dialect-portable SQL string executed
+# verbatim by spark.sql AND by the DuckDB oracle — proving the SQL API (temp views via
+# register_views) alongside the DataFrame API, with zero translation layer.
+
+EVENTS_SQL_PORTABLE = """
+SELECT
+  date_trunc('hour', ts) AS hour,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+
+
+def events_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(EVENTS_SQL_PORTABLE)

@@ -46,6 +46,7 @@ QUERIES: dict[str, Query] = {
     "events_props_roundtrip": ea.events_props_roundtrip,
     "events_sliding_windows": ea.events_sliding_windows,
     "events_time_hierarchy_rollup": ea.events_time_hierarchy_rollup,
+    "events_sql_interface": ea.events_sql_interface,
     "min_cost_supplier": tpch.min_cost_supplier,
     # QueryEvents-model operator chains (JN1, AGG5-6, FLT7/WIN1, PRJ8, FLT2)
     "qe_submit_complete_join": ql.qe_submit_complete_join,
@@ -104,6 +105,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_props_roundtrip": ea.EVENTS_PROPS_ROUNDTRIP_ORACLE,
     "events_sliding_windows": ea.EVENTS_SLIDING_WINDOWS_ORACLE,
     "events_time_hierarchy_rollup": ea.EVENTS_TIME_HIERARCHY_ORACLE,
+    "events_sql_interface": ea.EVENTS_SQL_PORTABLE,
     "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,
     "qe_submit_complete_join": ql.QE_SUBMIT_COMPLETE_ORACLE,
     "qe_user_rollup": ql.QE_USER_ROLLUP_ORACLE,

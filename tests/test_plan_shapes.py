@@ -1,0 +1,44 @@
+"""Catalyst plan-shape regression tests: the perf-critical plan properties SCALE.md
+documents must stay true — pushdown reaching the scan, dims broadcasting, partial
+aggregation before the exchange, rn=1 compiling to WindowGroupLimit."""
+
+from __future__ import annotations
+
+from hadoop_migration_assessment_tools_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 used columns reach the scan
+    assert "l_comment" not in plan
+    # map-side partial aggregation exists (the shuffle carries groups, not rows)
+    assert "partial_sum" in plan
+
+
+def test_q5_dims_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # cust, supp, nation, region
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_dedup_compiles_to_window_group_limit(spark):
+    plan = _plan(spark, "qe_submit_complete_join")
+    assert "WindowGroupLimit" in plan  # rn=1 dedup pruned before the full sort
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = _plan(spark, "events_json_extract")
+    # props/ts/event_type needed; user_id must be pruned away from this scan
+    assert "ReadSchema" in plan
+    read_schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "user_id" not in read_schema_line

@@ -310,3 +310,48 @@ def test_idempotent_foreachbatch_sink(spark, tmp_path):
     # simulate a retry-after-partial-write replay of batch 0: same batch_id, same data
     sink(spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA), 0)
     assert spark.read.parquet(out).count() == 5  # still exactly once
+
+
+def test_watermark_drops_late_rows_after_window_finalized(spark, tmp_path):
+    """STR7 late-data semantics: once the watermark has finalized (emitted) a window
+    in append mode, a late row for that window is dropped — the window is never
+    re-emitted and the row never counted. (Note: Spark may still ACCEPT a late row
+    for a not-yet-finalized window even if it is below the watermark — the watermark
+    is the eviction bound, not a hard admission filter; the reliable guarantee is
+    post-finalization drop, which is what this pins.)"""
+    src = str(tmp_path / "late_src")
+    t0 = _ts("2024-01-01 00:00:00")
+    # batch1: on-time rows in window 00:00
+    batch1 = [
+        _qe_row(QueryId="a1", EventType="QUERY_SUBMITTED", StartTime=t0 + dt.timedelta(minutes=5)),
+        _qe_row(QueryId="a2", EventType="QUERY_SUBMITTED", StartTime=t0 + dt.timedelta(minutes=10)),
+    ]
+    # batch2: far-future row advances the watermark past window 00:00's end
+    batch2 = [
+        _qe_row(QueryId="b", EventType="QUERY_SUBMITTED", StartTime=t0 + dt.timedelta(hours=6)),
+    ]
+    # batch3: window 00:00 finalizes+emits here (watermark from batch2 = 05:00)
+    batch3 = [
+        _qe_row(QueryId="c", EventType="QUERY_SUBMITTED", StartTime=t0 + dt.timedelta(hours=7)),
+    ]
+    # batch4: the late row arrives AFTER its window already emitted -> dropped
+    batch4 = [
+        _qe_row(QueryId="late", EventType="QUERY_SUBMITTED", StartTime=t0 + dt.timedelta(minutes=20)),
+        _qe_row(QueryId="d", EventType="QUERY_SUBMITTED", StartTime=t0 + dt.timedelta(hours=8)),
+    ]
+    _write_flat_file(spark, batch1, src, "b1.parquet")
+    for i, batch in enumerate([batch2, batch3, batch4], start=2):
+        time.sleep(1.1)
+        _write_flat_file(spark, batch, src, f"b{i}.parquet")
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("StartTime", "1 hour")
+        .groupBy(F.window("StartTime", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    _run_available_now(agg, "late_agg", "append")
+    t0_rows = [r["n"] for r in spark.table("late_agg").collect() if r["ws"] == t0]
+    # exactly one emission for the 00:00 window, with only the on-time rows
+    assert t0_rows == [2], f"late row leaked into finalized window: {t0_rows}"
