@@ -21,8 +21,12 @@ _CJK_RE = r"[一-鿿]"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization; empty string -> empty array."""
-    trimmed = F.trim(col)
+    """Whitespace tokenization; empty/whitespace-only string -> empty array.
+
+    Regex trim, not F.trim: Spark's trim strips only ' ' (0x20), so a bare "\\n"
+    would survive and split into phantom empty tokens (caught by hypothesis —
+    tests/test_property.py)."""
+    trimmed = F.regexp_replace(col, r"^\s+|\s+$", "")
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

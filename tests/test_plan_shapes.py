@@ -42,3 +42,36 @@ def test_events_scan_prunes_columns(spark):
     assert "ReadSchema" in plan
     read_schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "user_id" not in read_schema_line
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    """SRC3 payoff: a date-range filter over the sink's layout must prune partitions
+    at plan time (PartitionFilters on EventDate), not scan-and-filter."""
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.sink import DatePartitionedSink
+
+    base = str(tmp_path / "events")
+    rows = []
+    for day in range(1, 4):
+        row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+        for c in ("TablesRead", "TablesWritten", "PartitionsRead", "PartitionsWritten",
+                  "DatabasesRead", "DatabasesWritten"):
+            row[c] = []
+        row.update(QueryId=f"q{day}", EventType="QUERY_SUBMITTED",
+                   StartTime=dt.datetime(2024, 1, day, 12, 0))
+        rows.append(row)
+    DatePartitionedSink(base).write_batch(
+        spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA)
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(base).filter(F.col("EventDate") == "2024-01-02")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "EventDate" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() == 1  # only the matching day's partition read

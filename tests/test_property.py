@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the pure-expression operators — the test
+family the reference lacks entirely (SURVEY §5 'absent from the reference').
+
+Each property runs one small Spark job per example; max_examples is tuned so the
+whole module stays in tens of seconds.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_migration_assessment_tools_spark.ext.text import token_count
+from hadoop_migration_assessment_tools_spark.functions.scalars import (
+    is_supported_hive_version,
+    mr_job_to_application_id,
+)
+from hadoop_migration_assessment_tools_spark.operators.events import extract_entity_names
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _py_version_supported(v: str) -> bool:
+    """Reference semantics (VersionValidator.java:29-55): ^(\\d+)\\.(\\d+).* then
+    2.2 <= major.minor < 4.0."""
+    m = re.match(r"^(\d+)\.(\d+).*", v)
+    if not m:
+        return False
+    num = int(m.group(1)) * 1000 + int(m.group(2))
+    return 2002 <= num < 4000
+
+
+version_strings = st.one_of(
+    st.from_regex(r"[0-9]{1,3}\.[0-9]{1,3}(\.[0-9]{1,3})?", fullmatch=True),
+    st.text(
+        alphabet="0123456789.abcxyz", min_size=0, max_size=12
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(version_strings, min_size=1, max_size=8))
+def test_version_gate_matches_reference_semantics(spark, versions):
+    df = spark.createDataFrame([(v,) for v in versions], ["v"])
+    got = [
+        r["ok"]
+        for r in df.select(is_supported_hive_version(F.col("v")).alias("ok")).collect()
+    ]
+    assert got == [_py_version_supported(v) for v in versions]
+
+
+entity_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["TABLE", "PARTITION", "DATABASE", "DUMMY"]),
+        st.text(alphabet="abc@=_0123456789", min_size=1, max_size=10),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(entity_lists)
+def test_entity_extraction_set_semantics(spark, entities):
+    """FLT1-3 invariant: output == sorted distinct names of the requested type,
+    regardless of input order or duplication (HashSet semantics + our determinism)."""
+    rows = [([{"entity_type": t, "name": n} for t, n in entities],)]
+    df = spark.createDataFrame(
+        rows, "inputs array<struct<entity_type string, name string>>"
+    )
+    got = df.select(
+        extract_entity_names(F.col("inputs"), "TABLE").alias("out")
+    ).collect()[0]["out"]
+    expected = sorted({n for t, n in entities if t == "TABLE"})
+    assert got == expected
+
+
+job_ids = st.one_of(
+    st.from_regex(r"job_[0-9]{1,13}_[0-9]{1,6}", fullmatch=True),
+    st.text(alphabet="job_0123456789abc", min_size=0, max_size=20),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(job_ids, min_size=1, max_size=8))
+def test_app_id_conversion_total(spark, ids):
+    """FLT7 invariant: well-formed 'job_<d>_<d>' maps to 'application_<d>_<d>';
+    anything else maps to null — never throws, never mangles."""
+    df = spark.createDataFrame([(i,) for i in ids], ["job_id"])
+    got = [
+        r["app"]
+        for r in df.select(mr_job_to_application_id(F.col("job_id")).alias("app")).collect()
+    ]
+    for src, out in zip(ids, got):
+        if re.fullmatch(r"job_\d+_\d+", src):
+            assert out == "application_" + src[4:]
+        else:
+            assert out is None
+
+
+texts = st.text(
+    alphabet=st.sampled_from(list("ab c\t\nxyz  ")), min_size=0, max_size=60
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_token_count_matches_python_split(spark, docs):
+    """token_count == len(str.split()) (Python's split collapses all whitespace —
+    the same semantics as our trim + \\s+ split)."""
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    got = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert got == [len(t.split()) for t in docs]
