@@ -720,3 +720,37 @@ def events_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(EVENTS_SQL_PORTABLE)
+
+
+# --- events_type_pivot --------------------------------------------------------------
+# Pivot: per-user wide counts by event type (explicit value list -> deterministic
+# schema; at scale pivot is one partial-agg shuffle, same cost as the long form).
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES
+    ]
+    return pivoted.select(*cols).orderBy("user_id")
+
+
+EVENTS_TYPE_PIVOT_ORACLE = """
+SELECT
+  user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

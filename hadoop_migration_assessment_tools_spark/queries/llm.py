@@ -521,3 +521,30 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_f
 FROM ranked WHERE term_rank <= 5
 ORDER BY doc_id, term_rank
 """
+
+
+# --- docs_bpe_token_stats -----------------------------------------------------------
+# [EXT] BPE-ish subword counting (word-piece pre-tokenizer regex), oracled: Spark's
+# Java \p{L}/\p{N} classes and DuckDB's RE2 agree on this corpus's codepoints.
+
+
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+DOCS_BPE_TOKEN_STATS_ORACLE = r"""
+SELECT
+  doc_id,
+  CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+       ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])')) AS BIGINT) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""

@@ -47,6 +47,7 @@ QUERIES: dict[str, Query] = {
     "events_sliding_windows": ea.events_sliding_windows,
     "events_time_hierarchy_rollup": ea.events_time_hierarchy_rollup,
     "events_sql_interface": ea.events_sql_interface,
+    "events_type_pivot": ea.events_type_pivot,
     "min_cost_supplier": tpch.min_cost_supplier,
     # QueryEvents-model operator chains (JN1, AGG5-6, FLT7/WIN1, PRJ8, FLT2)
     "qe_submit_complete_join": ql.qe_submit_complete_join,
@@ -68,6 +69,7 @@ QUERIES: dict[str, Query] = {
     "docs_shingle_jaccard": llm.docs_shingle_jaccard,
     "emb_cosine_topk": llm.emb_cosine_topk,
     "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
+    "docs_bpe_token_stats": llm.docs_bpe_token_stats,
     "emb_label_centroids": llm.emb_label_centroids,
     "emb_near_dup_pairs": llm.emb_near_dup_pairs,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
@@ -106,6 +108,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_sliding_windows": ea.EVENTS_SLIDING_WINDOWS_ORACLE,
     "events_time_hierarchy_rollup": ea.EVENTS_TIME_HIERARCHY_ORACLE,
     "events_sql_interface": ea.EVENTS_SQL_PORTABLE,
+    "events_type_pivot": ea.EVENTS_TYPE_PIVOT_ORACLE,
     "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,
     "qe_submit_complete_join": ql.QE_SUBMIT_COMPLETE_ORACLE,
     "qe_user_rollup": ql.QE_USER_ROLLUP_ORACLE,
@@ -125,6 +128,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_shingle_jaccard": llm.DOCS_SHINGLE_JACCARD_ORACLE,
     "emb_cosine_topk": llm.EMB_COSINE_TOPK_ORACLE,
     "docs_tfidf_top_terms": llm.DOCS_TFIDF_ORACLE,
+    "docs_bpe_token_stats": llm.DOCS_BPE_TOKEN_STATS_ORACLE,
     "emb_label_centroids": llm.EMB_LABEL_CENTROIDS_ORACLE,
     "emb_near_dup_pairs": llm.EMB_NEAR_DUP_PAIRS_ORACLE,
 }
