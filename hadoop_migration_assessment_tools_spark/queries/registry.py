@@ -61,6 +61,8 @@ QUERIES: dict[str, Query] = {
     "customer_order_histogram": tpch.customer_order_histogram,
     "brand_supplier_counts": tpch.brand_supplier_counts,
     "large_quantity_orders": tpch.large_quantity_orders,
+    "important_part_stock": tpch.important_part_stock,
+    "suppliers_with_excess_stock": tpch.suppliers_with_excess_stock,
     # [EXT] LLM-pipeline operators (dedup / similarity / text / multimodal)
     "docs_exact_dedup": llm.docs_exact_dedup,
     "docs_token_stats": llm.docs_token_stats,
@@ -121,6 +123,8 @@ ORACLE_SQL: dict[str, str] = {
     "customer_order_histogram": tpch.CUSTOMER_ORDER_HISTOGRAM_ORACLE,
     "brand_supplier_counts": tpch.BRAND_SUPPLIER_COUNTS_ORACLE,
     "large_quantity_orders": tpch.LARGE_QUANTITY_ORDERS_ORACLE,
+    "important_part_stock": tpch.IMPORTANT_PART_STOCK_ORACLE,
+    "suppliers_with_excess_stock": tpch.SUPPLIERS_WITH_EXCESS_STOCK_ORACLE,
     "docs_exact_dedup": llm.DOCS_EXACT_DEDUP_ORACLE,
     "docs_token_stats": llm.DOCS_TOKEN_STATS_ORACLE,
     "docs_quality": llm.DOCS_QUALITY_ORACLE,

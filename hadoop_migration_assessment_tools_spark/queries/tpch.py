@@ -505,3 +505,79 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey ASC
 """
+
+
+# --- important_part_stock -----------------------------------------------------------
+# TPC-H Q11 shape: group-by with a HAVING gate against a global scalar subquery
+# (groups whose value exceeds a fraction of the grand total). Catalyst evaluates the
+# scalar subquery once and broadcasts it.
+
+Q11_FRACTION = 0.002
+
+
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    value = money("l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(value), 2).cast("double").alias("part_value")
+    )
+    total = per_part.agg(F.sum(F.col("part_value")).alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("t") * Q11_FRACTION)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+IMPORTANT_PART_STOCK_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT SUM(part_value) FROM per_part) * {Q11_FRACTION}
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+# --- suppliers_with_excess_stock ----------------------------------------------------
+# TPC-H Q20 shape: nested semi-join — suppliers whose shipped quantity of filtered
+# parts exceeds a threshold, then the supplier dimension semi-joined against that set.
+
+Q20_QTY = 500
+
+
+def suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(money("l_quantity")), 2).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > Q20_QTY)
+    )
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+SUPPLIERS_WITH_EXCESS_STOCK_ORACLE = f"""
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_suppkey
+  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > {Q20_QTY}
+)
+ORDER BY s_name
+"""

@@ -11,3 +11,4 @@ from .pairing import (  # noqa: F401
     stream_dedup_events,
 )
 from .foreach import IdempotentBatchSink  # noqa: F401
+from .generator import live_event_stream, synthetic_hook_stream  # noqa: F401

@@ -355,3 +355,72 @@ def test_watermark_drops_late_rows_after_window_finalized(spark, tmp_path):
     t0_rows = [r["n"] for r in spark.table("late_agg").collect() if r["ws"] == t0]
     # exactly one emission for the 00:00 window, with only the on-time rows
     assert t0_rows == [2], f"late row leaked into finalized window: {t0_rows}"
+
+
+def test_checkpoint_recovery_resumes_without_duplicates(spark, tmp_path):
+    """STR3/STR5: restarting a query on the same checkpoint resumes from committed
+    offsets — already-processed files are not reprocessed, new files are."""
+    from hadoop_migration_assessment_tools_spark.streaming.foreach import IdempotentBatchSink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = _ts("2024-01-01 00:00:00")
+
+    _write_flat_file(
+        spark,
+        [_qe_row(QueryId=f"a{i}", EventType="QUERY_SUBMITTED", StartTime=t0) for i in range(3)],
+        src,
+        "f1.parquet",
+    )
+    sink = IdempotentBatchSink(out)
+    q1 = sink.attach(read_event_stream(spark, src), ckpt, available_now=True)
+    q1.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 3
+
+    # new data arrives while the query is down; restart on the SAME checkpoint
+    _write_flat_file(
+        spark,
+        [_qe_row(QueryId=f"b{i}", EventType="QUERY_SUBMITTED", StartTime=t0) for i in range(2)],
+        src,
+        "f2.parquet",
+    )
+    q2 = sink.attach(read_event_stream(spark, src), ckpt, available_now=True)
+    q2.awaitTermination(60)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 5  # 3 old (not reprocessed/duplicated) + 2 new
+    ids = sorted(r["QueryId"] for r in back.collect())
+    assert ids == ["a0", "a1", "a2", "b0", "b1"]
+
+
+def test_live_generator_through_construct_events(spark):
+    """SRC1 live form: rate source -> hook rows -> the real construct_events pipeline,
+    proving the event operators are source-agnostic (same code, batch or stream)."""
+    from hadoop_migration_assessment_tools_spark.streaming.generator import live_event_stream
+
+    stream = live_event_stream(spark, rows_per_second=100)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("live_events")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("live_events").count() >= 10:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table("live_events").collect()
+    assert len(rows) >= 10
+    types = {r["EventType"] for r in rows}
+    assert "QUERY_SUBMITTED" in types
+    sub = [r for r in rows if r["EventType"] == "QUERY_SUBMITTED"][0]
+    assert sub["QueryId"].startswith("live_query_")
+    assert sub["ExecutionMode"] in ("TEZ", "LLAP")
+    assert sub["TablesRead"] and sub["TablesRead"][0].startswith("db@t_")
+    assert sub["HookVersion"] == "1.0"
