@@ -508,11 +508,12 @@ ORDER BY total_qty DESC, o_orderkey ASC
 
 
 # --- important_part_stock -----------------------------------------------------------
-# TPC-H Q11 shape: group-by with a HAVING gate against a global scalar subquery
-# (groups whose value exceeds a fraction of the grand total). Catalyst evaluates the
-# scalar subquery once and broadcasts it.
+# TPC-H Q11 shape: group-by with a HAVING gate against a global scalar subquery.
+# Scale-invariant threshold: parts whose value exceeds 1.5x the AVERAGE part value
+# (a grand-total fraction can never trigger across scale factors on uniform data —
+# the part count grows with SF while each share shrinks).
 
-Q11_FRACTION = 0.002
+Q11_MULTIPLE = 1.5
 
 
 def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,10 +522,14 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum(value), 2).cast("double").alias("part_value")
     )
-    total = per_part.agg(F.sum(F.col("part_value")).alias("t"))
+    # exact decimal average: double-summed AVG is shuffle-order-dependent and a
+    # borderline part at ~1.5x avg could flip between engines
+    total = per_part.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("t")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("t") * Q11_FRACTION)
+        .filter(F.col("part_value") > F.col("t") * Q11_MULTIPLE)
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
@@ -538,7 +543,7 @@ WITH per_part AS (
 )
 SELECT l_partkey, part_value
 FROM per_part
-WHERE part_value > (SELECT SUM(part_value) FROM per_part) * {Q11_FRACTION}
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM per_part) * {Q11_MULTIPLE}
 ORDER BY part_value DESC, l_partkey ASC
 """
 
