@@ -548,3 +548,36 @@ SELECT
 FROM documents
 ORDER BY doc_id
 """
+
+
+# --- emb_cluster_profile ------------------------------------------------------------
+# [EXT] document/embedding clustering via the IVF centroids: deterministic driver-side
+# Lloyd training + Arrow-batched assignment, profiled per cluster with label purity
+# (rows-only: centroid training is iterative/numpy, not SQL-expressible).
+
+
+def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import _train_centroids, assign_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [r[0] for r in emb.select("embedding").orderBy("vec_id").limit(1024).collect()]
+    cents = _train_centroids(sample, nlist=10)
+    assigned = assign_centroids(emb, cents)
+    label_counts = assigned.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("centroid_id")
+    return (
+        label_counts.withColumn("cluster_size", F.sum("n").over(w).cast("long"))
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.desc("n"), F.asc("label"))))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "centroid_id",
+            "cluster_size",
+            F.col("label").alias("majority_label"),
+            F.round(F.col("n").cast("double") / F.col("cluster_size"), 6).alias("purity"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -80,6 +80,7 @@ QUERIES: dict[str, Query] = {
     "docs_fingerprints": llm.docs_fingerprints,
     "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
     "emb_near_dup_lsh": llm.emb_near_dup_lsh,
+    "emb_cluster_profile": llm.emb_cluster_profile,
     "multimodal_features": llm.multimodal_features,
 }
 
