@@ -273,12 +273,15 @@ ORDER BY hive_version
 def qe_partition_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     pname = F.concat(F.lit("db@lineitem@returnflag="), F.col("l_returnflag"))
+    parts = F.sort_array(F.array_distinct(F.collect_list(pname)))
+    # emitted as a joined string, not an array: array cells are a hash-compare hazard
+    # in downstream harnesses; the sorted join is the same set identity
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.array_distinct(F.collect_list(pname))).alias("partitions_read"),
+            F.concat_ws("|", parts).alias("partitions_read"),
+            F.size(parts).cast("long").alias("n_partitions"),
         )
-        .withColumn("n_partitions", F.size("partitions_read").cast("long"))
         .orderBy("l_orderkey")
     )
 
@@ -286,7 +289,7 @@ def qe_partition_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 QE_PARTITION_NAMES_ORACLE = """
 SELECT
   l_orderkey,
-  list_sort(list(DISTINCT 'db@lineitem@returnflag=' || l_returnflag)) AS partitions_read,
+  array_to_string(list_sort(list(DISTINCT 'db@lineitem@returnflag=' || l_returnflag)), '|') AS partitions_read,
   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_partitions
 FROM lineitem
 WHERE l_orderkey % 100 = 0
