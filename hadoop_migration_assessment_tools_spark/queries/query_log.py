@@ -417,3 +417,41 @@ FROM unpivoted
 GROUP BY group_name, counter_name
 ORDER BY group_name, counter_name
 """
+
+
+# --- qe_tables_read_and_written -----------------------------------------------------
+# SET2 intra-row form (SURVEY §2.6): array_intersect on the entity arrays — the
+# "tables both read and written by the same query" report. Arrays are built
+# Spark-side with the real set semantics; the oracle derives the same answer
+# relationally (the write bucket overlaps the read set iff the order touches a part
+# in its own bucket).
+
+
+def qe_tables_read_and_written(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    read_table = F.concat(F.lit("db@part_"), (F.col("l_partkey") % 50).cast("string"))
+    write_table = F.concat(F.lit("db@part_"), (F.col("l_orderkey") % 50).cast("string"))
+    per_query = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list(read_table)).alias("tables_read"),
+        F.array_distinct(F.collect_list(write_table)).alias("tables_written"),
+    )
+    overlap = F.sort_array(F.array_intersect("tables_read", "tables_written"))
+    return per_query.select(
+        "l_orderkey",
+        F.concat_ws("|", overlap).alias("read_and_written"),
+        F.size(overlap).cast("long").alias("n_overlap"),
+    ).orderBy("l_orderkey")
+
+
+QE_TABLES_READ_AND_WRITTEN_ORACLE = """
+SELECT
+  l_orderkey,
+  CASE WHEN SUM(CASE WHEN l_partkey % 50 = l_orderkey % 50 THEN 1 ELSE 0 END) > 0
+       THEN 'db@part_' || CAST(l_orderkey % 50 AS VARCHAR) ELSE '' END AS read_and_written,
+  CAST(CASE WHEN SUM(CASE WHEN l_partkey % 50 = l_orderkey % 50 THEN 1 ELSE 0 END) > 0
+       THEN 1 ELSE 0 END AS BIGINT) AS n_overlap
+FROM lineitem
+WHERE l_orderkey % 11 = 0
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
