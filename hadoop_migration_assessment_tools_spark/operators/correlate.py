@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..config import EVENT_QUERY_COMPLETED, EVENT_QUERY_SUBMITTED
+from ..plans.ranking import distributed_row_number
 
 
 def deduplicate_events(events: DataFrame) -> DataFrame:
@@ -90,7 +91,11 @@ def query_log_rollups(correlated: DataFrame, *group_cols: str) -> DataFrame:
 def table_access_frequency(events: DataFrame) -> DataFrame:
     """AGG6: explode TablesRead/TablesWritten into per-table read/write counts with a
     hot-table rank. The explode fans out rows but each carries only (table, flag) —
-    the shuffle payload stays tiny at 100 TB of logs."""
+    the shuffle payload stays tiny at 100 TB of logs.
+
+    hot_rank is a two-phase distributed rank (plans/ranking.py), not a global
+    no-partitionBy Window: a large estate can have millions of distinct tables, and
+    the single-task global window would be the scale bottleneck of this query."""
     sub = events.filter(F.col("EventType") == EVENT_QUERY_SUBMITTED)
     reads = sub.select(F.explode("TablesRead").alias("table_name")).withColumn(
         "is_write", F.lit(0)
@@ -107,5 +112,8 @@ def table_access_frequency(events: DataFrame) -> DataFrame:
         )
         .withColumn("total_count", (F.col("read_count") + F.col("write_count")).cast("long"))
     )
-    w = Window.orderBy(F.desc("total_count"), F.asc("table_name"))
-    return counts.withColumn("hot_rank", F.row_number().over(w).cast("long"))
+    return distributed_row_number(
+        counts,
+        [F.desc("total_count"), F.asc("table_name")],
+        rank_col="hot_rank",
+    )

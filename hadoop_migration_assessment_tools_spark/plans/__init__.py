@@ -1,2 +1,3 @@
 from .bucketing import save_bucketed, read_bucketed_table, assert_no_shuffle_join  # noqa: F401
+from .ranking import distributed_row_number  # noqa: F401
 from .skew import salted_aggregate, salted_join_left  # noqa: F401

@@ -44,6 +44,36 @@ def test_events_scan_prunes_columns(spark):
     assert "user_id" not in read_schema_line
 
 
+def test_table_frequency_rank_is_distributed(spark):
+    """AGG6 fix (VERDICT r1 'What's wrong' #1): the hot_rank Window must be partitioned
+    by the range-partition id, never a no-partitionBy Window over the counts. The only
+    permissible single-partition stage is the N-row offset table."""
+    plan = _plan(spark, "qe_table_read_frequency")
+    window_specs = [l for l in plan.splitlines() if "row_number()" in l]
+    assert window_specs, "expected a row_number window in the plan"
+    for line in window_specs:
+        assert "_range_pid" in line, f"row_number window not partition-local: {line}"
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """Two-phase rank must equal the single-partition global window bit-for-bit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hadoop_migration_assessment_tools_spark.plans.ranking import distributed_row_number
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), ((F.col("id") * 37) % 101).alias("v")
+    ).groupBy("k").agg(F.sum("v").alias("total"))
+    order = [F.desc("total"), F.asc("k")]
+    got = {r["k"]: r["rank"] for r in distributed_row_number(df, order, "rank", 8).collect()}
+    want = {
+        r["k"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
+
+
 def test_date_partition_pruning(spark, tmp_path):
     """SRC3 payoff: a date-range filter over the sink's layout must prune partitions
     at plan time (PartitionFilters on EventDate), not scan-and-filter."""
