@@ -419,6 +419,85 @@ ORDER BY group_name, counter_name
 """
 
 
+# --- qe_perf_roundtrip --------------------------------------------------------------
+# AGG2 consumption end to end (EventRecordConstructor.java:255-271): build per-query
+# perf entries (start, duration) from orders — including still-running entries
+# (duration 0) that must resolve to event_time - start — serialize with the real
+# perf_json operator, re-parse with PERF_OBJECT_SCHEMA, explode, re-aggregate. The
+# oracle computes the same totals without touching JSON; a match certifies
+# serialize -> parse -> consume for the perf escape hatch including the fallback.
+
+
+def qe_perf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import perf_json
+    from ..schema import PERF_OBJECT_SCHEMA
+
+    orders = load_table(spark, sf_dir, "orders")
+    start_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    event_time = F.expr(
+        "timestampadd(SECOND, o_orderkey % 3600, CAST(o_orderdate AS TIMESTAMP))"
+    )
+    perf = F.map_from_arrays(
+        F.array(F.lit("compile"), F.lit("execute")),
+        F.array(
+            F.struct(
+                start_ms.alias("start_millis"),
+                (F.col("o_orderkey") % 1000).cast("long").alias("duration_millis"),
+            ),
+            F.struct(
+                (start_ms + 100).alias("start_millis"),
+                # duration 0 == still running -> perf_json falls back to now - start
+                F.when(F.col("o_orderkey") % 5 == 0, F.lit(0))
+                .otherwise(F.col("o_orderkey") % 777)
+                .cast("long")
+                .alias("duration_millis"),
+            ),
+        ),
+    )
+    serialized = orders.select(
+        "o_orderkey", perf_json(perf, event_time).alias("perf_obj")
+    )
+    parsed = serialized.select(
+        "o_orderkey", F.from_json("perf_obj", PERF_OBJECT_SCHEMA).alias("perf_map")
+    )
+    exploded = parsed.select(F.explode("perf_map").alias("perf_key", "dur"))
+    return (
+        exploded.groupBy("perf_key")
+        .agg(
+            F.sum("dur").cast("long").alias("total_ms"),
+            count_big("n_entries"),
+            F.max("dur").cast("long").alias("max_ms"),
+        )
+        .orderBy("perf_key")
+    )
+
+
+QE_PERF_ROUNDTRIP_ORACLE = """
+WITH per AS (
+  SELECT o_orderkey, (o_orderkey % 3600) * 1000 AS evt_off_ms FROM orders
+), unp AS (
+  SELECT 'compile' AS perf_key,
+         CAST(CASE WHEN o_orderkey % 1000 = 0 THEN evt_off_ms
+                   ELSE o_orderkey % 1000 END AS BIGINT) AS dur
+  FROM per
+  UNION ALL
+  SELECT 'execute',
+         -- fallback fires for ANY zero duration, incl. o_orderkey % 777 = 0
+         CAST(CASE WHEN o_orderkey % 5 = 0 OR o_orderkey % 777 = 0
+                   THEN evt_off_ms - 100
+                   ELSE o_orderkey % 777 END AS BIGINT)
+  FROM per
+)
+SELECT perf_key,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(MAX(dur) AS BIGINT) AS max_ms
+FROM unp
+GROUP BY perf_key
+ORDER BY perf_key
+"""
+
+
 # --- qe_tables_read_and_written -----------------------------------------------------
 # SET2 intra-row form (SURVEY §2.6): array_intersect on the entity arrays — the
 # "tables both read and written by the same query" report. Arrays are built

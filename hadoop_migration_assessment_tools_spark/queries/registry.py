@@ -57,6 +57,7 @@ QUERIES: dict[str, Query] = {
     "qe_partition_names": ql.qe_partition_names,
     "qe_app_id_first_match": ql.qe_app_id_first_match,
     "qe_counters_roundtrip": ql.qe_counters_roundtrip,
+    "qe_perf_roundtrip": ql.qe_perf_roundtrip,
     "qe_tables_read_and_written": ql.qe_tables_read_and_written,
     "nation_volume_by_year": tpch.nation_volume_by_year,
     "customer_order_histogram": tpch.customer_order_histogram,
@@ -121,6 +122,7 @@ ORACLE_SQL: dict[str, str] = {
     "qe_partition_names": ql.QE_PARTITION_NAMES_ORACLE,
     "qe_app_id_first_match": ql.QE_APP_ID_FIRST_MATCH_ORACLE,
     "qe_counters_roundtrip": ql.QE_COUNTERS_ROUNDTRIP_ORACLE,
+    "qe_perf_roundtrip": ql.QE_PERF_ROUNDTRIP_ORACLE,
     "qe_tables_read_and_written": ql.QE_TABLES_READ_AND_WRITTEN_ORACLE,
     "nation_volume_by_year": tpch.NATION_VOLUME_ORACLE,
     "customer_order_histogram": tpch.CUSTOMER_ORDER_HISTOGRAM_ORACLE,
