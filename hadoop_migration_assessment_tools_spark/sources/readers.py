@@ -43,14 +43,51 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def read_event_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def read_event_log(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
     """Read a (possibly date-partitioned, multi-file) QueryEvents log tree as one dataset.
 
     SET1 multi-source union: a glob/dir read is the Spark-native union of all logger
     instances × days × rollover files (reference asserts the same invariant across its
     dir tree in testing/TestUtils.java:178-183).
+
+    fmt='avro' reads reference-layout trees (``<base>/<YYYY-MM-DD>/dwhassessment_*.avro``,
+    written by our sink or by the reference hook itself): the ``binaryFile`` source lists
+    and ships files distributedly, and each file decodes in its own task with the
+    built-in OCF codec (sources/avro_ocf.py) — no spark-avro module, no driver-side
+    loop. The day-directory name comes back as an ``EventDate`` column, matching the
+    hive-style partition column of the parquet layout.
     """
-    reader = spark.read
     if fmt == "avro":
-        return reader.format("avro").load(path)
-    return reader.parquet(path)
+        from pyspark.sql import types as T
+
+        from ..schema import QUERY_EVENTS_SCHEMA
+        from .avro_ocf import decode_ocf_file_to_rows
+
+        record_schema = schema or QUERY_EVENTS_SCHEMA
+        out_schema = T.StructType(
+            list(record_schema.fields) + [T.StructField("EventDate", T.DateType(), True)]
+        )
+        binary = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.avro")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+            .select("path", "content")
+        )
+
+        def decode(row):
+            import datetime as dt
+            import os
+
+            parent = os.path.basename(os.path.dirname(row.path))
+            try:
+                day = dt.date.fromisoformat(parent)
+            except ValueError:
+                day = None
+            for tup in decode_ocf_file_to_rows(row.content, record_schema):
+                yield tup + (day,)
+
+        return spark.createDataFrame(binary.rdd.flatMap(decode), out_schema)
+    return spark.read.parquet(path)

@@ -5,22 +5,32 @@ Reference behavior being re-expressed (SURVEY §1.3, §2.1):
 - a new file per (writer × rollover window), prefix ``dwhassessment_``
   (:208-214; LoggingHookConstants.java:29)
 - rollover at min(start+interval, next UTC midnight) (:196-202)
+- Avro OCF as the container format (RecordsWriter.java:35-60)
 
 Spark-native mapping:
-- day directory        → ``partitionBy(partition_col)`` hive-style ``EventDate=YYYY-MM-DD``
-- file-per-window      → batch: ``maxRecordsPerFile``; streaming: one file set per micro-batch
-                         with ``trigger(processingTime=...)`` playing the rollover tick
-                         (EventLogger.java:112-121)
-- flush-per-record     → per-commit durability via the file-sink commit protocol; this is an
-                         *upgrade* (atomic rename vs partial file on crash) — SURVEY §7 known
-                         hard part 4
-- single writer thread → one task per output partition; no global coordination needed.
+- day directory        → parquet: hive-style ``EventDate=YYYY-MM-DD`` via ``partitionBy``;
+                         avro: bare ``YYYY-MM-DD`` dirs exactly like the reference
+- file-per-window      → parquet: ``maxRecordsPerFile``; avro: per-task
+                         ``RollingOcfWriterFactory`` with the reference's
+                         ``dwhassessment_<instant>_<loggerId>.avro`` naming
+- flush-per-record     → avro path flushes a block per record like the reference
+                         (DatePartitionedRecordsWriterFactory.java:106-107); parquet
+                         path commits per file (atomic-rename upgrade — SURVEY §7
+                         known hard part 4)
+- single writer thread → one task per output partition; each task is its own logger
+                         instance with its own loggerId (SET1: many instances × days
+                         × files read back as one dataset).
 
-Scale notes: hive-style date partitioning is what makes downstream date-range scans
-partition-prunable at 100 TB; never write one monolithic dir.
+Scale notes: date partitioning is what makes downstream date-range scans
+partition-prunable at 100 TB; never write one monolithic dir. The avro path writes
+one file per (task, day) — distribution comes from Spark's partitioning of the
+DataFrame, not from a driver-side loop.
 """
 
 from __future__ import annotations
+
+import os
+from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -28,10 +38,6 @@ from pyspark.sql.streaming import StreamingQuery
 from ..config import DEFAULT_ROLLOVER_INTERVAL_SECONDS
 
 PARTITION_COL = "EventDate"
-
-
-def _is_missing_datasource_error(exc: Exception) -> bool:
-    return "Failed to find data source" in str(exc)
 
 
 def with_event_date(df: DataFrame, ts_cols: tuple[str, str] = ("StartTime", "EndTime")) -> DataFrame:
@@ -46,12 +52,64 @@ def with_event_date(df: DataFrame, ts_cols: tuple[str, str] = ("StartTime", "End
     )
 
 
+def _avro_partition_writer(
+    base_dir: str,
+    avsc: dict,
+    partition_col: str,
+    rollover_records: int | None,
+    codec: str,
+):
+    """Executor-side closure: writes one partition's rows into per-day OCF files with
+    reference-faithful names. One loggerId per task (= one logger instance)."""
+
+    def write_rows(rows: Iterator) -> Iterator[int]:
+        from .avro_ocf import OcfWriter, SystemClock, format_log_instant, generate_logger_id
+
+        clock = SystemClock()
+        logger_id = generate_logger_id()
+        from ..config import DWH_ASSESSMENT_FILE_PREFIX
+
+        open_writers: dict[str, tuple[OcfWriter, int]] = {}
+        written = 0
+
+        def open_writer(day: str) -> OcfWriter:
+            day_dir = os.path.join(base_dir, day)
+            os.makedirs(day_dir, exist_ok=True)
+            name = (
+                DWH_ASSESSMENT_FILE_PREFIX
+                + format_log_instant(clock.instant())
+                + "_"
+                + logger_id
+                + ".avro"
+            )
+            return OcfWriter(open(os.path.join(day_dir, name), "wb"), avsc, codec=codec)
+
+        for row in rows:
+            d = row[partition_col]
+            day = d.isoformat() if d is not None else "__unknown_date__"
+            writer, count = open_writers.get(day, (None, 0))
+            if writer is None or (rollover_records and count >= rollover_records):
+                if writer is not None:
+                    writer.close()
+                writer, count = open_writer(day), 0
+            rec = row.asDict(recursive=True)
+            rec.pop(partition_col, None)  # the day lives in the dir name, not the record
+            writer.append(rec)
+            open_writers[day] = (writer, count + 1)
+            written += 1
+        for writer, _ in open_writers.values():
+            writer.close()
+        yield written
+
+    return write_rows
+
+
 class DatePartitionedSink:
     """Writes QueryEvents rows into a date-partitioned table layout.
 
-    fmt='parquet' (default) or 'avro' (matches the reference's container format when the
-    spark-avro module is on the classpath; falls back to parquet with a warning otherwise).
-    """
+    fmt='parquet' (default, hive-style partition dirs) or 'avro' (the reference's
+    container format, written by the built-in pure-Python OCF codec — no spark-avro
+    needed, no silent format fallback)."""
 
     def __init__(
         self,
@@ -59,11 +117,15 @@ class DatePartitionedSink:
         fmt: str = "parquet",
         rollover_records: int | None = 1_000_000,
         partition_col: str = PARTITION_COL,
+        avro_codec: str = "deflate",
     ) -> None:
+        if fmt not in ("parquet", "avro"):
+            raise ValueError(f"unsupported sink format {fmt!r}")
         self.base_dir = base_dir
         self.fmt = fmt
         self.rollover_records = rollover_records
         self.partition_col = partition_col
+        self.avro_codec = avro_codec
 
     def write_batch(self, df: DataFrame, mode: str = "append", time_sorted: bool = True) -> None:
         """Batch write, partitioned by UTC event date (SRC3).
@@ -81,22 +143,34 @@ class DatePartitionedSink:
                 if "StartTime" in df.columns
                 else F.col(self.partition_col)
             )
+        if self.fmt == "avro":
+            self._write_batch_avro(df)
+            return
         writer = df.write.mode(mode).partitionBy(self.partition_col)
         if self.rollover_records:
             # File-size rollover equivalent (SRC4): caps records per physical file the way
             # the reference's time-based rotation caps records per Avro container.
             writer = writer.option("maxRecordsPerFile", self.rollover_records)
-        try:
-            writer.format(self.fmt).save(self.base_dir)
-        except Exception as exc:  # spark-avro module absent in some deployments
-            if self.fmt == "avro" and _is_missing_datasource_error(exc):
-                import warnings
+        writer.format(self.fmt).save(self.base_dir)
 
-                warnings.warn("spark-avro data source unavailable; falling back to parquet")
-                self.fmt = "parquet"
-                writer.format("parquet").save(self.base_dir)
-            else:
-                raise
+    def _write_batch_avro(self, df: DataFrame) -> int:
+        """SRC2: distributed OCF write — one logger instance per Spark task, one file
+        per (task, UTC day), named ``dwhassessment_<instant>_<loggerId>.avro`` exactly
+        like the reference (DatePartitionedRecordsWriterFactory.java:208-214)."""
+        from .avro_ocf import struct_to_avsc
+
+        record_schema = df.drop(self.partition_col).schema
+        avsc = struct_to_avsc(record_schema)
+        counts = df.rdd.mapPartitions(
+            _avro_partition_writer(
+                self.base_dir,
+                avsc,
+                self.partition_col,
+                self.rollover_records,
+                self.avro_codec,
+            )
+        ).collect()
+        return sum(counts)
 
     def write_stream(
         self,
@@ -109,10 +183,20 @@ class DatePartitionedSink:
 
         Each trigger commits a new set of files under the day partition — the exact
         time-rolled layout of the reference, with exactly-once commit instead of
-        flush-per-record (STR3 upgrade).
-        """
+        flush-per-record (STR3 upgrade). The avro path runs through foreachBatch
+        (idempotent per-batch OCF write; each micro-batch = one rollover window)."""
         if self.partition_col not in df.columns:
             df = with_event_date(df)
+        if self.fmt == "avro":
+            return (
+                df.writeStream.foreachBatch(
+                    lambda batch_df, _epoch: self._write_batch_avro(batch_df)
+                )
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(processingTime=f"{trigger_seconds} seconds")
+                .outputMode(output_mode)
+                .start()
+            )
         return (
             df.writeStream.format(self.fmt)
             .option("checkpointLocation", checkpoint_dir)
