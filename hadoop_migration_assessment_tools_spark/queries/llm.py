@@ -404,8 +404,10 @@ def emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing: synthesize payloads -> Arrow-batched feature extraction
-    -> join with typed-metadata summary (rows-only; decode itself is stubbed)."""
+    """Binary media pipeline: synthesize real WAV/PPM payloads -> Arrow-batched decode
+    + feature extraction (duration/RMS for audio, dimensions/mean-RGB for images;
+    digest fallback with decoded=false for opaque video) -> per-kind rollup
+    (rows-only: payload bytes and float features are engine-specific)."""
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
     feats = extract_features(media)
@@ -413,6 +415,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.groupBy("kind")
         .agg(
             count_big("n_media"),
+            F.sum(F.when(F.col("decoded"), 1).otherwise(0)).cast("long").alias("n_decoded"),
             F.sum("n_bytes").cast("long").alias("total_bytes"),
             F.round(F.sum(F.element_at("features", 1).cast("decimal(18,6)")).cast("double"), 4).alias(
                 "sum_feature_0"
