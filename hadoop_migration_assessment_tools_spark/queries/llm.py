@@ -425,6 +425,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- emb_topk_scaled_{bruteforce,ivf} -----------------------------------------------
+# [EXT] IVF crossover proof (VERDICT r1 next-round #7). At the raw corpus size the
+# IVF fixed cost (sample + Lloyd + bucketing UDF) dominates and bruteforce wins; these
+# two entries run the SAME top-k on the same deterministically replicated corpus
+# (SCALED_REPS x vectors, perturbed per replica) with a larger query set, where
+# scanning nprobe/nlist of the corpus must beat scanning all of it. BENCH_r{N} carries
+# the side-by-side wall times; pytest asserts IVF recall >= 0.8 vs the exact result.
+
+SCALED_REPS = 12
+SCALED_QUERIES = 75
+_SCALED_ID_STRIDE = 10_000_000
+
+
+def _scaled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate the corpus SCALED_REPS times with a deterministic per-replica
+    perturbation — array HOFs only, so scaling happens executor-side (no generation
+    shuffle; the explode is a narrow map)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(SCALED_REPS - 1))).alias("rep"),
+    )
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + ((F.col("rep") * (i + 3)) % 11).cast("double") * 0.003,
+    )
+    return reps.select(
+        (F.col("vec_id") + F.col("rep") * _SCALED_ID_STRIDE).alias("vec_id"),
+        perturbed.cast("array<float>").alias("embedding"),
+    )
+
+
+def _scaled_queries(scaled: DataFrame) -> DataFrame:
+    return scaled.filter(F.col("vec_id") < SCALED_QUERIES)  # rep-0 originals only
+
+
+def emb_topk_scaled_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k on the replicated corpus — the crossover baseline (rows-only)."""
+    scaled = _scaled_embeddings(spark, sf_dir)
+    return cosine_topk_bruteforce(scaled, _scaled_queries(scaled), k=TOPK_K)
+
+
+def emb_topk_scaled_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k on the replicated corpus — must beat bruteforce here (rows-only)."""
+    scaled = _scaled_embeddings(spark, sf_dir)
+    return cosine_topk_ivf(
+        scaled, _scaled_queries(scaled), k=TOPK_K, nlist=32, nprobe=4
+    )
+
+
 # --- emb_near_dup_pairs -------------------------------------------------------------
 # [EXT] embedding-cosine near-dup. The corpus has no natural near-dups (max pairwise
 # cosine ~0.51), so duplicates are planted exactly like the docs queries: vec_id % 25

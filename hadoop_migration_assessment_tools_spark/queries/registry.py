@@ -81,6 +81,8 @@ QUERIES: dict[str, Query] = {
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
     "docs_fingerprints": llm.docs_fingerprints,
     "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
+    "emb_topk_scaled_bruteforce": llm.emb_topk_scaled_bruteforce,
+    "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "emb_near_dup_lsh": llm.emb_near_dup_lsh,
     "emb_cluster_profile": llm.emb_cluster_profile,
     "multimodal_features": llm.multimodal_features,
