@@ -59,6 +59,7 @@ QUERIES: dict[str, Query] = {
     "qe_counters_roundtrip": ql.qe_counters_roundtrip,
     "qe_perf_roundtrip": ql.qe_perf_roundtrip,
     "qe_tables_read_and_written": ql.qe_tables_read_and_written,
+    "qe_stream_batch_parity": ql.qe_stream_batch_parity,
     "nation_volume_by_year": tpch.nation_volume_by_year,
     "customer_order_histogram": tpch.customer_order_histogram,
     "brand_supplier_counts": tpch.brand_supplier_counts,
@@ -126,6 +127,7 @@ ORACLE_SQL: dict[str, str] = {
     "qe_counters_roundtrip": ql.QE_COUNTERS_ROUNDTRIP_ORACLE,
     "qe_perf_roundtrip": ql.QE_PERF_ROUNDTRIP_ORACLE,
     "qe_tables_read_and_written": ql.QE_TABLES_READ_AND_WRITTEN_ORACLE,
+    "qe_stream_batch_parity": ql.QE_STREAM_BATCH_PARITY_ORACLE,
     "nation_volume_by_year": tpch.NATION_VOLUME_ORACLE,
     "customer_order_histogram": tpch.CUSTOMER_ORDER_HISTOGRAM_ORACLE,
     "brand_supplier_counts": tpch.BRAND_SUPPLIER_COUNTS_ORACLE,

@@ -47,12 +47,20 @@ def pair_submit_complete_stream(
     events: DataFrame,
     watermark: str = "1 hour",
     join_window: str = "2 hours",
+    how: str = "leftOuter",
+    dedup: bool = False,
 ) -> DataFrame:
-    """JN1 as a watermarked stream-stream left-outer join.
+    """JN1 as a watermarked stream-stream join (leftOuter by default).
 
     Completion must land within [StartTime, StartTime + join_window]; a submission
     with no completion in that window emits with NULL EndTime/Status after the
-    watermark passes.
+    watermark passes. how='inner' emits matched pairs immediately per micro-batch
+    (no watermark wait) — the right mode for batch-parity checks.
+
+    dedup=True applies DDP1 *per side, inside this operator* — a
+    dropDuplicatesWithinWatermark on the side's key after its own watermark. It
+    cannot be a separate upstream operator: each branch may define its watermark
+    only once, and the join needs it on StartTime/EndTime specifically.
     """
     sub = (
         events.filter(F.col("EventType") == EVENT_QUERY_SUBMITTED)
@@ -76,13 +84,16 @@ def pair_submit_complete_stream(
         )
         .withWatermark("EndTime", watermark)
     )
+    if dedup:
+        sub = sub.dropDuplicatesWithinWatermark(["sub_QueryId"])
+        comp = comp.dropDuplicatesWithinWatermark(["comp_QueryId"])
     cond = (
         (F.col("sub_QueryId") == F.col("comp_QueryId"))
         & (F.col("EndTime") >= F.col("StartTime"))
         & (F.col("EndTime") <= F.col("StartTime") + F.expr(f"INTERVAL {join_window}"))
     )
     return (
-        sub.join(comp, cond, "leftOuter")
+        sub.join(comp, cond, how)
         .select(
             F.col("sub_QueryId").alias("QueryId"),
             "QueryText",
