@@ -1,0 +1,53 @@
+"""Dump formatted Catalyst plans for the perf-critical queries into explains/.
+
+Round-over-round bench discipline (VERDICT r1 next-round #9): wall-times alone can't
+show WHY a query regressed; a diffable plan artifact shows a lost pushdown or a new
+Exchange immediately. Run after any change to a listed query and commit the diff:
+
+    python tools/dump_explains.py          # sf0.001 (plan shape is SF-independent)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hadoop_migration_assessment_tools_spark.queries.registry import QUERIES
+from hadoop_migration_assessment_tools_spark.session import get_spark
+
+# Top r01 bench costs + the queries whose plan shape VERDICT r1 called out.
+TRACKED = [
+    "emb_cosine_topk_ivf",
+    "emb_topk_scaled_bruteforce",
+    "emb_topk_scaled_ivf",
+    "docs_minhash_near_dup",
+    "docs_shingle_jaccard",
+    "docs_simhash_near_dup",
+    "emb_near_dup_lsh",
+    "qe_table_read_frequency",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "explains")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="explain-artifacts", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name in TRACKED:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(mode)
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(f"-- {name} @ {SF_DIR} (formatted physical plan)\n\n{plan}")
+        print(f"wrote explains/{name}.txt")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
