@@ -419,6 +419,299 @@ ORDER BY group_name, counter_name
 """
 
 
+# --- qe_event_chain -----------------------------------------------------------------
+# The whole pre-event construction chain scored in one hash: synthesize raw
+# HOOK_INPUT rows from orders (task DAGs across all 6 execution-mode buckets, entity
+# sets with planted duplicates, nullable hook users, both instance types, unknown
+# hook types and null plans to drop), run the REAL construct_events operator
+# (FLT4/FLT5 gates -> PRJ1 projection -> PRJ3 user coalesce -> PRJ5 HS2/CLI ->
+# PRJ6 queue dispatch -> PRJ7 mode classifier -> FLT1-3 extraction with set
+# semantics), and roll up. The oracle re-derives every classification relationally.
+
+
+def _hook_input_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schema import HOOK_INPUT_SCHEMA
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cust = (F.col("o_custkey") % 10).cast("string")
+    bucket = k % 6
+
+    def task(typ: str, llap: bool = False) -> Column:
+        return F.struct(
+            F.lit(typ).alias("task_type"),
+            F.lit(llap).alias("is_llap"),
+            F.lit(None).cast("string").alias("job_id"),
+        )
+
+    task_type = HOOK_INPUT_SCHEMA["tasks"].dataType
+    tasks = (
+        F.when(bucket == 0, F.array().cast(task_type))
+        .when(bucket == 1, F.array(task("TEZ", True)))
+        .when(bucket == 2, F.array(task("TEZ", False)))
+        .when(bucket == 3, F.array(task("MAPRED")))
+        .when(bucket == 4, F.array(task("SPARK")))
+        .otherwise(F.array(task("DDL")))
+        .cast(task_type)
+    )
+
+    def entity(etype: str, name: Column) -> Column:
+        return F.struct(F.lit(etype).alias("entity_type"), name.alias("name"))
+
+    t_a = F.concat(F.lit("db@t"), (k % 5).cast("string"))
+    t_b = F.concat(F.lit("db@t"), (k % 7).cast("string"))
+    inputs = F.array(
+        entity("TABLE", t_a),
+        entity("TABLE", t_a),  # duplicate: FLT1 set semantics must collapse it
+        entity("TABLE", t_b),
+        entity("DATABASE", F.lit("db")),
+        entity("PARTITION", F.concat(F.lit("db@t@flag="), (k % 2).cast("string"))),
+    )
+    outputs = F.array(entity("TABLE", F.concat(F.lit("db@sink"), (k % 3).cast("string"))))
+
+    provided: dict[str, Column] = {
+        # FLT5: unknown hook types are logged+dropped; FLT4: null plan dropped
+        "hook_type": F.when(k % 23 == 0, "UNKNOWN").otherwise("PRE_EXEC_HOOK"),
+        "query_id": F.when(k % 29 != 0, k.cast("string")),
+        "query_type": F.lit("QUERY"),
+        "query_text": F.lit("SELECT * FROM employees"),
+        "query_start_time": F.col("o_orderdate").cast("timestamp"),
+        "hook_user_name": F.when(k % 4 != 0, F.concat(F.lit("hu"), cust)),  # PRJ3
+        "ugi_user_name": F.concat(F.lit("ugi"), cust),
+        "is_hs2": (k % 2 == 0),  # PRJ5
+        "queue_mr": F.concat(F.lit("mrq"), (k % 3).cast("string")),  # PRJ6
+        "queue_tez": F.concat(F.lit("tezq"), (k % 3).cast("string")),
+        "queue_llap": F.concat(F.lit("llapq"), (k % 3).cast("string")),
+        "tasks": tasks,  # PRJ7
+        "inputs": inputs,  # FLT1-3
+        "outputs": outputs,
+    }
+    cols = [
+        (provided[f.name] if f.name in provided else F.lit(None))
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in HOOK_INPUT_SCHEMA.fields
+    ]
+    return orders.select(*cols)
+
+
+def qe_event_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import construct_events
+
+    events = construct_events(_hook_input_from_orders(spark, sf_dir))
+    return (
+        events.groupBy("ExecutionMode", "Queue", "HiveInstanceType")
+        .agg(
+            count_big("n_events"),
+            F.count_distinct("RequestUser").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("RequestUser").startswith("hu"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hook_user"),
+            F.sum(F.size("TablesRead")).cast("long").alias("sum_tables_read"),
+            F.sum(F.size("TablesWritten")).cast("long").alias("sum_tables_written"),
+            F.sum(F.size("PartitionsRead")).cast("long").alias("sum_partitions_read"),
+            F.sum(F.size("DatabasesRead")).cast("long").alias("sum_databases_read"),
+        )
+        .orderBy("ExecutionMode", "Queue", "HiveInstanceType")
+    )
+
+
+QE_EVENT_CHAIN_ORACLE = """
+WITH raw AS (
+  SELECT
+    o_orderkey AS k,
+    CAST(o_custkey % 10 AS VARCHAR) AS cust,
+    CASE o_orderkey % 6
+      WHEN 0 THEN 'CLIENT_ONLY' WHEN 1 THEN 'LLAP' WHEN 2 THEN 'TEZ'
+      WHEN 3 THEN 'MR' WHEN 4 THEN 'SPARK' ELSE 'DDL' END AS mode
+  FROM orders
+  WHERE o_orderkey % 23 <> 0   -- FLT5 unknown hook type dropped
+    AND o_orderkey % 29 <> 0   -- FLT4 null plan dropped
+), shaped AS (
+  SELECT
+    mode AS ExecutionMode,
+    CASE mode
+      WHEN 'LLAP' THEN 'llapq' || CAST(k % 3 AS VARCHAR)
+      WHEN 'MR'   THEN 'mrq'   || CAST(k % 3 AS VARCHAR)
+      WHEN 'TEZ'  THEN 'tezq'  || CAST(k % 3 AS VARCHAR)
+    END AS Queue,
+    CASE WHEN k % 2 = 0 THEN 'HS2' ELSE 'CLI' END AS HiveInstanceType,
+    CASE WHEN k % 4 <> 0 THEN 'hu' || cust ELSE 'ugi' || cust END AS RequestUser,
+    CASE WHEN k % 5 = k % 7 THEN 1 ELSE 2 END AS tables_read_n
+  FROM raw
+)
+SELECT
+  ExecutionMode, Queue, HiveInstanceType,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT RequestUser) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN RequestUser LIKE 'hu%' THEN 1 ELSE 0 END) AS BIGINT) AS n_hook_user,
+  CAST(SUM(tables_read_n) AS BIGINT) AS sum_tables_read,
+  CAST(COUNT(*) AS BIGINT) AS sum_tables_written,
+  CAST(COUNT(*) AS BIGINT) AS sum_partitions_read,
+  CAST(COUNT(*) AS BIGINT) AS sum_databases_read
+FROM shaped
+GROUP BY ExecutionMode, Queue, HiveInstanceType
+ORDER BY ExecutionMode, Queue, HiveInstanceType
+"""
+
+
+# --- qe_yarn_enrichment -------------------------------------------------------------
+# JN2 + JN3 + FLT7 scored: post-hook events carry MR job ids (some malformed — the
+# FLT7 skip), the REAL construct_events derives YarnApplicationId (JN3) and broadcast-
+# left-joins the applications lookup (JN2) to overwrite host + queue; absent apps
+# leave them null (YarnApplicationRetriever.java:38-50 silently-skipped enrichment).
+# The oracle reproduces the whole derivation relationally from orders x supplier.
+
+
+def qe_yarn_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import construct_events
+    from ..schema import HOOK_INPUT_SCHEMA
+
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    k = F.col("o_orderkey")
+
+    job_id = F.when(k % 11 == 0, F.lit("not_a_job_id")).otherwise(
+        F.concat(F.lit("job_1700000000000_"), (k % 150 + 1).cast("string"))
+    )
+    task_type = HOOK_INPUT_SCHEMA["tasks"].dataType
+    provided: dict[str, Column] = {
+        "hook_type": F.lit("POST_EXEC_HOOK"),
+        "query_id": k.cast("string"),
+        "event_time": F.col("o_orderdate").cast("timestamp"),
+        "tasks": F.array(
+            F.struct(
+                F.lit("MAPRED").alias("task_type"),
+                F.lit(False).alias("is_llap"),
+                job_id.alias("job_id"),
+            )
+        ).cast(task_type),
+    }
+    raw = orders.select(
+        *[
+            (provided[f.name] if f.name in provided else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in HOOK_INPUT_SCHEMA.fields
+        ]
+    )
+    apps = supplier.select(
+        F.concat(F.lit("application_1700000000000_"), F.col("s_suppkey").cast("string")).alias(
+            "application_id"
+        ),
+        F.concat(F.lit("host"), (F.col("s_suppkey") % 20).cast("string")).alias("host"),
+        F.concat(F.lit("yq"), (F.col("s_suppkey") % 5).cast("string")).alias("queue"),
+    )
+    events = construct_events(raw, yarn_applications=apps)
+    return (
+        events.groupBy("Queue")
+        .agg(
+            count_big("n_events"),
+            F.sum(F.when(F.col("HiveHostName").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.count_distinct("YarnApplicationId").cast("long").alias("n_distinct_apps"),
+        )
+        .orderBy("Queue")
+    )
+
+
+QE_YARN_ENRICHMENT_ORACLE = """
+WITH ev AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 11 <> 0 THEN o_orderkey % 150 + 1 END AS ref
+  FROM orders
+), joined AS (
+  SELECT
+    CASE WHEN s.s_suppkey IS NOT NULL THEN 'yq' || CAST(s.s_suppkey % 5 AS VARCHAR) END AS Queue,
+    CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END AS matched,
+    CASE WHEN ev.ref IS NOT NULL
+         THEN 'application_1700000000000_' || CAST(ev.ref AS VARCHAR) END AS app_id
+  FROM ev LEFT JOIN supplier s ON ev.ref = s.s_suppkey
+)
+SELECT Queue,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(matched) AS BIGINT) AS n_matched,
+       CAST(COUNT(DISTINCT app_id) AS BIGINT) AS n_distinct_apps
+FROM joined
+GROUP BY Queue
+ORDER BY Queue
+"""
+
+
+# --- qe_avro_roundtrip --------------------------------------------------------------
+# SRC2/SRC3/SRC6 scored end to end: a subset of the synthetic log goes through the
+# REAL avro sink (distributed pure-Python OCF write, reference dir/file layout) and
+# the REAL avro reader (binaryFile + per-file decode), then aggregates per EventType.
+# The oracle reproduces the same totals straight from orders — a hash match certifies
+# the whole persistence roundtrip: schema bridge, binary encoding, timestamp-millis
+# logical type, day routing, and the multi-file union (SET1).
+
+
+def qe_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.readers import read_event_log
+    from ..sources.sink import DatePartitionedSink
+
+    log = synthetic_query_log(spark, sf_dir).filter(
+        F.col("QueryId").cast("long") % 5 == 0
+    )
+    tmp = tempfile.mkdtemp(prefix="qe_avro_rt_")
+    DatePartitionedSink(tmp, fmt="avro").write_batch(log)
+    back = read_event_log(spark, tmp, fmt="avro")
+    return (
+        back.groupBy("EventType")
+        .agg(
+            count_big("n_events"),
+            F.count_distinct("RequestUser").cast("long").alias("n_users"),
+            F.sum(F.unix_millis(F.coalesce("StartTime", "EndTime")))
+            .cast("long")
+            .alias("sum_ts_ms"),
+            F.count_distinct("EventDate").cast("long").alias("n_days"),
+        )
+        .orderBy("EventType")
+    )
+
+
+QE_AVRO_ROUNDTRIP_ORACLE = """
+WITH subs AS (
+  SELECT 'QUERY_SUBMITTED' AS EventType,
+         'user_' || CAST(o_custkey % 10 AS VARCHAR) AS u,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts_ms,
+         o_orderdate AS d
+  FROM orders WHERE o_orderkey % 5 = 0
+), comps_base AS (
+  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+  WHERE o_orderkey % 5 = 0 AND o_orderkey % 17 <> 0
+), comps AS (
+  -- completions, with the % 13 duplicate delivery materialized (the sink persists
+  -- duplicates; dedup is a downstream consumer concern)
+  SELECT 'QUERY_COMPLETED' AS EventType,
+         'user_' || CAST(o_custkey % 10 AS VARCHAR) AS u,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + (o_orderkey % 3600) * 1000 AS ts_ms,
+         o_orderdate AS d
+  FROM comps_base
+  UNION ALL
+  SELECT 'QUERY_COMPLETED',
+         'user_' || CAST(o_custkey % 10 AS VARCHAR),
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + (o_orderkey % 3600) * 1000,
+         o_orderdate
+  FROM comps_base WHERE o_orderkey % 13 = 0
+), unioned AS (
+  SELECT * FROM subs UNION ALL SELECT * FROM comps
+)
+SELECT EventType,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+       CAST(SUM(ts_ms) AS BIGINT) AS sum_ts_ms,
+       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+FROM unioned
+GROUP BY EventType
+ORDER BY EventType
+"""
+
+
 # --- qe_stream_batch_parity ---------------------------------------------------------
 # STR8 + DDP1 scored end to end (VERDICT r1 next-round #8, upgraded from rows-only to
 # a full oracle): the synthetic log is file-streamed through the REAL streaming chain

@@ -60,6 +60,9 @@ QUERIES: dict[str, Query] = {
     "qe_perf_roundtrip": ql.qe_perf_roundtrip,
     "qe_tables_read_and_written": ql.qe_tables_read_and_written,
     "qe_stream_batch_parity": ql.qe_stream_batch_parity,
+    "qe_avro_roundtrip": ql.qe_avro_roundtrip,
+    "qe_event_chain": ql.qe_event_chain,
+    "qe_yarn_enrichment": ql.qe_yarn_enrichment,
     "nation_volume_by_year": tpch.nation_volume_by_year,
     "customer_order_histogram": tpch.customer_order_histogram,
     "brand_supplier_counts": tpch.brand_supplier_counts,
@@ -128,6 +131,9 @@ ORACLE_SQL: dict[str, str] = {
     "qe_perf_roundtrip": ql.QE_PERF_ROUNDTRIP_ORACLE,
     "qe_tables_read_and_written": ql.QE_TABLES_READ_AND_WRITTEN_ORACLE,
     "qe_stream_batch_parity": ql.QE_STREAM_BATCH_PARITY_ORACLE,
+    "qe_avro_roundtrip": ql.QE_AVRO_ROUNDTRIP_ORACLE,
+    "qe_event_chain": ql.QE_EVENT_CHAIN_ORACLE,
+    "qe_yarn_enrichment": ql.QE_YARN_ENRICHMENT_ORACLE,
     "nation_volume_by_year": tpch.NATION_VOLUME_ORACLE,
     "customer_order_histogram": tpch.CUSTOMER_ORDER_HISTOGRAM_ORACLE,
     "brand_supplier_counts": tpch.BRAND_SUPPLIER_COUNTS_ORACLE,

@@ -358,3 +358,12 @@ def test_table_access_frequency(spark):
     assert freq["db@sink"]["read_count"] == 0
     assert freq["db@t0"]["read_count"] == 2  # i=0,3
     assert freq["db@sink"]["hot_rank"] == 1
+
+
+def test_writer_id_column_shape(spark):
+    """PRJ10 (utils/IdGenerator.java:22-30): 10-char alnum ids, random per row."""
+    from hadoop_migration_assessment_tools_spark.functions.scalars import writer_id
+
+    rows = [r["wid"] for r in spark.range(50).select(writer_id().alias("wid")).collect()]
+    assert all(len(w) == 10 and w.isalnum() for w in rows)
+    assert len(set(rows)) == 50  # uuid-derived: unique per row
