@@ -272,14 +272,18 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def partition_by_byte_budget(df: DataFrame, budget_bytes: int = 64 * 1024 * 1024,
-                             avg_row_bytes: int = 1024 * 1024, min_partitions: int = 8) -> DataFrame:
-    """Repartition so one Arrow batch worth of payloads stays within budget. At 100 TB
-    the partition count comes out of the byte math, never a hardcoded constant."""
-    rows_per_part = max(1, budget_bytes // avg_row_bytes)
-    n = df.rdd.getNumPartitions()
-    target = max(min_partitions, n)
-    # cheap heuristic without a count(): scale partitions by the ratio of budget rows
+def partition_by_byte_budget(
+    df: DataFrame,
+    budget_bytes: int = 64 * 1024 * 1024,
+    payload_col: str = "payload",
+    min_partitions: int = 8,
+) -> DataFrame:
+    """Repartition so one partition's payload bytes stay within budget (one Arrow
+    batch must fit executor memory). At 100 TB the partition count comes out of the
+    byte math, never a hardcoded constant. Costs one cheap aggregate pass (sum of
+    lengths — column-pruned scan, no payload shuffle)."""
+    total = df.select(F.sum(F.length(payload_col)).alias("b")).first()["b"] or 0
+    target = max(min_partitions, int(total // budget_bytes) + 1)
     return df.repartition(target)
 
 

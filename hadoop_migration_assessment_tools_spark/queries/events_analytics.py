@@ -754,3 +754,70 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# --- events_moving_hour_range -------------------------------------------------------
+# WIN3 range-frame form (SURVEY §2.6): value sum over the trailing hour by EVENT TIME
+# (rangeBetween on epoch seconds), not row count — peers at the same instant share the
+# frame in both engines, so results are deterministic without a row tiebreak.
+
+
+def events_moving_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(money("value")).over(w), 2).cast("double").alias("hour_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
+    )
+
+
+EVENTS_MOVING_HOUR_RANGE_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  ts,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY CAST(epoch_ms(ts) // 1000 AS BIGINT)
+    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS hour_value,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY CAST(epoch_ms(ts) // 1000 AS BIGINT)
+    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_events
+FROM events
+"""
+
+
+# --- events_type_share --------------------------------------------------------------
+# Ratio-to-report: per-(user, type) share of the user's total — aggregation followed
+# by a window over the aggregate (two shuffle stages, both on user_id so AQE can
+# reuse the exchange).
+
+
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(count_big("n"))
+    w = Window.partitionBy("user_id")
+    return counts.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    ).orderBy("user_id", "event_type")
+
+
+EVENTS_TYPE_SHARE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY user_id), 6) AS share
+FROM counts
+ORDER BY user_id, event_type
+"""

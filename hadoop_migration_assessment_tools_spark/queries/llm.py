@@ -636,3 +636,43 @@ def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# --- docs_length_histogram ----------------------------------------------------------
+# [EXT] corpus length profile: 200-char buckets with doc counts and exact mean token
+# counts — the quick-look distribution a data-pipeline owner checks before filtering.
+
+
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.length("text") / 200).cast("long")
+    return (
+        docs.select(bucket.alias("len_bucket"), token_count(F.col("text")).alias("n_tok"))
+        .groupBy("len_bucket")
+        .agg(
+            count_big("n_docs"),
+            F.round(F.sum(F.col("n_tok").cast("decimal(18,0)")).cast("double") / F.count(F.lit(1)), 6)
+            .alias("avg_tokens"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+DOCS_LENGTH_HISTOGRAM_ORACLE = """
+WITH toks AS (
+  SELECT
+    CAST(FLOOR(LENGTH(text) / 200) AS BIGINT) AS len_bucket,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(TRIM(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'))
+    END AS n_tok
+  FROM documents
+)
+SELECT len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(n_tok AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM toks
+GROUP BY len_bucket
+ORDER BY len_bucket
+"""

@@ -586,3 +586,54 @@ WHERE s_suppkey IN (
 )
 ORDER BY s_name
 """
+
+
+# --- customers_orders_full_outer ----------------------------------------------------
+# Full outer theta-free join (SURVEY §2.5 note: not required by the model but native
+# to the engine): per-customer 1995 order counts FULL OUTER joined with 1996 counts —
+# customers active in either year, nulls where absent, coalesced key.
+
+
+def customers_orders_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(year: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(count_big(alias))
+        )
+
+    a = year_counts(1995, "n_1995")
+    b = year_counts(1996, "n_1996")
+    joined = a.withColumnRenamed("o_custkey", "ck_a").join(
+        b.withColumnRenamed("o_custkey", "ck_b"),
+        F.col("ck_a") == F.col("ck_b"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("ck_a", "ck_b").alias("custkey"),
+        F.coalesce("n_1995", F.lit(0)).cast("long").alias("n_1995"),
+        F.coalesce("n_1996", F.lit(0)).cast("long").alias("n_1996"),
+        (F.coalesce("n_1995", F.lit(0)) - F.coalesce("n_1996", F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+    ).orderBy("custkey")
+
+
+CUSTOMERS_ORDERS_FULL_OUTER_ORACLE = """
+WITH a AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_1995 FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_1996 FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY o_custkey
+)
+SELECT
+  COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+  CAST(COALESCE(a.n_1995, 0) AS BIGINT) AS n_1995,
+  CAST(COALESCE(b.n_1996, 0) AS BIGINT) AS n_1996,
+  CAST(COALESCE(a.n_1995, 0) - COALESCE(b.n_1996, 0) AS BIGINT) AS delta
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+ORDER BY custkey
+"""

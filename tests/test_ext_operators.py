@@ -295,3 +295,19 @@ def test_signlsh_near_dup_recovers_planted(spark):
     # identical vectors hash identically in every table -> LSH recall is 1.0 on them
     assert exact <= lsh or exact == lsh
     assert lsh == exact  # verification step kills any false positives
+
+
+def test_partition_by_byte_budget(spark):
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        partition_by_byte_budget,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.repeat(F.lit("x"), 10_000), "utf-8").alias("payload"),
+    )
+    # 1 MB total at a 100 KB budget -> ~10+ partitions; floor respected
+    out = partition_by_byte_budget(df, budget_bytes=100_000, min_partitions=2)
+    assert out.rdd.getNumPartitions() >= 10
+    tiny = partition_by_byte_budget(df, budget_bytes=1 << 30, min_partitions=3)
+    assert tiny.rdd.getNumPartitions() == 3
