@@ -821,3 +821,50 @@ SELECT user_id, event_type, n,
 FROM counts
 ORDER BY user_id, event_type
 """
+
+
+# --- events_salted_rollup -----------------------------------------------------------
+# Skew-path scored: the two-phase salted aggregation (plans/skew.py) must produce
+# EXACTLY the plain GROUP BY result — the oracle is the unsalted SQL, so a hash match
+# certifies the partial-merge algebra (sum/count/min/max) end to end.
+
+
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.skew import salted_aggregate
+
+    ev = _events(spark, sf_dir).withColumn("v_cents", F.round(money("value") * 100).cast("long"))
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": "count(1)",
+            "sum_cents": "sum(v_cents)",
+            "min_cents": "min(v_cents)",
+            "max_cents": "max(v_cents)",
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    ).orderBy("event_type")
+
+
+EVENTS_SALTED_ROLLUP_ORACLE = """
+WITH cents AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v_cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(v_cents) AS BIGINT) AS min_cents,
+       CAST(MAX(v_cents) AS BIGINT) AS max_cents
+FROM cents
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -676,3 +676,20 @@ FROM toks
 GROUP BY len_bucket
 ORDER BY len_bucket
 """
+
+
+# --- docs_heavy_terms ---------------------------------------------------------------
+# [EXT] Misra-Gries heavy hitters over the token stream (ext/sketch.py). Rows-only:
+# estimates depend on partition layout (the MG undercount varies with the split), so
+# there is no engine-independent hash; the pytest verifier asserts every true top
+# term survives into the sketch's top-k on planted-skew corpora, and the row count
+# (k) is what the driver records.
+
+
+def docs_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import heavy_hitters
+    from ..ext.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    return heavy_hitters(toks, "term", k=20)

@@ -311,3 +311,24 @@ def test_partition_by_byte_budget(spark):
     assert out.rdd.getNumPartitions() >= 10
     tiny = partition_by_byte_budget(df, budget_bytes=1 << 30, min_partitions=3)
     assert tiny.rdd.getNumPartitions() == 3
+
+
+def test_heavy_hitters_recovers_planted_skew(spark):
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        distinct_sketch_profile,
+        heavy_hitters,
+    )
+
+    # 5 planted heavy terms (freq 400..800) over a 2000-term uniform tail (freq 1)
+    rows = [(f"hot{i}",) for i in range(5) for _ in range(400 + 100 * i)]
+    rows += [(f"tail{j}",) for j in range(2000)]
+    df = spark.createDataFrame(rows, ["term"]).repartition(8)
+    got = heavy_hitters(df, "term", k=10)
+    top = [r["item"] for r in got.collect()]
+    for i in range(5):
+        assert f"hot{i}" in top, f"hot{i} missing from {top}"
+    # heaviest first (est_count undercounts but preserves the planted ordering)
+    assert top[0] == "hot4"
+
+    prof = distinct_sketch_profile(df, ["term"]).collect()[0]
+    assert abs(prof["term_approx_distinct"] - 2005) / 2005 < 0.1
