@@ -654,8 +654,19 @@ def qe_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import read_event_log
     from ..sources.sink import DatePartitionedSink
 
-    log = synthetic_query_log(spark, sf_dir).filter(
-        F.col("QueryId").cast("long") % 5 == 0
+    # % 20 subset bounds the serial encode cost, and timestamps are rebased onto a
+    # 4-day window: the raw log spans ~2400 order dates, which the date-partitioned
+    # sink would faithfully explode into ~2400 one-file days — a pathological layout
+    # no real hook deployment produces (logs cover days, not decades).
+    k = F.col("QueryId").cast("long")
+    rebased_ts = F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(
+        days=(k % 4).cast("int"), secs=(k % 86400).cast("double")
+    )
+    log = (
+        synthetic_query_log(spark, sf_dir)
+        .filter(k % 20 == 0)
+        .withColumn("StartTime", F.when(F.col("StartTime").isNotNull(), rebased_ts))
+        .withColumn("EndTime", F.when(F.col("EndTime").isNotNull(), rebased_ts))
     )
     tmp = tempfile.mkdtemp(prefix="qe_avro_rt_")
     DatePartitionedSink(tmp, fmt="avro").write_batch(log)
@@ -675,28 +686,31 @@ def qe_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QE_AVRO_ROUNDTRIP_ORACLE = """
-WITH subs AS (
+WITH rebased AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_ms(TIMESTAMP '2024-01-01 00:00:00')
+           + (o_orderkey % 4) * 86400000
+           + (o_orderkey % 86400) * 1000 AS ts_ms,
+         o_orderkey % 4 AS day_bucket
+  FROM orders WHERE o_orderkey % 20 = 0
+), subs AS (
   SELECT 'QUERY_SUBMITTED' AS EventType,
          'user_' || CAST(o_custkey % 10 AS VARCHAR) AS u,
-         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts_ms,
-         o_orderdate AS d
-  FROM orders WHERE o_orderkey % 5 = 0
+         ts_ms, day_bucket AS d
+  FROM rebased
 ), comps_base AS (
-  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
-  WHERE o_orderkey % 5 = 0 AND o_orderkey % 17 <> 0
+  SELECT * FROM rebased WHERE o_orderkey % 17 <> 0
 ), comps AS (
   -- completions, with the % 13 duplicate delivery materialized (the sink persists
   -- duplicates; dedup is a downstream consumer concern)
   SELECT 'QUERY_COMPLETED' AS EventType,
          'user_' || CAST(o_custkey % 10 AS VARCHAR) AS u,
-         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + (o_orderkey % 3600) * 1000 AS ts_ms,
-         o_orderdate AS d
+         ts_ms, day_bucket AS d
   FROM comps_base
   UNION ALL
   SELECT 'QUERY_COMPLETED',
          'user_' || CAST(o_custkey % 10 AS VARCHAR),
-         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + (o_orderkey % 3600) * 1000,
-         o_orderdate
+         ts_ms, day_bucket
   FROM comps_base WHERE o_orderkey % 13 = 0
 ), unioned AS (
   SELECT * FROM subs UNION ALL SELECT * FROM comps
@@ -729,12 +743,24 @@ def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schema import QUERY_EVENTS_SCHEMA
     from ..streaming.pairing import pair_submit_complete_stream
 
-    log = synthetic_query_log(spark, sf_dir)
+    # % 5 subset bounds the stateful-operator volume; the parity proof is identical
+    log = synthetic_query_log(spark, sf_dir).filter(
+        F.col("QueryId").cast("long") % 5 == 0
+    )
     tmp = tempfile.mkdtemp(prefix="qe_stream_parity_")
     src = f"{tmp}/src"
-    log.coalesce(4).write.mode("overwrite").parquet(src)
+    # write only the columns the pairing consumes — column pruning for the file
+    # stream source the same way a scan would prune a real log table
+    stream_cols = [
+        "QueryId", "EventType", "QueryText", "RequestUser", "ExecutionMode",
+        "Queue", "StartTime", "EndTime", "Status", "ErrorMessage",
+    ]
+    log.select(*stream_cols).coalesce(4).write.mode("overwrite").parquet(src)
 
-    stream = spark.readStream.schema(QUERY_EVENTS_SCHEMA).parquet(src)
+    from pyspark.sql import types as T
+
+    src_schema = T.StructType([QUERY_EVENTS_SCHEMA[c] for c in stream_cols])
+    stream = spark.readStream.schema(src_schema).parquet(src)
     paired = pair_submit_complete_stream(
         stream,
         watermark="1 hour",
@@ -743,14 +769,22 @@ def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup=True,  # DDP1 in-stream: duplicate completion deliveries collapse
     )
     table = f"qe_stream_parity_{uuid.uuid4().hex[:8]}"
-    (
-        paired.writeStream.format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # State-store count scales with shuffle partitions (5 stateful operators x N
+    # partitions x checkpoint files); 4 is plenty for this volume. Session-restored
+    # after the stream finishes — the conf is captured at query start.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        (
+            paired.writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     streamed = spark.table(table).select(
         "QueryId", "RequestUser", "StartTime", "EndTime", "Status", "DurationMillis"
     )
@@ -777,7 +811,7 @@ SELECT
   CAST(COUNT(*) AS BIGINT) AS n_batch_rows,
   CAST(COUNT(*) AS BIGINT) AS n_exact_matches
 FROM orders
-WHERE o_orderkey % 17 <> 0
+WHERE o_orderkey % 5 = 0 AND o_orderkey % 17 <> 0
 """
 
 
