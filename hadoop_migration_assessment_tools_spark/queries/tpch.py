@@ -637,3 +637,195 @@ SELECT
 FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 ORDER BY custkey
 """
+
+
+# --- q6_forecast_revenue ------------------------------------------------------------
+# TPC-H Q6 shape: pure scan-side predicate stack -> single global aggregate. The
+# whole query should compile to one scan with every filter in PushedFilters and a
+# 1-row partial/final agg — the canonical pushdown benchmark.
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (money("l_extendedprice") * money("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (money("l_discount") >= 0.05)
+            & (money("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(revenue), 4).cast("double").alias("revenue"),
+            count_big("n_items"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q10_returned_items -------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer, top 20 — a 3-way star join
+# with a selective fact filter and a revenue ranking.
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    ).cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"), count_big("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT
+  c_custkey, c_name, n_name,
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1993-10-01' AND o_orderdate < DATE '1994-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- q12_priority_classes -----------------------------------------------------------
+# TPC-H Q12 shape (conditional-count pivot over a fact/dim join with a date-window
+# filter), re-keyed to the driver corpus: its lineitem has no
+# l_shipmode/l_commitdate/l_receiptdate, so the pivot keys on (l_returnflag,
+# l_linestatus) instead — the operator shape (join + CASE counts) is identical.
+
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1995-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q14_promo_revenue --------------------------------------------------------------
+# TPC-H Q14 shape: conditional revenue share (promo parts) — a ratio of two exact
+# decimal sums over a broadcast part join.
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = (
+        money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    ).cast("decimal(18,4)")
+    promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        F.round(
+            F.sum(F.when(promo, revenue).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            * 100.0
+            / F.sum(revenue).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        count_big("n_items"),
+    )
+
+
+Q14_ORACLE = """
+SELECT
+  ROUND(
+    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+    / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE),
+  6) AS promo_revenue_pct,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+
+# --- q19_disjunctive_predicates -----------------------------------------------------
+# TPC-H Q19 shape: three OR-ed conjunct groups mixing join-side and scan-side
+# predicates — the optimizer must push the common conjuncts and evaluate the
+# disjunction post-join without exploding the plan.
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & qty.between(1, 11) & size.between(1, 5))
+        | ((brand == "Brand#23") & qty.between(10, 20) & size.between(1, 10))
+        | ((brand == "Brand#34") & qty.between(20, 30) & size.between(1, 15))
+    )
+    revenue = (
+        money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    ).cast("decimal(18,4)")
+    return joined.filter(cond).agg(
+        F.round(F.sum(revenue), 4).cast("double").alias("revenue"),
+        count_big("n_items"),
+    )
+
+
+Q19_ORACLE = """
+SELECT
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
