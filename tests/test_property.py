@@ -118,3 +118,71 @@ def test_token_count_matches_python_split(spark, docs):
     df = spark.createDataFrame([(t,) for t in docs], ["text"])
     got = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
     assert got == [len(t.split()) for t in docs]
+
+
+# --- Avro OCF codec properties (no Spark session needed) ----------------------------
+
+import datetime as _dt
+import io as _io
+
+from hadoop_migration_assessment_tools_spark.sources.avro_ocf import (
+    _read_long,
+    _write_long,
+    read_ocf_bytes,
+    struct_to_avsc,
+)
+from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+from hadoop_migration_assessment_tools_spark.sources.avro_ocf import OcfWriter
+
+_I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_I64, min_size=1, max_size=50))
+def test_zigzag_varint_roundtrip_property(values):
+    buf = _io.BytesIO()
+    for v in values:
+        _write_long(buf, v)
+    buf.seek(0)
+    assert [_read_long(buf) for _ in values] == values
+
+
+_utc_naive_ms = st.datetimes(
+    min_value=_dt.datetime(1900, 1, 1), max_value=_dt.datetime(2200, 1, 1)
+).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+
+_event_records = st.fixed_dictionaries(
+    {},
+    optional={
+        "QueryId": st.text(max_size=40),
+        "QueryText": st.text(max_size=200),  # arbitrary unicode incl. surrogate-free
+        "EventType": st.sampled_from(["QUERY_SUBMITTED", "QUERY_COMPLETED"]),
+        "StartTime": _utc_naive_ms,
+        "EndTime": _utc_naive_ms,
+        "TablesRead": st.lists(st.text(max_size=20), max_size=5),
+        "DatabasesWritten": st.lists(st.text(max_size=10), max_size=3),
+        "ErrorMessage": st.one_of(st.none(), st.text(max_size=100)),
+        "CountersObject": st.one_of(st.none(), st.text(max_size=80)),
+    },
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_event_records, min_size=0, max_size=20),
+       st.sampled_from(["null", "deflate"]))
+def test_ocf_roundtrip_property(records, codec):
+    """Any QueryEvents-shaped record set survives encode→decode bit-exactly:
+    absent fields come back null, unicode strings intact, timestamps at millisecond
+    resolution, arrays in order; both codecs."""
+    avsc = struct_to_avsc(QUERY_EVENTS_SCHEMA)
+    buf = _io.BytesIO()
+    w = OcfWriter(buf, avsc, codec=codec)
+    for r in records:
+        w.append(r)
+    w.flush()
+    _, out = read_ocf_bytes(buf.getvalue())
+    assert len(out) == len(records)
+    for src, got in zip(records, out):
+        for f in QUERY_EVENTS_SCHEMA.fields:
+            expect = src.get(f.name)
+            assert got[f.name] == expect, (f.name, expect, got[f.name])
