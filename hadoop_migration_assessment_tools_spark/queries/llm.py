@@ -693,3 +693,86 @@ def docs_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
     return heavy_hitters(toks, "term", k=20)
+
+
+# --- docs_quality_dedup_pipeline ----------------------------------------------------
+# [EXT] The composed training-data pipeline, scored as one hash: planted-dup corpus
+# -> quality_score filter -> exact dedup (min-id survivor) -> per-source funnel
+# counts. The oracle re-derives the quality formula (same SQL as DOCS_QUALITY_ORACLE)
+# over the augmented corpus and replays the filter+dedup relationally — a match
+# certifies the chained operators end to end, not each in isolation.
+
+QUALITY_KEEP_THRESHOLD = 0.5
+
+
+def docs_quality_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import exact_dedup
+
+    aug = _docs_with_planted_dups(spark, sf_dir)
+    scored = aug.withColumn("quality", quality_score(F.col("text")))
+    kept = scored.filter(F.col("quality") >= QUALITY_KEEP_THRESHOLD)
+    survivors = exact_dedup(kept)
+    n_in = aug.groupBy("source").agg(count_big("n_docs"))
+    n_kept = kept.groupBy("source").agg(count_big("n_quality"))
+    n_surv = survivors.groupBy("source").agg(count_big("n_survivors"))
+    return (
+        n_in.join(n_kept, "source", "left")
+        .join(n_surv, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_survivors", F.lit(0)).cast("long").alias("n_survivors"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_QUALITY_DEDUP_PIPELINE_ORACLE = rf"""
+WITH docs_aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+), feats AS (
+  SELECT
+    doc_id, source, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+    list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                            x -> length(x))) AS alpha_len
+  FROM docs_aug
+), ratios AS (
+  SELECT
+    doc_id, source, text, n_tokens,
+    CASE WHEN n_tokens > 0 THEN ROUND(CAST(alpha_len AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS mean_token_len,
+    CASE WHEN n_chars > 0 THEN ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_chars > 0 THEN ROUND(CAST(n_upper AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS upper_ratio
+  FROM feats
+), scored AS (
+  SELECT doc_id, source, text,
+    ROUND(
+      LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+      GREATEST(0.0, 1.0 - (punct_ratio + upper_ratio) * 2.0) * 0.3,
+    6) AS quality
+  FROM ratios
+), kept AS (
+  SELECT * FROM scored WHERE quality >= {QUALITY_KEEP_THRESHOLD}
+), survivors AS (
+  SELECT MIN(doc_id) AS keeper_id, MIN(source) AS source
+  FROM kept GROUP BY text
+)
+SELECT
+  i.source,
+  CAST(i.n_docs AS BIGINT) AS n_docs,
+  CAST(COALESCE(k.n_quality, 0) AS BIGINT) AS n_quality,
+  CAST(COALESCE(s.n_survivors, 0) AS BIGINT) AS n_survivors
+FROM (SELECT source, COUNT(*) AS n_docs FROM docs_aug GROUP BY source) i
+LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM kept GROUP BY source) k USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n_survivors FROM survivors GROUP BY source) s USING (source)
+ORDER BY i.source
+"""

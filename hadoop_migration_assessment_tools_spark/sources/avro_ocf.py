@@ -590,6 +590,32 @@ class RollingOcfWriterFactory:
         self._writer = None
 
 
+def write_with_retries(
+    factory: "RollingOcfWriterFactory",
+    record: Any,
+    max_retries: int = 2,
+    sleep: Any = None,
+) -> bool:
+    """Reference retry policy (EventLogger.java:58,196-239): up to ``max_retries``
+    retries with quadratic backoff (retry² seconds — 0 s, 1 s, 4 s), closing and
+    reopening the writer between attempts (the factory's write already closes on
+    failure, matching DatePartitionedRecordsWriterFactory.java:109-114). Returns
+    True when written, False when all attempts failed (the reference logs and drops
+    — at-most-once; callers wanting stronger semantics use the Spark sink path,
+    which gets exactly-once from the commit protocol instead)."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    for retry in range(max_retries + 1):
+        sleep(retry * retry)
+        try:
+            factory.write(record)
+            return True
+        except OSError:
+            continue
+    return False
+
+
 def decode_ocf_file_to_rows(
     content: bytes, schema: T.StructType
 ) -> Iterator[tuple]:

@@ -301,3 +301,50 @@ def test_no_files_until_first_write(tmp_path):
     fac.close()
     base = str(tmp_path / "logs")
     assert all(not files for _, _, files in os.walk(base))
+
+
+def test_write_with_retries_backoff_and_reopen(tmp_path, monkeypatch):
+    """Retry policy mirror (EventLogger.java:196-239): quadratic backoff sleeps
+    (0, 1, 4 s), writer close+reopen between attempts, drop after exhaustion."""
+    from pyspark.sql import types as T
+
+    from hadoop_migration_assessment_tools_spark.sources.avro_ocf import (
+        RollingOcfWriterFactory,
+        write_with_retries,
+    )
+
+    clock = TickableFixedClock(dt.datetime(2023, 5, 26, 10, 0, 0))
+    avsc = struct_to_avsc(
+        T.StructType([T.StructField("QueryId", T.StringType(), True)]), name="Mini"
+    )
+    fac = RollingOcfWriterFactory(
+        str(tmp_path / "logs"), avsc, clock=clock, logger_id="retryLogr1"
+    )
+    sleeps: list[float] = []
+
+    # all attempts fail -> False, slept 0,1,4
+    fails = 0
+
+    real_write = fac.write
+
+    def flaky(record, fail_times):
+        nonlocal fails
+        if fails < fail_times:
+            fails += 1
+            fac.close()
+            raise OSError("disk hiccup")
+        real_write(record)
+
+    fac.write = lambda r: flaky(r, 99)
+    assert not write_with_retries(fac, {"QueryId": "x"}, sleep=sleeps.append)
+    assert sleeps == [0, 1, 4]
+
+    # second attempt succeeds -> True, record lands
+    fails, sleeps[:] = 0, []
+    fac.write = lambda r: flaky(r, 1)
+    assert write_with_retries(fac, {"QueryId": "y"}, sleep=sleeps.append)
+    assert sleeps == [0, 1]
+    path = fac.current_path
+    fac.close()
+    _, out = read_ocf(path)
+    assert [r["QueryId"] for r in out] == ["y"]
