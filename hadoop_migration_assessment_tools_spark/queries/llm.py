@@ -776,3 +776,68 @@ LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM kept GROUP BY source) k USI
 LEFT JOIN (SELECT source, COUNT(*) AS n_survivors FROM survivors GROUP BY source) s USING (source)
 ORDER BY i.source
 """
+
+
+# --- emb_quantization_error ---------------------------------------------------------
+# [EXT] int8 quantization certified by its error bound: per label, the max
+# reconstruction error must stay within scale/2 per component, and the oracle
+# recomputes codes + errors with DuckDB list HOFs — a hash match certifies the
+# quantize/dequantize arithmetic end to end.
+
+
+def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.quantize import reconstruction_error, with_int8_quantization
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_int8_quantization(emb)
+    per_vec = q.select(
+        "label",
+        F.round(reconstruction_error(), 9).cast("decimal(18,9)").alias("err"),
+        F.round(F.col("q_scale") / 2, 9).cast("decimal(18,9)").alias("half_scale"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            count_big("n_vectors"),
+            F.round(F.max("err").cast("double"), 6).alias("max_err"),
+            F.round(F.sum("err").cast("double") / F.count(F.lit(1)), 6).alias("avg_err"),
+            F.sum(F.when(F.col("err") <= F.col("half_scale"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_within_bound"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANTIZATION_ERROR_ORACLE = """
+WITH scaled AS (
+  SELECT
+    label, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale
+  FROM embeddings
+), coded AS (
+  SELECT
+    label, q_scale,
+    CASE WHEN q_scale > 0
+         THEN list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / q_scale, 0) AS INTEGER))
+         ELSE list_transform(embedding, x -> 0) END AS q_codes,
+    embedding
+  FROM scaled
+), errs AS (
+  SELECT
+    label,
+    CAST(ROUND(list_max(list_transform(list_zip(embedding, q_codes),
+        p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * q_scale))), 9) AS DECIMAL(18,9)) AS err,
+    CAST(ROUND(q_scale / 2, 9) AS DECIMAL(18,9)) AS half_scale
+  FROM coded
+)
+SELECT
+  label,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_err,
+  ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS avg_err,
+  CAST(SUM(CASE WHEN err <= half_scale THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound
+FROM errs
+GROUP BY label
+ORDER BY label
+"""

@@ -332,3 +332,25 @@ def test_heavy_hitters_recovers_planted_skew(spark):
 
     prof = distinct_sketch_profile(df, ["term"]).collect()[0]
     assert abs(prof["term_approx_distinct"] - 2005) / 2005 < 0.1
+
+
+def test_int8_quantization_bound(spark):
+    from hadoop_migration_assessment_tools_spark.ext.quantize import (
+        reconstruction_error,
+        with_int8_quantization,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero codes
+        (3, [-2.5, 2.5, 1.25, -1.25]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = with_int8_quantization(df)
+    got = {r["vec_id"]: r for r in q.withColumn("err", reconstruction_error()).collect()}
+    assert got[2]["q_scale"] == 0.0 and got[2]["q_codes"] == [0, 0, 0, 0]
+    assert got[2]["err"] == 0.0
+    for vid in (1, 3):
+        r = got[vid]
+        assert max(abs(c) for c in r["q_codes"]) == 127  # max component saturates
+        assert r["err"] <= r["q_scale"] / 2 + 1e-12  # symmetric-quantization bound
