@@ -348,3 +348,52 @@ def test_write_with_retries_backoff_and_reopen(tmp_path, monkeypatch):
     fac.close()
     _, out = read_ocf(path)
     assert [r["QueryId"] for r in out] == ["y"]
+
+
+# --- negative / robustness (reference §5.7 pattern) ----------------------------------
+
+
+def test_unsupported_spark_type_rejected():
+    from pyspark.sql import types as T
+
+    with pytest.raises(TypeError, match="unsupported Spark type"):
+        struct_to_avsc(T.StructType([T.StructField("x", T.DecimalType(10, 2), True)]))
+
+
+def test_corrupt_block_boundary_detected(tmp_path):
+    """A flipped sync marker must fail loudly, not return garbage rows."""
+    from pyspark.sql import types as T
+
+    avsc = struct_to_avsc(
+        T.StructType([T.StructField("QueryId", T.StringType(), True)]), name="Mini"
+    )
+    path = str(tmp_path / "c.avro")
+    write_ocf(path, avsc, [{"QueryId": "a"}, {"QueryId": "b"}])
+    data = bytearray(open(path, "rb").read())
+    data[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        read_ocf_bytes(bytes(data))
+
+
+def test_avro_tree_read_skips_non_avro_files(spark, tmp_path):
+    """SET1 robustness: stray non-avro files in the tree (e.g. _SUCCESS markers,
+    parquet siblings) are excluded by the glob, not decoded."""
+    import datetime as dtm
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.readers import read_event_log
+    from hadoop_migration_assessment_tools_spark.sources.sink import DatePartitionedSink
+
+    base = str(tmp_path / "tree")
+    row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+    row.update(QueryId="q1", EventType="QUERY_SUBMITTED",
+               StartTime=dtm.datetime(2024, 1, 1, 12, 0))
+    df = spark.createDataFrame([row], schema=QUERY_EVENTS_SCHEMA)
+    DatePartitionedSink(base, fmt="avro").write_batch(df)
+    os.makedirs(os.path.join(base, "2024-01-01"), exist_ok=True)
+    with open(os.path.join(base, "2024-01-01", "_SUCCESS"), "w") as f:
+        f.write("")
+    with open(os.path.join(base, "stray.txt"), "w") as f:
+        f.write("not avro")
+    back = read_event_log(spark, base, fmt="avro")
+    assert back.count() == 1
