@@ -424,3 +424,57 @@ def test_live_generator_through_construct_events(spark):
     assert sub["ExecutionMode"] in ("TEZ", "LLAP")
     assert sub["TablesRead"] and sub["TablesRead"][0].startswith("db@t_")
     assert sub["HookVersion"] == "1.0"
+
+
+def test_stream_avro_tree_matches_batch_read(spark, tmp_path):
+    """SRC1/SRC6 streaming form over the reference's own persistence format: tailing
+    a dwhassessment avro tree as a stream yields exactly the batch reader's rows,
+    and new files written after the first pass are picked up by the next trigger."""
+    import datetime as dtm
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.readers import read_event_log
+    from hadoop_migration_assessment_tools_spark.sources.sink import DatePartitionedSink
+    from hadoop_migration_assessment_tools_spark.streaming.source import (
+        read_event_stream_avro,
+    )
+
+    base = str(tmp_path / "avro_tree")
+
+    def event(qid, day):
+        row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+        row.update(QueryId=qid, EventType="QUERY_SUBMITTED",
+                   StartTime=dtm.datetime(2024, 1, day, 12, 0), TablesRead=["db@t"])
+        return row
+
+    sink = DatePartitionedSink(base, fmt="avro")
+    sink.write_batch(spark.createDataFrame([event("q1", 1), event("q2", 2)],
+                                           schema=QUERY_EVENTS_SCHEMA))
+
+    stream = read_event_stream_avro(spark, base, max_files_per_trigger=10)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("avro_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["QueryId"]: r for r in spark.table("avro_tail").collect()}
+        assert set(got) == {"q1", "q2"}
+        assert got["q1"]["EventDate"].isoformat() == "2024-01-01"
+        assert got["q1"]["TablesRead"] == ["db@t"]
+
+        # a new rollover file lands; the running tail picks it up incrementally
+        sink.write_batch(
+            spark.createDataFrame([event("q3", 3)], schema=QUERY_EVENTS_SCHEMA)
+        )
+        q.processAllAvailable()
+        assert {r["QueryId"] for r in spark.table("avro_tail").collect()} == {
+            "q1", "q2", "q3",
+        }
+    finally:
+        q.stop()
+
+    batch = read_event_log(spark, base, fmt="avro")
+    assert batch.count() == 3
