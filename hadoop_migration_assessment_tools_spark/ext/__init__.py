@@ -6,8 +6,10 @@ large-scale training-data pipeline needs, designed for 100 TB:
 - ``dedup``      — exact (hash), MinHash+LSH, SimHash, n-gram Jaccard near-dup
 - ``similarity`` — embedding cosine top-k: brute-force baseline + IVF scale path
 - ``text``       — language-ID, quality scoring, token counting, fingerprinting
-- ``multimodal`` — binary media columns with typed metadata; Arrow-batched
-                   decode/feature plumbing (decode stubbed: no media libs in container)
+- ``multimodal`` — binary media columns with typed metadata; real pure-numpy
+                   WAV (RIFF PCM) / PPM (P6) decode + features, Arrow-batched
+- ``sketch``     — Misra-Gries heavy hitters, HLL++ distinct profile
+- ``quantize``   — symmetric int8 embedding quantization
 """
 
 from .dedup import (  # noqa: F401
@@ -32,3 +34,16 @@ from .text import (  # noqa: F401
     token_count,
     tokens,
 )
+from .multimodal import (  # noqa: F401
+    decode_media,
+    extract_features,
+    make_ppm_bytes,
+    make_wav_bytes,
+    media_features,
+    media_summary,
+    parse_ppm,
+    parse_wav,
+    synthesize_media,
+)
+from .quantize import reconstruction_error, with_int8_quantization  # noqa: F401
+from .sketch import distinct_sketch_profile, heavy_hitters  # noqa: F401

@@ -1,2 +1,15 @@
-from .readers import load_table, load_tables, register_views  # noqa: F401
+from .readers import load_table, load_tables, read_event_log, register_views  # noqa: F401
 from .sink import DatePartitionedSink  # noqa: F401
+from .avro_ocf import (  # noqa: F401
+    OcfWriter,
+    RollingOcfWriterFactory,
+    SystemClock,
+    TickableFixedClock,
+    avsc_to_struct,
+    generate_logger_id,
+    read_ocf,
+    read_ocf_bytes,
+    struct_to_avsc,
+    write_ocf,
+    write_with_retries,
+)

@@ -1,4 +1,8 @@
-from .source import read_event_stream, read_events_table_stream  # noqa: F401
+from .source import (  # noqa: F401
+    read_event_stream,
+    read_event_stream_avro,
+    read_events_table_stream,
+)
 from .windows import (  # noqa: F401
     session_window_stats,
     sliding_window_value,
