@@ -868,3 +868,36 @@ FROM cents
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- events_value_ntile --------------------------------------------------------------
+# WIN2 distribution ranks: ntile quartiles + percent_rank per user over value with a
+# total order (value, event_id) — the remaining window-function family (rank variants
+# beyond row_number/rank) certified against the oracle.
+
+
+def events_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.cume_dist().over(w).alias("_cd"),
+    ).select(
+        "event_id", "user_id", "quartile", "pct_rank", F.round("_cd", 6).alias("cume")
+    )
+
+
+EVENTS_VALUE_NTILE_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+"""
