@@ -650,10 +650,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (money("l_extendedprice") * money("l_discount")).cast("decimal(18,4)")
     return (
         li.filter(
+            # raw-double comparisons on BOTH engines: keeps every predicate
+            # parquet-pushable (a decimal CAST here would block pushdown) while
+            # the literals are identical doubles on each side
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
-            & (money("l_discount") >= 0.05)
-            & (money("l_discount") <= 0.07)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
         .agg(
@@ -669,7 +672,7 @@ SELECT
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """
 
