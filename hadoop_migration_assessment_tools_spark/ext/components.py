@@ -1,0 +1,142 @@
+"""[EXT] Connected components over duplicate-pair graphs (cluster-then-survive dedup).
+
+Near-dup detectors (MinHash/SimHash/Jaccard — ext/dedup.py) emit PAIRS; a real
+training-data pipeline needs CLUSTERS: if A~B and B~C, all three are one duplicate
+group even when A~C was never directly observed. This module closes that gap with
+the alternating large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) — the standard O(log n)-round
+formulation used by large-scale dedup pipelines.
+
+Scale design:
+- No adjacency lists are ever materialized (no collect_list): each star round is a
+  groupBy-min plus an equi-join back to the edge list — all codegen'd, all
+  map-side-combinable, skew handled by AQE.
+- Each round ends in `localCheckpoint` to cut lineage (iterative DataFrame loops
+  otherwise stack O(rounds) of plan on every action).
+- Convergence is detected by a canonical-edge checksum (count + sum of xxhash64),
+  one tiny agg action per round — never a driver-side edge collect.
+- Rounds are O(log n) in the worst case; duplicate clusters in practice have tiny
+  diameter, so 3-5 rounds is typical.
+
+Reference scope note: the reference (google/hadoop-migration-assessment-tools) has no
+graph operator — this is part of the [EXT] LLM-pipeline layer the Spark engine adds
+on top of the reference's event-log surface (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "connected_components",
+    "dup_clusters",
+    "dedup_by_components",
+]
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient every edge (larger, smaller), drop self-loops and duplicates."""
+    src, dst = edges.columns[0], edges.columns[1]
+    return (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("src"),
+            F.least(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """(edge_count, order-independent hash) of a canonical edge set — one agg action."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    Implemented as: undirected view -> per-node min neighbor (groupBy, map-side
+    combined) -> join back -> filter dst > src. No adjacency materialization.
+    """
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = und.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = F.least(F.col("src"), F.col("_mn"))
+    return (
+        und.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient (larger=key, smaller=val); connect every val — and the key itself —
+    to the minimum val of the key's neighborhood."""
+    oriented = _canonical(edges)
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_mn"))
+    joined = oriented.join(mins, "src")
+    vals = joined.filter(F.col("dst") != F.col("_mn")).select(
+        F.col("dst").alias("src"), F.col("_mn").alias("dst")
+    )
+    keys = mins.select(F.col("src"), F.col("_mn").alias("dst"))
+    return vals.union(keys)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node in the (undirected) edge list with its component id
+    (= the minimum node id in the component). Returns (node, component).
+
+    Nodes that appear in no edge are unknown to this function — union isolated
+    nodes as (id, id) at the call site if the full vertex set matters.
+    """
+    cur = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    for _ in range(max_iter):
+        if prev_sig[0] == 0:
+            break
+        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(eager=True)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Converged star graph: every edge is (member, root). Roots label themselves.
+    return (
+        cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .union(cur.select(F.col("dst").alias("node"), F.col("dst").alias("component")))
+        .distinct()
+    )
+
+
+def dup_clusters(pairs: DataFrame, left: str = "id_a", right: str = "id_b") -> DataFrame:
+    """Cluster summary over a duplicate-pair list: one row per component with its
+    size and extrema. The component id doubles as the survivor (min member)."""
+    labels = connected_components(pairs, src=left, dst=right)
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
+def dedup_by_components(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", left: str = "id_a", right: str = "id_b"
+) -> DataFrame:
+    """Drop every clustered row except the component minimum (deterministic
+    survivor), keeping rows that belong to no duplicate pair. One broadcast-able
+    anti-join when the victim set is small relative to the corpus."""
+    labels = connected_components(pairs, src=left, dst=right)
+    victims = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")

@@ -841,3 +841,143 @@ FROM errs
 GROUP BY label
 ORDER BY label
 """
+
+
+# --- docs_dup_clusters ---------------------------------------------------------------
+
+
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: connected components (large-star/small-star,
+    ext/components.py) over a planted pair graph whose clusters are only reachable
+    transitively — chains doc -> copy1 -> copy2 plus cross-links doc -> doc+7 that
+    merge two chains into one component of diameter 4. The DuckDB oracle computes
+    the same components via a recursive-CTE transitive closure, so the iterative
+    Spark algorithm is hash-checked against an independent formulation."""
+    from ..ext.components import dup_clusters
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = ids.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + DUP_OFFSET).alias("id_b")
+    )
+    e2 = ids.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("id_a"),
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("id_b"),
+    )
+    e3 = (
+        ids.alias("d")
+        .join(ids.alias("e"), F.col("e.doc_id") == F.col("d.doc_id") + 7)
+        .filter(F.col("d.doc_id") % 21 == 0)
+        .select(F.col("d.doc_id").alias("id_a"), F.col("e.doc_id").alias("id_b"))
+    )
+    pairs = e1.unionByName(e2).unionByName(e3)
+    return (
+        dup_clusters(pairs)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("max_member").cast("long").alias("max_member"),
+        )
+        .orderBy("component")
+    )
+
+
+DOCS_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS a, doc_id + {DUP_OFFSET} AS b FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS a, doc_id + {2 * DUP_OFFSET} AS b
+  FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT d.doc_id AS a, e.doc_id AS b
+  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
+  WHERE d.doc_id % 21 = 0
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, other) AS (
+  SELECT a AS node, a AS other FROM und
+  UNION
+  SELECT r.node, u.b AS other FROM reach r JOIN und u ON u.a = r.other
+),
+labels AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node)
+SELECT
+  CAST(component AS BIGINT) AS component,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MAX(node) AS BIGINT) AS max_member
+FROM labels
+GROUP BY component
+ORDER BY component
+"""
+
+
+# --- docs_hash_split -----------------------------------------------------------------
+
+
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (ext/sampling.py hash_split): md5-bucketed,
+    re-run- and append-stable, pure narrow map (no shuffle before the report agg).
+    The oracle replays the same md5-prefix cuts in DuckDB — bit-identical because
+    md5 is engine-agnostic, unlike xxhash64."""
+    from ..ext.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="s1")
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+DOCS_HASH_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT
+    doc_id, lang, n_chars,
+    CASE
+      WHEN substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+      WHEN substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM documents
+)
+SELECT
+  split,
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+# --- docs_stratified_sample ----------------------------------------------------------
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-per-language sample (ext/sampling.py stratified_sample):
+    rank inside each stratum by (md5 key, id), keep the first 25. Row-level parity
+    with a DuckDB QUALIFY twin — checks the hash, the window order, and the cut."""
+    from ..ext.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", 25, id_col="doc_id", salt="s2")
+        .select("lang", F.col("doc_id").cast("long").alias("doc_id"), F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+DOCS_STRATIFIED_SAMPLE_ORACLE = """
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lang
+  ORDER BY md5('s2' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+) <= 25
+ORDER BY lang, doc_id
+"""

@@ -354,3 +354,106 @@ def test_int8_quantization_bound(spark):
         r = got[vid]
         assert max(abs(c) for c in r["q_codes"]) == 127  # max component saturates
         assert r["err"] <= r["q_scale"] / 2 + 1e-12  # symmetric-quantization bound
+
+
+# --- connected components (ext/components.py) ---------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def _labels(spark, pairs, **kw):
+    from hadoop_migration_assessment_tools_spark.ext.components import connected_components
+
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(_edges(spark, pairs), **kw).collect()
+    }
+
+
+def test_cc_chain_transitive(spark):
+    # A-B, B-C, C-D: one component although A-D never observed directly.
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_two_components_and_direction_independence(spark):
+    got = _labels(spark, [(5, 9), (9, 7), (20, 10)])
+    assert got == {5: 5, 9: 5, 7: 5, 10: 10, 20: 10}
+
+
+def test_cc_star_and_self_loops(spark):
+    # hub graph + self loop noise; self loops must not create phantom nodes
+    got = _labels(spark, [(100, 1), (100, 2), (100, 3), (2, 2)])
+    assert got == {1: 1, 2: 1, 3: 1, 100: 1}
+
+
+def test_cc_long_path_needs_multiple_rounds(spark):
+    n = 33  # path 0-1-...-32: diameter >> 1 forces several star rounds
+    got = _labels(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_cc_empty_edges(spark):
+    from hadoop_migration_assessment_tools_spark.ext.components import connected_components
+
+    out = connected_components(_edges(spark, []))
+    assert out.columns == ["node", "component"] and out.count() == 0
+
+
+def test_dedup_by_components_keeps_min_and_unpaired(spark):
+    from hadoop_migration_assessment_tools_spark.ext.components import dedup_by_components
+
+    df = _docs(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, "z")],
+    )
+    pairs = spark.createDataFrame([(2, 3), (3, 4)], "id_a: long, id_b: long")
+    kept = sorted(r["doc_id"] for r in dedup_by_components(df, pairs).collect())
+    assert kept == [1, 2, 9]  # 3 and 4 fold into survivor 2; 1 and 9 untouched
+
+
+# --- sampling / splitting (ext/sampling.py) -----------------------------------------
+
+
+def test_hash_split_deterministic_and_append_stable(spark):
+    from hadoop_migration_assessment_tools_spark.ext.sampling import hash_split
+
+    base = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(base, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(base, "doc_id").collect()}
+    assert a == b  # re-run stable
+    grown = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    g = {r["doc_id"]: r["split"] for r in hash_split(grown, "doc_id").collect()}
+    assert all(g[k] == v for k, v in a.items())  # appending rows never moves old ones
+    n = len(g)
+    frac_train = sum(1 for v in g.values() if v == "train") / n
+    assert 0.85 < frac_train < 0.95  # ~0.9 by hash uniformity
+    assert set(g.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    from hadoop_migration_assessment_tools_spark.ext.sampling import hash_split
+
+    base = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(base, "doc_id", salt="x").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(base, "doc_id", salt="y").collect()}
+    assert a != b
+
+
+def test_stratified_sample_k_per_group_and_stable(spark):
+    from hadoop_migration_assessment_tools_spark.ext.sampling import stratified_sample
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    s1 = stratified_sample(df, "grp", 10, id_col="doc_id")
+    counts = {r["grp"]: r["n"] for r in s1.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(df, "grp", 10, id_col="doc_id").collect())
+    assert ids1 == ids2  # deterministic
+    # k larger than the stratum: returns the whole stratum, no error
+    tiny = df.filter(F.col("doc_id") < 5)
+    assert stratified_sample(tiny, "grp", 10, id_col="doc_id").count() == 5
