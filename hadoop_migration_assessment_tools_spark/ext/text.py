@@ -172,3 +172,106 @@ def tf_idf_terms(df, text_col: str = "text", id_col: str = "doc_id", top_k: int 
             "term_rank",
         )
     )
+
+
+# --- repetition / structure filters (Gopher & C4 style) -----------------------------
+
+
+def repetition_features(col: Column) -> dict[str, Column]:
+    """Document-structure signals used by large-corpus quality filters (the
+    Gopher/MassiveText and C4 rule families): duplicate-line fraction, bullet-line
+    fraction, ellipsis-line fraction, symbol-to-word ratio, alphabetic-word
+    fraction. Pure Column expressions — a narrow map over the scan; the only
+    lambdas are single-level array filters over a document's line/token arrays
+    (never nested, never re-evaluating expensive children)."""
+    lines = F.split(col, "\n")
+    nonempty = F.filter(lines, lambda l: F.length(l) > 0)
+    n_lines = F.size(nonempty).cast("long")
+    n_dup_lines = (n_lines - F.size(F.array_distinct(nonempty))).cast("long")
+    n_bullet = F.size(
+        F.filter(nonempty, lambda l: F.substring(l, 1, 1).isin("-", "*"))
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(nonempty, lambda l: F.substring(l, -3, 3) == "...")
+    ).cast("long")
+    toks = tokens(col)
+    n_words = F.size(toks).cast("long")
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_hash = F.length(F.regexp_replace(col, r"[^#]", "")).cast("long")
+    n_ellipsis = F.size(F.regexp_extract_all(col, F.lit(r"\.\.\."), 0)).cast("long")
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.round(num.cast("double") / den, 6)).otherwise(F.lit(0.0))
+
+    return {
+        "n_lines": n_lines,
+        "n_words": n_words,
+        "dup_line_frac": _ratio(n_dup_lines, n_lines),
+        "bullet_line_frac": _ratio(n_bullet, n_lines),
+        "ellipsis_line_frac": _ratio(n_ellipsis_lines, n_lines),
+        "symbol_word_ratio": _ratio(n_hash + n_ellipsis, n_words),
+        "alpha_word_frac": _ratio(n_alpha_words, n_words),
+    }
+
+
+#: (flag name, rule) — the published Gopher thresholds, applied to the features above.
+GOPHER_RULES: tuple[tuple[str, str], ...] = (
+    ("ok_word_count", "n_words BETWEEN 50 AND 100000"),
+    ("ok_symbol_ratio", "symbol_word_ratio < 0.1"),
+    ("ok_bullet", "bullet_line_frac < 0.9"),
+    ("ok_ellipsis", "ellipsis_line_frac < 0.3"),
+    ("ok_alpha", "alpha_word_frac > 0.8"),
+    ("ok_dup_lines", "dup_line_frac < 0.3"),
+)
+
+
+def gopher_flags(col: Column) -> dict[str, Column]:
+    """Boolean pass/fail per Gopher-style rule plus the conjunction. Thresholds are
+    the published MassiveText ones where the feature maps 1:1."""
+    q = repetition_features(col)
+    flags = {
+        "ok_word_count": (q["n_words"] >= 50) & (q["n_words"] <= 100000),
+        "ok_symbol_ratio": q["symbol_word_ratio"] < 0.1,
+        "ok_bullet": q["bullet_line_frac"] < 0.9,
+        "ok_ellipsis": q["ellipsis_line_frac"] < 0.3,
+        "ok_alpha": q["alpha_word_frac"] > 0.8,
+        "ok_dup_lines": q["dup_line_frac"] < 0.3,
+    }
+    conj = None
+    for f in flags.values():
+        conj = f if conj is None else (conj & f)
+    flags["pass_all"] = conj
+    return flags
+
+
+# --- PII detection & scrubbing ------------------------------------------------------
+
+#: Engine-portable PII patterns (no lookarounds, no backrefs — valid in both Java
+#: regex and RE2, so every operator below is oracle-checkable in DuckDB).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+#: Replacement tokens, applied in PII_PATTERNS iteration order. Order matters:
+#: emails are scrubbed before IPs so 'user@10.0.0.1'-style text collapses to one
+#: [EMAIL] token instead of an [EMAIL]/[IPV4] mix that depends on scan order.
+PII_TOKENS: dict[str, str] = {"email": "[EMAIL]", "phone": "[PHONE]", "ipv4": "[IPV4]"}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts — one JVM-side regexp_count per pattern."""
+    return {
+        kind: F.regexp_count(col, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace every PII match with its token, chained in PII_PATTERNS order.
+    A narrow map — scrubbing 100 TB is exactly one scan, no shuffle."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, PII_TOKENS[kind])
+    return out

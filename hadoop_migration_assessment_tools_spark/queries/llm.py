@@ -981,3 +981,224 @@ QUALIFY ROW_NUMBER() OVER (
 ) <= 25
 ORDER BY lang, doc_id
 """
+
+
+# --- docs_gopher_filters -------------------------------------------------------------
+
+
+def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style corpus filtering report (ext/text.py repetition_features +
+    gopher_flags). The synthetic corpus is single-line prose, so document structure
+    is planted in-query (bullet blocks, duplicated lines, ellipsis endings on
+    deterministic id classes) — mirrored verbatim in the oracle — to exercise every
+    rule on both code paths. Per-source rule pass counts + exact-decimal mean
+    fractions."""
+    from ..ext.text import gopher_flags, repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    structured = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n- item one\n- item two\n- item three")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("\nrepeat me\nrepeat me\nrepeat me")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nto be continued...\nand more...")).otherwise(F.lit("")),
+        ),
+    )
+    q = repetition_features(F.col("text"))
+    flags = gopher_flags(F.col("text"))
+    feat = structured.select(
+        "source",
+        q["dup_line_frac"].alias("dup_line_frac"),
+        q["bullet_line_frac"].alias("bullet_line_frac"),
+        q["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        *[flags[n].alias(n) for n in (
+            "ok_word_count", "ok_symbol_ratio", "ok_bullet",
+            "ok_ellipsis", "ok_alpha", "ok_dup_lines", "pass_all",
+        )],
+    )
+
+    def n_ok(name: str):
+        return F.sum(F.when(F.col(name), 1).otherwise(0)).cast("long").alias(f"n_{name}")
+
+    def avg6(name: str):
+        return F.round(
+            F.sum(F.col(name).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias(f"avg_{name}")
+
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_ok("ok_word_count"), n_ok("ok_symbol_ratio"), n_ok("ok_bullet"),
+            n_ok("ok_ellipsis"), n_ok("ok_alpha"), n_ok("ok_dup_lines"), n_ok("pass_all"),
+            avg6("dup_line_frac"), avg6("bullet_line_frac"), avg6("ellipsis_line_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_GOPHER_FILTERS_ORACLE = r"""
+WITH structured AS (
+  SELECT
+    doc_id, source,
+    text ||
+    CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || '- item one' || chr(10) || '- item two' || chr(10) || '- item three'
+         ELSE '' END ||
+    CASE WHEN doc_id % 9 = 0
+         THEN chr(10) || 'repeat me' || chr(10) || 'repeat me' || chr(10) || 'repeat me'
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN chr(10) || 'to be continued...' || chr(10) || 'and more...'
+         ELSE '' END AS text
+  FROM documents
+), feats AS (
+  SELECT
+    source,
+    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS nonempty,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ellipsis,
+    text
+  FROM structured
+), counts AS (
+  SELECT
+    source,
+    CAST(len(nonempty) AS BIGINT) AS n_lines,
+    CAST(len(nonempty) - len(list_distinct(nonempty)) AS BIGINT) AS n_dup_lines,
+    CAST(len(list_filter(nonempty, x -> substring(x, 1, 1) IN ('-', '*'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(nonempty, x -> right(x, 3) = '...')) AS BIGINT) AS n_ell_lines,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+    n_hash, n_ellipsis
+  FROM feats
+), ratios AS (
+  SELECT
+    source, n_words,
+    CASE WHEN n_lines > 0 THEN ROUND(CAST(n_dup_lines AS DOUBLE) / n_lines, 6) ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN n_lines > 0 THEN ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN n_lines > 0 THEN ROUND(CAST(n_ell_lines AS DOUBLE) / n_lines, 6) ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN n_words > 0 THEN ROUND(CAST(n_hash + n_ellipsis AS DOUBLE) / n_words, 6) ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN n_words > 0 THEN ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 6) ELSE 0.0 END AS alpha_word_frac
+  FROM counts
+), flagged AS (
+  SELECT
+    source, dup_line_frac, bullet_line_frac, ellipsis_line_frac,
+    (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+    (symbol_word_ratio < 0.1) AS ok_symbol_ratio,
+    (bullet_line_frac < 0.9) AS ok_bullet,
+    (ellipsis_line_frac < 0.3) AS ok_ellipsis,
+    (alpha_word_frac > 0.8) AS ok_alpha,
+    (dup_line_frac < 0.3) AS ok_dup_lines
+  FROM ratios
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN ok_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_word_count,
+  CAST(SUM(CASE WHEN ok_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_symbol_ratio,
+  CAST(SUM(CASE WHEN ok_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_bullet,
+  CAST(SUM(CASE WHEN ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_ellipsis,
+  CAST(SUM(CASE WHEN ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_alpha,
+  CAST(SUM(CASE WHEN ok_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_dup_lines,
+  CAST(SUM(CASE WHEN ok_word_count AND ok_symbol_ratio AND ok_bullet AND ok_ellipsis
+                 AND ok_alpha AND ok_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+  ROUND(CAST(SUM(CAST(dup_line_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dup_line_frac,
+  ROUND(CAST(SUM(CAST(bullet_line_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_bullet_line_frac,
+  ROUND(CAST(SUM(CAST(ellipsis_line_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_ellipsis_line_frac
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- docs_pii_scrub ------------------------------------------------------------------
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact report (ext/text.py pii_counts / scrub_pii). The corpus
+    contains no PII, so id-varying emails/phones/IPs are planted in-query on
+    deterministic id classes (mirrored in the oracle); the report checks match
+    counts per kind, docs-clean counts, and the exact redacted-character budget
+    (pre/post scrub length delta) — so the oracle verifies the REPLACEMENT, not
+    just the detection."""
+    from ..ext.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" contact user"), sid, F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.concat(F.lit(" call +1-555-010-"), F.lpad(sid, 4, "0"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0,
+                   F.concat(F.lit(" host 10.0.0."), F.pmod(F.col("doc_id"), F.lit(200)).cast("string"), F.lit(" up"))).otherwise(F.lit("")),
+        ),
+    )
+    c = pii_counts(F.col("text"))
+    feat = planted.select(
+        "source",
+        c["email"].alias("n_email"),
+        c["phone"].alias("n_phone"),
+        c["ipv4"].alias("n_ipv4"),
+        (F.length(F.col("text")) - F.length(scrub_pii(F.col("text")))).cast("long").alias("redacted_chars"),
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.sum("n_phone").cast("long").alias("total_phones"),
+            F.sum("n_ipv4").cast("long").alias("total_ipv4s"),
+            F.sum(F.when((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) == 0, 1).otherwise(0))
+            .cast("long").alias("n_clean_docs"),
+            F.sum("redacted_chars").cast("long").alias("total_redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_PII_SCRUB_ORACLE = r"""
+WITH planted AS (
+  SELECT
+    source,
+    text ||
+    CASE WHEN doc_id % 13 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+    CASE WHEN doc_id % 17 = 0
+         THEN ' call +1-555-010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 19 = 0
+         THEN ' host 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up' ELSE '' END AS text
+  FROM documents
+), feats AS (
+  SELECT
+    source,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+    CAST(len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+    CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+    CAST(length(text) - length(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IPV4]', 'g')
+    ) AS BIGINT) AS redacted_chars
+  FROM planted
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_email) AS BIGINT) AS total_emails,
+  CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+  CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4s,
+  CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs,
+  CAST(SUM(redacted_chars) AS BIGINT) AS total_redacted_chars
+FROM feats
+GROUP BY source
+ORDER BY source
+"""

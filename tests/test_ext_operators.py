@@ -457,3 +457,50 @@ def test_stratified_sample_k_per_group_and_stable(spark):
     # k larger than the stratum: returns the whole stratum, no error
     tiny = df.filter(F.col("doc_id") < 5)
     assert stratified_sample(tiny, "grp", 10, id_col="doc_id").count() == 5
+
+
+# --- repetition filters + PII (ext/text.py) -----------------------------------------
+
+
+def test_repetition_features_golden(spark):
+    from hadoop_migration_assessment_tools_spark.ext.text import repetition_features
+
+    text = "alpha beta\n- one\n- two\ndup\ndup\nwait...\n\n"
+    q = repetition_features(F.lit(text))
+    row = spark.range(1).select(*[v.alias(k) for k, v in q.items()]).first()
+    assert row["n_lines"] == 6  # empty line dropped
+    assert row["dup_line_frac"] == round(1 / 6, 6)  # one repeated 'dup'
+    assert row["bullet_line_frac"] == round(2 / 6, 6)
+    assert row["ellipsis_line_frac"] == round(1 / 6, 6)
+    assert row["n_words"] == 9
+    assert row["alpha_word_frac"] == round(7 / 9, 6)  # '-' bullets are not alpha
+
+
+def test_gopher_flags_rules(spark):
+    from hadoop_migration_assessment_tools_spark.ext.text import gopher_flags
+
+    good = " ".join(f"word{i}" for i in range(60))
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    short = "too short"
+    df = spark.createDataFrame([(1, good), (2, bullets), (3, short)], "id: long, text: string")
+    flags = gopher_flags(F.col("text"))
+    rows = {r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert rows[1]["pass_all"]
+    assert not rows[2]["ok_bullet"] and not rows[2]["pass_all"]
+    assert not rows[3]["ok_word_count"] and not rows[3]["pass_all"]
+
+
+def test_pii_scrub_and_counts(spark):
+    from hadoop_migration_assessment_tools_spark.ext.text import pii_counts, scrub_pii
+
+    text = "mail a.b+c@test.org or b@x.io, call +1-555-010-1234, ping 10.1.2.3 ok"
+    df = spark.range(1).select(F.lit(text).alias("text"))
+    c = pii_counts(F.col("text"))
+    row = df.select(
+        *[v.alias(k) for k, v in c.items()], scrub_pii(F.col("text")).alias("clean")
+    ).first()
+    assert (row["email"], row["phone"], row["ipv4"]) == (2, 1, 1)
+    assert row["clean"] == "mail [EMAIL] or [EMAIL], call [PHONE], ping [IPV4] ok"
+    # idempotent: scrubbing already-scrubbed text changes nothing
+    again = spark.range(1).select(scrub_pii(F.lit(row["clean"])).alias("t")).first()["t"]
+    assert again == row["clean"]
