@@ -30,24 +30,30 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
+    # One failing query must never zero the whole bench (round-2 lesson): isolate
+    # each query, record its failure, and keep the JSON line flowing regardless.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         t0 = time.perf_counter()
-        q(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            q(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 - bench must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -901,3 +901,49 @@ FROM events
 WHERE user_id < 30
 WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
+
+
+# --- events_jsonl_roundtrip ---------------------------------------------------------
+# JSON-lines persistence scored end to end (SRC2/SRC6 family, second format after the
+# Avro OCF roundtrip): a deterministic subset of events is written as JSONL and read
+# back with an explicit schema (schema-on-read; no sampling inference pass — at 100 TB
+# inference re-reads the corpus). The timestamp survives as ISO-8601 (session UTC) and
+# is checked exactly via a unix_millis sum; props strings survive JSON escaping.
+
+
+def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    tmp = tempfile.mkdtemp(prefix="events_jsonl_rt_")
+    ev.write.mode("overwrite").json(tmp)
+    back = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).json(tmp)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            count_big("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            sum_money("value", "total_value"),
+            F.sum(F.unix_millis("ts")).cast("long").alias("sum_ts_ms"),
+            F.sum(F.length("props")).cast("long").alias("sum_props_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSONL_ROUNDTRIP_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+  CAST(SUM(epoch_ms(ts)) AS BIGINT) AS sum_ts_ms,
+  CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
+FROM events
+WHERE event_id % 7 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -832,3 +832,120 @@ WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1
    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
    OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
 """
+
+
+# --- lineitem_price_band_join -------------------------------------------------------
+# Range (non-equi interval) join, the custom-operator family Spark lacks natively:
+# lineitems land in non-uniform price bands via plans/range_join.py's bucket+refine
+# strategy. The naive ON v >= lo AND v < hi plan is a BroadcastNestedLoopJoin; the
+# bucketed plan is an equi-join that shuffles cleanly at any dim size. At 100 TB the
+# fact side buckets once (narrow map), the band side explodes into a handful of rows,
+# and no cross product ever exists.
+
+PRICE_BANDS = [
+    ("p1_micro", 0.0, 2000.0),
+    ("p2_small", 2000.0, 10000.0),
+    ("p3_mid", 10000.0, 30000.0),
+    ("p4_large", 30000.0, 60000.0),
+    ("p5_jumbo", 60000.0, 120000.0),
+]
+
+
+def lineitem_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.range_join import range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity", "l_discount"
+    )
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=10000.0)
+    revenue = (
+        money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        joined.groupBy("band")
+        .agg(
+            count_big("n_items"),
+            sum_money("l_quantity", "sum_qty"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+LINEITEM_PRICE_BAND_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('p1_micro', 0.0, 2000.0),
+         ('p2_small', 2000.0, 10000.0),
+         ('p3_mid', 10000.0, 30000.0),
+         ('p4_large', 30000.0, 60000.0),
+         ('p5_jumbo', 60000.0, 120000.0)
+)
+SELECT
+  band,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+# --- orders_customer_bucketed_join --------------------------------------------------
+# Bucketed co-located join scored end to end (plans/bucketing.py): both sides persist
+# bucketed+sorted on the join key, so the sort-merge join needs NO Exchange and NO
+# Sort — the shape that makes repeated fact-fact joins affordable at 100 TB (bucket
+# once, join many times). The merge hint forces SMJ so the co-location (not a
+# broadcast) is what the plan exercises; tests assert the no-Exchange property.
+
+_BKT_DB = "spark_graft_bkt"
+
+
+def orders_customer_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..plans.bucketing import save_bucketed
+
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_bkt_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BKT_DB} LOCATION '{loc}'")
+    # A fresh session's in-memory catalog forgets managed tables, but their previous
+    # run's directories survive — saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    # Drop whatever the catalog does know, then clear any orphan location.
+    for t in ("orders_by_cust", "customer_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {_BKT_DB}.{t}")
+        shutil.rmtree(os.path.join(loc, t), ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    save_bucketed(orders, f"{_BKT_DB}.orders_by_cust", ["o_custkey"], 8, ["o_custkey"])
+    save_bucketed(customer, f"{_BKT_DB}.customer_bkt", ["c_custkey"], 8, ["c_custkey"])
+    o = spark.table(f"{_BKT_DB}.orders_by_cust").hint("merge")
+    c = spark.table(f"{_BKT_DB}.customer_bkt")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            count_big("n_orders"),
+            F.count_distinct("c_custkey").cast("long").alias("n_customers"),
+            sum_money("o_totalprice", "total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDERS_CUSTOMER_BUCKETED_ORACLE = """
+SELECT
+  c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -82,3 +82,77 @@ def test_salted_join_matches_plain(spark):
     assert sorted((r["type_id"], r["count"]) for r in salted) == sorted(
         (r["type_id"], r["count"]) for r in plain
     )
+
+
+def test_range_join_semantics(spark):
+    from hadoop_migration_assessment_tools_spark.plans.range_join import range_join
+
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0), (4, 15.0), (5, 99.0), (6, -3.0)],
+        "id long, v double",
+    )
+    # overlapping bands + exact-boundary cases: lo inclusive, hi exclusive
+    dim = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 15.0), ("c", 15.0, 20.0)],
+        "band string, lo double, hi double",
+    )
+    for bcast in (True, False):
+        got = sorted(
+            (r["id"], r["band"])
+            for r in range_join(fact, dim, "v", "lo", "hi", 4.0, broadcast_dim=bcast).collect()
+        )
+        # v=0 -> a only; v=5 -> a+b (overlap); v=10 -> b only (hi-exclusive of a);
+        # v=15 -> c (hi-exclusive of b, lo-inclusive of c); v=99, v=-3 -> nothing
+        assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "c")]
+
+
+def test_range_join_matches_nested_loop(spark):
+    from hadoop_migration_assessment_tools_spark.plans.range_join import range_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    dim = spark.createDataFrame(
+        [("lo", 900.0, 20000.0), ("hi", 20000.0, 120000.0)],
+        "band string, lo double, hi double",
+    )
+    bucketed = (
+        range_join(li, dim, "l_extendedprice", "lo", "hi", 10000.0)
+        .groupBy("band").count().collect()
+    )
+    naive = (
+        li.join(
+            dim,
+            (li.l_extendedprice >= dim.lo) & (li.l_extendedprice < dim.hi),
+        ).groupBy("band").count().collect()
+    )
+    assert sorted((r["band"], r["count"]) for r in bucketed) == sorted(
+        (r["band"], r["count"]) for r in naive
+    )
+
+
+def test_range_join_rejects_bad_width(spark):
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.plans.range_join import range_join
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        range_join(df, df, "v", "v", "v", 0.0)
+
+
+def test_bucketed_join_query_is_colocated(spark):
+    """The scored orders_customer_bucketed_join must join with zero Exchange."""
+    from hadoop_migration_assessment_tools_spark.queries.tpch import (
+        _BKT_DB,
+        orders_customer_bucketed_join,
+    )
+
+    # run once to (re)create the bucketed tables, then probe the join shape
+    orders_customer_bucketed_join(spark, SF).collect()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(f"{_BKT_DB}.orders_by_cust").hint("merge")
+        c = spark.table(f"{_BKT_DB}.customer_bkt")
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select("o_orderkey", "c_mktsegment")
+        assert_no_shuffle_join(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
