@@ -105,3 +105,12 @@ def test_date_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "EventDate" in plan.split("PartitionFilters", 1)[1][:200]
     assert df.count() == 1  # only the matching day's partition read
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """JN7: the bucket+refine range join must plan as an equi-join — never a
+    BroadcastNestedLoopJoin or cartesian product (the naive non-equi plan)."""
+    plan = _plan(spark, "lineitem_price_band_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # an actual (hash/merge) equi-join on the bucket id

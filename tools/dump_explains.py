@@ -29,6 +29,8 @@ TRACKED = [
     "qe_table_read_frequency",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
+    "lineitem_price_band_join",
+    "orders_customer_bucketed_join",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
