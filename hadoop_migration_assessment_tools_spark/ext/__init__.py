@@ -13,6 +13,7 @@ large-scale training-data pipeline needs, designed for 100 TB:
 """
 
 from .dedup import (  # noqa: F401
+    contaminated_ids,
     exact_dedup,
     duplicate_groups,
     token_shingles,

@@ -336,3 +336,32 @@ def simhash_near_pairs(
         .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")).cast("long"))
     )
     return pairs.filter(F.col("hamming") <= max_distance).select("id_a", "id_b", "hamming")
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination: ids of training docs sharing ANY word k-gram with the
+    eval/benchmark set (the standard n-gram overlap check run before LLM training).
+
+    Shape at 100 TB: the training side is the same explode+lead shingle index every
+    other dedup op uses (compiled, one shuffle by doc id); the eval side is tiny by
+    nature (benchmarks are thousands of docs, not billions), so its distinct k-gram
+    set broadcasts and the membership probe is a map-side semi join — the corpus
+    never reshuffles. ``broadcast_eval=False`` falls back to a shuffled semi join
+    for outsized eval sets.
+    """
+    ev_sh = shingle_index(eval_df, text_col, id_col, k).select("_sh").distinct()
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+    tr_sh = shingle_index(train, text_col, id_col, k, distinct=False)
+    return (
+        tr_sh.join(ev_sh, "_sh", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )

@@ -1202,3 +1202,73 @@ FROM feats
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- docs_decontaminate -------------------------------------------------------------
+# [EXT] eval-set decontamination (n-gram overlap vs a benchmark set) — the standard
+# pre-training hygiene pass. The corpus has no natural leaks (30-word vocabulary makes
+# an accidental 8-gram match ~30^-8), so leaks are planted deterministically: every
+# eval doc is re-inserted into the training side verbatim under source='leaked'. The
+# per-source funnel then shows the leaked bucket fully flagged while organic sources
+# stay (near-)clean; the oracle reproduces the same n-gram membership check in SQL.
+
+DECON_K = 8
+DECON_EVAL_MOD = 50
+DECON_LEAK_OFFSET = 2_000_000
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import contaminated_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
+    leaks = ev.withColumn("doc_id", F.col("doc_id") + DECON_LEAK_OFFSET).withColumn(
+        "source", F.lit("leaked")
+    )
+    train = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 3).unionByName(leaks)
+    bad = contaminated_ids(train, ev, k=DECON_K).withColumn("_bad", F.lit(1))
+    return (
+        train.join(F.broadcast(bad), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            count_big("n_train"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_DECONTAMINATE_ORACLE = rf"""
+WITH ev AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 3
+), train AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 3
+  UNION ALL
+  SELECT doc_id + {DECON_LEAK_OFFSET} AS doc_id, text, 'leaked' AS source
+  FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 3
+), ev_toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM ev
+), ev_sh AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                                        i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM ev_toks WHERE len(t) >= {DECON_K}
+), tr_toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM train
+), tr_sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                               i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM tr_toks WHERE len(t) >= {DECON_K}
+), bad AS (
+  SELECT DISTINCT doc_id FROM tr_sh JOIN ev_sh USING (sh)
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM train LEFT JOIN bad b USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""

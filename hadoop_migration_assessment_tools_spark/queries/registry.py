@@ -116,6 +116,7 @@ QUERIES: dict[str, Query] = {
     "events_type_share": ea.events_type_share,
     "events_value_ntile": ea.events_value_ntile,
     "docs_bpe_token_stats": llm.docs_bpe_token_stats,
+    "docs_decontaminate": llm.docs_decontaminate,
     "docs_length_histogram": llm.docs_length_histogram,
     "docs_quality_dedup_pipeline": llm.docs_quality_dedup_pipeline,
     "emb_quantization_error": llm.emb_quantization_error,
@@ -185,6 +186,7 @@ ORACLE_SQL: dict[str, str] = {
     "qe_event_chain": ql.QE_EVENT_CHAIN_ORACLE,
     "qe_yarn_enrichment": ql.QE_YARN_ENRICHMENT_ORACLE,
     "events_jsonl_roundtrip": ea.EVENTS_JSONL_ROUNDTRIP_ORACLE,
+    "docs_decontaminate": llm.DOCS_DECONTAMINATE_ORACLE,
     "lineitem_price_band_join": tpch.LINEITEM_PRICE_BAND_ORACLE,
     "orders_customer_bucketed_join": tpch.ORDERS_CUSTOMER_BUCKETED_ORACLE,
     "nation_volume_by_year": tpch.NATION_VOLUME_ORACLE,

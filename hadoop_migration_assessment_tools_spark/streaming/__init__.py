@@ -15,4 +15,5 @@ from .pairing import (  # noqa: F401
     stream_dedup_events,
 )
 from .foreach import IdempotentBatchSink  # noqa: F401
+from .shedding import DEFAULT_QUEUE_CAPACITY, shed_overflow  # noqa: F401
 from .generator import live_event_stream, synthetic_hook_stream  # noqa: F401

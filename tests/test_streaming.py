@@ -478,3 +478,60 @@ def test_stream_avro_tree_matches_batch_read(spark, tmp_path):
 
     batch = read_event_log(spark, base, fmt="avro")
     assert batch.count() == 3
+
+
+# --- STR2 literal bounded-drop mode (shedding.py) ------------------------------------
+
+
+def test_shed_overflow_keeps_first_by_event_time(spark):
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.streaming.shedding import shed_overflow
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i % 90), f"w{i % 2}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, EventTime timestamp, writer string")
+    kept, dropped = shed_overflow(df, capacity=64)
+    assert kept.count() == 64 and dropped == 36
+    # the kept set is the earliest 64 event times (arrival order admission)
+    max_kept = max(r["EventTime"] for r in kept.collect())
+    dropped_rows = df.join(kept, "event_id", "left_anti").collect()
+    assert all(r["EventTime"] >= max_kept for r in dropped_rows)
+
+
+def test_shed_overflow_per_group_capacity_and_determinism(spark):
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.streaming.shedding import shed_overflow
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0), f"w{i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, EventTime timestamp, writer string")
+    kept1, d1 = shed_overflow(df, capacity=5, group_cols=("writer",))
+    kept2, d2 = shed_overflow(df, capacity=5, group_cols=("writer",))
+    assert d1 == d2 == 15
+    per_writer = kept1.groupBy("writer").count().collect()
+    assert all(r["count"] == 5 for r in per_writer)
+    # all EventTimes tie -> the hash tie-break must shed identically on replay
+    assert sorted(r["event_id"] for r in kept1.collect()) == sorted(
+        r["event_id"] for r in kept2.collect()
+    )
+
+
+def test_shed_overflow_under_capacity_is_noop(spark):
+    import datetime as dt
+
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.streaming.shedding import shed_overflow
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "event_id long, EventTime timestamp"
+    )
+    kept, dropped = shed_overflow(df, capacity=64)
+    assert kept.count() == 1 and dropped == 0
+    with pytest.raises(ValueError):
+        shed_overflow(df, capacity=-1)
