@@ -275,3 +275,43 @@ def scrub_pii(col: Column) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, PII_TOKENS[kind])
     return out
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 64,
+):
+    """Context-window chunking: split each document into overlapping token windows
+    (chunk i covers tokens [i*stride, i*stride + max_tokens), stride = max_tokens -
+    overlap; a doc at or under max_tokens is a single chunk). The RAG/training prep
+    step that turns documents into model-sized sequences.
+
+    Pure narrow map + explode — tokenize once, slice per chunk, zero shuffle; chunk
+    counts follow closed-form arithmetic on the token count, which is what the DuckDB
+    oracle checks independently of the slicing implementation.
+
+    Returns one row per chunk: (id_col, chunk_idx, chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - max_tokens) / F.lit(float(stride))).cast("long") + 1
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_seq_pos", "chunk_idx"),
+    )
+    chunk_toks = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, max_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk_toks).cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+    )

@@ -1272,3 +1272,99 @@ FROM train LEFT JOIN bad b USING (doc_id)
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- docs_chunking ------------------------------------------------------------------
+# [EXT] context-window chunking (ext/text.py: chunk_documents): overlapping token
+# windows, the document -> model-sized-sequence prep step. The oracle re-derives chunk
+# counts and per-chunk token sums by closed-form arithmetic on the token count,
+# independently validating the slicing implementation.
+
+CHUNK_MAX_TOKENS = 50
+CHUNK_OVERLAP = 10
+_CHUNK_STRIDE = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+
+
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP)
+    return (
+        chunks.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            count_big("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("total_chunk_tokens"),
+            F.max("chunk_tokens").cast("long").alias("max_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_CHUNKING_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN n <= {CHUNK_MAX_TOKENS} THEN 1
+              ELSE CAST(ceil((n - {CHUNK_MAX_TOKENS}) / {_CHUNK_STRIDE}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM toks
+), per_chunk AS (
+  SELECT lang, doc_id, least({CHUNK_MAX_TOKENS}, n - i * {_CHUNK_STRIDE}) AS chunk_tokens
+  FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+)
+SELECT lang,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+  CAST(MAX(chunk_tokens) AS BIGINT) AS max_chunk_tokens
+FROM per_chunk
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- docs_pack_sequences ------------------------------------------------------------
+# [EXT] chunk -> pack composition (ext/packing.py): chunk to 128-token windows, then
+# first-fit-decreasing pack the chunks into 512-token training bins, partition-local
+# (no shuffle beyond one hash repartition). Rows-only: bin ids depend on the hash
+# partitioner; the packing INVARIANTS (each chunk exactly once, no bin over budget,
+# deterministic replay) are pytest-asserted, and the summary row's utilization shows
+# the packing is doing real work (~0.74 at sf0.01 — partition-local FFD tails off
+# with only ~60 chunks per partition; fill improves with corpus size as every open
+# bin sees more candidates).
+
+PACK_CHUNK_TOKENS = 128
+PACK_CHUNK_OVERLAP = 16
+PACK_BUDGET = 512
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.packing import pack_sequences
+    from ..ext.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, max_tokens=PACK_CHUNK_TOKENS, overlap=PACK_CHUNK_OVERLAP
+    ).withColumn(
+        "chunk_uid", F.col("doc_id") * 10_000 + F.col("chunk_idx")
+    )
+    packed = pack_sequences(chunks, "chunk_tokens", "chunk_uid", budget=PACK_BUDGET)
+    agg = packed.agg(
+        count_big("n_seqs"),
+        F.count_distinct("bin_id").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("overflow"), 1).otherwise(0)).cast("long").alias("n_overflow"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            F.col("total_tokens") / (F.col("n_bins") * F.lit(PACK_BUDGET)), 4
+        ).alias("utilization"),
+    )

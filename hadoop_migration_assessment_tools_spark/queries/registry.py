@@ -116,6 +116,7 @@ QUERIES: dict[str, Query] = {
     "events_type_share": ea.events_type_share,
     "events_value_ntile": ea.events_value_ntile,
     "docs_bpe_token_stats": llm.docs_bpe_token_stats,
+    "docs_chunking": llm.docs_chunking,
     "docs_decontaminate": llm.docs_decontaminate,
     "docs_length_histogram": llm.docs_length_histogram,
     "docs_quality_dedup_pipeline": llm.docs_quality_dedup_pipeline,
@@ -131,6 +132,7 @@ QUERIES: dict[str, Query] = {
     "emb_cluster_profile": llm.emb_cluster_profile,
     "multimodal_features": llm.multimodal_features,
     "docs_heavy_terms": llm.docs_heavy_terms,
+    "docs_pack_sequences": llm.docs_pack_sequences,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -187,6 +189,7 @@ ORACLE_SQL: dict[str, str] = {
     "qe_yarn_enrichment": ql.QE_YARN_ENRICHMENT_ORACLE,
     "events_jsonl_roundtrip": ea.EVENTS_JSONL_ROUNDTRIP_ORACLE,
     "docs_decontaminate": llm.DOCS_DECONTAMINATE_ORACLE,
+    "docs_chunking": llm.DOCS_CHUNKING_ORACLE,
     "lineitem_price_band_join": tpch.LINEITEM_PRICE_BAND_ORACLE,
     "orders_customer_bucketed_join": tpch.ORDERS_CUSTOMER_BUCKETED_ORACLE,
     "nation_volume_by_year": tpch.NATION_VOLUME_ORACLE,

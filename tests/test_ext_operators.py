@@ -504,3 +504,75 @@ def test_pii_scrub_and_counts(spark):
     # idempotent: scrubbing already-scrubbed text changes nothing
     again = spark.range(1).select(scrub_pii(F.lit(row["clean"])).alias("t")).first()["t"]
     assert again == row["clean"]
+
+
+# --- chunking + packing (ext/text.py chunk_documents, ext/packing.py) ----------------
+
+
+def test_chunk_documents_windows(spark):
+    from hadoop_migration_assessment_tools_spark.ext.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    # doc 1: 10 tokens, stride 3 -> chunks at 0/3/6 with overlap of 1 token
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert (1, 3) not in rows
+    # short doc: single whole chunk; empty doc: single empty chunk
+    assert rows[(2, 0)] == (3, "a b c")
+    assert rows[(3, 0)] == (0, "")
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_pack_sequences_invariants(spark):
+    from collections import defaultdict
+
+    from hadoop_migration_assessment_tools_spark.ext.packing import pack_sequences
+
+    docs = [(i, 1 + (i * 37) % 300) for i in range(400)] + [(1000, 999), (1001, 2000)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    out1 = pack_sequences(df, "n_tokens", budget=1000, num_partitions=8).collect()
+    out2 = pack_sequences(df, "n_tokens", budget=1000, num_partitions=8).collect()
+
+    # every doc assigned exactly once
+    assert sorted(r["doc_id"] for r in out1) == sorted(d for d, _ in docs)
+    # replay-deterministic assignment
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # overflow iff tokens > budget, and it sits alone in its bin
+    by_bin = defaultdict(list)
+    for r in out1:
+        assert r["overflow"] == (r["n_tokens"] > 1000)
+        by_bin[r["bin_id"]].append(r)
+    for rows in by_bin.values():
+        if any(r["overflow"] for r in rows):
+            assert len(rows) == 1
+        else:
+            assert sum(r["n_tokens"] for r in rows) <= 1000
+    # packing does real work: far fewer bins than docs
+    assert len(by_bin) < len(docs) * 0.45
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "n_tokens", budget=0)
