@@ -576,3 +576,35 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         pack_sequences(df, "n_tokens", budget=0)
+
+
+def test_chunk_documents_coverage_properties(spark):
+    """For several (max_tokens, overlap) configs and token counts around the
+    boundaries: chunks tile the doc exactly — full coverage, stride-spaced starts,
+    every chunk within max_tokens, and only the final chunk may be short."""
+    from hadoop_migration_assessment_tools_spark.ext.text import chunk_documents
+
+    configs = [(4, 0), (4, 1), (4, 3), (7, 2)]
+    for max_t, ov in configs:
+        stride = max_t - ov
+        sizes = [0, 1, max_t - 1, max_t, max_t + 1, 2 * max_t, 2 * max_t + 3]
+        df = spark.createDataFrame(
+            [(n, " ".join(f"w{i}" for i in range(n))) for n in sizes],
+            "doc_id long, text string",
+        )
+        chunks = chunk_documents(df, max_tokens=max_t, overlap=ov).collect()
+        by_doc = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for n in sizes:
+            rows = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+            toks = [t for r in rows for t in (r["chunk_text"].split() if r["chunk_text"] else [])]
+            # starts are stride-spaced, so chunk i re-covers the last `ov` tokens
+            # of chunk i-1; the union must be exactly w0..w{n-1}
+            covered = set(toks)
+            assert covered == {f"w{i}" for i in range(n)}, (max_t, ov, n)
+            assert all(r["chunk_tokens"] <= max_t for r in rows)
+            assert all(r["chunk_tokens"] == len(rows[i]["chunk_text"].split())
+                       for i, r in enumerate(rows))
+            # all but the last chunk are full
+            assert all(r["chunk_tokens"] == max_t for r in rows[:-1]), (max_t, ov, n)
