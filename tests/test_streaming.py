@@ -535,3 +535,33 @@ def test_shed_overflow_under_capacity_is_noop(spark):
     assert kept.count() == 1 and dropped == 0
     with pytest.raises(ValueError):
         shed_overflow(df, capacity=-1)
+
+
+def test_chunk_documents_is_streaming_legal(spark, tmp_path):
+    """chunk_documents is a pure narrow map + explode (no window/agg/sort), so the
+    same code must run unchanged on a streaming DataFrame — stream out == batch out."""
+    import uuid
+
+    from hadoop_migration_assessment_tools_spark.ext.text import chunk_documents
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 13) % 40))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    table = f"chunks_stream_{uuid.uuid4().hex[:8]}"
+    (
+        chunk_documents(stream, max_tokens=16, overlap=4)
+        .writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = sorted(map(tuple, spark.table(table).collect()))
+    batch = sorted(map(tuple, chunk_documents(docs, max_tokens=16, overlap=4).collect()))
+    assert streamed == batch and len(batch) > 50
