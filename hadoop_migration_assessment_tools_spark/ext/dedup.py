@@ -365,3 +365,45 @@ def contaminated_ids(
         .select(F.col("_id").alias(id_col))
         .distinct()
     )
+
+
+def contamination_ratio(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-doc contamination ratio: fraction of the doc's DISTINCT word k-grams that
+    appear anywhere in the eval/benchmark set (the thresholded form of
+    ``contaminated_ids`` — real pipelines flag on ratio > tau rather than any-hit,
+    so a single boilerplate n-gram doesn't nuke a clean document).
+
+    Same scale shape as ``contaminated_ids``: broadcast eval k-gram set, corpus-side
+    left join + per-doc aggregation — one shuffle by doc id (already the shingle
+    index's distribution), nothing pairwise.
+
+    Returns (id_col, n_shingles, n_hits, ratio); docs shorter than k tokens have no
+    shingles and are omitted (no evidence either way).
+    """
+    ev_sh = shingle_index(eval_df, text_col, id_col, k).select("_sh").distinct()
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+    tr_sh = shingle_index(train, text_col, id_col, k, distinct=True)
+    hits = tr_sh.join(ev_sh.withColumn("_hit", F.lit(1)), "_sh", "left")
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("ratio"),
+        )
+    )

@@ -1368,3 +1368,107 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / (F.col("n_bins") * F.lit(PACK_BUDGET)), 4
         ).alias("utilization"),
     )
+
+
+# --- docs_contamination_ratio -------------------------------------------------------
+# [EXT] thresholded decontamination (ext/dedup.py: contamination_ratio): per-doc
+# fraction of distinct 8-grams found in the eval set, the flag-on-ratio>tau form real
+# pipelines use. Planted evidence at both extremes: full verbatim leaks (ratio 1.0)
+# and partial leaks built as first-half-of-eval-doc + a clean neighbor doc's text
+# (ratio strictly between 0 and 1); organic sources sit at 0.
+
+DECON_PART_OFFSET = 3_000_000
+DECON_RATIO_TAU = 0.3
+
+
+def docs_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import contamination_ratio
+    from ..ext.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
+    nb = docs.select(
+        F.col("doc_id").alias("nb_id"), F.col("text").alias("nb_text")
+    )
+    toks = tokens(F.col("text"))
+    half = F.slice(toks, 1, F.ceil(F.size(toks) / 2).cast("int"))
+    partial = (
+        ev.join(nb, ev["doc_id"] + 1 == nb["nb_id"], "inner")
+        .select(
+            (F.col("doc_id") + DECON_PART_OFFSET).alias("doc_id"),
+            F.concat(F.concat_ws(" ", half), F.lit(" "), F.col("nb_text")).alias("text"),
+            F.lit("leaked_part").alias("source"),
+        )
+    )
+    full = ev.select(
+        (F.col("doc_id") + DECON_LEAK_OFFSET).alias("doc_id"),
+        "text",
+        F.lit("leaked_full").alias("source"),
+    )
+    train = (
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 3)
+        .select("doc_id", "text", "source")
+        .unionByName(full)
+        .unionByName(partial)
+    )
+    ratios = contamination_ratio(train, ev, k=DECON_K)
+    return (
+        train.join(ratios, "doc_id", "inner")
+        .groupBy("source")
+        .agg(
+            count_big("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ratio"),
+            F.sum(F.when(F.col("ratio") >= DECON_RATIO_TAU, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_CONTAMINATION_RATIO_ORACLE = rf"""
+WITH ev AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 3
+), partial AS (
+  SELECT e.doc_id + {DECON_PART_OFFSET} AS doc_id,
+         array_to_string(
+           (string_split_regex(trim(e.text), '\s+'))[1:CAST(ceil(len(string_split_regex(trim(e.text), '\s+')) / 2.0) AS BIGINT)],
+           ' ') || ' ' || n.text AS text,
+         'leaked_part' AS source
+  FROM ev e JOIN documents n ON n.doc_id = e.doc_id + 1
+), train AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 3
+  UNION ALL
+  SELECT doc_id + {DECON_LEAK_OFFSET}, text, 'leaked_full' FROM ev
+  UNION ALL
+  SELECT doc_id, text, source FROM partial
+), ev_sh AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                                        i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM ev)
+  WHERE len(t) >= {DECON_K}
+), tr_sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                               i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM train)
+  WHERE len(t) >= {DECON_K}
+), per_doc AS (
+  SELECT t.doc_id, t.source,
+         ROUND(CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS ratio
+  FROM tr_sh t LEFT JOIN ev_sh e USING (sh)
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_ratio,
+  CAST(SUM(CASE WHEN ratio >= {DECON_RATIO_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
