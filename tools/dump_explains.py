@@ -31,6 +31,8 @@ TRACKED = [
     "q5_local_supplier_volume",
     "lineitem_price_band_join",
     "orders_customer_bucketed_join",
+    "docs_decontaminate",
+    "docs_contamination_ratio",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
