@@ -947,3 +947,61 @@ WHERE event_id % 7 = 0
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- events_csv_roundtrip -----------------------------------------------------------
+# Third persistence format after Avro OCF and JSONL: CSV with explicit schema and a
+# microsecond timestampFormat on both sides (the default format drops sub-millisecond
+# digits — silent precision loss at read-back). Quoting covers the JSON props column
+# (embedded commas/quotes). The unix_micros sum certifies exact µs fidelity through
+# the text roundtrip; doubles survive via shortest-roundtrip serialization.
+
+_CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 9 == 0)
+    tmp = tempfile.mkdtemp(prefix="events_csv_rt_")
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(tmp)
+    )
+    back = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("header", "true")
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(tmp)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            count_big("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            sum_money("value", "total_value"),
+            F.sum(F.unix_micros("ts")).cast("long").alias("sum_ts_us"),
+            F.sum(F.length("props")).cast("long").alias("sum_props_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CSV_ROUNDTRIP_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+  CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+  CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
+FROM events
+WHERE event_id % 9 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
