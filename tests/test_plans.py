@@ -156,3 +156,31 @@ def test_bucketed_join_query_is_colocated(spark):
         assert_no_shuffle_join(joined)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_range_join_random_equivalence(spark):
+    """Seeded random fuzz: bucket+refine must equal a pure-Python nested loop over
+    random values and random (possibly overlapping, empty, or huge) intervals."""
+    import random
+
+    from hadoop_migration_assessment_tools_spark.plans.range_join import range_join
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        vals = [(i, round(rng.uniform(-100, 100), 3)) for i in range(300)]
+        dims = []
+        for j in range(25):
+            lo = round(rng.uniform(-120, 120), 3)
+            hi = round(lo + rng.uniform(-5, 40), 3)  # sometimes hi < lo (empty)
+            dims.append((f"b{j}", lo, hi))
+        expected = sorted(
+            (i, b) for i, v in vals for b, lo, hi in dims if lo <= v < hi
+        )
+        fact = spark.createDataFrame(vals, "id long, v double")
+        dim = spark.createDataFrame(dims, "band string, lo double, hi double")
+        for width in (1.0, 7.3, 50.0):
+            got = sorted(
+                (r["id"], r["band"])
+                for r in range_join(fact, dim, "v", "lo", "hi", width).collect()
+            )
+            assert got == expected, (seed, width)
