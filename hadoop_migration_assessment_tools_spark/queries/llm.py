@@ -1472,3 +1472,64 @@ FROM per_doc
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- multimodal_manifest ------------------------------------------------------------
+# [EXT] multimodal upgraded from rows-only to ORACLED evidence: the synthetic corpus
+# is generated through the REAL binary pipeline (mapInPandas WAV/PPM encoders), and
+# every payload's byte size is closed-form derivable from the text length — PPM P6 is
+# "P6\n{w} {h}\n255\n" + 3*w*h, WAV is a 44-byte header + 2 bytes/sample, video is
+# the raw utf-8 text. A hash match on per-kind byte/pixel/duration totals certifies
+# the encoders, the metadata plumbing, and the Arrow boundary end to end (the float
+# feature path stays rows-only in multimodal_features by necessity).
+
+
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return (
+        media.select(
+            "kind",
+            F.length("payload").alias("_nbytes"),
+            F.col("meta.width").alias("_w"),
+            F.col("meta.height").alias("_h"),
+            F.col("meta.duration_ms").alias("_dur"),
+        )
+        .groupBy("kind")
+        .agg(
+            count_big("n_media"),
+            F.sum("_nbytes").cast("long").alias("total_bytes"),
+            F.sum(F.coalesce(F.col("_w") * F.col("_h"), F.lit(0)))
+            .cast("long")
+            .alias("sum_pixels"),
+            F.sum(F.coalesce("_dur", F.lit(0))).cast("long").alias("sum_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+MULTIMODAL_MANIFEST_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    length(text) % 64 + 4 AS w,
+    length(text) % 48 + 4 AS h,
+    length(text) % 400 + 100 AS cnt
+  FROM documents
+)
+SELECT kind,
+  CAST(COUNT(*) AS BIGINT) AS n_media,
+  CAST(SUM(CASE kind
+    WHEN 'image' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+    WHEN 'audio' THEN 44 + 2 * cnt
+    ELSE strlen(text) END) AS BIGINT) AS total_bytes,
+  CAST(SUM(CASE WHEN kind = 'image' THEN w * h ELSE 0 END) AS BIGINT) AS sum_pixels,
+  CAST(SUM(CASE WHEN kind = 'audio' THEN cnt * 1000 // 16000
+                WHEN kind = 'video' THEN n * 10 ELSE 0 END) AS BIGINT) AS sum_duration_ms
+FROM m
+GROUP BY kind
+ORDER BY kind
+"""
