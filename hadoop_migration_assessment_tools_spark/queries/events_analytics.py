@@ -1005,3 +1005,78 @@ WHERE event_id % 9 = 0
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- events_funnel ------------------------------------------------------------------
+# Ordered conversion funnel (classic event-analytics operator): per user, the first
+# signup, the first view strictly AFTER that signup, and the first purchase strictly
+# AFTER that view; the summary reports per-step conversion counts and mean step gaps.
+# Scale shape: three aggregations + two joins, ALL keyed on user_id — one partitioning
+# reused across every stage (no re-shuffle on a different key anywhere); gap averages
+# stay exact (integer millis sums, single double division at the end).
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t2").alias("t2"))
+    )
+    n1 = s1.count()
+    gap12 = s2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.unix_millis("t2") - F.unix_millis("t1")).cast("long").alias("gap_ms"),
+    ).collect()[0]
+    gap23 = s3.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.unix_millis("t3") - F.unix_millis("t2")).cast("long").alias("gap_ms"),
+    ).collect()[0]
+    return spark.range(1).select(
+        F.lit(n1).cast("long").alias("n_signup"),
+        F.lit(gap12["n"]).cast("long").alias("n_signup_view"),
+        F.lit(gap23["n"]).cast("long").alias("n_signup_view_purchase"),
+        F.round(F.lit(gap12["gap_ms"]) / F.lit(gap12["n"]) / 3600000.0, 6).alias(
+            "avg_hours_to_view"
+        ),
+        F.round(F.lit(gap23["gap_ms"]) / F.lit(gap23["n"]) / 3600000.0, 6).alias(
+            "avg_hours_to_purchase"
+        ),
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_signup_view,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_signup_view_purchase,
+  (SELECT ROUND(CAST(SUM(epoch_ms(t2) - epoch_ms(t1)) AS DOUBLE) / COUNT(*) / 3600000.0, 6)
+   FROM s2) AS avg_hours_to_view,
+  (SELECT ROUND(CAST(SUM(epoch_ms(t3) - epoch_ms(t2)) AS DOUBLE) / COUNT(*) / 3600000.0, 6)
+   FROM s3) AS avg_hours_to_purchase
+"""
