@@ -1080,3 +1080,58 @@ SELECT
   (SELECT ROUND(CAST(SUM(epoch_ms(t3) - epoch_ms(t2)) AS DOUBLE) / COUNT(*) / 3600000.0, 6)
    FROM s3) AS avg_hours_to_purchase
 """
+
+
+# --- events_cohort_retention --------------------------------------------------------
+# Weekly cohort retention matrix (the second classic event-analytics operator next to
+# the funnel): users grouped by signup week; for each later week, how many of that
+# cohort were active. Scale shape: one narrow map to (user, week), one distinct, one
+# join against the (small) cohort table on user_id, one aggregation — the matrix is
+# |cohorts| x |weeks| rows regardless of event volume.
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("cohort_size"),
+            F.count_distinct(
+                F.when(
+                    F.col("active_week") > F.col("cohort_week"), F.col("user_id")
+                )
+            ).cast("long").alias("n_retained_any_later_week"),
+            count_big("n_user_weeks"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+EVENTS_COHORT_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT
+  cohort_week,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS cohort_size,
+  CAST(COUNT(DISTINCT CASE WHEN a.active_week > c.cohort_week THEN a.user_id END) AS BIGINT)
+    AS n_retained_any_later_week,
+  CAST(COUNT(*) AS BIGINT) AS n_user_weeks
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE a.active_week >= c.cohort_week
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
