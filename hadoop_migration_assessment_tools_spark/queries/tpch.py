@@ -949,3 +949,88 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# --- customer_scd2_merge ------------------------------------------------------------
+# SCD Type-2 upsert (operators/scd.py): Spark-on-parquet has no MERGE, so the engine
+# rewrites the dimension via join + union — current rows with an incoming update are
+# closed (valid_to = effective ts), updates insert as the new current version, and
+# history passes through untouched. The oracle reconstructs the post-merge state
+# relationally; the per-segment rollup hash-certifies row routing AND the interval
+# columns.
+
+SCD2_BASE_TS = "2020-01-01 00:00:00"
+SCD2_EFF_TS = "2024-06-01 00:00:00"
+
+
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(SCD2_BASE_TS).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(SCD2_EFF_TS).cast("timestamp").alias("eff_ts"),
+        )
+    )
+    merged = scd2_apply(dim, updates, "c_custkey", "eff_ts", ["c_acctbal", "c_mktsegment"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            count_big("n_rows"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_current"),
+            F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_closed"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("valid_to").isNull(), F.col("c_acctbal").cast("decimal(18,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("current_acctbal"),
+            F.sum(F.unix_millis("valid_from")).cast("long").alias("sum_from_ms"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMER_SCD2_MERGE_ORACLE = f"""
+WITH new_state AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '{SCD2_BASE_TS}' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '{SCD2_BASE_TS}', TIMESTAMP '{SCD2_EFF_TS}'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100, c_mktsegment,
+         TIMESTAMP '{SCD2_EFF_TS}', CAST(NULL AS TIMESTAMP)
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+  CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+  CAST(ROUND(SUM(CASE WHEN valid_to IS NULL THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS current_acctbal,
+  CAST(SUM(epoch_ms(valid_from)) AS BIGINT) AS sum_from_ms
+FROM new_state
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -367,3 +367,44 @@ def test_writer_id_column_shape(spark):
     rows = [r["wid"] for r in spark.range(50).select(writer_id().alias("wid")).collect()]
     assert all(len(w) == 10 and w.isalnum() for w in rows)
     assert len(set(rows)) == 50  # uuid-derived: unique per row
+
+
+# --- SCD2 merge (operators/scd.py) ---------------------------------------------------
+
+
+def test_scd2_apply_routes_rows(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.operators.scd import scd2_apply
+
+    t0, t1, t2 = (dt.datetime(2020, 1, 1), dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1))
+    dim = spark.createDataFrame(
+        [(1, 10.0, t0, None), (2, 20.0, t0, None), (3, 30.0, t0, t1)],
+        "k long, v double, valid_from timestamp, valid_to timestamp",
+    )
+    # update existing key 1, insert brand-new key 9
+    updates = spark.createDataFrame(
+        [(1, 11.0, t1), (9, 99.0, t1)], "k long, v double, eff_ts timestamp"
+    )
+    out1 = scd2_apply(dim, updates, "k", "eff_ts", ["v"])
+    rows = {(r["k"], r["valid_from"], r["valid_to"]): r["v"] for r in out1.collect()}
+    assert rows[(1, t0, t1)] == 10.0       # closed old version
+    assert rows[(1, t1, None)] == 11.0     # new current version
+    assert rows[(2, t0, None)] == 20.0     # untouched current
+    assert rows[(3, t0, t1)] == 30.0       # history passes through
+    assert rows[(9, t1, None)] == 99.0     # brand-new key inserts
+    assert len(rows) == 5
+
+    # second batch chains: key 1 updated again -> 3 versions, exactly one current
+    out2 = scd2_apply(
+        out1, spark.createDataFrame([(1, 12.0, t2)], "k long, v double, eff_ts timestamp"),
+        "k", "eff_ts", ["v"],
+    )
+    k1 = sorted(
+        (r["valid_from"], r["valid_to"], r["v"])
+        for r in out2.filter(F.col("k") == 1).collect()
+    )
+    assert k1 == [(t0, t1, 10.0), (t1, t2, 11.0), (t2, None, 12.0)]
+    assert out2.filter(F.col("valid_to").isNull() & (F.col("k") == 1)).count() == 1
