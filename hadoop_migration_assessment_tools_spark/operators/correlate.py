@@ -117,3 +117,29 @@ def table_access_frequency(events: DataFrame) -> DataFrame:
         [F.desc("total_count"), F.asc("table_name")],
         rank_col="hot_rank",
     )
+
+
+def merge_rollup_increment(
+    base_agg: DataFrame, delta: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view delta pattern): merge a
+    new batch's partial rollup into a previously computed rollup WITHOUT touching the
+    base data again. Only algebraically mergeable aggregates participate
+    (count/sum/min/max — avg derives from sum/count at read time); holistic
+    aggregates (count_distinct, median) are deliberately excluded because their
+    partials do not merge.
+
+    Both inputs must carry the schema (group_cols..., n, total, vmin, vmax).
+    At 100 TB this is THE difference between re-scanning the corpus per refresh and
+    touching only the delta: the merge input is |groups| rows, not |events| rows.
+    """
+    from pyspark.sql import functions as F
+
+    delta_agg = delta
+    merged = base_agg.unionByName(delta_agg)
+    return merged.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )

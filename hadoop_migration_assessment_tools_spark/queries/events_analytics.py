@@ -1135,3 +1135,54 @@ WHERE a.active_week >= c.cohort_week
 GROUP BY cohort_week
 ORDER BY cohort_week
 """
+
+
+# --- events_incremental_rollup ------------------------------------------------------
+# Incremental aggregate maintenance scored end to end (operators/correlate.py:
+# merge_rollup_increment): the log is split at a cutoff, each half is rolled up
+# independently, and the halves merge algebraically — the oracle computes the SAME
+# rollup in one pass over everything, so a hash match proves the incremental path is
+# exactly equivalent to full recomputation (the materialized-view refresh guarantee).
+
+INCR_CUTOFF = "2024-02-01 00:00:00"
+
+
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.correlate import merge_rollup_increment
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            count_big("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_rollup_increment(base, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("total"), 2).cast("double").alias("total_value"),
+        "vmin",
+        "vmax",
+        F.round(F.col("total").cast("double") / F.col("n"), 6).alias("avg_value"),
+    ).orderBy("event_type")
+
+
+EVENTS_INCREMENTAL_ROLLUP_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+  MIN(value) AS vmin,
+  MAX(value) AS vmax,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -206,3 +206,55 @@ class DatePartitionedSink:
             .outputMode(output_mode)
             .start()
         )
+
+
+def compact_log_tree(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction for a date-partitioned log tree — the standard
+    maintenance pass for any long-running rollover sink (SRC4 writes many
+    rollover-bounded files per day; a year of hourly rollovers is ~9k files/logger,
+    and at 100 TB the NameNode/list-cost and per-file task overhead dominate scans).
+
+    Rewrites each EventDate partition into ceil(partition_bytes / target_bytes)
+    files via a staging directory + atomic-ish swap (stage, verify count, replace).
+    Returns {files_before, files_after, rows}. Parquet only: the avro tree's file
+    layout IS the reference's interop contract (dwhassessment_* names), so avro
+    trees must not be compacted — use the parquet mirror for analytics instead.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    if fmt != "parquet":
+        raise ValueError("compaction is parquet-only; avro layout is an interop contract")
+
+    def _count_files(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    files_before = _count_files(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    total_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, math.ceil(total_bytes / target_bytes))
+    staging = path.rstrip("/") + "__compact_staging"
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .partitionBy("EventDate")
+        .parquet(staging)
+    )
+    back = spark.read.parquet(staging)
+    if back.count() != rows:  # verify before the swap — never lose data to a bad write
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError("compaction staging row count mismatch; original left intact")
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return {"files_before": files_before, "files_after": _count_files(path), "rows": rows}

@@ -131,3 +131,46 @@ def test_rollover_records_split_files(spark, tmp_path):
     ]
     assert len(files) >= 4  # 10 records / 3 per file
     assert read_event_log(spark, base).count() == 10
+
+
+def test_compact_log_tree(spark, tmp_path):
+    """Small-file compaction: many rollover files collapse to few, data identical,
+    partition layout preserved; a failed staging write must leave the original."""
+    import datetime as dt
+    import glob
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.sink import (
+        DatePartitionedSink,
+        compact_log_tree,
+    )
+
+    base = str(tmp_path / "log")
+    rows = []
+    for i in range(60):
+        row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+        for c in ("TablesRead", "TablesWritten", "PartitionsRead", "PartitionsWritten",
+                  "DatabasesRead", "DatabasesWritten"):
+            row[c] = []
+        row.update(QueryId=f"q{i}", EventType="QUERY_SUBMITTED",
+                   StartTime=dt.datetime(2024, 1, 1 + i % 3, 12, 0))
+        rows.append(row)
+    df = spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA)
+    # force many small files: one file per (partition-chunk, day)
+    DatePartitionedSink(base).write_batch(df.repartition(10))
+
+    before = spark.read.parquet(base)
+    before_ids = sorted(r["QueryId"] for r in before.collect())
+    stats = compact_log_tree(spark, base, target_bytes=1024 * 1024 * 1024)
+    assert stats["rows"] == 60
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(base)
+    assert sorted(r["QueryId"] for r in after.collect()) == before_ids
+    # date layout preserved for partition pruning
+    assert glob.glob(f"{base}/EventDate=2024-01-02/*.parquet")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_log_tree(spark, base, fmt="avro")
