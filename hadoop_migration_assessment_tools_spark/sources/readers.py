@@ -97,3 +97,24 @@ def read_event_log(
 
         return spark.createDataFrame(binary.rdd.flatMap(decode), out_schema)
     return spark.read.parquet(path)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL tree in PERMISSIVE mode with a dead-letter split: returns
+    (good_rows, quarantined_raw_lines). Malformed lines land whole in the corrupt
+    column instead of failing the job or silently dropping — at 100 TB a feed WILL
+    contain garbage, and the quarantine df is what ops replays after fixing the
+    producer. The extra column is dropped from the good side so downstream schemas
+    stay clean."""
+    corrupt = "_corrupt_record"
+    full = spark.read.schema(f"{schema}, {corrupt} string").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", corrupt).json(path)
+    # Spark requires caching/materialization before filtering on the corrupt column
+    # (SPARK-21610: the column is populated only when referenced at parse time)
+    full = full.cache()
+    good = full.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = full.filter(F.col(corrupt).isNotNull()).select(F.col(corrupt).alias("raw_line"))
+    return good, bad

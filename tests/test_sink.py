@@ -174,3 +174,54 @@ def test_compact_log_tree(spark, tmp_path):
 
     with pytest.raises(ValueError):
         compact_log_tree(spark, base, fmt="avro")
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Malformed JSONL lines quarantine whole; good rows parse; nothing fails or
+    silently drops."""
+    from hadoop_migration_assessment_tools_spark.sources.readers import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"event_id": 1, "event_type": "click", "value": 1.5}\n'
+        'this is not json at all\n'
+        '{"event_id": 2, "event_type": "view", "value": 2.0}\n'
+        '{"event_id": "not_a_number", "event_type": "view", "value": 3.0}\n'
+    )
+    good, bad = read_jsonl_with_quarantine(
+        spark, str(p), "event_id bigint, event_type string, value double"
+    )
+    good_rows = {r["event_id"]: r["event_type"] for r in good.collect()}
+    assert good_rows == {1: "click", 2: "view"}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in l for l in bad_lines)
+    assert any("not_a_number" in l for l in bad_lines)
+
+
+def test_schema_evolution_across_file_generations(spark, tmp_path):
+    """SRC5/SRC7 evolution: v2 files add a column; mergeSchema reads both
+    generations, v1 rows surface NULL for the new column, and a default fills it —
+    the upgrade path when the hook adds a field between releases."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.parquet(base + "/gen=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", "tez"), (4, "d", "mr")], "id long, name string, engine string"
+    )
+    v2.write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {"id", "name", "engine"}
+    rows = {
+        r["id"]: r["eng"]
+        for r in merged.select(
+            "id", F.coalesce("engine", F.lit("unknown")).alias("eng")
+        ).collect()
+    }
+    assert rows == {1: "unknown", 2: "unknown", 3: "tez", 4: "mr"}
