@@ -59,3 +59,42 @@ def salted_join_left(
     replicated_small = small.select("*", salts)
     out = salted_big.join(replicated_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def diagnose_join_skew(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    broadcast_row_limit: int = 10_000_000,
+    skew_share: float = 0.2,
+) -> DataFrame:
+    """Pre-join skew diagnosis: heavy-hitter share of the join key plus a strategy
+    recommendation per the standard decision tree — run this BEFORE launching an
+    expensive join at scale instead of discovering the straggler task an hour in.
+
+    One bounded-memory pass (Misra-Gries per partition, ext/sketch.py) + one count:
+    cost is O(rows) scan with no shuffle of raw values. Returns
+    (key_value, est_count, share, recommendation) where recommendation is one of
+    'broadcast_other_side' (table small enough to broadcast the other side is moot —
+    this side fits the row limit), 'salt_this_key' (one key holds > skew_share of
+    rows — AQE skew-join may split it, but pre-salting with plans/skew.py is the
+    guaranteed fix), or 'plain_shuffle_ok'.
+    """
+    from pyspark.sql import functions as F
+
+    from ..ext.sketch import heavy_hitters
+
+    n_total = df.count()
+    hh = heavy_hitters(df, key_col, k=top_k)
+    share = (F.col("est_count") / F.lit(max(n_total, 1))).alias("share")
+    rec = (
+        F.when(F.lit(n_total) <= broadcast_row_limit, F.lit("broadcast_other_side"))
+        .when(F.col("est_count") / F.lit(max(n_total, 1)) > skew_share, F.lit("salt_this_key"))
+        .otherwise(F.lit("plain_shuffle_ok"))
+    )
+    return hh.select(
+        F.col("item").alias("key_value"),
+        F.col("est_count"),
+        F.round(share, 6).alias("share"),
+        rec.alias("recommendation"),
+    )

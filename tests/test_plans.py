@@ -184,3 +184,28 @@ def test_range_join_random_equivalence(spark):
                 for r in range_join(fact, dim, "v", "lo", "hi", width).collect()
             )
             assert got == expected, (seed, width)
+
+
+def test_diagnose_join_skew_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.plans.skew import diagnose_join_skew
+
+    # 50% of rows share one key; rest spread across 1000 keys
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT")).otherwise(
+            (F.col("id") % 1000).cast("string")
+        ).alias("k")
+    )
+    diag = {r["key_value"]: r for r in diagnose_join_skew(
+        df, "k", top_k=5, broadcast_row_limit=100
+    ).collect()}
+    assert "HOT" in diag
+    hot = diag["HOT"]
+    assert hot["share"] > 0.4
+    assert hot["recommendation"] == "salt_this_key"
+
+    # small table -> broadcast advice regardless of distribution
+    small = spark.range(0, 50).select(F.lit("x").alias("k"))
+    recs = {r["recommendation"] for r in diagnose_join_skew(small, "k").collect()}
+    assert recs == {"broadcast_other_side"}
