@@ -14,6 +14,7 @@ large-scale training-data pipeline needs, designed for 100 TB:
 
 from .dedup import (  # noqa: F401
     contaminated_ids,
+    contamination_ratio,
     exact_dedup,
     duplicate_groups,
     token_shingles,
@@ -26,7 +27,9 @@ from .dedup import (  # noqa: F401
     hamming_distance,
 )
 from .similarity import cosine, cosine_topk_bruteforce, cosine_topk_ivf, dot, l2_norm  # noqa: F401
+from .packing import pack_sequences  # noqa: F401
 from .text import (  # noqa: F401
+    chunk_documents,
     doc_fingerprint,
     language_scores,
     language_id,

@@ -9,4 +9,5 @@ from .events import (  # noqa: F401
     pre_hook_event,
     queue_name,
 )
-from .correlate import correlate_submit_complete  # noqa: F401
+from .correlate import correlate_submit_complete, merge_rollup_increment  # noqa: F401
+from .scd import scd2_apply  # noqa: F401

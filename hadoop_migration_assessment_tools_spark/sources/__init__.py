@@ -1,5 +1,11 @@
-from .readers import load_table, load_tables, read_event_log, register_views  # noqa: F401
-from .sink import DatePartitionedSink  # noqa: F401
+from .readers import (  # noqa: F401
+    load_table,
+    load_tables,
+    read_event_log,
+    read_jsonl_with_quarantine,
+    register_views,
+)
+from .sink import DatePartitionedSink, compact_log_tree  # noqa: F401
 from .avro_ocf import (  # noqa: F401
     OcfWriter,
     RollingOcfWriterFactory,
