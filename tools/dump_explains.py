@@ -26,6 +26,7 @@ TRACKED = [
     "docs_shingle_jaccard",
     "docs_simhash_near_dup",
     "emb_near_dup_lsh",
+    "emb_near_dup_pairs",
     "qe_table_read_frequency",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
