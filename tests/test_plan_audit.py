@@ -1,0 +1,148 @@
+"""Plan-diff CI (VERDICT r3 next-round #2): pinned operator signatures for the
+perf-critical queries. A change that adds a shuffle, drops a broadcast, or degrades a
+join to nested-loop/cartesian fails HERE, with a readable counter diff, instead of
+surfacing as an unexplained bench regression.
+
+To re-pin after a DELIBERATE plan change: run
+``python -m pytest tests/test_plan_audit.py -x`` — the failure message prints the new
+signature; review it (is the delta intended?) and update PLAN_SIGNATURES.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_migration_assessment_tools_spark.plans.audit import (
+    assert_scale_safe,
+    plan_signature,
+)
+from hadoop_migration_assessment_tools_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Pinned at round 4 on sf0.001 (plan shape is SF-independent: the same Catalyst
+# strategies fire at every scale; only AQE's runtime coalescing differs, and these
+# signatures are taken from the pre-execution plan).
+#
+# key: (shuffle_exchange, broadcast_exchange, bnlj, cartesian, smj, bhj, shj, window)
+PLAN_SIGNATURES: dict[str, dict[str, int]] = {
+    # BNLJ here is the deliberate broadcast crossJoin of the tiny query set.
+    "emb_cosine_topk": dict(
+        shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
+    ),
+    # BNLJ = query-set x nlist-row broadcast centroid table (probe assignment).
+    "emb_cosine_topk_ivf": dict(
+        shuffle_exchange=1, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=5
+    ),
+    "emb_topk_scaled_bruteforce": dict(
+        shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
+    ),
+    "emb_topk_scaled_ivf": dict(
+        shuffle_exchange=1, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=5
+    ),
+    "docs_minhash_near_dup": dict(
+        shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+    ),
+    "docs_shingle_jaccard": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=4
+    ),
+    "docs_simhash_near_dup": dict(
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
+    "emb_near_dup_lsh": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
+    # The r3->r4 fix: the SCORED near-dup entry must stay the bucketed plan.
+    "emb_near_dup_pairs": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
+    "qe_table_read_frequency": dict(
+        shuffle_exchange=11, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
+    ),
+    "q1_pricing_summary": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    "q3_shipping_priority": dict(
+        shuffle_exchange=1, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
+    ),
+    "q5_local_supplier_volume": dict(
+        shuffle_exchange=2, broadcast_exchange=5, bnlj=0, cartesian=0, smj=0, bhj=5, shj=0, window=0
+    ),
+    "lineitem_price_band_join": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
+    # SMJ over the two bucketed tables; the exchanges belong to the top-5 output agg,
+    # not the join (test_plans.py::test_bucketed_join_has_no_shuffle pins the
+    # join-only property).
+    "orders_customer_bucketed_join": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=1, bhj=0, shj=0, window=0
+    ),
+    "docs_decontaminate": dict(
+        shuffle_exchange=5, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=2
+    ),
+    "docs_contamination_ratio": dict(
+        shuffle_exchange=6, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=2
+    ),
+    "qe_submit_complete_join": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=6
+    ),
+    "docs_exact_dedup": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    "docs_dup_clusters": dict(
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    "events_sessionize": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=2
+    ),
+    "signup_purchase_asof": dict(
+        shuffle_exchange=1, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
+    ),
+}
+
+# Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern.
+BNLJ_ALLOWED = {
+    "emb_cosine_topk",
+    "emb_cosine_topk_ivf",
+    "emb_topk_scaled_bruteforce",
+    "emb_topk_scaled_ivf",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_SIGNATURES))
+def test_plan_signature_pinned(spark, name):
+    sig = plan_signature(QUERIES[name](spark, SF))
+    assert sig == PLAN_SIGNATURES[name], (
+        f"{name}: plan shape changed.\n  pinned : {PLAN_SIGNATURES[name]}\n"
+        f"  current: {sig}\nIf deliberate, review the delta and re-pin."
+    )
+    assert_scale_safe(sig, allow_bnlj=name in BNLJ_ALLOWED)
+
+
+def test_audit_catches_degraded_join(spark):
+    """Sensitivity proof: a broadcast hint falling off a non-equi join must trip the
+    checker (the 'deliberate regression fails the suite' criterion)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select(F.col("id").alias("lo"), (F.col("id") + 5).alias("hi"))
+    naive = a.join(b, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+    sig = plan_signature(naive)
+    assert sig["bnlj"] + sig["cartesian"] >= 1  # the naive plan really is degenerate
+    with pytest.raises(AssertionError):
+        assert_scale_safe(sig, allow_bnlj=False)
+
+
+def test_audit_counts_nodes_once():
+    """Node parsing uses the per-node detail headers, not substring counts — a plan
+    text mentioning Exchange in both tree and details must count each node once."""
+    fake = (
+        "AdaptiveSparkPlan\n"
+        "+- Exchange (4)\n"
+        "   +- BroadcastExchange (3)\n\n"
+        "(3) BroadcastExchange\nArguments: x\n\n"
+        "(4) Exchange\nArguments: hashpartitioning\n"
+    )
+    sig = plan_signature(fake)
+    assert sig["shuffle_exchange"] == 1
+    assert sig["broadcast_exchange"] == 1
