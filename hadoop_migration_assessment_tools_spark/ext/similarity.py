@@ -204,6 +204,53 @@ def cosine_topk_ivf(
     )
 
 
+def signbucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """ANN top-k via deterministic sign-bucketing on the first ``n_bits`` dimensions.
+
+    The bucket function is a closed-form SQL expression (sign bits of fixed
+    components), so — unlike IVF's learned centroids — an external engine can
+    reproduce candidates, ranking, AND recall exactly. This is the oracle-able twin
+    of ``cosine_topk_ivf``: same plan shape (bucket equi-join + per-query window,
+    ~1/2^n_bits of the corpus scanned per query), lower recall than learned
+    centroids, perfect reproducibility. Columns: query_id, neighbor_id, cosine, rank.
+    """
+    bucket = sum(
+        (F.when(F.col(vec_col)[i] > 0, F.lit(1 << (n_bits - 1 - i))).otherwise(F.lit(0)))
+        for i in range(n_bits)
+    ).alias("_bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+        bucket,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+        bucket,
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _paired_cosine(round_scale))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # --- embedding near-duplicate detection ---------------------------------------------
 
 

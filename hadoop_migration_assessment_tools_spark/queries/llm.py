@@ -1,8 +1,11 @@
 """[EXT] LLM-pipeline queries over documents/embeddings (SURVEY §2.9 [EXT]).
 
-Oracle-checked where SQL-expressible; hash-family operators (MinHash/SimHash/
-fingerprint use engine-specific xxhash64) are registered rows-only and verified in
-pytest instead (planted-duplicate recovery, recall vs bruteforce).
+Oracle-checked where SQL-expressible — including hash-family operators whose
+OUTPUT is engine-independent even though their internals use engine-specific
+xxhash64 (fingerprint distinct-counts, minhash/sign-LSH verified pair sets).
+Genuinely engine-specific outputs (SimHash distances, IVF neighbor sets,
+partition-local bin ids, Misra-Gries estimates) stay rows-only and are verified
+in pytest instead (planted-duplicate recovery, recall floors, invariants).
 
 The corpus has no exact duplicates, so dedup queries plant them deterministically
 in-query (doc_id % 7 == 0 re-inserted with id + 1_000_000) — mirrored in each oracle.
@@ -21,7 +24,12 @@ from ..ext.dedup import (
     simhash_near_pairs,
 )
 from ..ext.multimodal import extract_features, media_summary, synthesize_media
-from ..ext.similarity import cosine, cosine_topk_bruteforce, cosine_topk_ivf
+from ..ext.similarity import (
+    cosine,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    signbucket_topk,
+)
 from ..ext.text import (
     STOPWORDS,
     doc_fingerprint,
@@ -331,6 +339,90 @@ SELECT query_id, neighbor_id, cosine, rank FROM final WHERE rank <= {TOPK_K}
 """
 
 
+# --- emb_ann_recall -----------------------------------------------------------------
+# [EXT] the oracle-able ANN recall harness (VERDICT r3 next-round #3): IVF's learned
+# centroids aren't SQL-expressible, so recall measurement is oracled through the
+# sign-bucket ANN twin (ext/similarity.py: signbucket_topk) whose bucketing IS a
+# closed-form SQL expression. DuckDB reproduces candidates, ranking, and the exact
+# top-k, so the per-query recall@k hash-matches end to end. The IVF path itself stays
+# rows-only with its pytest recall floor + the bench crossover proof.
+
+ANN_SIGN_BITS = 3
+
+
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    exact = cosine_topk_bruteforce(emb, q, k=TOPK_K).select("query_id", "neighbor_id")
+    ann = signbucket_topk(emb, q, k=TOPK_K, n_bits=ANN_SIGN_BITS).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("_h"), F.lit(0)) / F.lit(float(TOPK_K)), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+EMB_ANN_RECALL_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < {TOPK_QUERIES}
+), pair AS (
+  SELECT
+    q.query_id, c.vec_id AS neighbor_id, c.bucket = q.bucket AS same_bucket,
+    list_sum(list_transform(list_zip(q.qv, c.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM b c, q
+  WHERE c.vec_id <> q.query_id
+), scored AS (
+  SELECT query_id, neighbor_id, same_bucket,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pair
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {TOPK_K}
+), ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS r
+    FROM scored WHERE same_bucket
+  ) WHERE r <= {TOPK_K}
+), hits AS (
+  SELECT ann.query_id, COUNT(*) AS n_hits
+  FROM ann JOIN exact ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
+  GROUP BY ann.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(hits.n_hits, 0) / {float(TOPK_K)}, 6) AS recall
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+ORDER BY q.query_id
+"""
+
+
 # --- emb_label_centroids ------------------------------------------------------------
 # Element-wise centroid per label: exact decimal sums keep the shuffle-order noise out.
 
@@ -368,12 +460,50 @@ ORDER BY label, dim
 # --- rows-only [EXT] queries (engine-specific hashes / pandas UDF paths) ------------
 
 
+MINHASH_VERIFY_THRESHOLD = 0.7
+
+
 def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified with true Jaccard (rows-only: xxhash64 is
-    engine-specific). Planted dups guarantee recovered pairs."""
+    """MinHash+LSH candidates verified with true Jaccard.
+
+    Oracled (round 4): the minhash signatures are engine-specific xxhash64, but the
+    VERIFIED OUTPUT is exact shingle Jaccard over the candidate set, and on this
+    corpus every pair >= 0.7 is a planted verbatim copy (max organic Jaccard 0.034).
+    Identical texts have identical signatures, so they collide in every band and
+    LSH recall on them is 1.0 by construction — the output set provably equals the
+    exact all-pairs answer DuckDB computes via its inverted shingle index."""
     aug = _docs_with_planted_dups(spark, sf_dir)
     cands = minhash_candidate_pairs(aug)
-    return jaccard_verify(cands, aug, threshold=0.7).orderBy("id_a", "id_b")
+    return jaccard_verify(cands, aug, threshold=MINHASH_VERIFY_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DOCS_MINHASH_NEAR_DUP_ORACLE = (
+    _DOCS_AUG_CTE
+    + rf"""
+, toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs_aug
+), shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+3], ' '))) AS shingles
+  FROM toks
+  WHERE len(t) >= 4
+), inv AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM shingled
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= {MINHASH_VERIFY_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+)
 
 
 def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +513,13 @@ def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling token-chain fingerprints + per-source distinct counts (rows-only)."""
+    """Rolling token-chain fingerprints + per-source distinct counts.
+
+    Oracled despite the engine-specific xxhash64 chain (VERDICT r3 next-round #3):
+    the fingerprint's equivalence classes are token SEQUENCES, so the distinct-count
+    per source equals DuckDB's distinct count of whitespace-normalized text — a
+    closed-form aggregate that certifies the chain's injectivity-in-practice (a
+    collision would shrink the Spark count and break the hash match)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.withColumn("fp", doc_fingerprint(F.col("text")))
@@ -394,6 +530,18 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DOCS_FINGERPRINTS_ORACLE = r"""
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS doc_count,
+  CAST(COUNT(DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
+    AS distinct_fingerprints
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
 
 
 def emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,12 +683,39 @@ ORDER BY id_a, id_b
 
 
 def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH near-dup over the full augmented corpus (rows-only; recall vs the
-    exact path asserted in pytest)."""
+    """Sign-LSH near-dup over the FULL augmented corpus (no scope filter).
+
+    Oracled (round 4) by the same argument as the scored scoped entry: every pair
+    above the 0.9 threshold is a planted identical vector, which collides in every
+    LSH table, and verification is exact — so the output equals DuckDB's all-pairs
+    answer (pytest asserts lsh == exact on this corpus). The oracle's O(n²) cost is
+    DuckDB's problem at sf0.01 (~0.4 s); the Spark plan stays O(collisions)."""
     from ..ext.similarity import signlsh_near_dup_pairs
 
     aug = _embeddings_with_planted_dups(spark, sf_dir)
     return signlsh_near_dup_pairs(aug, threshold=NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")
+
+
+EMB_NEAR_DUP_LSH_ORACLE = f"""
+WITH emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+), pairs AS (
+  SELECT
+    a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_ab,
+    sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+  FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot_ab / (na * nb) ELSE 0.0 END, 6) AS cosine
+FROM pairs
+WHERE ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot_ab / (na * nb) ELSE 0.0 END, 6) >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
 
 
 # --- docs_tfidf_top_terms -----------------------------------------------------------
@@ -1372,6 +1547,75 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / (F.col("n_bins") * F.lit(PACK_BUDGET)), 4
         ).alias("utilization"),
     )
+
+
+# --- docs_pack_invariants -----------------------------------------------------------
+# [EXT] the oracled face of sequence packing (VERDICT r3 next-round #3): bin ids are
+# partition-dependent, but the packing INVARIANTS are closed-form — every doc packed
+# exactly once (count + distinct-count conservation), token mass conserved, overflow
+# flags exactly the docs longer than the budget, zero non-overflow bins above budget,
+# and the bin count bounded by [ceil(tokens/budget), n_nonoverflow_docs]. DuckDB
+# recomputes the exact columns from the raw table and pins the invariant columns at
+# their must-hold values; any packing bug (double-pack, drop, over-fill) breaks the
+# value hash.
+
+
+def docs_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_sequences(sized, "n_tok", budget=PACK_BUDGET)
+    doc_agg = packed.agg(
+        count_big("total_docs"),
+        F.count_distinct("doc_id").cast("long").alias("distinct_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("overflow"), 1).otherwise(0))
+        .cast("long")
+        .alias("overflow_docs"),
+    )
+    bin_agg = (
+        packed.filter(~F.col("overflow"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("_fill"))
+        .agg(
+            F.sum(F.when(F.col("_fill") > PACK_BUDGET, 1).otherwise(0))
+            .cast("long")
+            .alias("budget_violations"),
+            F.count(F.lit(1)).alias("_n_bins"),
+            F.sum("_fill").alias("_nov_tokens"),
+        )
+    )
+    # one job: two 1-row aggregates cross-joined (the events_funnel discipline)
+    return doc_agg.crossJoin(bin_agg).select(
+        "total_docs",
+        "distinct_docs",
+        "total_tokens",
+        "overflow_docs",
+        "budget_violations",
+        (
+            (F.col("_n_bins") >= F.ceil(F.col("_nov_tokens") / F.lit(PACK_BUDGET)))
+            & (F.col("_n_bins") <= F.col("total_docs") - F.col("overflow_docs"))
+        ).alias("bin_bounds_ok"),
+    )
+
+
+DOCS_PACK_INVARIANTS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS total_docs,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+  CAST(SUM(n) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN n > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS overflow_docs,
+  CAST(0 AS BIGINT) AS budget_violations,
+  TRUE AS bin_bounds_ok
+FROM t
+"""
 
 
 # --- docs_contamination_ratio -------------------------------------------------------

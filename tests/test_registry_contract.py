@@ -1,0 +1,87 @@
+"""Registry hygiene guard (VERDICT r3 next-round #9): the correctness driver scores
+the FIRST 50 entries of QUERIES in dict order, so the scored window is load-bearing
+state. It was silently reordered once (r02); this makes the contract executable — any
+unreviewed window change, or a scored entry losing its oracle, fails here."""
+
+from __future__ import annotations
+
+from hadoop_migration_assessment_tools_spark.queries.registry import ORACLE_SQL, QUERIES
+
+#: The driver-scored window, pinned at round 4 == the 50 green rows of
+#: CORRECTNESS_r03.json. Changing this list is allowed ONLY as a reviewed decision:
+#: update the pin here AND the ordering comment in registry.py together.
+SCORED_WINDOW = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q19_disjunctive_predicates",
+    "order_priority_semijoin",
+    "customers_without_orders",
+    "customers_orders_full_outer",
+    "min_cost_supplier",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_top_users_by_value",
+    "signup_purchase_asof",
+    "events_dedup",
+    "users_signup_and_purchase",
+    "events_error_never_purchased",
+    "events_daily_type_matrix",
+    "events_time_hierarchy_rollup",
+    "events_type_pivot",
+    "events_value_percentiles",
+    "events_session_windows",
+    "events_props_roundtrip",
+    "events_jsonl_roundtrip",
+    "lineitem_price_band_join",
+    "orders_customer_bucketed_join",
+    "qe_submit_complete_join",
+    "qe_user_rollup",
+    "qe_table_read_frequency",
+    "qe_version_gate",
+    "qe_partition_names",
+    "qe_app_id_first_match",
+    "qe_counters_roundtrip",
+    "qe_perf_roundtrip",
+    "qe_tables_read_and_written",
+    "qe_stream_batch_parity",
+    "qe_avro_roundtrip",
+    "qe_event_chain",
+    "qe_yarn_enrichment",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_scores",
+    "docs_shingle_jaccard",
+    "docs_tfidf_top_terms",
+    "docs_gopher_filters",
+    "docs_pii_scrub",
+    "multimodal_manifest",
+    "docs_dup_clusters",
+    "emb_cosine_topk",
+    "emb_label_centroids",
+    "emb_near_dup_pairs",
+]
+
+
+def test_scored_window_is_pinned():
+    assert list(QUERIES)[:50] == SCORED_WINDOW, (
+        "The first 50 registry entries ARE the driver's scored window — this order "
+        "changed without updating the pin. If deliberate, update SCORED_WINDOW."
+    )
+
+
+def test_scored_window_fully_oracled():
+    missing = [n for n in list(QUERIES)[:50] if n not in ORACLE_SQL]
+    assert not missing, f"scored-window entries without a DuckDB oracle: {missing}"
+
+
+def test_every_oracle_has_a_query():
+    orphans = sorted(set(ORACLE_SQL) - set(QUERIES))
+    assert not orphans, f"ORACLE_SQL entries with no QUERIES entry: {orphans}"
+
+
+def test_registry_names_unique_and_callable():
+    assert len(QUERIES) == len(set(QUERIES))
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
