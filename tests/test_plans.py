@@ -205,7 +205,28 @@ def test_diagnose_join_skew_flags_hot_key(spark):
     assert hot["share"] > 0.4
     assert hot["recommendation"] == "salt_this_key"
 
-    # small table -> broadcast advice regardless of distribution
+    # small table -> broadcast THIS side regardless of distribution
     small = spark.range(0, 50).select(F.lit("x").alias("k"))
     recs = {r["recommendation"] for r in diagnose_join_skew(small, "k").collect()}
-    assert recs == {"broadcast_other_side"}
+    assert recs == {"broadcast_this_side"}
+
+
+def test_diagnose_join_skew_single_scan(spark):
+    """The count is folded into the Misra-Gries pass: exactly one scan of the input
+    in the plan (one mapInPandas source), and the share denominator is exact."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.plans.skew import diagnose_join_skew
+
+    df = spark.range(0, 1000).select((F.col("id") % 3).cast("string").alias("k"))
+    import re
+
+    diag = diagnose_join_skew(df, "k", top_k=3)
+    plan = diag._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # node detail headers count each physical node once (tree lines would double)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+    rows = diag.collect()
+    # exact denominator: shares computed against the true 1000-row total
+    assert all(abs(r["share"] - r["est_count"] / 1000) < 1e-9 for r in rows)
