@@ -54,6 +54,30 @@ INSTANCE_CLI = "CLI"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+def scratch_dir(name: str, sf_dir: str = "", wipe: bool = False) -> str:
+    """Deterministic per-(query, sf) scratch path for roundtrip queries.
+
+    Roundtrip queries write-then-read a dataset as part of the query itself; a fresh
+    mkdtemp per invocation leaked a full dataset copy to /tmp on every bench or
+    correctness run (ADVICE r3). A deterministic path + mode('overwrite') reuses one
+    location per (query, scale factor) — repeated runs cost zero net disk.
+
+    ``wipe=True`` clears the dir first — for sinks with append semantics (the avro
+    OCF writer names every file uniquely) and streaming checkpoints (offset state
+    must not leak across runs), where 'overwrite' can't be expressed in the writer.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8] if sf_dir else "nosf"
+    path = os.path.join(tempfile.gettempdir(), f"spark_engine_scratch_{name}_{tag}")
+    if wipe:
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 # Tables in the driver-provided relational corpus (TESTDATA.md).
 CORPUS_TABLES = (
     "region",

@@ -33,6 +33,7 @@ def scd2_apply(
     key_col: str,
     ts_col: str,
     tracked_cols: list[str],
+    broadcast_updates: bool = True,
 ) -> DataFrame:
     """Apply one batch of updates (one row per key) to an SCD2 dimension.
 
@@ -40,6 +41,12 @@ def scd2_apply(
     ``updates`` columns: key_col, *tracked_cols, ts_col (the effective time).
     Multiple updates per key in one batch are not collapsed here — pre-aggregate to
     last-per-key first (WIN1) if the feed can contain them.
+
+    ``broadcast_updates`` (default True) hints the update batch to broadcast — the
+    common case is a small delta against a big dimension. Pass False for bulk
+    backfills where the batch rivals the dimension: a forced hint would override
+    Catalyst's size check and risk driver OOM (ADVICE r3), so leave the join
+    strategy to Catalyst there.
     """
     upd = updates.select(
         F.col(key_col),
@@ -48,9 +55,10 @@ def scd2_apply(
     )
     history = dim.filter(F.col(VALID_TO).isNotNull())
     current = dim.filter(F.col(VALID_TO).isNull())
-    marked = current.join(
-        F.broadcast(upd.select(key_col, "_eff_ts")), key_col, "left"
-    )
+    upd_keys = upd.select(key_col, "_eff_ts")
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
+    marked = current.join(upd_keys, key_col, "left")
     untouched = marked.filter(F.col("_eff_ts").isNull()).drop("_eff_ts")
     closed = (
         marked.filter(F.col("_eff_ts").isNotNull())

@@ -912,10 +912,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 
 
 def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..config import scratch_dir
 
     ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
-    tmp = tempfile.mkdtemp(prefix="events_jsonl_rt_")
+    tmp = scratch_dir("events_jsonl_rt", sf_dir)
     ev.write.mode("overwrite").json(tmp)
     back = spark.read.schema(
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -960,10 +960,10 @@ _CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..config import scratch_dir
 
     ev = _events(spark, sf_dir).filter(F.col("event_id") % 9 == 0)
-    tmp = tempfile.mkdtemp(prefix="events_csv_rt_")
+    tmp = scratch_dir("events_csv_rt", sf_dir)
     (
         ev.write.mode("overwrite")
         .option("header", "true")

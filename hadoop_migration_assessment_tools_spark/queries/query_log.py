@@ -649,8 +649,7 @@ ORDER BY Queue
 
 
 def qe_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from ..config import scratch_dir
     from ..sources.readers import read_event_log
     from ..sources.sink import DatePartitionedSink
 
@@ -668,7 +667,7 @@ def qe_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("StartTime", F.when(F.col("StartTime").isNotNull(), rebased_ts))
         .withColumn("EndTime", F.when(F.col("EndTime").isNotNull(), rebased_ts))
     )
-    tmp = tempfile.mkdtemp(prefix="qe_avro_rt_")
+    tmp = scratch_dir("qe_avro_rt", sf_dir, wipe=True)  # OCF writer appends
     DatePartitionedSink(tmp, fmt="avro").write_batch(log)
     back = read_event_log(spark, tmp, fmt="avro")
     return (
@@ -737,9 +736,9 @@ ORDER BY EventType
 
 
 def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
+    from ..config import scratch_dir
     from ..schema import QUERY_EVENTS_SCHEMA
     from ..streaming.pairing import pair_submit_complete_stream
 
@@ -747,7 +746,7 @@ def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = synthetic_query_log(spark, sf_dir).filter(
         F.col("QueryId").cast("long") % 5 == 0
     )
-    tmp = tempfile.mkdtemp(prefix="qe_stream_parity_")
+    tmp = scratch_dir("qe_stream_parity", sf_dir, wipe=True)  # fresh checkpoint
     src = f"{tmp}/src"
     # write only the columns the pairing consumes — column pruning for the file
     # stream source the same way a scan would prune a real log table

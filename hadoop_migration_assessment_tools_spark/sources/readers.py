@@ -107,7 +107,14 @@ def read_jsonl_with_quarantine(
     column instead of failing the job or silently dropping — at 100 TB a feed WILL
     contain garbage, and the quarantine df is what ops replays after fixing the
     producer. The extra column is dropped from the good side so downstream schemas
-    stay clean."""
+    stay clean.
+
+    Both returned DataFrames share one cached parse of the input (required for the
+    corrupt-column split, SPARK-21610). The cache pins executor memory until
+    released: after consuming BOTH splits, call
+    ``good.sparkSession.catalog.clearCache()`` or keep a handle and
+    ``unpersist()`` it — long-lived sessions that call this per feed generation
+    will otherwise accumulate cached parse trees (ADVICE r3)."""
     corrupt = "_corrupt_record"
     full = spark.read.schema(f"{schema}, {corrupt} string").option(
         "mode", "PERMISSIVE"

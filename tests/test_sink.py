@@ -170,10 +170,103 @@ def test_compact_log_tree(spark, tmp_path):
     # date layout preserved for partition pruning
     assert glob.glob(f"{base}/EventDate=2024-01-02/*.parquet")
 
-    import pytest
 
-    with pytest.raises(ValueError):
-        compact_log_tree(spark, base, fmt="avro")
+def _query_event_rows(n: int, days: int) -> list[dict]:
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+
+    rows = []
+    for i in range(n):
+        row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+        for c in ("TablesRead", "TablesWritten", "PartitionsRead", "PartitionsWritten",
+                  "DatabasesRead", "DatabasesWritten"):
+            row[c] = []
+        row.update(QueryId=f"q{i}", EventType="QUERY_SUBMITTED",
+                   StartTime=dt.datetime(2024, 1, 1 + i % days, 12, 0))
+        rows.append(row)
+    return rows
+
+
+def test_compact_multi_date_per_date_file_counts(spark, tmp_path):
+    """ADVICE r3 (medium): with n_files > 1 over multiple dates, compaction must
+    produce at most ceil(date_bytes / target_bytes) files PER DATE — the old
+    round-robin repartition scattered every date across all tasks, inflating to
+    n_files x n_dates outputs."""
+    import glob
+    import math
+    import os
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.sink import (
+        DatePartitionedSink,
+        compact_log_tree,
+    )
+
+    base = str(tmp_path / "log")
+    df = spark.createDataFrame(_query_event_rows(300, days=3), schema=QUERY_EVENTS_SCHEMA)
+    DatePartitionedSink(base).write_batch(df.repartition(16))  # many small files/date
+
+    # target chosen so every date needs >= 2 output files (n_files > 1 per date)
+    per_date = {}
+    for f in glob.glob(f"{base}/EventDate=*/*.parquet"):
+        day = os.path.basename(os.path.dirname(f))
+        per_date[day] = per_date.get(day, 0) + os.path.getsize(f)
+    target = min(per_date.values()) // 2
+    expected_slots = {d: math.ceil(b / target) for d, b in per_date.items()}
+    assert all(n >= 2 for n in expected_slots.values())
+
+    before_files = len(glob.glob(f"{base}/EventDate=*/*.parquet"))
+    stats = compact_log_tree(spark, base, target_bytes=target)
+    assert stats["rows"] == 300
+    for day, n_slots in expected_slots.items():
+        got = len(glob.glob(f"{base}/{day}/*.parquet"))
+        assert 1 <= got <= n_slots, (day, got, n_slots)
+    assert stats["files_after"] <= before_files
+    assert sorted(
+        r["QueryId"] for r in spark.read.parquet(base).collect()
+    ) == sorted(f"q{i}" for i in range(300))
+
+
+def test_compact_avro_tree_preserves_layout_contract(spark, tmp_path):
+    """VERDICT r3 missing #4: avro compaction merges each day's dwhassessment_*
+    files into fewer OCF files — identical records, same day dirs, same naming
+    contract — so the reference-layout tree stays maintainable too."""
+    import glob
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.readers import read_event_log
+    from hadoop_migration_assessment_tools_spark.sources.sink import (
+        DatePartitionedSink,
+        compact_log_tree,
+    )
+
+    base = str(tmp_path / "avlog")
+    df = spark.createDataFrame(_query_event_rows(120, days=2), schema=QUERY_EVENTS_SCHEMA)
+    # rollover every 10 records -> many files per (task, day)
+    DatePartitionedSink(base, fmt="avro", rollover_records=10).write_batch(df)
+
+    files_before = glob.glob(f"{base}/*/dwhassessment_*.avro")
+    assert len(files_before) > 4  # precondition: actually fragmented
+    before_ids = sorted(
+        r["QueryId"] for r in read_event_log(spark, base, fmt="avro").collect()
+    )
+
+    stats = compact_log_tree(spark, base, fmt="avro")
+    files_after = glob.glob(f"{base}/*/dwhassessment_*.avro")
+    assert len(files_after) < len(files_before)
+    assert stats["files_after"] == len(files_after)
+    # one merged file per day at this volume; naming + day-dir contract held
+    day_dirs = sorted(glob.glob(f"{base}/*/"))
+    assert len(day_dirs) == 2
+    for f in files_after:
+        import os
+
+        assert os.path.basename(f).startswith("dwhassessment_")
+    after_ids = sorted(
+        r["QueryId"] for r in read_event_log(spark, base, fmt="avro").collect()
+    )
+    assert after_ids == before_ids
 
 
 def test_jsonl_quarantine_split(spark, tmp_path):
