@@ -18,6 +18,9 @@ Layout (SURVEY.md is the blueprint; every operator cites the reference file:line
 - ``ext``       — [EXT] LLM-data-pipeline operators: dedup (exact/minhash/simhash),
                   embedding similarity search, text analysis, multimodal plumbing.
 - ``queries``   — the named query registry exported through __spark_entry__.py.
+- ``logger``    — config-driven logger facade with the reference's degrade-to-noop
+                  contract (EventLogger.java:90-103): bad config disables, never
+                  breaks the host workload.
 """
 
 __version__ = "0.1.0"
