@@ -17,3 +17,4 @@ from .pairing import (  # noqa: F401
 from .foreach import IdempotentBatchSink  # noqa: F401
 from .shedding import DEFAULT_QUEUE_CAPACITY, shed_overflow  # noqa: F401
 from .generator import live_event_stream, synthetic_hook_stream  # noqa: F401
+from .packing import pack_sequences_stream  # noqa: F401
