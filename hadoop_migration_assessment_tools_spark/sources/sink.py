@@ -39,6 +39,28 @@ from ..config import DEFAULT_ROLLOVER_INTERVAL_SECONDS
 
 PARTITION_COL = "EventDate"
 
+#: Reference day-dir mode: FsPermission.createImmutable((short) 1023) == 0o1777 —
+#: sticky + world-writable, so many logger instances running as different users can
+#: write into the same shared day dir (DatePartitionedRecordsWriterFactory.java:67).
+SHARED_DIR_MODE = 0o1777
+
+
+def make_shared_day_dir(day_dir: str) -> None:
+    """Create a day dir with the reference's shared 01777 mode; permission-set
+    failures degrade to a warning, never fail the write
+    (DatePartitionedRecordsWriterFactory.java:169-180)."""
+    import logging
+
+    existed = os.path.isdir(day_dir)
+    os.makedirs(day_dir, exist_ok=True)
+    if not existed:
+        try:
+            os.chmod(day_dir, SHARED_DIR_MODE)
+        except OSError as e:  # mirror: warn-and-continue
+            logging.getLogger(__name__).warning(
+                "Error while trying to set permission on %s: %s", day_dir, e
+            )
+
 
 def with_event_date(df: DataFrame, ts_cols: tuple[str, str] = ("StartTime", "EndTime")) -> DataFrame:
     """Derive the UTC day partition column from the first non-null event timestamp.
@@ -74,7 +96,7 @@ def _avro_partition_writer(
 
         def open_writer(day: str) -> OcfWriter:
             day_dir = os.path.join(base_dir, day)
-            os.makedirs(day_dir, exist_ok=True)
+            make_shared_day_dir(day_dir)
             name = (
                 DWH_ASSESSMENT_FILE_PREFIX
                 + format_log_instant(clock.instant())
