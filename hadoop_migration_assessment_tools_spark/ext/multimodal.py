@@ -1,9 +1,10 @@
 """[EXT] Multimodal columns: image/audio/video as opaque binary with typed metadata.
 
-The decode step is REAL for the two formats parseable with pure numpy/stdlib —
-WAV (RIFF PCM) audio and PPM (P6) images — implemented from their public format
-specs, with no media libraries. Formats that genuinely require external codecs
-(jpeg/mp3/mp4 "video" here) raise ``NotImplementedError`` from ``decode_media`` and
+The decode step is REAL for the three formats parseable with numpy/stdlib —
+WAV (RIFF PCM) audio, PPM (P6) images, and PNG (8-bit truecolor; zlib inflate +
+full scanline unfiltering) — implemented from their public format specs, with no
+media libraries. Formats that genuinely require external codecs (jpeg/mp3/mp4
+"video" here) raise ``NotImplementedError`` from ``decode_media`` and
 ``extract_features`` falls back to a clearly-marked deterministic digest feature,
 so the distributed pipeline shape stays exercised end to end either way.
 
@@ -146,6 +147,111 @@ def parse_ppm(payload: bytes):
 
 
 # --------------------------------------------------------------------------------------
+# PNG — public format (RFC 2083): 8-byte signature, IHDR/IDAT/IEND chunks, zlib-
+# compressed scanlines with per-row filters. Decodable with stdlib zlib alone — the
+# one COMPRESSED mainstream image format this container can handle for real.
+# --------------------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png_bytes(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an 8-bit truecolor PNG (filter 0 rows)."""
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = binascii.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor RGB
+    raw = b"".join(b"\x00" + px[row].tobytes() for row in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes):
+    """Parse an 8-bit truecolor (RGB/RGBA) PNG -> (h, w, 3) uint8 ndarray.
+
+    Full scanline-filter support (None/Sub/Up/Average/Paeth, RFC 2083 §6); RGBA
+    alpha is dropped after unfiltering. Interlaced, paletted, and sub-8-bit images
+    raise NotImplementedError (honest partial coverage, like the WAV/PPM codecs).
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or interlace:
+                raise NotImplementedError(
+                    f"only 8-bit truecolor non-interlaced PNG (depth={depth}, "
+                    f"color={color}, interlace={interlace})"
+                )
+            meta = (w, h, 3 if color == 2 else 4)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for row in range(h):
+        ftype = raw[row * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev).astype(np.uint8)
+        else:  # Sub/Average/Paeth need the left neighbor — sequential per pixel
+            cur = line
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ftype == 1:  # Sub
+                    cur[i] = (int(line[i]) + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[i] = (int(line[i]) + (a + b) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (int(line[i]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter type {ftype}")
+        out[row] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    return px[:, :, :3].copy() if ch == 4 else px
+
+
+# --------------------------------------------------------------------------------------
 # decode + features
 # --------------------------------------------------------------------------------------
 
@@ -160,6 +266,8 @@ def decode_media(payload: bytes, kind: str, meta=None) -> dict:
         return {"kind": "audio", "samples": samples, "sample_rate": rate}
     if payload[:2] == b"P6":
         return {"kind": "image", "pixels": parse_ppm(payload)}
+    if payload[:8] == _PNG_SIG:
+        return {"kind": "image", "pixels": parse_png(payload)}
     raise NotImplementedError(
         f"no pure-python decoder for this payload (kind={kind!r}); "
         "jpeg/mp3/video require PIL/librosa/av"
@@ -221,11 +329,20 @@ def media_features(payload: bytes, kind: str) -> tuple[bool, list[float]]:
     return True, _image_features(decoded["pixels"])
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def synthesize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    image_format: str = "ppm",
+) -> DataFrame:
     """Build a deterministic media corpus from a text table: real WAV payloads for
-    audio rows, real PPM payloads for image rows, opaque bytes for video rows (the
-    honest undecodable case). Arrow-batched generation — payloads never touch the
-    driver."""
+    audio rows, real PPM or PNG payloads for image rows (``image_format``), opaque
+    bytes for video rows (the honest undecodable case). Arrow-batched generation —
+    payloads never touch the driver. PPM stays the default because its payload size
+    is closed-form (the multimodal_manifest oracle certifies it); PNG sizes depend
+    on zlib and are pytest-verified instead."""
+    if image_format not in ("ppm", "png"):
+        raise ValueError(f"image_format must be 'ppm' or 'png', got {image_format!r}")
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -247,8 +364,12 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
                         ],
                         axis=-1,
                     ).astype(np.uint8)
-                    payload, kind = make_ppm_bytes(px), "image"
-                    meta = ("image/ppm", w, h, None, None)
+                    if image_format == "png":
+                        payload, kind = make_png_bytes(px), "image"
+                        meta = ("image/png", w, h, None, None)
+                    else:
+                        payload, kind = make_ppm_bytes(px), "image"
+                        meta = ("image/ppm", w, h, None, None)
                 elif doc_id % 3 == 1:  # audio: WAV sine keyed by doc_id
                     rate, count = 16000, n % 400 + 100
                     freq = 110.0 * (doc_id % 20 + 1)

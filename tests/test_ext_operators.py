@@ -262,6 +262,99 @@ def test_ppm_roundtrip_and_golden():
     assert feats[4] == pytest.approx(510 / (4 * 255))
 
 
+def test_png_roundtrip_filters_and_feature_parity():
+    """PNG codec: encode->decode is identity; all five scanline filters decode per
+    RFC 2083; features from a PNG equal features from a PPM of the same pixels."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        _PNG_SIG,
+        make_png_bytes,
+        make_ppm_bytes,
+        media_features,
+        parse_png,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(parse_png(make_png_bytes(px)), px)
+
+    # feature parity: same pixels, different container -> identical features
+    ok_png, f_png = media_features(make_png_bytes(px), "image")
+    ok_ppm, f_ppm = media_features(make_ppm_bytes(px), "image")
+    assert ok_png and ok_ppm and f_png == f_ppm
+
+    # hand-build an image exercising filters Sub(1)/Up(2)/Average(3)/Paeth(4)
+    import binascii
+
+    h, w, ch = 4, 5, 3
+    rows = [rng.integers(0, 256, size=w * ch, dtype=np.uint8) for _ in range(h)]
+
+    def filt(ftype, cur, prev):
+        out = np.zeros_like(cur)
+        for i in range(len(cur)):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ftype == 1:
+                out[i] = (int(cur[i]) - a) & 0xFF
+            elif ftype == 2:
+                out[i] = (int(cur[i]) - b) & 0xFF
+            elif ftype == 3:
+                out[i] = (int(cur[i]) - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (int(cur[i]) - pred) & 0xFF
+        return out
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for r, ftype in zip(rows, (1, 2, 3, 4)):
+        raw += bytes([ftype]) + filt(ftype, r, prev).tobytes()
+        prev = r
+
+    def chunk(ctype, body):
+        crc = binascii.crc32(ctype + body) & 0xFFFFFFFF
+        return _struct.pack(">I", len(body)) + ctype + body + _struct.pack(">I", crc)
+
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(parse_png(payload), np.stack(rows).reshape(h, w, ch))
+
+
+def test_synthesize_media_png_pipeline(spark):
+    """The Spark pipeline decodes PNG payloads end to end: synthesize with
+    image_format='png' -> extract_features marks every image row decoded=true and
+    yields identical features to the PPM run (same pixels, different container)."""
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (20 + i)) for i in range(12)], "doc_id long, text string"
+    )
+    by_fmt = {}
+    for fmt in ("ppm", "png"):
+        feats = (
+            extract_features(synthesize_media(docs, image_format=fmt))
+            .filter(F.col("kind") == "image")
+            .collect()
+        )
+        assert feats and all(r["decoded"] for r in feats)
+        by_fmt[fmt] = {r["media_id"]: r["features"] for r in feats}
+    assert by_fmt["ppm"] == by_fmt["png"]
+
+
 def test_decode_media_undecodable_raises_and_falls_back():
     from hadoop_migration_assessment_tools_spark.ext.multimodal import (
         decode_media,
