@@ -1618,6 +1618,71 @@ FROM t
 """
 
 
+# --- docs_pack_stream_parity --------------------------------------------------------
+# [EXT] streaming packing scored end to end (VERDICT r3 next-round #4, made
+# driver-visible like qe_stream_batch_parity): document token sizes are file-streamed
+# in multiple micro-batches through streaming/packing.py's foreachBatch FFD packer,
+# then the materialized bins are compared against the input — every doc packed
+# exactly once with its token count intact, zero non-overflow bins over budget. The
+# summary is deterministic, so DuckDB asserts it relationally from the raw table.
+
+
+def docs_pack_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..config import scratch_dir
+    from ..streaming.packing import pack_sequences_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+
+    tmp = scratch_dir("docs_pack_stream", sf_dir, wipe=True)  # fresh checkpoint
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "packed", "ckpt"))
+    # 3 source files + maxFilesPerTrigger=1 -> 3 micro-batches: the parity below
+    # holds across real batch boundaries, not just the trivial single-batch case
+    sized.coalesce(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, n_tok long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pack_sequences_stream(
+        stream, "n_tok", out, ckpt, budget=PACK_BUDGET, num_partitions=4
+    ).awaitTermination()
+
+    packed = spark.read.parquet(out)
+    n_docs = sized.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_packed = packed.agg(F.count(F.lit(1)).cast("long").alias("n_packed"))
+    n_match = (
+        packed.join(
+            sized,
+            (packed["doc_id"] == sized["doc_id"]) & (packed["n_tokens"] == sized["n_tok"]),
+            "inner",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_token_matches"))
+    )
+    viol = (
+        packed.filter(~F.col("overflow"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("_fill"))
+        .agg(
+            F.sum(F.when(F.col("_fill") > PACK_BUDGET, 1).otherwise(0))
+            .cast("long")
+            .alias("budget_violations")
+        )
+    )
+    return n_docs.crossJoin(n_packed).crossJoin(n_match).crossJoin(viol)
+
+
+DOCS_PACK_STREAM_PARITY_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_packed,
+  CAST(COUNT(*) AS BIGINT) AS n_token_matches,
+  CAST(0 AS BIGINT) AS budget_violations
+FROM documents
+"""
+
+
 # --- docs_contamination_ratio -------------------------------------------------------
 # [EXT] thresholded decontamination (ext/dedup.py: contamination_ratio): per-doc
 # fraction of distinct 8-grams found in the eval set, the flag-on-ratio>tau form real
