@@ -612,9 +612,47 @@ def _scaled_queries(scaled: DataFrame) -> DataFrame:
 
 
 def emb_topk_scaled_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k on the replicated corpus — the crossover baseline (rows-only)."""
+    """Exact top-k on the replicated corpus — the crossover baseline.
+
+    Oracled (round 4): the deterministic per-replica perturbation is SQL-expressible
+    (DuckDB's generate_series supplies the element index Spark's transform lambda
+    gets natively), and the float-cast quantization is reproduced with CAST AS REAL,
+    so the exact neighbor sets hash-match end to end — the 12x-corpus baseline is
+    certified, not just timed."""
     scaled = _scaled_embeddings(spark, sf_dir)
     return cosine_topk_bruteforce(scaled, _scaled_queries(scaled), k=TOPK_K)
+
+
+EMB_TOPK_SCALED_BRUTEFORCE_ORACLE = f"""
+WITH reps AS (
+  SELECT vec_id, embedding, r.rep FROM embeddings, generate_series(0, {SCALED_REPS - 1}) r(rep)
+), scaled AS (
+  SELECT vec_id + rep * {_SCALED_ID_STRIDE} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+             i -> CAST(CAST(embedding[i] AS DOUBLE)
+                       + ((rep * (i + 2)) % 11) * 0.003 AS REAL)) AS embedding
+  FROM reps
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM scaled WHERE vec_id < {SCALED_QUERIES}
+), pair AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.qv, c.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM scaled c, q WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pair
+), final AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM ranked
+)
+SELECT query_id, neighbor_id, cosine, rank FROM final WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
 
 
 def emb_topk_scaled_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
