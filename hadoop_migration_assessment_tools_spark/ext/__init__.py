@@ -22,6 +22,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     lsh_band_hashes,
     minhash_candidate_pairs,
+    minhash_near_dup_pairs,
     jaccard_verify,
     simhash64,
     hamming_distance,

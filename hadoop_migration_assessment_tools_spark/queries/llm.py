@@ -18,8 +18,6 @@ from pyspark.sql.window import Window
 
 from ..ext.dedup import (
     duplicate_groups,
-    jaccard_verify,
-    minhash_candidate_pairs,
     shingle_index,
     simhash_near_pairs,
 )
@@ -471,10 +469,15 @@ def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus every pair >= 0.7 is a planted verbatim copy (max organic Jaccard 0.034).
     Identical texts have identical signatures, so they collide in every band and
     LSH recall on them is 1.0 by construction — the output set provably equals the
-    exact all-pairs answer DuckDB computes via its inverted shingle index."""
+    exact all-pairs answer DuckDB computes via its inverted shingle index.
+
+    Runs the FUSED form (one shingle aggregation feeds both signatures and
+    verification sets — ext/dedup.py: minhash_near_dup_pairs); the composed
+    candidate+verify API remains for pipelines that stage them separately."""
+    from ..ext.dedup import minhash_near_dup_pairs
+
     aug = _docs_with_planted_dups(spark, sf_dir)
-    cands = minhash_candidate_pairs(aug)
-    return jaccard_verify(cands, aug, threshold=MINHASH_VERIFY_THRESHOLD).orderBy(
+    return minhash_near_dup_pairs(aug, threshold=MINHASH_VERIFY_THRESHOLD).orderBy(
         "id_a", "id_b"
     )
 

@@ -55,6 +55,11 @@ def test_minhash_recovers_planted_near_dups(spark):
     df = _docs(spark, [(1, base), (2, near), (3, far), (4, base + " extra")])
     cands = minhash_candidate_pairs(df, num_hashes=64, bands=16)
     verified = jaccard_verify(cands, df, threshold=0.5)
+    # fused single-aggregation form must produce the identical verified set
+    from hadoop_migration_assessment_tools_spark.ext.dedup import minhash_near_dup_pairs
+
+    fused = minhash_near_dup_pairs(df, num_hashes=64, bands=16, threshold=0.5)
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, verified.collect()))
     pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
     assert (1, 2) in pairs
     assert (1, 4) in pairs
