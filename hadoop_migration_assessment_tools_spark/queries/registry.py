@@ -26,6 +26,14 @@ Query = Callable[[SparkSession, str], DataFrame]
 # and the LLM-pipeline (dedup/text/similarity) family. Everything past the 50-mark is
 # still a first-class query (bench.py runs all of them; pytest covers them) — it just
 # isn't in the driver's scored window.
+#
+# The window is PINNED verbatim in tests/test_registry_contract.py — change both
+# together, deliberately. Round-4 swap (VERDICT r3 #3): docs_minhash_near_dup,
+# emb_ann_recall, docs_pack_invariants in (strongest new [EXT] certifications, all
+# vanilla-session parity-checked); users_signup_and_purchase,
+# events_time_hierarchy_rollup, events_type_pivot out (operator shapes those three
+# evidence — intersect, rollup, pivot — remain covered by other scored entries and
+# by their own still-oracled below-the-line rows).
 QUERIES: dict[str, Query] = {
     # -- scored window, 1-8: relational/TPC-H family (JN4/JN5 semi+anti, full outer,
     #    AGG5, pushdown-sensitive predicates, Q2-shaped correlated min) --
@@ -44,12 +52,16 @@ QUERIES: dict[str, Query] = {
     "events_top_users_by_value": ea.events_top_users_by_value,
     "signup_purchase_asof": ea.signup_purchase_asof,
     "events_dedup": ea.events_dedup,
-    "users_signup_and_purchase": ea.users_signup_and_purchase,
     "events_error_never_purchased": ea.events_error_never_purchased,
     "events_daily_type_matrix": ea.events_daily_type_matrix,
-    "events_time_hierarchy_rollup": ea.events_time_hierarchy_rollup,
-    "events_type_pivot": ea.events_type_pivot,
     "events_value_percentiles": ea.events_value_percentiles,
+    # -- round-4 swap-ins (strongest [EXT] certifications; the displaced events
+    #    variants stay oracled just below the line): verified MinHash output ==
+    #    exact all-pairs Jaccard, SQL-reproducible ANN recall@k, packing
+    #    conservation invariants --
+    "docs_minhash_near_dup": llm.docs_minhash_near_dup,
+    "emb_ann_recall": llm.emb_ann_recall,
+    "docs_pack_invariants": llm.docs_pack_invariants,
     "events_session_windows": ea.events_session_windows,
     "events_props_roundtrip": ea.events_props_roundtrip,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
@@ -89,8 +101,11 @@ QUERIES: dict[str, Query] = {
     "emb_label_centroids": llm.emb_label_centroids,
     "emb_near_dup_pairs": llm.emb_near_dup_pairs,
     # ================= end of driver-scored window (50) =================
-    # Oracled but outside the scored window (green in CORRECTNESS_r01/r02 or pytest
-    # oracle-parity tests; kept for bench + coverage breadth).
+    # Oracled but outside the scored window (green in prior CORRECTNESS rounds or
+    # pytest oracle-parity tests; kept for bench + coverage breadth).
+    "users_signup_and_purchase": ea.users_signup_and_purchase,
+    "events_time_hierarchy_rollup": ea.events_time_hierarchy_rollup,
+    "events_type_pivot": ea.events_type_pivot,
     "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
     "q10_returned_items": tpch.q10_returned_items,
     "q12_priority_classes": tpch.q12_priority_classes,
@@ -129,10 +144,7 @@ QUERIES: dict[str, Query] = {
     "emb_quantization_error": llm.emb_quantization_error,
     "docs_hash_split": llm.docs_hash_split,
     "docs_fingerprints": llm.docs_fingerprints,
-    "emb_ann_recall": llm.emb_ann_recall,
-    "docs_pack_invariants": llm.docs_pack_invariants,
     "docs_pack_stream_parity": llm.docs_pack_stream_parity,
-    "docs_minhash_near_dup": llm.docs_minhash_near_dup,
     "emb_near_dup_lsh": llm.emb_near_dup_lsh,
     "emb_topk_scaled_bruteforce": llm.emb_topk_scaled_bruteforce,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)

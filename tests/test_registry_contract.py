@@ -7,9 +7,13 @@ from __future__ import annotations
 
 from hadoop_migration_assessment_tools_spark.queries.registry import ORACLE_SQL, QUERIES
 
-#: The driver-scored window, pinned at round 4 == the 50 green rows of
-#: CORRECTNESS_r03.json. Changing this list is allowed ONLY as a reviewed decision:
-#: update the pin here AND the ordering comment in registry.py together.
+#: The driver-scored window, pinned at round 4: the 50 green rows of
+#: CORRECTNESS_r03.json with the deliberate round-4 swap applied
+#: (docs_minhash_near_dup / emb_ann_recall / docs_pack_invariants in;
+#: users_signup_and_purchase / events_time_hierarchy_rollup / events_type_pivot
+#: out — see the ordering-contract comment in registry.py). Changing this list is
+#: allowed ONLY as a reviewed decision: update the pin here AND the registry
+#: comment together.
 SCORED_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -24,12 +28,12 @@ SCORED_WINDOW = [
     "events_top_users_by_value",
     "signup_purchase_asof",
     "events_dedup",
-    "users_signup_and_purchase",
     "events_error_never_purchased",
     "events_daily_type_matrix",
-    "events_time_hierarchy_rollup",
-    "events_type_pivot",
     "events_value_percentiles",
+    "docs_minhash_near_dup",
+    "emb_ann_recall",
+    "docs_pack_invariants",
     "events_session_windows",
     "events_props_roundtrip",
     "events_jsonl_roundtrip",
