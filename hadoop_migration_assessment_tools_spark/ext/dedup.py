@@ -452,6 +452,80 @@ def contaminated_ids(
     )
 
 
+def two_band_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_long: int = 13,
+    k_short: int = 8,
+    tau: float = 0.3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Industry two-band decontamination: flag a training doc if it shares ANY
+    verbatim ``k_long``-gram with the eval set (the GPT-3/PaLM-style 13-gram exact
+    check) OR if at least ``tau`` of its distinct ``k_short``-grams hit (the ratio
+    band that catches paraphrase-adjacent leakage a single long n-gram misses).
+
+    One tokenize pass serves BOTH bands: the train corpus is exploded once and a
+    single per-doc window derives the short and long shingles together (running the
+    two single-band operators back to back would tokenize and shuffle the corpus
+    twice). Both eval k-gram sets broadcast; the probe joins are map-side.
+
+    Returns (id_col, n_short_shingles, n_short_hits, short_ratio, long_hit,
+    flagged); docs shorter than ``k_short`` tokens have ratio 0 and rely on the
+    long band alone (and can't long-hit either — no evidence, never flagged).
+    """
+    if k_short >= k_long:
+        raise ValueError(f"need k_short < k_long, got {k_short}/{k_long}")
+
+    def _both(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+        )
+        w = Window.partitionBy("_id").orderBy("_pos")
+        parts = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k_long)]
+        short = F.when(
+            parts[k_short - 1].isNotNull(), F.concat_ws(" ", *parts[:k_short])
+        )
+        long = F.when(parts[k_long - 1].isNotNull(), F.concat_ws(" ", *parts))
+        return toks.select("_id", short.alias("_sh_s"), long.alias("_sh_l"))
+
+    ev = _both(eval_df)
+    ev_s = ev.select("_sh_s").filter(F.col("_sh_s").isNotNull()).distinct()
+    ev_l = ev.select("_sh_l").filter(F.col("_sh_l").isNotNull()).distinct()
+    if broadcast_eval:
+        ev_s, ev_l = F.broadcast(ev_s), F.broadcast(ev_l)
+
+    tr = (
+        _both(train)
+        .join(ev_s.withColumn("_hit_s", F.lit(1)), "_sh_s", "left")
+        .join(ev_l.withColumn("_hit_l", F.lit(1)), "_sh_l", "left")
+    )
+    per_doc = tr.groupBy("_id").agg(
+        F.count_distinct("_sh_s").cast("long").alias("n_short_shingles"),
+        F.count_distinct(F.when(F.col("_hit_s").isNotNull(), F.col("_sh_s")))
+        .cast("long")
+        .alias("n_short_hits"),
+        (F.max(F.when(F.col("_hit_l").isNotNull(), 1).otherwise(0)) == 1).alias(
+            "long_hit"
+        ),
+    )
+    ratio = F.when(
+        F.col("n_short_shingles") > 0,
+        F.round(F.col("n_short_hits") / F.col("n_short_shingles"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_short_shingles",
+        "n_short_hits",
+        ratio.alias("short_ratio"),
+        "long_hit",
+        (F.col("long_hit") | (ratio >= tau)).alias("flagged"),
+    )
+
+
 def contamination_ratio(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1828,6 +1828,125 @@ ORDER BY source
 """
 
 
+# --- docs_two_band_decon ------------------------------------------------------------
+# [EXT] the industry double-check (GPT-3/PaLM style): verbatim 13-gram band OR
+# >= tau of distinct 8-grams hit. One tokenize pass serves both bands
+# (ext/dedup.py: two_band_decontaminate). Planted evidence: full leaks trip BOTH
+# bands; partial leaks (eval first-half + clean neighbor text) trip the long band on
+# their verbatim half AND sit near tau on the ratio band; organic docs trip neither.
+
+DECON_K_LONG = 13
+
+
+def docs_two_band_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import two_band_decontaminate
+    from ..ext.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
+    nb = docs.select(F.col("doc_id").alias("nb_id"), F.col("text").alias("nb_text"))
+    toks = tokens(F.col("text"))
+    half = F.slice(toks, 1, F.ceil(F.size(toks) / 2).cast("int"))
+    partial = ev.join(nb, ev["doc_id"] + 1 == nb["nb_id"], "inner").select(
+        (F.col("doc_id") + DECON_PART_OFFSET).alias("doc_id"),
+        F.concat(F.concat_ws(" ", half), F.lit(" "), F.col("nb_text")).alias("text"),
+        F.lit("leaked_part").alias("source"),
+    )
+    full = ev.select(
+        (F.col("doc_id") + DECON_LEAK_OFFSET).alias("doc_id"),
+        "text",
+        F.lit("leaked_full").alias("source"),
+    )
+    train = (
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 3)
+        .select("doc_id", "text", "source")
+        .unionByName(full)
+        .unionByName(partial)
+    )
+    res = two_band_decontaminate(
+        train, ev, k_long=DECON_K_LONG, k_short=DECON_K, tau=DECON_RATIO_TAU
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(res, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            count_big("n_docs"),
+            F.sum(F.when(F.col("long_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_long_hits"),
+            F.sum(F.when(F.col("short_ratio") >= DECON_RATIO_TAU, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ratio_flagged"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_TWO_BAND_DECON_ORACLE = rf"""
+WITH ev AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 3
+), partial AS (
+  SELECT e.doc_id + {DECON_PART_OFFSET} AS doc_id,
+         array_to_string(
+           (string_split_regex(trim(e.text), '\s+'))[1:CAST(ceil(len(string_split_regex(trim(e.text), '\s+')) / 2.0) AS BIGINT)],
+           ' ') || ' ' || n.text AS text,
+         'leaked_part' AS source
+  FROM ev e JOIN documents n ON n.doc_id = e.doc_id + 1
+), train AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 3
+  UNION ALL
+  SELECT doc_id + {DECON_LEAK_OFFSET}, text, 'leaked_full' FROM ev
+  UNION ALL
+  SELECT doc_id, text, source FROM partial
+), ev_t AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM ev
+), ev8 AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                                        i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM ev_t WHERE len(t) >= {DECON_K}
+), ev13 AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - {DECON_K_LONG - 1}),
+                                        i -> array_to_string(t[i:i+{DECON_K_LONG - 1}], ' '))) AS sh
+  FROM ev_t WHERE len(t) >= {DECON_K_LONG}
+), tr_t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM train
+), tr8 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                               i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM tr_t WHERE len(t) >= {DECON_K}
+), tr13 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_K_LONG - 1}),
+                               i -> array_to_string(t[i:i+{DECON_K_LONG - 1}], ' '))) AS sh
+  FROM tr_t WHERE len(t) >= {DECON_K_LONG}
+), ratio8 AS (
+  SELECT t.doc_id,
+         ROUND(CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS ratio
+  FROM tr8 t LEFT JOIN ev8 e USING (sh)
+  GROUP BY t.doc_id
+), long13 AS (
+  SELECT DISTINCT t.doc_id FROM tr13 t JOIN ev13 e USING (sh)
+)
+SELECT tr.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_long_hits,
+  CAST(SUM(CASE WHEN COALESCE(r.ratio, 0) >= {DECON_RATIO_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_ratio_flagged,
+  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL OR COALESCE(r.ratio, 0) >= {DECON_RATIO_TAU}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM train tr
+LEFT JOIN ratio8 r ON tr.doc_id = r.doc_id
+LEFT JOIN long13 l ON tr.doc_id = l.doc_id
+GROUP BY tr.source
+ORDER BY tr.source
+"""
+
+
 # --- multimodal_manifest ------------------------------------------------------------
 # [EXT] multimodal upgraded from rows-only to ORACLED evidence: the synthetic corpus
 # is generated through the REAL binary pipeline (mapInPandas WAV/PPM encoders), and

@@ -139,6 +139,7 @@ QUERIES: dict[str, Query] = {
     "docs_chunking": llm.docs_chunking,
     "docs_decontaminate": llm.docs_decontaminate,
     "docs_contamination_ratio": llm.docs_contamination_ratio,
+    "docs_two_band_decon": llm.docs_two_band_decon,
     "docs_length_histogram": llm.docs_length_histogram,
     "docs_quality_dedup_pipeline": llm.docs_quality_dedup_pipeline,
     "emb_quantization_error": llm.emb_quantization_error,
@@ -252,4 +253,5 @@ ORACLE_SQL: dict[str, str] = {
     "emb_near_dup_lsh": llm.EMB_NEAR_DUP_LSH_ORACLE,
     "docs_pack_stream_parity": llm.DOCS_PACK_STREAM_PARITY_ORACLE,
     "emb_topk_scaled_bruteforce": llm.EMB_TOPK_SCALED_BRUTEFORCE_ORACLE,
+    "docs_two_band_decon": llm.DOCS_TWO_BAND_DECON_ORACLE,
 }
