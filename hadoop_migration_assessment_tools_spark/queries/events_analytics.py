@@ -903,6 +903,59 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
 
 
+# --- events_column_profile ----------------------------------------------------------
+# [EXT] one-pass data-quality profile (ext/profile.py): per-column null counts,
+# distinct cardinality, min/max — ONE aggregation job over one scan, not a
+# per-column loop. The oracled variant uses exact count_distinct and profiles the
+# bigint/string columns (timestamp/double min-max string renderings differ between
+# engines; the operator itself profiles any column, with approx HLL++ cardinality
+# as the default scale path).
+
+
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.profile import profile_table
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "props")
+    return profile_table(ev, exact=True).orderBy("column")
+
+
+EVENTS_COLUMN_PROFILE_ORACLE = """
+WITH base AS (SELECT event_id, user_id, event_type, props FROM events),
+per_col AS (
+  SELECT 'event_id' AS "column",
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         CAST(MIN(event_id) AS VARCHAR) AS min_value,
+         CAST(MAX(event_id) AS VARCHAR) AS max_value
+  FROM base
+  UNION ALL
+  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT),
+         CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+  FROM base
+  UNION ALL
+  SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) AS BIGINT),
+         CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+  FROM base
+  UNION ALL
+  SELECT 'props', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT props) AS BIGINT),
+         CAST(MIN(props) AS VARCHAR), CAST(MAX(props) AS VARCHAR)
+  FROM base
+)
+SELECT "column", n_rows, n_nulls,
+       ROUND(CAST(n_nulls AS DOUBLE) / GREATEST(n_rows, 1), 6) AS null_ratio,
+       n_distinct, min_value, max_value
+FROM per_col
+ORDER BY "column"
+"""
+
+
 # --- events_jsonl_roundtrip ---------------------------------------------------------
 # JSON-lines persistence scored end to end (SRC2/SRC6 family, second format after the
 # Avro OCF roundtrip): a deterministic subset of events is written as JSONL and read
