@@ -706,3 +706,61 @@ def test_chunk_documents_coverage_properties(spark):
                        for i, r in enumerate(rows))
             # all but the last chunk are full
             assert all(r["chunk_tokens"] == max_t for r in rows[:-1]), (max_t, ov, n)
+
+
+def test_two_band_decontaminate_bands_and_edges(spark):
+    """Two-band semantics on a hand-built corpus: a verbatim 13-token overlap trips
+    the long band even when the ratio band stays under tau; a heavy 8-gram overlap
+    trips the ratio band without any 13-gram; short docs are never flagged; the
+    k ordering is validated."""
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.dedup import two_band_decontaminate
+
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    rows = [
+        # 13 verbatim eval tokens + 20 unique ones: long band hits, ratio low
+        (1, " ".join(f"e{i}" for i in range(13)) + " " + " ".join(f"a{i}" for i in range(20))),
+        # 12 verbatim eval tokens (max shared run < 13): some 8-grams hit, no 13-gram
+        (2, " ".join(f"e{i}" for i in range(12))),
+        # fully clean
+        (3, " ".join(f"c{i}" for i in range(30))),
+        # shorter than k_short: no shingles either band, never flagged
+        (4, "tiny doc only five tokens"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in two_band_decontaminate(train, ev, k_long=13, k_short=8, tau=0.5).collect()
+    }
+    assert out[1]["long_hit"] and out[1]["flagged"]
+    assert out[1]["short_ratio"] < 0.5  # flagged by the long band alone
+    assert not out[2]["long_hit"] and out[2]["flagged"]  # ratio band alone
+    assert out[2]["short_ratio"] == 1.0  # all five 8-grams of e0..e11 are in eval
+    assert not out[3]["flagged"] and out[3]["n_short_hits"] == 0
+    assert not out[4]["flagged"] and out[4]["n_short_shingles"] == 0
+
+    with pytest.raises(ValueError):
+        two_band_decontaminate(train, ev, k_long=8, k_short=8)
+
+
+def test_profile_table_one_pass_and_approx(spark):
+    """profile_table: exact profile matches hand counts; approx path stays within
+    HLL tolerance; the whole profile is one aggregation (no per-column jobs)."""
+    from hadoop_migration_assessment_tools_spark.ext.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else f"v{i % 10}") for i in range(1000)],
+        "id long, s string",
+    )
+    exact = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    assert exact["id"]["n_rows"] == 1000 and exact["id"]["n_nulls"] == 0
+    assert exact["id"]["n_distinct"] == 1000
+    assert exact["id"]["min_value"] == "0" and exact["id"]["max_value"] == "999"
+    assert exact["s"]["n_nulls"] == 250 and exact["s"]["null_ratio"] == 0.25
+    assert exact["s"]["n_distinct"] == 10
+
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    assert abs(approx["id"]["n_distinct"] - 1000) <= 100  # 2% rsd, generous margin
+    assert approx["s"]["n_nulls"] == 250  # null counts are always exact
