@@ -44,8 +44,11 @@ def test_scored_window_contract():
     def count(prefixes):
         return sum(any(n.startswith(p) for p in prefixes) for n in window)
 
+    # Floors reflect the round-4 window rebalance (three events variants out,
+    # three [EXT] certifications in — see tests/test_registry_contract.py, which
+    # pins the exact window; this test guards only family-level representation).
     assert count(("qe_",)) >= 12, "reference-chain family underrepresented"
-    assert count(("docs_", "emb_", "multimodal")) >= 12, "LLM-pipeline family underrepresented"
-    assert count(("events_", "signup_", "users_")) >= 12, "events-analytics family underrepresented"
+    assert count(("docs_", "emb_", "multimodal")) >= 14, "LLM-pipeline family underrepresented"
+    assert count(("events_", "signup_", "users_")) >= 10, "events-analytics family underrepresented"
     relational = 50 - count(("qe_", "docs_", "emb_", "multimodal", "events_", "signup_", "users_"))
     assert relational >= 8, "relational family underrepresented"

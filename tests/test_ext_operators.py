@@ -764,3 +764,30 @@ def test_profile_table_one_pass_and_approx(spark):
     approx = {r["column"]: r for r in profile_table(df).collect()}
     assert abs(approx["id"]["n_distinct"] - 1000) <= 100  # 2% rsd, generous margin
     assert approx["s"]["n_nulls"] == 250  # null counts are always exact
+
+
+def test_pack_utilization_vs_partition_count(spark):
+    """The documented partition-local FFD trade, quantified: fewer partitions see
+    more candidates per open bin, so fill never degrades as partitions shrink, and
+    every configuration stays above the naive one-doc-per-bin floor."""
+    from hadoop_migration_assessment_tools_spark.ext.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 1 + (i * 97) % 400) for i in range(600)], "doc_id long, n_tok long"
+    )
+    budget = 512
+
+    def utilization(num_partitions: int) -> float:
+        packed = pack_sequences(
+            docs, "n_tok", budget=budget, num_partitions=num_partitions
+        ).filter(~F.col("overflow"))
+        agg = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill")).agg(
+            F.sum("fill").alias("t"), F.count(F.lit(1)).alias("b")
+        ).collect()[0]
+        return agg["t"] / (agg["b"] * budget)
+
+    u1, u8, u32 = utilization(1), utilization(8), utilization(32)
+    # monotone-ish: global FFD (1 partition) must be the best or tied
+    assert u1 >= u8 - 1e-9 and u1 >= u32 - 1e-9, (u1, u8, u32)
+    # even the most fragmented run beats half-empty bins on this distribution
+    assert u32 > 0.5, u32
