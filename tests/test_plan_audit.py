@@ -98,14 +98,33 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "signup_purchase_asof": dict(
         shuffle_exchange=1, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
     ),
+    # round-4 additions. two_band: both eval k-gram sets broadcast (bhj), one corpus
+    # explode feeding both bands. ann_recall: BNLJ = the deliberate broadcast
+    # query-set crossJoin inside the exact baseline. pack_invariants: BNLJ = the
+    # 1-row x 1-row aggregate crossJoin (the single-job funnel discipline).
+    "docs_two_band_decon": dict(
+        shuffle_exchange=10, broadcast_exchange=4, bnlj=0, cartesian=0, smj=1, bhj=4, shj=0, window=3
+    ),
+    "events_column_profile": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    "emb_ann_recall": dict(
+        shuffle_exchange=7, broadcast_exchange=2, bnlj=1, cartesian=0, smj=2, bhj=1, shj=0, window=6
+    ),
+    "docs_pack_invariants": dict(
+        shuffle_exchange=6, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
 }
 
-# Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern.
+# Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
+# (broadcast query/centroid sets, or 1-row scalar-aggregate cross joins).
 BNLJ_ALLOWED = {
     "emb_cosine_topk",
     "emb_cosine_topk_ivf",
     "emb_topk_scaled_bruteforce",
     "emb_topk_scaled_ivf",
+    "emb_ann_recall",
+    "docs_pack_invariants",
 }
 
 
