@@ -794,14 +794,15 @@ def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("QueryId", "RequestUser", "StartTime", "EndTime", "Status", "DurationMillis")
     )
     match_cols = ["QueryId", "RequestUser", "StartTime", "EndTime", "Status", "DurationMillis"]
-    matches = streamed.join(batch, match_cols, "inner")
-    # the three counts are the distributed comparison's scalar summary
-    n_stream, n_batch, n_match = streamed.count(), batch.count(), matches.count()
-    return spark.range(1).select(
-        F.lit(n_stream).cast("long").alias("n_stream_rows"),
-        F.lit(n_batch).cast("long").alias("n_batch_rows"),
-        F.lit(n_match).cast("long").alias("n_exact_matches"),
+    # ONE job for the scalar summary (the events_funnel discipline): three 1-row
+    # aggregates cross-joined declaratively, so the batch chain is planned once and
+    # ReuseExchange shares it between its count and the match join.
+    a_stream = streamed.agg(F.count(F.lit(1)).cast("long").alias("n_stream_rows"))
+    a_batch = batch.agg(F.count(F.lit(1)).cast("long").alias("n_batch_rows"))
+    a_match = streamed.join(batch, match_cols, "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_matches")
     )
+    return a_stream.crossJoin(a_batch).crossJoin(a_match)
 
 
 QE_STREAM_BATCH_PARITY_ORACLE = """
