@@ -141,7 +141,9 @@ def tf_idf_terms(df, text_col: str = "text", id_col: str = "doc_id", top_k: int 
 
     Scale shape: two shuffles (doc-term grouping, term df) + a broadcast of the term
     df table back onto doc-terms (term vocabulary << corpus), then a per-doc window.
-    ln() on doubles is deterministic; scores are rounded for engine parity.
+    The corpus size enters the plan as a broadcast 1-row aggregate rather than a
+    driver-side distinct().count() action (round-4 sweep: no eager jobs inside
+    operators). ln() on doubles is deterministic; scores are rounded for parity.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -150,13 +152,16 @@ def tf_idf_terms(df, text_col: str = "text", id_col: str = "doc_id", top_k: int 
         F.col(id_col).alias("_id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6),
         )
     )
     w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))

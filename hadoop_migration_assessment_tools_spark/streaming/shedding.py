@@ -47,6 +47,10 @@ def shed_overflow(
         else Window.orderBy(*order)
     ranked = batch_df.withColumn("__q_pos", F.row_number().over(w))
     kept = ranked.filter(F.col("__q_pos") <= capacity).drop("__q_pos")
-    n_total = batch_df.count()
-    n_kept = kept.count()
-    return kept, n_total - n_kept
+    # one job for the shed count: total and kept from the same ranked pass
+    # (was two separate count() actions re-ranking the batch)
+    counts = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("__q_pos") <= capacity, 1).otherwise(0)).alias("_k"),
+    ).first()
+    return kept, int(counts["_n"]) - int(counts["_k"] or 0)
