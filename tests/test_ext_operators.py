@@ -791,3 +791,32 @@ def test_pack_utilization_vs_partition_count(spark):
     assert u1 >= u8 - 1e-9 and u1 >= u32 - 1e-9, (u1, u8, u32)
     # even the most fragmented run beats half-empty bins on this distribution
     assert u32 > 0.5, u32
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce_and_monotone_recall(spark):
+    """IVF correctness envelope: probing every list IS the exhaustive search, so
+    nprobe == nlist must reproduce the bruteforce result exactly (same rounded
+    cosines, same deterministic tie-breaks); and recall must not decrease as
+    nprobe grows — the tuning knob behaves as documented."""
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = sorted(map(tuple, cosine_topk_bruteforce(emb, queries, k=5).collect()))
+    full = sorted(
+        map(tuple, cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=8).collect())
+    )
+    assert full == exact
+
+    e = {(r[0], r[1]) for r in exact}
+
+    def recall(nprobe: int) -> float:
+        a = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=nprobe).collect()
+        }
+        return len(e & a) / len(e)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 + 1e-9 and r2 <= r4 + 1e-9, (r1, r2, r4)
+    assert r4 <= 1.0
