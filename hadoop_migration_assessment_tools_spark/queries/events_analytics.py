@@ -903,6 +903,70 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
 
 
+# --- events_null_safe_join ----------------------------------------------------------
+# JN family completion: null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT
+# FROM). Plain equi-joins silently DROP null keys (null = null is null); pipelines
+# joining on nullable derived keys (e.g. "unknown bucket" sentinel) need the
+# null-safe form, where the null groups match each other. Both sides are aggregated
+# per key BEFORE the join, so the null groups meet as single rows — the right shape
+# at any scale (never a null-key crossproduct on raw rows) and the classic fix for
+# the null-key hot-partition problem.
+
+
+def events_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    key = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(key.alias("k"), "value")
+        .groupBy("k")
+        .agg(count_big("n_a"), sum_money("value", "sum_a"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(key.alias("k"), "value")
+        .groupBy("k")
+        .agg(count_big("n_b"), sum_money("value", "sum_b"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]), "full_outer")
+        .select(
+            F.coalesce(a["k"], b["k"]).alias("user_key"),
+            (a["k"].isNull() & b["k"].isNull()).alias("is_null_group"),
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("sum_a", F.lit(0.0)).alias("sum_a"),
+            F.coalesce("sum_b", F.lit(0.0)).alias("sum_b"),
+        )
+        .orderBy(F.asc_nulls_first("user_key"))
+    )
+
+
+EVENTS_NULL_SAFE_JOIN_ORACLE = """
+WITH keyed AS (
+  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS k,
+         event_id, value
+  FROM events
+), a AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_a
+  FROM keyed WHERE event_id % 2 = 0 GROUP BY k
+), b AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_b
+  FROM keyed WHERE event_id % 2 = 1 GROUP BY k
+)
+SELECT COALESCE(a.k, b.k) AS user_key,
+       (a.k IS NULL AND b.k IS NULL) AS is_null_group,
+       COALESCE(n_a, 0) AS n_a,
+       COALESCE(n_b, 0) AS n_b,
+       COALESCE(sum_a, 0.0) AS sum_a,
+       COALESCE(sum_b, 0.0) AS sum_b
+FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY user_key NULLS FIRST
+"""
+
+
 # --- events_column_profile ----------------------------------------------------------
 # [EXT] one-pass data-quality profile (ext/profile.py): per-column null counts,
 # distinct cardinality, min/max — ONE aggregation job over one scan, not a
