@@ -38,7 +38,18 @@ def distributed_row_number(
         ranged = df.repartitionByRange(num_partitions, *order_by)
     else:  # let spark.sql.shuffle.partitions decide
         ranged = df.repartitionByRange(*order_by)
-    tagged = ranged.withColumn("_range_pid", F.spark_partition_id())
+    # CORRECTNESS-CRITICAL lineage cut (round-4 bug fix): the local-rank branch and
+    # the offsets branch below must see the SAME partition assignment. Without the
+    # checkpoint each branch re-evaluates the range exchange independently, and the
+    # range partitioner's reservoir SAMPLING can pick different bounds per
+    # evaluation (column pruning makes the two subplans non-identical, so
+    # ReuseExchange does not dedupe them) — offsets then disagree with local ranks
+    # and ranks shift at partition boundaries. Observed on events at sf0.01 (8777
+    # wrong ranks); the synthetic-data equality test never tripped it. The
+    # checkpoint materializes the partitioning once; both branches read it.
+    tagged = ranged.withColumn(
+        "_range_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
     local = tagged.withColumn(
         "_local_rn",
         F.row_number().over(Window.partitionBy("_range_pid").orderBy(*order_by)),

@@ -903,6 +903,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
 
 
+# --- events_global_rank_sample ------------------------------------------------------
+# SRT/WIN scale evidence, driver-visible: a GLOBAL total-order rank over the whole
+# events table via the two-phase distributed rank (plans/ranking.py — range
+# repartition + partition-local row_number + N-row broadcast offsets; the only
+# single-partition stage is the N-row offset table), then a systematic 1-in-997
+# sample by rank. The naive form is a no-partitionBy Window — one task sorting
+# everything, the classic 100 TB straggler. DuckDB recomputes the global rank
+# directly, certifying the two-phase decomposition end to end on real data.
+
+
+def events_global_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ranking import distributed_row_number
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    ranked = distributed_row_number(
+        ev, [F.asc("ts"), F.asc("event_id")], rank_col="global_rank", num_partitions=16
+    )
+    return (
+        ranked.filter((F.col("global_rank") - 1) % 997 == 0)
+        .select(
+            "global_rank",
+            "event_id",
+            "user_id",
+            F.round(F.col("value"), 2).alias("value"),
+        )
+        .orderBy("global_rank")
+    )
+
+
+EVENTS_GLOBAL_RANK_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT event_id, user_id, value,
+         CAST(ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS BIGINT) AS global_rank
+  FROM events
+)
+SELECT global_rank, event_id, user_id, ROUND(value, 2) AS value
+FROM ranked
+WHERE (global_rank - 1) % 997 = 0
+ORDER BY global_rank
+"""
+
+
 # --- events_null_safe_join ----------------------------------------------------------
 # JN family completion: null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT
 # FROM). Plain equi-joins silently DROP null keys (null = null is null); pipelines

@@ -135,6 +135,7 @@ QUERIES: dict[str, Query] = {
     "events_moving_hour_range": ea.events_moving_hour_range,
     "events_column_profile": ea.events_column_profile,
     "events_null_safe_join": ea.events_null_safe_join,
+    "events_global_rank_sample": ea.events_global_rank_sample,
     "events_type_share": ea.events_type_share,
     "events_value_ntile": ea.events_value_ntile,
     "docs_bpe_token_stats": llm.docs_bpe_token_stats,
@@ -258,4 +259,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_two_band_decon": llm.DOCS_TWO_BAND_DECON_ORACLE,
     "events_column_profile": ea.EVENTS_COLUMN_PROFILE_ORACLE,
     "events_null_safe_join": ea.EVENTS_NULL_SAFE_JOIN_ORACLE,
+    "events_global_rank_sample": ea.EVENTS_GLOBAL_RANK_SAMPLE_ORACLE,
 }

@@ -56,8 +56,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_near_dup_pairs": dict(
         shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
+    # Re-pinned round 4: distributed_row_number's correctness lineage cut
+    # (localCheckpoint before the rank/offset branches) moves the pre-checkpoint
+    # shuffles out of this plan's visible lineage (11 -> 3); they still run once
+    # at materialization.
     "qe_table_read_frequency": dict(
-        shuffle_exchange=11, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
     ),
     "q1_pricing_summary": dict(
         shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0

@@ -74,6 +74,30 @@ def test_distributed_row_number_matches_global_window(spark):
     assert got == want
 
 
+def test_distributed_row_number_matches_global_window_on_real_data(spark):
+    """Regression for the round-4 bug: without the lineage cut, the offsets branch
+    re-sampled the range exchange and disagreed with the local-rank branch on the
+    REAL events table (8777 wrong ranks at sf0.01) while synthetic data passed.
+    Pin equality on the data that exposed it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hadoop_migration_assessment_tools_spark.plans.ranking import distributed_row_number
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select("event_id", "ts")
+    order = [F.asc("ts"), F.asc("event_id")]
+    got = {
+        r["event_id"]: r["rank"]
+        for r in distributed_row_number(ev, order, "rank", 16).collect()
+    }
+    want = {
+        r["event_id"]: r["rank"]
+        for r in ev.withColumn("rank", F.row_number().over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
+
+
 def test_date_partition_pruning(spark, tmp_path):
     """SRC3 payoff: a date-range filter over the sink's layout must prune partitions
     at plan time (PartitionFilters on EventDate), not scan-and-filter."""
