@@ -89,3 +89,20 @@ def test_registry_names_unique_and_callable():
     assert len(QUERIES) == len(set(QUERIES))
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_registry_source_has_no_duplicate_literal_keys():
+    """A duplicate key in a dict literal silently drops the earlier entry (last
+    wins, no error) — which would silently shrink the registry or reorder the
+    scored window. Parse the source and reject duplicates outright."""
+    import ast
+    import inspect
+
+    import hadoop_migration_assessment_tools_spark.queries.registry as reg
+
+    tree = ast.parse(inspect.getsource(reg))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
+            dupes = sorted({k for k in keys if keys.count(k) > 1})
+            assert not dupes, f"duplicate registry dict keys: {dupes}"
