@@ -1947,6 +1947,147 @@ ORDER BY tr.source
 """
 
 
+# --- docs_training_prep_pipeline ----------------------------------------------------
+# [EXT] the capstone composition, scored as ONE funnel hash: planted-dup corpus ->
+# quality filter -> two-band decontamination against the eval slice (which overlaps
+# the corpus: eval originals and their planted copies are genuine full leaks) ->
+# exact dedup (min-id survivor) -> context-window chunking. Every stage is
+# SQL-expressible, so the oracle replays the entire pipeline relationally — a match
+# certifies the five chained operators end to end, including the stage interfaces
+# (who consumes whose survivors), not each operator in isolation.
+
+
+def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import exact_dedup, two_band_decontaminate
+    from ..ext.text import chunk_documents
+
+    aug = _docs_with_planted_dups(spark, sf_dir)
+    kept = aug.withColumn("quality", quality_score(F.col("text"))).filter(
+        F.col("quality") >= QUALITY_KEEP_THRESHOLD
+    )
+    ev = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DECON_EVAL_MOD == 3
+    )
+    decon = two_band_decontaminate(
+        kept, ev, k_long=DECON_K_LONG, k_short=DECON_K, tau=DECON_RATIO_TAU
+    )
+    clean = kept.join(
+        decon.filter(F.col("flagged")).select("doc_id"), "doc_id", "left_anti"
+    )
+    unique = exact_dedup(clean)
+    chunks = chunk_documents(unique, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP)
+
+    a_raw = aug.agg(count_big("n_raw"))
+    a_quality = kept.agg(count_big("n_quality"))
+    a_clean = clean.agg(count_big("n_clean"))
+    a_unique = unique.agg(count_big("n_unique"))
+    a_chunks = chunks.agg(
+        count_big("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+    return (
+        a_raw.crossJoin(a_quality)
+        .crossJoin(a_clean)
+        .crossJoin(a_unique)
+        .crossJoin(a_chunks)
+    )
+
+
+DOCS_TRAINING_PREP_PIPELINE_ORACLE = rf"""
+WITH docs_aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text, source
+  FROM documents WHERE doc_id % 7 = 0
+), feats AS (
+  SELECT
+    doc_id, source, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+    list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                            x -> length(x))) AS alpha_len
+  FROM docs_aug
+), ratios AS (
+  SELECT
+    doc_id, source, text, n_tokens,
+    CASE WHEN n_tokens > 0 THEN ROUND(CAST(alpha_len AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS mean_token_len,
+    CASE WHEN n_chars > 0 THEN ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_chars > 0 THEN ROUND(CAST(n_upper AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS upper_ratio
+  FROM feats
+), kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+      ROUND(
+        LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+        GREATEST(0.0, 1.0 - (punct_ratio + upper_ratio) * 2.0) * 0.3,
+      6) AS quality
+    FROM ratios
+  ) WHERE quality >= {QUALITY_KEEP_THRESHOLD}
+), ev_t AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 3
+), ev8 AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                                        i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM ev_t WHERE len(t) >= {DECON_K}
+), ev13 AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - {DECON_K_LONG - 1}),
+                                        i -> array_to_string(t[i:i+{DECON_K_LONG - 1}], ' '))) AS sh
+  FROM ev_t WHERE len(t) >= {DECON_K_LONG}
+), tr_t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM kept
+), tr8 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_K - 1}),
+                               i -> array_to_string(t[i:i+{DECON_K - 1}], ' '))) AS sh
+  FROM tr_t WHERE len(t) >= {DECON_K}
+), tr13 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_K_LONG - 1}),
+                               i -> array_to_string(t[i:i+{DECON_K_LONG - 1}], ' '))) AS sh
+  FROM tr_t WHERE len(t) >= {DECON_K_LONG}
+), flagged AS (
+  SELECT doc_id FROM (
+    SELECT t.doc_id,
+           ROUND(CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS ratio
+    FROM tr8 t LEFT JOIN ev8 e USING (sh) GROUP BY t.doc_id
+  ) WHERE ratio >= {DECON_RATIO_TAU}
+  UNION
+  SELECT DISTINCT t.doc_id FROM tr13 t JOIN ev13 e USING (sh)
+), clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+), unique_docs AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM clean GROUP BY text
+), u_tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM unique_docs
+), chunked AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {CHUNK_MAX_TOKENS} THEN 1
+              ELSE CAST(ceil((n - {CHUNK_MAX_TOKENS}) / {_CHUNK_STRIDE}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM u_tok
+), per_chunk AS (
+  SELECT doc_id, least({CHUNK_MAX_TOKENS}, n - i * {_CHUNK_STRIDE}) AS chunk_tokens
+  FROM chunked, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_aug) AS n_raw,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_quality,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS n_clean,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM unique_docs) AS n_unique,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_chunk) AS n_chunks,
+  (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM per_chunk) AS chunk_tokens
+"""
+
+
 # --- multimodal_manifest ------------------------------------------------------------
 # [EXT] multimodal upgraded from rows-only to ORACLED evidence: the synthetic corpus
 # is generated through the REAL binary pipeline (mapInPandas WAV/PPM encoders), and

@@ -143,6 +143,7 @@ QUERIES: dict[str, Query] = {
     "docs_decontaminate": llm.docs_decontaminate,
     "docs_contamination_ratio": llm.docs_contamination_ratio,
     "docs_two_band_decon": llm.docs_two_band_decon,
+    "docs_training_prep_pipeline": llm.docs_training_prep_pipeline,
     "docs_length_histogram": llm.docs_length_histogram,
     "docs_quality_dedup_pipeline": llm.docs_quality_dedup_pipeline,
     "emb_quantization_error": llm.emb_quantization_error,
@@ -260,4 +261,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_column_profile": ea.EVENTS_COLUMN_PROFILE_ORACLE,
     "events_null_safe_join": ea.EVENTS_NULL_SAFE_JOIN_ORACLE,
     "events_global_rank_sample": ea.EVENTS_GLOBAL_RANK_SAMPLE_ORACLE,
+    "docs_training_prep_pipeline": llm.DOCS_TRAINING_PREP_PIPELINE_ORACLE,
 }
