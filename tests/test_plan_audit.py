@@ -118,6 +118,19 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_pack_invariants": dict(
         shuffle_exchange=6, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
+    "events_null_safe_join": dict(
+        shuffle_exchange=5, broadcast_exchange=0, bnlj=0, cartesian=0, smj=1, bhj=0, shj=0, window=0
+    ),
+    "events_global_rank_sample": dict(
+        shuffle_exchange=4, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
+    ),
+    # The capstone's five funnel branches each carry the pipeline lineage in the
+    # static plan (1-row aggregates cross-joined; bnlj=4 is those joins). Runtime
+    # exchange reuse collapses the duplicated subplans; a real deployment would
+    # persist between stages. Pinned so growth/degradation is still visible.
+    "docs_training_prep_pipeline": dict(
+        shuffle_exchange=49, broadcast_exchange=22, bnlj=4, cartesian=0, smj=0, bhj=18, shj=0, window=24
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -129,6 +142,7 @@ BNLJ_ALLOWED = {
     "emb_topk_scaled_ivf",
     "emb_ann_recall",
     "docs_pack_invariants",
+    "docs_training_prep_pipeline",
 }
 
 

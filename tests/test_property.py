@@ -186,3 +186,48 @@ def test_ocf_roundtrip_property(records, codec):
         for f in QUERY_EVENTS_SCHEMA.fields:
             expect = src.get(f.name)
             assert got[f.name] == expect, (f.name, expect, got[f.name])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=40),
+    st.integers(min_value=64, max_value=512),
+)
+def test_pack_sequences_invariants_hold_for_any_sizes(spark, sizes, budget):
+    """Property form of the packing invariants: for ANY token-size multiset and
+    budget — exactly-once, token conservation, overflow iff size > budget, and no
+    non-overflow bin above budget."""
+    from hadoop_migration_assessment_tools_spark.ext.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tok long"
+    )
+    packed = pack_sequences(df, "n_tok", budget=budget, num_partitions=4).collect()
+    assert sorted(r["doc_id"] for r in packed) == list(range(len(sizes)))
+    assert {r["doc_id"]: r["n_tokens"] for r in packed} == dict(enumerate(sizes))
+    assert {r["doc_id"] for r in packed if r["overflow"]} == {
+        i for i, n in enumerate(sizes) if n > budget
+    }
+    fills: dict = {}
+    for r in packed:
+        if not r["overflow"]:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(v <= budget for v in fills.values())
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="ab cd", min_size=0, max_size=60), min_size=1, max_size=10))
+def test_two_band_outputs_well_formed(spark, texts):
+    """Two-band decontamination structural properties on arbitrary text: ratio in
+    [0,1], hits <= shingles, and flagged implies (long_hit or ratio >= tau)."""
+    from hadoop_migration_assessment_tools_spark.ext.dedup import two_band_decontaminate
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(999, "a b c d a b c d a b c d a b")], "doc_id long, text string")
+    out = two_band_decontaminate(train, ev, k_long=13, k_short=8, tau=0.4).collect()
+    for r in out:
+        assert 0.0 <= r["short_ratio"] <= 1.0
+        assert r["n_short_hits"] <= r["n_short_shingles"]
+        assert r["flagged"] == (r["long_hit"] or r["short_ratio"] >= 0.4)
