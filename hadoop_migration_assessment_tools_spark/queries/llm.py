@@ -1962,8 +1962,14 @@ def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.text import chunk_documents
 
     aug = _docs_with_planted_dups(spark, sf_dir)
-    kept = aug.withColumn("quality", quality_score(F.col("text"))).filter(
-        F.col("quality") >= QUALITY_KEEP_THRESHOLD
+    # Stage materialization (localCheckpoint, deterministic stages): each stage is
+    # consumed by both the next stage AND its own funnel count, and a real 100 TB
+    # pipeline persists between stages anyway — without the cut, the five funnel
+    # branches re-run the upstream pipeline per branch (a 49-shuffle static plan).
+    kept = (
+        aug.withColumn("quality", quality_score(F.col("text")))
+        .filter(F.col("quality") >= QUALITY_KEEP_THRESHOLD)
+        .localCheckpoint(eager=False)
     )
     ev = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % DECON_EVAL_MOD == 3
@@ -1973,8 +1979,8 @@ def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = kept.join(
         decon.filter(F.col("flagged")).select("doc_id"), "doc_id", "left_anti"
-    )
-    unique = exact_dedup(clean)
+    ).localCheckpoint(eager=False)
+    unique = exact_dedup(clean).localCheckpoint(eager=False)
     chunks = chunk_documents(unique, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP)
 
     a_raw = aug.agg(count_big("n_raw"))

@@ -124,12 +124,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "events_global_rank_sample": dict(
         shuffle_exchange=4, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
     ),
-    # The capstone's five funnel branches each carry the pipeline lineage in the
-    # static plan (1-row aggregates cross-joined; bnlj=4 is those joins). Runtime
-    # exchange reuse collapses the duplicated subplans; a real deployment would
-    # persist between stages. Pinned so growth/degradation is still visible.
+    # Capstone: stage materialization (localCheckpoint between stages, the way a
+    # real pipeline persists) keeps the five funnel branches from re-carrying the
+    # upstream lineage — 49 static shuffles without the cuts, 5 with. bnlj=4 is
+    # the 1-row funnel cross joins.
     "docs_training_prep_pipeline": dict(
-        shuffle_exchange=49, broadcast_exchange=22, bnlj=4, cartesian=0, smj=0, bhj=18, shj=0, window=24
+        shuffle_exchange=5, broadcast_exchange=4, bnlj=4, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
 }
 
