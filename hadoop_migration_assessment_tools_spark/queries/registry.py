@@ -119,6 +119,17 @@ QUERIES: dict[str, Query] = {
     "important_part_stock": tpch.important_part_stock,
     "suppliers_with_excess_stock": tpch.suppliers_with_excess_stock,
     "customer_scd2_merge": tpch.customer_scd2_merge,
+    # round-4: canonical TPC-H shape completion (Q7/Q8/Q9/Q15/Q17/Q21/Q22 — the
+    # remaining distinct plan shapes: bidirectional pair join, market-share ratio,
+    # profit expression over a broadcast dim, max-over-aggregate, correlated per-key
+    # threshold, EXISTS+NOT-EXISTS self-join pair, scalar-subquery + anti join)
+    "q7_volume_shipping": tpch.q7_volume_shipping,
+    "q8_market_share": tpch.q8_market_share,
+    "q9_product_type_profit": tpch.q9_product_type_profit,
+    "q15_top_supplier": tpch.q15_top_supplier,
+    "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
+    "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
+    "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "events_user_activity": ea.events_user_activity,
     "events_json_extract": ea.events_json_extract,
     "events_first_per_user": ea.events_first_per_user,
@@ -223,6 +234,13 @@ ORACLE_SQL: dict[str, str] = {
     "events_funnel": ea.EVENTS_FUNNEL_ORACLE,
     "events_cohort_retention": ea.EVENTS_COHORT_RETENTION_ORACLE,
     "customer_scd2_merge": tpch.CUSTOMER_SCD2_MERGE_ORACLE,
+    "q7_volume_shipping": tpch.Q7_ORACLE,
+    "q8_market_share": tpch.Q8_ORACLE,
+    "q9_product_type_profit": tpch.Q9_ORACLE,
+    "q15_top_supplier": tpch.Q15_ORACLE,
+    "q17_small_quantity_revenue": tpch.Q17_ORACLE,
+    "q21_waiting_suppliers": tpch.Q21_ORACLE,
+    "q22_global_sales_opportunity": tpch.Q22_ORACLE,
     "events_incremental_rollup": ea.EVENTS_INCREMENTAL_ROLLUP_ORACLE,
     "lineitem_price_band_join": tpch.LINEITEM_PRICE_BAND_ORACLE,
     "orders_customer_bucketed_join": tpch.ORDERS_CUSTOMER_BUCKETED_ORACLE,
