@@ -131,6 +131,32 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_training_prep_pipeline": dict(
         shuffle_exchange=5, broadcast_exchange=4, bnlj=4, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
+    # Round-4 TPC-H shape completion. At sf0.001 size-based stats let Catalyst
+    # broadcast more sides than it would at scale (e.g. Q21's semi/anti self-joins
+    # show as BHJ here, SMJ at 100 TB) — what the pin protects is bnlj=0/cartesian=0
+    # and the broadcast of genuine dimension sides.
+    "q7_volume_shipping": dict(
+        shuffle_exchange=4, broadcast_exchange=4, bnlj=0, cartesian=0, smj=1, bhj=4, shj=0, window=0
+    ),
+    "q8_market_share": dict(
+        shuffle_exchange=4, broadcast_exchange=6, bnlj=0, cartesian=0, smj=1, bhj=6, shj=0, window=0
+    ),
+    "q9_product_type_profit": dict(
+        shuffle_exchange=2, broadcast_exchange=4, bnlj=0, cartesian=0, smj=0, bhj=4, shj=0, window=0
+    ),
+    "q15_top_supplier": dict(
+        shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
+    ),
+    "q17_small_quantity_revenue": dict(
+        shuffle_exchange=2, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=0
+    ),
+    "q21_waiting_suppliers": dict(
+        shuffle_exchange=1, broadcast_exchange=5, bnlj=0, cartesian=0, smj=0, bhj=5, shj=0, window=0
+    ),
+    # bnlj=1 = the 1-row scalar AVG broadcast cross join (canonical Q22 scalar subquery).
+    "q22_global_sales_opportunity": dict(
+        shuffle_exchange=3, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -143,6 +169,7 @@ BNLJ_ALLOWED = {
     "emb_ann_recall",
     "docs_pack_invariants",
     "docs_training_prep_pipeline",
+    "q22_global_sales_opportunity",
 }
 
 
