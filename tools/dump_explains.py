@@ -34,6 +34,10 @@ TRACKED = [
     "orders_customer_bucketed_join",
     "docs_decontaminate",
     "docs_contamination_ratio",
+    # round-4 TPC-H shape completion — the two with the most fragile shapes
+    # (self-join semi+anti pair; scalar-subquery + anti join)
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
