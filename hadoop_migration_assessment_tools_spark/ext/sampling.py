@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["split_key", "hash_split", "stratified_sample", "SPLIT_BOUNDS_HEX"]
+__all__ = [
+    "split_key",
+    "hash_split",
+    "stratified_sample",
+    "SPLIT_BOUNDS_HEX",
+    "domain_rates",
+    "temperature_sample",
+    "MIX_HEX_DIGITS",
+]
 
 
 def split_key(id_col: Column, salt: str = "") -> Column:
@@ -81,4 +89,78 @@ def stratified_sample(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_sk", "_rn")
+    )
+
+
+# --- temperature-based domain mixture ----------------------------------------------
+# Training mixtures up-weight small domains: sample domain d with probability
+# proportional to n_d^alpha (alpha<1 flattens the natural distribution — the
+# Pile / multilingual-LM temperature-sampling recipe). alpha is FIXED at 0.5 here:
+# sqrt is IEEE-754 correctly rounded in every engine (pow is not), which keeps the
+# per-domain rates — and therefore the exact sampled set — bit-reproducible across
+# Spark, DuckDB, and any future backend. The per-domain weights are rounded to 6
+# decimals and summed as exact decimals, so the normalizing constant is
+# order-independent.
+#
+# Scale shape: one tiny groupBy(domain) count (#domains rows, map-side partials),
+# a broadcast join of the rate table back onto the corpus, and a narrow md5-prefix
+# filter — the corpus itself never shuffles.
+
+MIX_HEX_DIGITS = 6
+_MIX_SPACE = 16**MIX_HEX_DIGITS
+
+
+def domain_rates(
+    df: DataFrame, domain_col: str, target_total: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain sampling rates for a sqrt-temperature mixture.
+
+    rate_d = min(1, target_total * sqrt(n_d) / (sum_d sqrt(n_d) * n_d)); expected
+    sample size ~= target_total (less where a domain saturates at rate 1).
+    Returns (domain_col, n_docs, rate, rate_bound_hex).
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(18,6)")
+    counts = counts.withColumn("_w", w)
+    total_w = counts.agg(F.sum("_w").alias("_tw"))  # exact decimal: order-independent
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("_w").cast("double") * F.lit(float(target_total)))
+        / (F.col("_tw").cast("double") * F.col("n_docs").cast("double")),
+    )
+    # Saturated domains (rate >= 1) use the sentinel 'g': every hex prefix sorts
+    # below it, so the whole domain is kept. A numeric bound of 16^digits would
+    # render as a digits+1-char string that sorts BELOW 'f...f' lexicographically
+    # and silently drop the entire domain (caught by
+    # test_temperature_sample_rate_capped_at_one).
+    bound = F.when(F.round(rate, 6) >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            f"%0{MIX_HEX_DIGITS}x",
+            F.round(F.round(rate, 6) * F.lit(_MIX_SPACE), 0).cast("long"),
+        )
+    )
+    return (
+        counts.join(F.broadcast(total_w))
+        .withColumn("rate", F.round(rate, 6))
+        .withColumn("rate_bound_hex", bound)
+        .drop("_w", "_tw")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_total: float,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic sqrt-temperature mixture sample: keep a row iff its md5 prefix
+    falls under its domain's rate bound. Re-run-stable and append-stable, same
+    contract as hash_split."""
+    rates = domain_rates(df, domain_col, target_total, id_col)
+    prefix = F.substring(split_key(F.col(id_col), salt), 1, MIX_HEX_DIGITS)
+    return (
+        df.join(F.broadcast(rates.select(domain_col, "rate_bound_hex")), domain_col)
+        .filter(prefix < F.col("rate_bound_hex"))
+        .drop("rate_bound_hex")
     )

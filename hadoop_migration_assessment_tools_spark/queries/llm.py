@@ -2153,3 +2153,142 @@ FROM m
 GROUP BY kind
 ORDER BY kind
 """
+
+
+# --- docs_unigram_surprisal ----------------------------------------------------------
+# CCNet-style LM quality scoring (ext/lm.py): corpus unigram vocabulary (one token
+# shuffle, top-K truncation), broadcast vocab scoring (zero corpus shuffle), per-doc
+# surprisal-bits aggregation, per-lang roll-up. The per-doc avg is rounded then
+# decimal-summed for the lang mean (parity discipline: order-independent).
+
+UNIGRAM_TOP_K = 800
+UNIGRAM_HIGH_BITS = 9.0
+
+
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.lm import score_surprisal, unigram_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab(docs, top_k=UNIGRAM_TOP_K).localCheckpoint()
+    # Bounded driver action (1 long), same cost class as the documented IVF
+    # training sample: the vocabulary relation is already materialized above.
+    total_tokens = docs.select(
+        F.sum(token_count(F.col("text"))).alias("t")
+    ).collect()[0]["t"]
+    scored = score_surprisal(docs, vocab, total_tokens)
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            count_big("doc_count"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("oov_tokens").cast("long").alias("oov_tokens"),
+            F.sum("sum_bits").cast("long").alias("sum_bits"),
+            F.round(
+                F.sum(F.col("avg_bits").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_avg_bits"),
+            F.sum(F.when(F.col("avg_bits") > UNIGRAM_HIGH_BITS, 1).otherwise(0))
+            .cast("long")
+            .alias("high_surprisal_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_UNIGRAM_SURPRISAL_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+')) AS token
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '')) > 0
+),
+vc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vc),
+vocab AS (SELECT token, cnt FROM vc ORDER BY cnt DESC, token ASC LIMIT {UNIGRAM_TOP_K}),
+scored AS (
+  SELECT t.doc_id,
+         length(printf('%b', (SELECT total FROM tot)))
+           - COALESCE(length(printf('%b', v.cnt)), 1) AS bits,
+         CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v USING (token)
+),
+perdoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+         CAST(SUM(bits) AS BIGINT) AS sum_bits,
+         ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS avg_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS doc_count,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(oov_tokens) AS BIGINT) AS oov_tokens,
+  CAST(SUM(sum_bits) AS BIGINT) AS sum_bits,
+  ROUND(CAST(SUM(CAST(avg_bits AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_avg_bits,
+  CAST(SUM(CASE WHEN avg_bits > {UNIGRAM_HIGH_BITS} THEN 1 ELSE 0 END) AS BIGINT) AS high_surprisal_docs
+FROM perdoc JOIN documents USING (doc_id)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- docs_temperature_mixture --------------------------------------------------------
+# sqrt-temperature domain mixture (ext/sampling.py temperature_sample): certifies the
+# exact sampled SET cross-engine (membership via portable md5 bound, checksummed with
+# sum(doc_id)), not just its size. alpha fixed at 0.5 — see ext/sampling.py for why
+# (sqrt is the only correctly-rounded power).
+
+MIX_TARGET_FRACTION = 0.4
+
+
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import MIX_HEX_DIGITS, split_key, temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Bounded driver action (1 long): the target budget is a fraction of the corpus.
+    target = MIX_TARGET_FRACTION * docs.count()
+    sampled = temperature_sample(docs, "source", target, salt="mix")
+    return (
+        sampled.groupBy("source")
+        .agg(
+            count_big("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_TEMPERATURE_MIXTURE_ORACLE = rf"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+  FROM documents GROUP BY source
+),
+tw AS (SELECT SUM(w) AS total_w FROM counts),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) * {MIX_TARGET_FRACTION} AS target FROM documents),
+rates AS (
+  SELECT source,
+         CASE WHEN ROUND(rate, 6) >= 1.0 THEN 'g'
+              ELSE printf('%0{6}x', CAST(ROUND(ROUND(rate, 6) * 16777216, 0) AS BIGINT))
+         END AS bound
+  FROM (
+    SELECT source,
+           LEAST(1.0, (CAST(w AS DOUBLE) * (SELECT target FROM corpus))
+                       / (CAST((SELECT total_w FROM tw) AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS rate
+    FROM counts
+  )
+)
+SELECT
+  d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+  CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, {6}) < r.bound
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -130,6 +130,9 @@ QUERIES: dict[str, Query] = {
     "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
     "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
+    # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
+    "docs_unigram_surprisal": llm.docs_unigram_surprisal,
+    "docs_temperature_mixture": llm.docs_temperature_mixture,
     "events_user_activity": ea.events_user_activity,
     "events_json_extract": ea.events_json_extract,
     "events_first_per_user": ea.events_first_per_user,
@@ -241,6 +244,8 @@ ORACLE_SQL: dict[str, str] = {
     "q17_small_quantity_revenue": tpch.Q17_ORACLE,
     "q21_waiting_suppliers": tpch.Q21_ORACLE,
     "q22_global_sales_opportunity": tpch.Q22_ORACLE,
+    "docs_unigram_surprisal": llm.DOCS_UNIGRAM_SURPRISAL_ORACLE,
+    "docs_temperature_mixture": llm.DOCS_TEMPERATURE_MIXTURE_ORACLE,
     "events_incremental_rollup": ea.EVENTS_INCREMENTAL_ROLLUP_ORACLE,
     "lineitem_price_band_join": tpch.LINEITEM_PRICE_BAND_ORACLE,
     "orders_customer_bucketed_join": tpch.ORDERS_CUSTOMER_BUCKETED_ORACLE,
