@@ -157,6 +157,15 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "q22_global_sales_opportunity": dict(
         shuffle_exchange=3, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
+    # LM scoring: vocab build (token shuffle) + broadcast vocab join + doc_id agg;
+    # zero corpus self-shuffle beyond the id re-agg.
+    "docs_unigram_surprisal": dict(
+        shuffle_exchange=3, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
+    ),
+    # bnlj=1 = the 1-row total-weight broadcast cross join inside domain_rates.
+    "docs_temperature_mixture": dict(
+        shuffle_exchange=5, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -170,6 +179,7 @@ BNLJ_ALLOWED = {
     "docs_pack_invariants",
     "docs_training_prep_pipeline",
     "q22_global_sales_opportunity",
+    "docs_temperature_mixture",
 }
 
 
