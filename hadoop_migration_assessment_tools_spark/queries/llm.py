@@ -2292,3 +2292,94 @@ WHERE substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, {6}) < r.bound
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+# --- emb_random_projection -----------------------------------------------------------
+# JL random projection (ext/projection.py): 64 -> 8 dims with the content-addressed
+# +-1 matrix, certified cross-engine by re-deriving the SAME matrix constants into the
+# oracle SQL. Output: per-label norm-preservation stats (the JL ratio concentrates
+# near 1 — this is the property that makes the projection safe to put in front of
+# ANN/clustering at scale). Narrow map, zero shuffle before the label roll-up.
+
+RP_OUT_DIM = 8
+RP_IN_DIM = 64
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    from ..ext.projection import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_project(emb, "embedding", RP_OUT_DIM, RP_IN_DIM)
+    # Exact micro-scaled integer squares: decimal chains of 64 adds overflow Spark's
+    # precision cap and silently drop scale (see ext/projection.py nano_elem); long
+    # sums do not. micro (1e6) keeps 64 squared ~2e6-scale terms far inside BIGINT.
+    micro = lambda j: (  # noqa: E731
+        F.element_at(F.col("embedding"), j + 1).cast("double").cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+    norm2_orig = _reduce(
+        lambda a, b: a + b, [micro(j) * micro(j) for j in range(RP_IN_DIM)]
+    ).cast("double") / F.lit(1.0e12)
+    comp = lambda i: F.element_at(F.col("projected"), i + 1)  # noqa: E731
+    norm2_proj = _reduce(lambda a, b: a + b, [comp(i) * comp(i) for i in range(RP_OUT_DIM)])
+    ratio = F.round(norm2_proj / (F.lit(float(RP_OUT_DIM)) * norm2_orig), 6)
+    return (
+        proj.withColumn("_ratio", ratio)
+        .groupBy("label")
+        .agg(
+            count_big("n_vectors"),
+            F.round(
+                F.sum(F.col("_ratio").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ratio"),
+            F.min("_ratio").alias("min_ratio"),
+            F.max("_ratio").alias("max_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+def _rp_oracle() -> str:
+    from ..ext.projection import projection_signs
+
+    signs = projection_signs(RP_OUT_DIM, RP_IN_DIM)
+    comps = []
+    for i, row in enumerate(signs):
+        terms = " + ".join(
+            f"CAST(CAST(CAST(embedding[{j + 1}] AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT) * {s}"
+            for j, s in enumerate(row)
+        )
+        comps.append(f"ROUND(CAST(({terms}) AS DOUBLE) / 1000000000.0, 6) AS c{i}")
+    m = "CAST(CAST(CAST(embedding[{k}] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    norm2_orig = " + ".join(
+        f"{m.format(k=j + 1)} * {m.format(k=j + 1)}" for j in range(RP_IN_DIM)
+    )
+    norm2_proj = " + ".join(f"c{i} * c{i}" for i in range(RP_OUT_DIM))
+    return f"""
+WITH projected AS (
+  SELECT label,
+         CAST(({norm2_orig}) AS DOUBLE) / 1e12 AS norm2_orig,
+         {", ".join(comps)}
+  FROM embeddings
+),
+ratios AS (
+  SELECT label,
+         ROUND(({norm2_proj}) / ({float(RP_OUT_DIM)} * norm2_orig), 6) AS ratio
+  FROM projected
+)
+SELECT
+  label,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_ratio,
+  MIN(ratio) AS min_ratio,
+  MAX(ratio) AS max_ratio
+FROM ratios
+GROUP BY label
+ORDER BY label
+"""
+
+
+EMB_RANDOM_PROJECTION_ORACLE = _rp_oracle()

@@ -917,3 +917,74 @@ def test_temperature_sample_keeps_saturated_domain_whole(spark):
     kept = temperature_sample(df, "domain", 5000)
     tiny_kept = kept.filter(F.col("domain") == "tiny").count()
     assert tiny_kept == 4
+
+
+# --- random projection (ext/projection.py) ------------------------------------------
+
+
+def test_projection_signs_deterministic_and_balanced():
+    from hadoop_migration_assessment_tools_spark.ext.projection import projection_signs
+
+    a = projection_signs(8, 64)
+    assert a == projection_signs(8, 64)  # content-addressed, no seed state
+    flat = [s for row in a for s in row]
+    assert set(flat) == {1, -1}
+    # md5 nibbles are uniform: the sign balance of 512 entries stays near half
+    pos = sum(1 for s in flat if s == 1)
+    assert 200 <= pos <= 312, pos
+
+
+def test_random_project_exact_matches_numpy(spark):
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.projection import (
+        projection_signs,
+        random_project,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(20)
+    rows = random_project(emb, "embedding", 8, 64).select("vec_id", "embedding", "projected").collect()
+    R = np.array(projection_signs(8, 64), dtype=np.float64)
+    for r in rows:
+        want = R @ np.array(r["embedding"], dtype=np.float64)
+        assert np.allclose(np.array(r["projected"]), want, atol=1e-5), r["vec_id"]
+
+
+def test_random_project_fast_matches_exact(spark):
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.projection import (
+        random_project,
+        random_project_fast,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(30)
+    exact = {r["vec_id"]: np.array(r["projected"]) for r in
+             random_project(emb, "embedding", 8, 64).select("vec_id", "projected").collect()}
+    fast = {r["vec_id"]: np.array(r["projected"]) for r in
+            random_project_fast(emb, "embedding", 8, 64).select("vec_id", "projected").collect()}
+    assert exact.keys() == fast.keys()
+    for k in exact:
+        assert np.allclose(exact[k], fast[k], atol=1e-5), k
+
+
+def test_random_project_jl_ratio_concentrates(spark):
+    """JL property: ||Rx||^2 / (out_dim * ||x||^2) has mean ~1 over the corpus —
+    the invariant that justifies projecting before ANN at scale."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.projection import random_project_fast
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = random_project_fast(emb, "embedding", 16, 64).select("embedding", "projected").collect()
+    ratios = []
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        y = np.array(r["projected"])
+        ratios.append(float(y @ y) / (16 * float(x @ x)))
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean

@@ -166,6 +166,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_temperature_mixture": dict(
         shuffle_exchange=5, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
+    # Pure narrow map + label roll-up: any join/window appearing here means the
+    # projection stopped being a scan-local expression.
+    "emb_random_projection": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
