@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-__all__ = ["projection_signs", "random_project", "random_project_fast"]
+__all__ = ["projection_signs", "nano_array", "random_project", "random_project_fast"]
 
 NANO = 1_000_000_000  # fixed-point scale: 9 decimal digits
 
@@ -48,22 +48,35 @@ def projection_signs(out_dim: int, in_dim: int, salt: str = "rp") -> list[list[i
     ]
 
 
-def nano_elem(vec: Column, j: int) -> Column:
-    """Element j (0-based) as an exact nano-scaled long: float -> double (exact
-    widening) -> decimal(18,9) (one deterministic rounding) -> *1e9 -> long (exact).
+def nano_array(vec: Column, scale_pow: int = 9) -> Column:
+    """Vector as exact fixed-point longs: float -> double (exact widening) ->
+    decimal(18,scale) (one deterministic rounding) -> *10^scale -> long (exact).
 
     Why not stay in decimals: a 64-term Spark decimal add chain overflows precision
     38 and silently REDUCES SCALE to 6 (DecimalType(38,6) — verified), introducing
-    intermediate rounding DuckDB doesn't do. Integer sums have no such cliff."""
-    return (
-        (F.element_at(vec, j + 1).cast("double").cast("decimal(18,9)") * NANO)
-        .cast("long")
+    intermediate rounding DuckDB doesn't do. Integer sums have no such cliff.
+
+    Materialize this ONCE per row (withColumn) and fold over the materialized
+    array: inlining the cast chain into every one of out_dim x in_dim terms builds
+    a 1000+-node expression tree that Catalyst spends seconds analyzing (measured
+    7s+ on 500 rows) — the classic interpreted-HOF/expression-blowup trap."""
+    return F.transform(
+        vec,
+        lambda x: (x.cast("double").cast(f"decimal(18,{scale_pow})") * (10**scale_pow)).cast(
+            "long"
+        ),
     )
 
 
-def _component(vec: Column, signs_row: list[int], scale: int) -> Column:
-    terms = [nano_elem(vec, j) * F.lit(s) for j, s in enumerate(signs_row)]
-    total = reduce(lambda a, b: a + b, terms)
+def _component(nano_col: Column, signs_row: list[int], scale: int) -> Column:
+    """round( (sum_j nano_j * sign_j) / 1e9 , scale) via one zip_with + one fold —
+    exact long arithmetic; fold order is irrelevant to the integer sum."""
+    signs = F.array(*[F.lit(s).cast("long") for s in signs_row])
+    total = F.aggregate(
+        F.zip_with(nano_col, signs, lambda x, s: x * s),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return F.round(total.cast("double") / F.lit(float(NANO)), scale)
 
 
@@ -79,8 +92,9 @@ def random_project(
     """Exact-decimal projection: adds ``out_col`` = array<double> of out_dim rounded
     components. Narrow map, zero shuffle, oracle-reproducible."""
     signs = projection_signs(out_dim, in_dim, salt)
-    comps = [_component(F.col(vec_col), row, scale) for row in signs]
-    return df.withColumn(out_col, F.array(*comps))
+    with_nano = df.withColumn("_nano", nano_array(F.col(vec_col)))
+    comps = [_component(F.col("_nano"), row, scale) for row in signs]
+    return with_nano.withColumn(out_col, F.array(*comps)).drop("_nano")
 
 
 def random_project_fast(

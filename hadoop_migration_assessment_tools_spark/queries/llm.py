@@ -2310,18 +2310,22 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ext.projection import random_project
 
+    from ..ext.projection import nano_array
+
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = random_project(emb, "embedding", RP_OUT_DIM, RP_IN_DIM)
+    proj = random_project(emb, "embedding", RP_OUT_DIM, RP_IN_DIM).withColumn(
+        "_micro", nano_array(F.col("embedding"), 6)
+    )
     # Exact micro-scaled integer squares: decimal chains of 64 adds overflow Spark's
-    # precision cap and silently drop scale (see ext/projection.py nano_elem); long
-    # sums do not. micro (1e6) keeps 64 squared ~2e6-scale terms far inside BIGINT.
-    micro = lambda j: (  # noqa: E731
-        F.element_at(F.col("embedding"), j + 1).cast("double").cast("decimal(18,6)")
-        * 1_000_000
-    ).cast("long")
-    norm2_orig = _reduce(
-        lambda a, b: a + b, [micro(j) * micro(j) for j in range(RP_IN_DIM)]
-    ).cast("double") / F.lit(1.0e12)
+    # precision cap and silently drop scale (see ext/projection.py nano_array); long
+    # sums do not. micro (1e6) keeps 64 squared ~2e6-scale terms far inside BIGINT;
+    # one materialized array + one fold, not a 128-term inline tree.
+    norm2_orig = (
+        F.aggregate(
+            F.col("_micro"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+        / F.lit(1.0e12)
+    )
     comp = lambda i: F.element_at(F.col("projected"), i + 1)  # noqa: E731
     norm2_proj = _reduce(lambda a, b: a + b, [comp(i) * comp(i) for i in range(RP_OUT_DIM)])
     ratio = F.round(norm2_proj / (F.lit(float(RP_OUT_DIM)) * norm2_orig), 6)
