@@ -230,3 +230,58 @@ def test_diagnose_join_skew_single_scan(spark):
     rows = diag.collect()
     # exact denominator: shares computed against the true 1000-row total
     assert all(abs(r["share"] - r["est_count"] / 1000) < 1e-9 for r in rows)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime proof that the session's AQE skew-join config actually engages: a
+    join with one hot key must show OptimizeSkewedJoin's work in the FINAL adaptive
+    plan (skew=true on the sort-merge join / a skewed-partition split), under
+    thresholds scaled down to test-sized data. This is the knob pkg/session.py
+    turns on for 100 TB runs — the test keeps it from silently rotting."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    conf_keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 200k rows (with a fat payload); 200 cold keys carry 100 each
+        left = spark.range(0, 220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise((F.col("id") % 200) + 1)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 201).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # A global aggregate, not groupBy(k): an agg keyed on the join key would
+        # REQUIRE the join's hash partitioning, and OptimizeSkewedJoin correctly
+        # refuses to split a skewed partition whose distribution a downstream
+        # operator still needs (splitting would force a re-shuffle).
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("bytes")
+        )
+        row = joined.collect()[0]
+        assert row["n"] == 220_000  # correctness unchanged by AQE
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"skew=true", final_plan), (
+            "AQE did not mark the skewed join — plan:\n" + final_plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
