@@ -252,6 +252,77 @@ def parse_png(payload: bytes):
 
 
 # --------------------------------------------------------------------------------------
+# PVID — a raw, uncompressed video container for the sandbox (real codecs need
+# external libs): b"PVID" + <u16 n_frames> <u16 width> <u16 height> (little-endian)
+# + n_frames raw RGB24 frames. Every byte is deterministic, the payload size is
+# closed-form (10 + n*w*h*3), and frame extraction is a real parse — the Spark-side
+# plumbing (schema, batching, sampling) is exactly what an mp4 path needs, with the
+# codec swapped for the container this environment can actually decode.
+# --------------------------------------------------------------------------------------
+
+_PVID_SIG = b"PVID"
+PVID_HEADER_BYTES = 10
+
+
+def make_pvid_bytes(frames) -> bytes:
+    """Encode a list/array of (h, w, 3) uint8 frames as a PVID payload."""
+    import numpy as np
+
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not fr:
+        raise ValueError("PVID needs at least one frame")
+    h, w, _ = fr[0].shape
+    for f in fr:
+        if f.shape != (h, w, 3):
+            raise ValueError("all PVID frames must share (h, w, 3)")
+    head = _PVID_SIG + struct.pack("<HHH", len(fr), w, h)
+    return head + b"".join(f.tobytes() for f in fr)
+
+
+def parse_pvid(payload: bytes):
+    """Parse a PVID payload -> (n_frames, width, height, frames ndarray
+    (n, h, w, 3))."""
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:4] != _PVID_SIG:
+        raise ValueError("not a PVID payload")
+    n, w, h = struct.unpack_from("<HHH", payload, 4)
+    body = payload[PVID_HEADER_BYTES:]
+    expect = n * w * h * 3
+    if len(body) != expect:
+        raise ValueError(f"PVID body size {len(body)} != expected {expect}")
+    frames = np.frombuffer(body, dtype=np.uint8).reshape(n, h, w, 3)
+    return n, w, h, frames
+
+
+# --------------------------------------------------------------------------------------
+# resize — pure-numpy, deterministic
+# --------------------------------------------------------------------------------------
+
+
+def resize_image(pixels, out_h: int, out_w: int):
+    """Deterministic image resize. Exact integer box-average when both dimensions
+    downscale by integer factors (the common thumbnail case — antialiased and
+    bit-reproducible via integer sum // count); nearest-neighbor index mapping
+    otherwise (exact integer arithmetic, no float resampling kernels whose
+    rounding could differ across BLAS builds)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    if h % out_h == 0 and w % out_w == 0:
+        fh, fw = h // out_h, w // out_w
+        box = px.reshape(out_h, fh, out_w, fw, c).astype(np.uint32)
+        return (box.sum(axis=(1, 3)) // (fh * fw)).astype(np.uint8)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows][:, cols]
+
+
+# --------------------------------------------------------------------------------------
 # decode + features
 # --------------------------------------------------------------------------------------
 
@@ -268,6 +339,9 @@ def decode_media(payload: bytes, kind: str, meta=None) -> dict:
         return {"kind": "image", "pixels": parse_ppm(payload)}
     if payload[:8] == _PNG_SIG:
         return {"kind": "image", "pixels": parse_png(payload)}
+    if payload[:4] == _PVID_SIG:
+        n, w, h, frames = parse_pvid(payload)
+        return {"kind": "video", "frames": frames, "n_frames": n, "width": w, "height": h}
     raise NotImplementedError(
         f"no pure-python decoder for this payload (kind={kind!r}); "
         "jpeg/mp3/video require PIL/librosa/av"
@@ -326,7 +400,29 @@ def media_features(payload: bytes, kind: str) -> tuple[bool, list[float]]:
         return False, _digest_features(bytes(payload))
     if decoded["kind"] == "audio":
         return True, _audio_features(decoded["samples"], decoded["sample_rate"])
+    if decoded["kind"] == "video":
+        return True, _video_features(decoded["frames"])
     return True, _image_features(decoded["pixels"])
+
+
+def _video_features(frames) -> list[float]:
+    import numpy as np
+
+    n, h, w, _ = frames.shape
+    px = frames.astype(np.float64) / 255.0
+    mean_rgb = px.mean(axis=(0, 1, 2))
+    # temporal motion proxy: mean absolute frame delta
+    motion = float(np.abs(np.diff(px, axis=0)).mean()) if n > 1 else 0.0
+    return [
+        float(n),
+        float(w),
+        float(h),
+        float(mean_rgb[0]),
+        float(mean_rgb[1]),
+        float(mean_rgb[2]),
+        motion,
+        0.0,
+    ]
 
 
 def synthesize_media(
@@ -334,6 +430,7 @@ def synthesize_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     image_format: str = "ppm",
+    video_format: str = "raw",
 ) -> DataFrame:
     """Build a deterministic media corpus from a text table: real WAV payloads for
     audio rows, real PPM or PNG payloads for image rows (``image_format``), opaque
@@ -343,6 +440,8 @@ def synthesize_media(
     on zlib and are pytest-verified instead."""
     if image_format not in ("ppm", "png"):
         raise ValueError(f"image_format must be 'ppm' or 'png', got {image_format!r}")
+    if video_format not in ("raw", "pvid"):
+        raise ValueError(f"video_format must be 'raw' or 'pvid', got {video_format!r}")
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -377,6 +476,23 @@ def synthesize_media(
                     samples = (2000 * np.sin(2 * np.pi * freq * t / rate)).astype("<i2")
                     payload, kind = make_wav_bytes(samples, rate), "audio"
                     meta = ("audio/wav", None, None, rate, count * 1000 // rate)
+                elif video_format == "pvid":  # video: real PVID frames keyed by doc_id
+                    w, h = n % 32 + 2, n % 24 + 2
+                    nf = 2 + doc_id % 4
+                    i, j = np.indices((h, w))
+                    frames = [
+                        np.stack(
+                            [
+                                (i * 5 + j * 3 + doc_id + fidx) % 256,
+                                (i + j * 7 + doc_id * 2 + fidx * 3) % 256,
+                                (i * 2 + j + doc_id + fidx * 5) % 256,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        for fidx in range(nf)
+                    ]
+                    payload, kind = make_pvid_bytes(frames), "video"
+                    meta = ("video/pvid", w, h, None, nf * 40)
                 else:  # video: no pure-python codec — stays opaque
                     payload, kind = text.encode("utf-8"), "video"
                     meta = ("fake/raw", None, None, None, n * 10)
@@ -448,3 +564,87 @@ def media_summary(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),  # PPM-encoded frame
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling: decode PVID video payloads and emit every k-th frame as a
+    standalone PPM image row (frame 0 always included). Non-video and undecodable
+    rows yield nothing — route them via extract_features' decoded flag first if
+    you need an audit trail.
+
+    Scale shape: mapInPandas (Arrow-batched, constant memory), output is a frame-
+    level explode of the media relation — size it with partition_by_byte_budget
+    BEFORE this step, since the output is ~n_frames/k times the video bytes."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                try:
+                    n, w, h, frames = parse_pvid(bytes(payload))
+                except ValueError:
+                    continue
+                for idx in range(0, n, every_k):
+                    out["media_id"].append(int(media_id))
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame"].append(make_ppm_bytes(frames[idx]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Thumbnail pass: decode image payloads (PPM/PNG), resize deterministically
+    (ext box-average / nearest-neighbor — see resize_image), re-encode as PPM, and
+    update the typed metadata. Non-image and undecodable rows pass through
+    untouched. Arrow-batched mapInPandas; payloads never visit the driver."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                new_payload, new_meta = payload, meta
+                if kind == "image":
+                    try:
+                        decoded = decode_media(bytes(payload), kind)
+                        px = resize_image(decoded["pixels"], out_h, out_w)
+                        new_payload = make_ppm_bytes(px)
+                        new_meta = dict(meta)
+                        new_meta.update(format="image/ppm", width=out_w, height=out_h)
+                    except (NotImplementedError, ValueError):
+                        pass
+                payloads.append(new_payload)
+                metas.append(new_meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)

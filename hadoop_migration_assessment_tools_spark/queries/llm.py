@@ -2387,3 +2387,57 @@ ORDER BY label
 
 
 EMB_RANDOM_PROJECTION_ORACLE = _rp_oracle()
+
+
+# --- multimodal_frame_sample ---------------------------------------------------------
+# Video frame-sampling certification: synthesize real PVID payloads (raw RGB24
+# container — the sandbox stand-in for mp4; ext/multimodal.py header), sample every
+# 2nd frame via the Arrow-batched mapInPandas extractor, re-encode each frame as PPM,
+# and roll up per lang. Every output quantity is closed-form from (doc_id, length
+# (text)), so DuckDB certifies the container generation, the parse, the sampling
+# stride, and the per-frame PPM re-encode — the whole video path — in one hash.
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import sample_video_frames, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, video_format="pvid")
+    frames = sample_video_frames(media, every_k=2)
+    return (
+        frames.join(
+            docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("media_id").cast("long").alias("n_videos"),
+            count_big("n_frames_sampled"),
+            F.sum(F.length("frame")).cast("long").alias("frames_bytes"),
+            F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+            F.sum(F.col("width") * F.col("height")).cast("long").alias("sum_frame_pixels"),
+        )
+        .orderBy("lang")
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+WITH v AS (
+  SELECT doc_id, lang,
+         length(text) % 32 + 2 AS w,
+         length(text) % 24 + 2 AS h,
+         2 + CAST(doc_id % 4 AS INTEGER) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+), s AS (
+  SELECT lang, doc_id, w, h, (nf + 1) // 2 AS c
+  FROM v
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_videos,
+  CAST(SUM(c) AS BIGINT) AS n_frames_sampled,
+  CAST(SUM(c * (9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h)) AS BIGINT) AS frames_bytes,
+  CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_frame_idx,
+  CAST(SUM(c * w * h) AS BIGINT) AS sum_frame_pixels
+FROM s
+GROUP BY lang
+ORDER BY lang
+"""

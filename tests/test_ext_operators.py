@@ -988,3 +988,115 @@ def test_random_project_jl_ratio_concentrates(spark):
         ratios.append(float(y @ y) / (16 * float(x @ x)))
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.2, mean
+
+
+# --- PVID video container + resize + frame sampling (ext/multimodal.py) -------------
+
+
+def test_pvid_roundtrip_and_size_closed_form():
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        PVID_HEADER_BYTES,
+        make_pvid_bytes,
+        parse_pvid,
+    )
+
+    frames = [np.full((4, 6, 3), i * 10, dtype=np.uint8) for i in range(5)]
+    payload = make_pvid_bytes(frames)
+    assert len(payload) == PVID_HEADER_BYTES + 5 * 6 * 4 * 3
+    n, w, h, out = parse_pvid(payload)
+    assert (n, w, h) == (5, 6, 4)
+    for i in range(5):
+        assert (out[i] == i * 10).all()
+
+
+def test_resize_image_box_average_golden():
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import resize_image
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    got = resize_image(px, 2, 2)
+    want = (px.reshape(2, 2, 2, 2, 3).astype(np.uint32).sum(axis=(1, 3)) // 4).astype(
+        np.uint8
+    )
+    assert (got == want).all()
+
+
+def test_resize_image_nearest_neighbor_upscale():
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import resize_image
+
+    px = np.array([[[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)  # 1x2
+    got = resize_image(px, 2, 4)
+    assert got.shape == (2, 4, 3)
+    assert (got[:, :2] == 0).all() and (got[:, 2:] == 255).all()
+
+
+def test_video_decode_and_features(spark):
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        decode_media,
+        make_pvid_bytes,
+        media_features,
+    )
+
+    frames = [np.full((3, 3, 3), v, dtype=np.uint8) for v in (0, 128)]
+    payload = make_pvid_bytes(frames)
+    d = decode_media(payload, "video")
+    assert d["kind"] == "video" and d["n_frames"] == 2
+    ok, feats = media_features(payload, "video")
+    assert ok and feats[0] == 2.0 and feats[1] == 3.0 and feats[2] == 3.0
+    assert feats[6] > 0  # motion proxy sees the frame delta
+
+
+def test_sample_video_frames_stride_and_reencode(spark):
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        parse_ppm,
+        sample_video_frames,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = synthesize_media(docs, video_format="pvid")
+    frames = sample_video_frames(media, every_k=2).collect()
+    assert frames, "no video frames sampled"
+    for r in frames:
+        assert r["frame_idx"] % 2 == 0
+        px = parse_ppm(bytes(r["frame"]))
+        assert px.shape == (r["height"], r["width"], 3)
+    # stride count law: ceil(n_frames / 2) frames per video
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in frames)
+    nf = {r["media_id"]: r["n_frames"] for r in frames}
+    for mid, c in per.items():
+        assert c == (nf[mid] + 1) // 2, (mid, c, nf[mid])
+
+
+def test_resize_media_resizes_images_and_passes_rest(spark):
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        parse_ppm,
+        resize_media,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = synthesize_media(docs, image_format="png", video_format="pvid")
+    before = {r["media_id"]: (r["kind"], bytes(r["payload"])) for r in media.collect()}
+    out = resize_media(media, 8, 8).collect()
+    for r in out:
+        kind, orig = before[r["media_id"]]
+        assert r["kind"] == kind
+        if kind == "image":
+            px = parse_ppm(bytes(r["payload"]))  # PNG input re-encoded as PPM
+            assert px.shape == (8, 8, 3)
+            assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+            assert r["meta"]["format"] == "image/ppm"
+        else:
+            assert bytes(r["payload"]) == orig  # untouched passthrough
