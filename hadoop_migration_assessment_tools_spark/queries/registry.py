@@ -34,6 +34,16 @@ Query = Callable[[SparkSession, str], DataFrame]
 # events_time_hierarchy_rollup, events_type_pivot out (operator shapes those three
 # evidence — intersect, rollup, pivot — remain covered by other scored entries and
 # by their own still-oracled below-the-line rows).
+#
+# Round-4 second swap (late-round additions, all vanilla-session parity-checked):
+# q21_waiting_suppliers in for customers_without_orders (anti-join evidence upgraded
+# to the canonical Q21 EXISTS + NOT EXISTS semi+anti self-join pair; CWO stays
+# oracled below the line); docs_temperature_mixture in for events_jsonl_roundtrip
+# (the sampling family gains a scored row — exact sampled-SET certification; file
+# roundtrip evidence remains via the scored qe_avro_roundtrip and the below-line
+# jsonl/csv rows); multimodal_frame_sample in for emb_cosine_topk (the video path
+# gains a scored row; exact top-k evidence remains via emb_ann_recall, which
+# reproduces candidates AND ranking in SQL).
 QUERIES: dict[str, Query] = {
     # -- scored window, 1-8: relational/TPC-H family (JN4/JN5 semi+anti, full outer,
     #    AGG5, pushdown-sensitive predicates, Q2-shaped correlated min) --
@@ -42,7 +52,7 @@ QUERIES: dict[str, Query] = {
     "q6_forecast_revenue": tpch.q6_forecast_revenue,
     "q19_disjunctive_predicates": tpch.q19_disjunctive_predicates,
     "order_priority_semijoin": tpch.order_priority_semijoin,
-    "customers_without_orders": tpch.customers_without_orders,
+    "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
     "customers_orders_full_outer": tpch.customers_orders_full_outer,
     "min_cost_supplier": tpch.min_cost_supplier,
     # -- scored window, 9-23: events analytics (AGG5-6, WIN1-3, JN6 as-of, SET2,
@@ -64,7 +74,7 @@ QUERIES: dict[str, Query] = {
     "docs_pack_invariants": llm.docs_pack_invariants,
     "events_session_windows": ea.events_session_windows,
     "events_props_roundtrip": ea.events_props_roundtrip,
-    "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
+    "docs_temperature_mixture": llm.docs_temperature_mixture,
     # -- scored window: physical-plan strategy operators (range join via bucket+
     #    refine, bucketed co-located zero-Exchange join) --
     "lineitem_price_band_join": tpch.lineitem_price_band_join,
@@ -97,7 +107,7 @@ QUERIES: dict[str, Query] = {
     "docs_pii_scrub": llm.docs_pii_scrub,
     "multimodal_manifest": llm.multimodal_manifest,
     "docs_dup_clusters": llm.docs_dup_clusters,
-    "emb_cosine_topk": llm.emb_cosine_topk,
+    "multimodal_frame_sample": llm.multimodal_frame_sample,
     "emb_label_centroids": llm.emb_label_centroids,
     "emb_near_dup_pairs": llm.emb_near_dup_pairs,
     # ================= end of driver-scored window (50) =================
@@ -128,13 +138,13 @@ QUERIES: dict[str, Query] = {
     "q9_product_type_profit": tpch.q9_product_type_profit,
     "q15_top_supplier": tpch.q15_top_supplier,
     "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
-    "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
+    "customers_without_orders": tpch.customers_without_orders,
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
-    "docs_temperature_mixture": llm.docs_temperature_mixture,
+    "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
     "emb_random_projection": llm.emb_random_projection,
-    "multimodal_frame_sample": llm.multimodal_frame_sample,
+    "emb_cosine_topk": llm.emb_cosine_topk,
     "events_user_activity": ea.events_user_activity,
     "events_json_extract": ea.events_json_extract,
     "events_first_per_user": ea.events_first_per_user,
