@@ -1513,3 +1513,85 @@ WHERE c_nationkey IN {Q22_NATIONS}
 GROUP BY c_nationkey
 ORDER BY cntrycode
 """
+
+
+# --- orders_zorder_locality ---------------------------------------------------------
+# Z-order layout certification (plans/zorder.py): bucketize orders on two
+# data-independent dimensions (price, order date), Morton-interleave the bits, and
+# roll up min/max per z-prefix group. Narrow per-group ranges in BOTH dimensions at
+# once are exactly the property that lets parquet min/max stats skip files for
+# either predicate after a zorder write — certified bit-for-bit by DuckDB (pure
+# integer shift/mask arithmetic on both engines).
+
+ZO_BITS = 8
+ZO_PRICE_HI = 614_400.0  # covers max o_totalprice with a clean 2400/bucket width
+ZO_EPOCH = "1995-01-01"
+ZO_DAYS_HI = 2_560.0  # 10-day buckets over the corpus date span
+ZO_PREFIX_SHIFT = 10  # 16-bit z >> 10 -> 64 file-sized groups
+
+
+def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.zorder import fixed_range_bucket, zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = fixed_range_bucket(F.col("o_totalprice"), 0.0, ZO_PRICE_HI, ZO_BITS)
+    y = fixed_range_bucket(
+        F.datediff(F.col("o_orderdate"), F.lit(ZO_EPOCH).cast("date")).cast("double"),
+        0.0,
+        ZO_DAYS_HI,
+        ZO_BITS,
+    )
+    z = zorder_key([x, y], ZO_BITS)
+    return (
+        orders.select(x.alias("_x"), y.alias("_y"), z.alias("_z"))
+        .groupBy(F.shiftright(F.col("_z"), ZO_PREFIX_SHIFT).alias("z_group"))
+        .agg(
+            count_big("n_orders"),
+            F.min("_x").cast("long").alias("min_price_bucket"),
+            F.max("_x").cast("long").alias("max_price_bucket"),
+            F.min("_y").cast("long").alias("min_date_bucket"),
+            F.max("_y").cast("long").alias("max_date_bucket"),
+            F.sum("_z").cast("long").alias("z_checksum"),
+        )
+        .orderBy("z_group")
+    )
+
+
+def _zorder_oracle() -> str:
+    n = 1 << ZO_BITS
+    x = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) * {n} / {ZO_PRICE_HI}) AS BIGINT)))"
+    )
+    y = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR((CAST(date_diff('day', DATE '{ZO_EPOCH}', o_orderdate) AS DOUBLE) - 0.0)"
+        f" * {n} / {ZO_DAYS_HI}) AS BIGINT)))"
+    )
+    parts = []
+    for i in range(ZO_BITS):
+        parts.append(f"(((x >> {i}) & 1) << {i * 2})")
+        parts.append(f"(((y >> {i}) & 1) << {i * 2 + 1})")
+    z = " | ".join(parts)
+    return f"""
+WITH b AS (
+  SELECT {x} AS x, {y} AS y FROM orders
+),
+zz AS (
+  SELECT x, y, ({z}) AS z FROM b
+)
+SELECT
+  z >> {ZO_PREFIX_SHIFT} AS z_group,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(MIN(x) AS BIGINT) AS min_price_bucket,
+  CAST(MAX(x) AS BIGINT) AS max_price_bucket,
+  CAST(MIN(y) AS BIGINT) AS min_date_bucket,
+  CAST(MAX(y) AS BIGINT) AS max_date_bucket,
+  CAST(SUM(z) AS BIGINT) AS z_checksum
+FROM zz
+GROUP BY z_group
+ORDER BY z_group
+"""
+
+
+ORDERS_ZORDER_LOCALITY_ORACLE = _zorder_oracle()

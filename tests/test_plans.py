@@ -285,3 +285,80 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_clustering_prunes_on_both_dimensions(spark):
+    """The layout claim, measured the way min/max pruning actually works: count the
+    partitions whose [min, max] stats intersect a selective single-dimension
+    predicate. A single-column sort is perfect on its own column but touches EVERY
+    partition for the other dimension's predicate; z-order balances the spans so
+    BOTH predicates prune. (Bounding-box AREA is the wrong metric — both layouts
+    tile ~R_x*R_y/N cells; the win is span balance, not area.)"""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.plans.zorder import (
+        cluster_by_zorder,
+        fixed_range_bucket,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    x = fixed_range_bucket(F.col("o_totalprice"), 0.0, 614_400.0, 8)
+    y = fixed_range_bucket(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("double"),
+        0.0,
+        2_560.0,
+        8,
+    )
+    base = orders.select(x.alias("x"), y.alias("y"))
+
+    def partition_stats(df):
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+            .collect()
+        )
+
+    def touched(stats, dim, lo, hi):
+        return sum(
+            1 for r in stats if not (r[f"max({dim})"] < lo or r[f"min({dim})"] > hi)
+        )
+
+    n_parts = 16
+    z_stats = partition_stats(cluster_by_zorder(base, [F.col("x"), F.col("y")], n_parts))
+    s_stats = partition_stats(
+        base.repartitionByRange(n_parts, F.col("x")).sortWithinPartitions("x")
+    )
+    assert len(z_stats) == n_parts and len(s_stats) == n_parts
+
+    # 16-bucket-wide predicate windows on each dimension (a ~6% selective filter)
+    windows = [(64, 79), (128, 143), (192, 207)]
+    z_cost = s_cost = 0
+    for lo, hi in windows:
+        z_cost += touched(z_stats, "x", lo, hi) + touched(z_stats, "y", lo, hi)
+        s_cost += touched(s_stats, "x", lo, hi) + touched(s_stats, "y", lo, hi)
+    # single-sort: ~1-2 partitions for x, all 16 for y => ~17-18 per window pair.
+    # z-order: ~4-6 for each dimension => ~8-12. Require a strict win.
+    assert z_cost < s_cost, (z_cost, s_cost)
+    # and the y-dimension alone must prune at all under z-order (single-sort can't)
+    y_touched = touched(z_stats, "y", 64, 79)
+    assert y_touched < n_parts, y_touched
+
+
+def test_zorder_key_interleave_golden(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.plans.zorder import zorder_key
+
+    df = spark.createDataFrame([(0b1010, 0b0110)], "x: long, y: long")
+    got = df.select(zorder_key([F.col("x"), F.col("y")], 4).alias("z")).collect()[0]["z"]
+
+    def interleave(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == interleave(0b1010, 0b0110)
