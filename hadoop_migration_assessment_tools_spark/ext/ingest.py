@@ -1,0 +1,117 @@
+"""[EXT] Incremental corpus ingestion: admission control for new document batches.
+
+A production training corpus is append-only with re-crawls: every incoming batch
+must be admitted through (1) exact-dup rejection against the corpus, (2) exact
+dedup inside the batch, (3) near-dup rejection against the corpus. This module
+composes the engine's dedup primitives into that admission pipeline with a full
+audit trail (every rejected id carries its reason — the data-lineage requirement
+of corpus governance).
+
+Scale shapes:
+- Stage 1 joins on ``xxhash64(text)`` with a text-equality residual (collision-
+  safe), so the shuffle key is 8 bytes, not the document body.
+- Stage 2 is one groupBy(text-hash) min-id inside the (small) batch.
+- Stage 3 uses the EXACT inverted shingle index (ext/dedup.shingle_index), not
+  MinHash: the incoming side is batch-sized, so candidates are
+  O(shared shingles x batch), and exact Jaccard keeps admission DETERMINISTIC —
+  a requirement for reproducible corpus builds (and for the DuckDB oracle).
+  At very large batch sizes swap stage 3's candidate generation for
+  minhash_candidate_pairs and keep the same verify.
+- The corpus side is scanned once per stage it feeds (hash anti join + shingle
+  index); at true scale both corpus artifacts (text-hash index, shingle index)
+  would be materialized once and reused across batches — this API takes the raw
+  corpus to stay self-contained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingle_index
+
+__all__ = ["incremental_ingest"]
+
+REASON_EXACT_CORPUS = "exact_vs_corpus"
+REASON_EXACT_BATCH = "exact_in_batch"
+REASON_NEAR_CORPUS = "near_dup_vs_corpus"
+
+
+def incremental_ingest(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the three-stage admission pipeline.
+
+    Returns (admitted, audit): ``admitted`` is the incoming rows that survived all
+    three gates (original schema); ``audit`` is (id_col, reason) for every
+    rejected row, reason in {exact_vs_corpus, exact_in_batch, near_dup_vs_corpus}.
+    """
+    th = F.xxhash64(F.col(text_col))
+
+    inc = incoming.withColumn("_th", th)
+    ex_hashes = existing.select(
+        F.xxhash64(F.col(text_col)).alias("_th"), F.col(text_col).alias("_ex_text")
+    )
+
+    # Stage 1 — exact vs corpus: semi join on the 8-byte hash with text residual.
+    hit1 = inc.join(
+        ex_hashes,
+        (inc["_th"] == ex_hashes["_th"]) & (inc[text_col] == ex_hashes["_ex_text"]),
+        "left_semi",
+    )
+    s1_rejected = hit1.select(F.col(id_col), F.lit(REASON_EXACT_CORPUS).alias("reason"))
+    s1_pass = inc.join(
+        ex_hashes,
+        (inc["_th"] == ex_hashes["_th"]) & (inc[text_col] == ex_hashes["_ex_text"]),
+        "left_anti",
+    )
+
+    # Stage 2 — exact dedup inside the batch: deterministic min-id survivor.
+    min_ids = s1_pass.groupBy("_th", text_col).agg(F.min(id_col).alias("_min_id"))
+    s2 = s1_pass.join(F.broadcast(min_ids), ["_th", text_col])
+    s2_rejected = s2.filter(F.col(id_col) != F.col("_min_id")).select(
+        F.col(id_col), F.lit(REASON_EXACT_BATCH).alias("reason")
+    )
+    s2_pass = s2.filter(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+
+    # Stage 3 — near-dup vs corpus: exact shingle-Jaccard over the inverted index.
+    inc_sh = shingle_index(s2_pass, text_col, id_col, k=shingle_k)
+    inc_sizes = inc_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_na"))
+    ex_sh = shingle_index(existing, text_col, id_col, k=shingle_k).select(
+        F.col("_id").alias("_ex_id"), F.col("_sh")
+    )
+    ex_sizes = ex_sh.groupBy("_ex_id").agg(F.count(F.lit(1)).alias("_nb"))
+    inter = (
+        inc_sh.join(ex_sh, "_sh")
+        .groupBy("_id", "_ex_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jacc = (
+        inter.join(F.broadcast(inc_sizes), "_id")
+        .join(ex_sizes, "_ex_id")
+        .withColumn(
+            "_j",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    near_ids = (
+        jacc.filter(F.col("_j") >= jaccard_threshold).select(F.col("_id")).distinct()
+    )
+    s3_rejected = near_ids.select(
+        F.col("_id").alias(id_col), F.lit(REASON_NEAR_CORPUS).alias("reason")
+    )
+    admitted = (
+        s2_pass.join(
+            near_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
+        ).drop("_th")
+    )
+    audit = s1_rejected.unionByName(s2_rejected).unionByName(s3_rejected)
+    return admitted, audit

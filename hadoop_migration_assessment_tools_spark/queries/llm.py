@@ -2441,3 +2441,138 @@ FROM s
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- docs_incremental_ingest ---------------------------------------------------------
+# Admission-control certification (ext/ingest.py): a synthetic incoming batch with
+# all four fates — verbatim re-crawls (exact_vs_corpus), suffix-edited near-dups
+# (near_dup_vs_corpus via exact shingle Jaccard), genuinely new reversed-token texts
+# (admitted), and an in-batch duplicate pair (exact_in_batch) — flows through the
+# three-stage pipeline; DuckDB replays every stage relationally and one hash
+# certifies the admission decisions AND the audit trail.
+
+INGEST_THRESHOLD = 0.7
+INGEST_SHINGLE_K = 4
+
+
+def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ingest import incremental_ingest
+    from ..ext.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = F.array_join(F.reverse(tokens(F.col("text"))), " ")
+    incoming = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" upd")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 2).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), rev.alias("text")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 3).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), rev.alias("text")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 3).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"), rev.alias("text")
+            )
+        )
+    )
+    admitted, audit = incremental_ingest(
+        docs, incoming, jaccard_threshold=INGEST_THRESHOLD, shingle_k=INGEST_SHINGLE_K
+    )
+    rejected = audit.groupBy("reason").agg(
+        count_big("n"), F.sum("doc_id").cast("long").alias("id_checksum")
+    )
+    adm = admitted.agg(
+        count_big("n"), F.sum("doc_id").cast("long").alias("id_checksum")
+    ).select(F.lit("admitted").alias("reason"), "n", "id_checksum")
+    return rejected.unionByName(adm).orderBy("reason")
+
+
+DOCS_INCREMENTAL_INGEST_ORACLE = rf"""
+WITH rev AS (
+  SELECT doc_id,
+         array_to_string(list_reverse(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+')), ' ') AS rtext
+  FROM documents
+),
+incoming AS (
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' upd' FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT r.doc_id + 2000000, r.rtext FROM rev r WHERE r.doc_id % 4 = 2
+  UNION ALL
+  SELECT r.doc_id + 2000000, r.rtext FROM rev r WHERE r.doc_id % 4 = 3
+  UNION ALL
+  SELECT r.doc_id + 3000000, r.rtext FROM rev r WHERE r.doc_id % 4 = 3
+),
+s1_rej AS (
+  SELECT i.doc_id FROM incoming i
+  WHERE EXISTS (SELECT 1 FROM documents d WHERE d.text = i.text)
+),
+s1_pass AS (
+  SELECT * FROM incoming WHERE doc_id NOT IN (SELECT doc_id FROM s1_rej)
+),
+mins AS (SELECT text, MIN(doc_id) AS mid FROM s1_pass GROUP BY text),
+s2_rej AS (
+  SELECT p.doc_id FROM s1_pass p JOIN mins m ON p.text = m.text WHERE p.doc_id <> m.mid
+),
+s2_pass AS (
+  SELECT p.doc_id, p.text FROM s1_pass p JOIN mins m ON p.text = m.text AND p.doc_id = m.mid
+),
+tok_in AS (
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+') AS t
+  FROM s2_pass WHERE length(regexp_replace(text, '^\s+|\s+$', '')) > 0
+),
+sh_in AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {INGEST_SHINGLE_K - 1}),
+                                      i -> array_to_string(t[i:i+{INGEST_SHINGLE_K - 1}], ' '))) AS sh
+  FROM tok_in WHERE len(t) >= {INGEST_SHINGLE_K}
+),
+inv_in AS (SELECT doc_id, len(sh) AS na, unnest(sh) AS s FROM sh_in),
+tok_ex AS (
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+') AS t
+  FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '')) > 0
+),
+sh_ex AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {INGEST_SHINGLE_K - 1}),
+                                      i -> array_to_string(t[i:i+{INGEST_SHINGLE_K - 1}], ' '))) AS sh
+  FROM tok_ex WHERE len(t) >= {INGEST_SHINGLE_K}
+),
+inv_ex AS (SELECT doc_id AS ex_id, len(sh) AS nb, unnest(sh) AS s FROM sh_ex),
+pairs AS (
+  SELECT a.doc_id, a.na, b.nb, COUNT(*) AS inter
+  FROM inv_in a JOIN inv_ex b ON a.s = b.s
+  GROUP BY 1, 2, 3
+),
+near AS (
+  SELECT DISTINCT doc_id FROM pairs
+  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= {INGEST_THRESHOLD}
+),
+audit AS (
+  SELECT doc_id, 'exact_vs_corpus' AS reason FROM s1_rej
+  UNION ALL
+  SELECT doc_id, 'exact_in_batch' FROM s2_rej
+  UNION ALL
+  SELECT doc_id, 'near_dup_vs_corpus' FROM near
+),
+admitted AS (
+  SELECT doc_id FROM s2_pass WHERE doc_id NOT IN (SELECT doc_id FROM near)
+)
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM audit GROUP BY reason
+UNION ALL
+SELECT 'admitted', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM admitted
+ORDER BY reason
+"""

@@ -141,6 +141,7 @@ QUERIES: dict[str, Query] = {
     "customers_without_orders": tpch.customers_without_orders,
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "orders_zorder_locality": tpch.orders_zorder_locality,
+    "docs_incremental_ingest": llm.docs_incremental_ingest,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
@@ -258,6 +259,7 @@ ORACLE_SQL: dict[str, str] = {
     "q21_waiting_suppliers": tpch.Q21_ORACLE,
     "q22_global_sales_opportunity": tpch.Q22_ORACLE,
     "orders_zorder_locality": tpch.ORDERS_ZORDER_LOCALITY_ORACLE,
+    "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
     "docs_unigram_surprisal": llm.DOCS_UNIGRAM_SURPRISAL_ORACLE,
     "docs_temperature_mixture": llm.DOCS_TEMPERATURE_MIXTURE_ORACLE,
     "emb_random_projection": llm.EMB_RANDOM_PROJECTION_ORACLE,

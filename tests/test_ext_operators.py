@@ -1100,3 +1100,59 @@ def test_resize_media_resizes_images_and_passes_rest(spark):
             assert r["meta"]["format"] == "image/ppm"
         else:
             assert bytes(r["payload"]) == orig  # untouched passthrough
+
+
+# --- incremental ingestion (ext/ingest.py) ------------------------------------------
+
+
+def test_incremental_ingest_stages_and_audit_partition(spark):
+    from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
+
+    corpus_text = " ".join(f"w{i}" for i in range(20))
+    near_text = corpus_text + " tail"        # high-Jaccard edit
+    new_text = " ".join(f"v{i}" for i in range(20))
+    existing = _docs(spark, [(1, corpus_text), (2, "other words entirely here now")])
+    incoming = _docs(
+        spark,
+        [
+            (100, corpus_text),   # exact vs corpus
+            (101, near_text),     # near-dup vs corpus
+            (102, new_text),      # admitted (min id of the in-batch pair)
+            (103, new_text),      # exact in batch
+        ],
+    )
+    admitted, audit = incremental_ingest(existing, incoming, jaccard_threshold=0.7)
+    adm = {r["doc_id"] for r in admitted.collect()}
+    aud = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert adm == {102}
+    assert aud == {
+        100: "exact_vs_corpus",
+        101: "near_dup_vs_corpus",
+        103: "exact_in_batch",
+    }
+    # audit + admitted PARTITION the incoming batch: nothing lost, nothing doubled
+    assert adm | set(aud) == {100, 101, 102, 103} and not (adm & set(aud))
+
+
+def test_incremental_ingest_below_threshold_admits(spark):
+    from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
+
+    a = " ".join(f"w{i}" for i in range(10))
+    half = " ".join(f"w{i}" for i in range(5)) + " " + " ".join(f"x{i}" for i in range(5))
+    existing = _docs(spark, [(1, a)])
+    incoming = _docs(spark, [(200, half)])
+    admitted, audit = incremental_ingest(existing, incoming, jaccard_threshold=0.7)
+    assert {r["doc_id"] for r in admitted.collect()} == {200}
+    assert audit.count() == 0
+
+
+def test_incremental_ingest_short_docs_skip_near_dup_gate(spark):
+    """Docs with fewer than k tokens have no shingles — they must pass stage 3
+    (never silently dropped by an empty join), matching the oracle semantics."""
+    from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
+
+    existing = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    incoming = _docs(spark, [(300, "tiny doc")])
+    admitted, audit = incremental_ingest(existing, incoming)
+    assert {r["doc_id"] for r in admitted.collect()} == {300}
+    assert audit.count() == 0
