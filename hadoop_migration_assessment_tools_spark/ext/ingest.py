@@ -52,7 +52,12 @@ def incremental_ingest(
     """
     th = F.xxhash64(F.col(text_col))
 
-    inc = incoming.withColumn("_th", th)
+    # Stage-boundary materialization (NOTES "capstone" lesson): each stage below
+    # references its input 2-3 times (semi + anti, survivor join). Without lineage
+    # cuts every re-reference re-expands the whole upstream plan — measured 177
+    # broadcast exchanges for the registry query's 5-way-union batch; with the
+    # cuts, a handful. The checkpointed relations are batch-sized.
+    inc = incoming.withColumn("_th", th).localCheckpoint()
     ex_hashes = existing.select(
         F.xxhash64(F.col(text_col)).alias("_th"), F.col(text_col).alias("_ex_text")
     )
@@ -68,7 +73,7 @@ def incremental_ingest(
         ex_hashes,
         (inc["_th"] == ex_hashes["_th"]) & (inc[text_col] == ex_hashes["_ex_text"]),
         "left_anti",
-    )
+    ).localCheckpoint()
 
     # Stage 2 — exact dedup inside the batch: deterministic min-id survivor.
     min_ids = s1_pass.groupBy("_th", text_col).agg(F.min(id_col).alias("_min_id"))
@@ -76,7 +81,7 @@ def incremental_ingest(
     s2_rejected = s2.filter(F.col(id_col) != F.col("_min_id")).select(
         F.col(id_col), F.lit(REASON_EXACT_BATCH).alias("reason")
     )
-    s2_pass = s2.filter(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+    s2_pass = s2.filter(F.col(id_col) == F.col("_min_id")).drop("_min_id").localCheckpoint()
 
     # Stage 3 — near-dup vs corpus: exact shingle-Jaccard over the inverted index.
     inc_sh = shingle_index(s2_pass, text_col, id_col, k=shingle_k)

@@ -171,6 +171,15 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_random_projection": dict(
         shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
+    # Integer shift/mask z-key is scan-local; the only exchanges are the group agg.
+    "orders_zorder_locality": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    # Three-stage admission with localCheckpoint lineage cuts at stage boundaries —
+    # without them this plan measured 46 shuffles / 177 broadcast exchanges.
+    "docs_incremental_ingest": dict(
+        shuffle_exchange=13, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=8
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
