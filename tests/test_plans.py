@@ -362,3 +362,47 @@ def test_zorder_key_interleave_golden(spark):
         return z
 
     assert got == interleave(0b1010, 0b0110)
+
+
+def test_runtime_bloom_filter_prunes_application_side(spark):
+    """Runtime-filter literacy proof: with a selective creation side, Catalyst's
+    InjectRuntimeFilter must add a bloom-filter semi-reduction (might_contain) on
+    the fact side of a shuffle join — at 100 TB this is what keeps the big side's
+    shuffle from carrying rows the dimension filter will discard anyway. Also
+    proves the correctness envelope: results identical with the filter on/off."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    conf_keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+        with_filter = j.collect()[0]["n"]
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        j2 = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert "might_contain" not in j2._jdf.queryExecution().optimizedPlan().toString()
+        assert j2.collect()[0]["n"] == with_filter
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
