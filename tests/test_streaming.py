@@ -635,3 +635,87 @@ def test_pack_stream_multi_batch_invariants(spark, tmp_path):
     assert {r["doc_id"] for r in packed if r["overflow"]} == {
         d for d, n in want.items() if n > 256
     }
+
+
+# --- streaming ingestion (streaming/ingest.py) --------------------------------------
+
+
+def test_ingest_stream_sequential_rejects_cross_batch_dup(spark, tmp_path):
+    """The growing-reference-set property: a text admitted in one micro-batch must
+    reject its re-arrival in a later batch — the semantics the one-shot batch API
+    cannot express. Order-independent asserts (file-source batch order is an
+    implementation detail): exactly one of the pair is admitted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.streaming.ingest import ingest_stream
+
+    corpus_text = " ".join(f"c{i}" for i in range(12))
+    fresh = " ".join(f"n{i}" for i in range(12))
+    near = corpus_text + " tail"
+    corpus = spark.createDataFrame([(1, corpus_text)], ["doc_id", "text"])
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(100, fresh), (101, corpus_text), (102, near)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    spark.createDataFrame([(200, fresh)], ["doc_id", "text"]).coalesce(1).write.parquet(
+        os.path.join(src, "f2")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    adm_p, aud_p, ckpt = (
+        os.path.join(str(tmp_path), d) for d in ("admitted", "audit", "ckpt")
+    )
+    ingest_stream(corpus, stream, adm_p, aud_p, ckpt).awaitTermination()
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(adm_p).collect()}
+    audit = {r["doc_id"]: r["reason"] for r in spark.read.parquet(aud_p).collect()}
+    # exactly one of the fresh-text pair admitted, the other rejected as exact dup
+    assert len(admitted & {100, 200}) == 1
+    other = ({100, 200} - admitted).pop()
+    assert audit[other] == "exact_vs_corpus"
+    assert audit[101] == "exact_vs_corpus"      # verbatim corpus copy
+    assert audit[102] == "near_dup_vs_corpus"   # suffix edit
+    # partition property holds across the whole stream
+    assert admitted | set(audit) == {100, 101, 102, 200}
+    assert not (admitted & set(audit))
+
+
+def test_ingest_stream_single_batch_matches_batch_api(spark, tmp_path):
+    import os
+
+    from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
+    from hadoop_migration_assessment_tools_spark.streaming.ingest import ingest_stream
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"c{i}" for i in range(10)))], ["doc_id", "text"]
+    )
+    batch_rows = [
+        (300, " ".join(f"a{i}" for i in range(10))),
+        (301, " ".join(f"c{i}" for i in range(10))),  # exact vs corpus
+        (302, " ".join(f"b{i}" for i in range(10))),
+    ]
+    incoming = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+    src = os.path.join(str(tmp_path), "src")
+    incoming.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    adm_p, aud_p, ckpt = (
+        os.path.join(str(tmp_path), d) for d in ("admitted", "audit", "ckpt")
+    )
+    ingest_stream(corpus, stream, adm_p, aud_p, ckpt).awaitTermination()
+
+    b_admitted, b_audit = incremental_ingest(corpus, incoming)
+    assert {r["doc_id"] for r in spark.read.parquet(adm_p).collect()} == {
+        r["doc_id"] for r in b_admitted.collect()
+    }
+    assert {(r["doc_id"], r["reason"]) for r in spark.read.parquet(aud_p).collect()} == {
+        (r["doc_id"], r["reason"]) for r in b_audit.collect()
+    }
