@@ -2576,3 +2576,23 @@ UNION ALL
 SELECT 'admitted', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM admitted
 ORDER BY reason
 """
+
+
+# --- docs_bpe_train ------------------------------------------------------------------
+# [EXT] real BPE vocabulary training (ext/bpe.py) over the corpus: iterative argmax
+# makes it genuinely non-SQL-expressible (each merge's counts depend on the previous
+# merge having been applied), so this is rows-only in the driver; correctness is
+# pinned by the golden test against a pure-Python reference BPE with identical
+# tie-breaks (tests/test_ext_operators.py::test_bpe_matches_reference_implementation).
+
+BPE_NUM_MERGES = 6
+
+
+def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    merges = train_bpe_merges(docs, BPE_NUM_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
+    ).orderBy("rank")

@@ -142,6 +142,7 @@ QUERIES: dict[str, Query] = {
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "orders_zorder_locality": tpch.orders_zorder_locality,
     "docs_incremental_ingest": llm.docs_incremental_ingest,
+    "docs_bpe_train": llm.docs_bpe_train,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,

@@ -1156,3 +1156,72 @@ def test_incremental_ingest_short_docs_skip_near_dup_gate(spark):
     admitted, audit = incremental_ingest(existing, incoming)
     assert {r["doc_id"] for r in admitted.collect()} == {300}
     assert audit.count() == 0
+
+
+# --- BPE vocabulary training (ext/bpe.py) -------------------------------------------
+
+
+def _reference_bpe(texts, num_merges):
+    """Pure-Python Sennrich-style BPE with identical tie-breaks, as the oracle."""
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) + ["</w>"] for w in vocab}
+    merges = []
+    for rank in range(num_merges):
+        pairs = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark):
+    from hadoop_migration_assessment_tools_spark.ext.bpe import train_bpe_merges
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("lang") == "en").limit(40)
+    texts = [r["text"] for r in docs.collect()]
+    got = train_bpe_merges(docs, 8)
+    want = _reference_bpe(texts, 8)
+    assert got == want
+
+
+def test_bpe_merge_overlap_semantics(spark):
+    from hadoop_migration_assessment_tools_spark.ext.bpe import apply_merge_expr
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a", "a"],), (["x", "a", "a", "y"],), ([],)],
+        "syms: array<string>",
+    )
+    got = [r["m"] for r in df.select(apply_merge_expr(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert got == [["aa", "aa", "a"], ["x", "aa", "y"], []]
+
+
+def test_bpe_canonical_example(spark):
+    from hadoop_migration_assessment_tools_spark.ext.bpe import train_bpe_merges
+
+    df = spark.createDataFrame(
+        [("low lower lowest low low",), ("new newer newest new",)], ["text"]
+    )
+    m = train_bpe_merges(df, 2)
+    assert [(r[1], r[2]) for r in m] == [("l", "o"), ("lo", "w")]
