@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens
 
-__all__ = ["word_frequency_table", "train_bpe_merges", "apply_merge_expr"]
+__all__ = ["word_frequency_table", "train_bpe_merges", "apply_merge_expr", "encode_with_merges"]
 
 END_MARK = "</w>"
 
@@ -104,3 +104,64 @@ def train_bpe_merges(
         merges.append((rank, a, b, a + b, int(cnt)))
         wf = wf.withColumn("syms", apply_merge_expr(F.col("syms"), a, b)).localCheckpoint()
     return merges
+
+
+def encode_with_merges(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize text with a trained merge list: per word, apply merges in rank
+    order (BPE encoding IS sequential application in training order). Returns
+    (id_col, n_words, n_bpe_tokens).
+
+    Arrow-batched pandas UDF: the per-word merge loop is Python, but each batch
+    is one vectorized pass and the merge list is a broadcast-sized closure —
+    the standard deployment shape for a trained tokenizer. Word-level caching
+    inside the batch (dict per Arrow batch) exploits Zipf: each distinct word is
+    encoded once per batch regardless of frequency."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranked = [(a, b, m) for (_, a, b, m, _) in sorted(merges)]
+
+    def encode_word(word: str) -> int:
+        syms = list(word) + [END_MARK]
+        for a, b, m in ranked:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            cache: dict[str, int] = {}
+            ids, n_words, n_toks = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).strip().split() if w]
+                total = 0
+                for w in words:
+                    if w not in cache:
+                        cache[w] = encode_word(w)
+                    total += cache[w]
+                ids.append(int(doc_id))
+                n_words.append(len(words))
+                n_toks.append(total)
+            yield pd.DataFrame({id_col: ids, "n_words": n_words, "n_bpe_tokens": n_toks})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

@@ -1225,3 +1225,44 @@ def test_bpe_canonical_example(spark):
     )
     m = train_bpe_merges(df, 2)
     assert [(r[1], r[2]) for r in m] == [("l", "o"), ("lo", "w")]
+
+
+def test_bpe_encode_matches_reference(spark):
+    import re
+
+    from hadoop_migration_assessment_tools_spark.ext.bpe import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("lang") == "en").limit(30)
+    merges = train_bpe_merges(docs, 8)
+
+    def ref_encode_word(word, ranked):
+        syms = list(word) + ["</w>"]
+        for a, b, m in ranked:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    ranked = [(a, b, m) for (_, a, b, m, _) in merges]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in encode_with_merges(docs, merges).collect()
+    }
+    for r in docs.collect():
+        words = [w for w in re.split(r"\s+", r["text"].strip()) if w]
+        want = sum(ref_encode_word(w, ranked) for w in words)
+        assert got[r["doc_id"]] == (len(words), want), r["doc_id"]
+    # compression sanity: merges strictly reduce token counts vs char-level
+    assert all(tok < sum(len(w) + 1 for w in re.split(r"\s+", r["text"].strip()) if w) + 1
+               for r in docs.collect()
+               for tok in [got[r["doc_id"]][1]])
