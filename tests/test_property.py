@@ -231,3 +231,77 @@ def test_two_band_outputs_well_formed(spark, texts):
         assert 0.0 <= r["short_ratio"] <= 1.0
         assert r["n_short_hits"] <= r["n_short_shingles"]
         assert r["flagged"] == (r["long_hit"] or r["short_ratio"] >= 0.4)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_zorder_key_is_a_bijection(spark, pairs):
+    """Morton interleave must be invertible: distinct (x, y) -> distinct z, and
+    Python-side bit de-interleave recovers the inputs exactly."""
+    from hadoop_migration_assessment_tools_spark.plans.zorder import zorder_key
+
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    rows = df.select("x", "y", zorder_key([F.col("x"), F.col("y")], 8).alias("z")).collect()
+    assert len({r["z"] for r in rows}) == len(pairs)
+    for r in rows:
+        x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r["x"], r["y"])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6), min_size=1, max_size=25),
+    st.sampled_from([("a", "b"), ("a", "a"), ("x", "y")]),
+)
+def test_bpe_merge_fold_matches_python(spark, syms, pair):
+    """The Spark left-fold merge must equal the canonical Python merge loop on
+    arbitrary symbol sequences (incl. overlap runs)."""
+    from hadoop_migration_assessment_tools_spark.ext.bpe import apply_merge_expr
+
+    a, b = pair
+    df = spark.createDataFrame([(syms,)], "syms: array<string>")
+    got = df.select(apply_merge_expr(F.col("syms"), a, b).alias("m")).collect()[0]["m"]
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    assert got == out
+
+
+@settings(**_SETTINGS)
+@given(
+    st.dictionaries(
+        st.sampled_from(["d0", "d1", "d2", "d3"]),
+        st.integers(1, 400),
+        min_size=2,
+        max_size=4,
+    ),
+    st.integers(10, 300),
+)
+def test_temperature_rates_structural_properties(spark, counts, target):
+    """For any domain distribution: rates in (0, 1]; effective weights flatter
+    than natural (min/max effective-weight ratio >= natural min/max ratio)."""
+    from hadoop_migration_assessment_tools_spark.ext.sampling import domain_rates
+
+    rows = [(f"{d}_{i}", d) for d, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id: string, domain: string")
+    rates = {r["domain"]: r["rate"] for r in domain_rates(df, "domain", target, id_col="doc_id").collect()}
+    assert set(rates) == set(counts)
+    for d, r in rates.items():
+        assert 0 < r <= 1.0, (d, r)
+    eff = {d: rates[d] * counts[d] for d in counts}  # expected picks per domain
+    lo_d, hi_d = min(counts, key=counts.get), max(counts, key=counts.get)
+    if counts[hi_d] > counts[lo_d] and rates[hi_d] < 1.0 and rates[lo_d] < 1.0:
+        assert eff[lo_d] / eff[hi_d] >= counts[lo_d] / counts[hi_d] - 1e-9
