@@ -1266,3 +1266,34 @@ def test_bpe_encode_matches_reference(spark):
     assert all(tok < sum(len(w) + 1 for w in re.split(r"\s+", r["text"].strip()) if w) + 1
                for r in docs.collect()
                for tok in [got[r["doc_id"]][1]])
+
+
+def test_indexed_ingest_equals_self_contained(spark, tmp_path):
+    """The amortized path (materialized hash + shingle indexes) must make the
+    identical admission decisions as the self-contained pipeline."""
+    from hadoop_migration_assessment_tools_spark.ext.ingest import (
+        build_corpus_index,
+        incremental_ingest,
+        incremental_ingest_indexed,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 900_000).alias("doc_id"), "text")  # verbatim dups
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 900_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz")).alias("text"),  # near-dups
+            )
+        )
+    )
+    a1, r1 = incremental_ingest(docs, incoming)
+    idx = str(tmp_path / "corpus_index")
+    build_corpus_index(docs, idx)
+    a2, r2 = incremental_ingest_indexed(spark, idx, incoming)
+    assert {r["doc_id"] for r in a1.collect()} == {r["doc_id"] for r in a2.collect()}
+    assert {(r["doc_id"], r["reason"]) for r in r1.collect()} == {
+        (r["doc_id"], r["reason"]) for r in r2.collect()
+    }
