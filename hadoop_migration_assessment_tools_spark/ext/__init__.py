@@ -10,6 +10,11 @@ large-scale training-data pipeline needs, designed for 100 TB:
                    WAV (RIFF PCM) / PPM (P6) decode + features, Arrow-batched
 - ``sketch``     — Misra-Gries heavy hitters, HLL++ distinct profile
 - ``quantize``   — symmetric int8 embedding quantization
+- ``sampling``   — md5 hash splits, stratified samples, sqrt-temperature mixtures
+- ``lm``         — corpus unigram-LM surprisal scoring (CCNet-style quality)
+- ``projection`` — Achlioptas random projection (exact + numpy fast paths)
+- ``ingest``     — audited three-stage corpus admission (+ indexed amortized path)
+- ``bpe``        — real BPE vocabulary training + merge-list encoding
 """
 
 from .dedup import (  # noqa: F401
@@ -52,3 +57,8 @@ from .multimodal import (  # noqa: F401
 )
 from .quantize import reconstruction_error, with_int8_quantization  # noqa: F401
 from .sketch import distinct_sketch_profile, heavy_hitters  # noqa: F401
+from .sampling import hash_split, stratified_sample, temperature_sample  # noqa: F401
+from .lm import score_surprisal, unigram_vocab  # noqa: F401
+from .projection import random_project, random_project_fast  # noqa: F401
+from .ingest import build_corpus_index, incremental_ingest, incremental_ingest_indexed  # noqa: F401
+from .bpe import encode_with_merges, train_bpe_merges  # noqa: F401
