@@ -1353,3 +1353,86 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- events_anomaly_days -------------------------------------------------------------
+# Windowed anomaly detection: per (event_type, day) count z-scored against the
+# trailing 7 FULL days (rows-frame window per type — bounded state, partition-
+# parallel across types; never a no-partition global window). The moments come from
+# exact integer window sums (sum, sum-of-squares), so mean/var/std/z reduce to a
+# fixed IEEE double sequence ending in one sqrt (correctly rounded everywhere) —
+# bit-reproducible in DuckDB. Output keeps every eligible day with its z and an
+# is_anomaly flag (filtering would make the row set threshold-brittle at tiny SFs).
+
+ANOMALY_WINDOW_DAYS = 7
+ANOMALY_Z = 1.5
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOMALY_WINDOW_DAYS, -1)
+    )
+    sum7 = F.sum("n").over(w)
+    cnt7 = F.count("n").over(w)
+    sumsq7 = F.sum(F.col("n") * F.col("n")).over(w)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        sum7.alias("_s"),
+        cnt7.alias("_c"),
+        sumsq7.alias("_ss"),
+    ).filter(F.col("_c") == ANOMALY_WINDOW_DAYS)
+    k = float(ANOMALY_WINDOW_DAYS)
+    mean = F.col("_s").cast("double") / F.lit(k)
+    var = (
+        F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col("_s").cast("double") / F.lit(k)
+    ) / F.lit(k - 1.0)
+    std = F.sqrt(var)
+    z = F.round((F.col("n").cast("double") - mean) / std, 4)
+    return (
+        scored.withColumn("_std", std)
+        .filter(F.col("_std") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(mean, 4).alias("trailing_mean"),
+            z.alias("z"),
+            (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_ANOMALY_DAYS_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+win AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER w AS s,
+         COUNT(n) OVER w AS c,
+         SUM(n * n) OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ANOMALY_WINDOW_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       ROUND(CAST(s AS DOUBLE) / {float(ANOMALY_WINDOW_DAYS)}, 4) AS trailing_mean,
+       ROUND((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / {float(ANOMALY_WINDOW_DAYS)})
+             / SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / {float(ANOMALY_WINDOW_DAYS)}) / {float(ANOMALY_WINDOW_DAYS - 1)}), 4) AS z,
+       ABS(ROUND((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / {float(ANOMALY_WINDOW_DAYS)})
+             / SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / {float(ANOMALY_WINDOW_DAYS)}) / {float(ANOMALY_WINDOW_DAYS - 1)}), 4)) >= {ANOMALY_Z} AS is_anomaly
+FROM win
+WHERE c = {ANOMALY_WINDOW_DAYS}
+  AND SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / {float(ANOMALY_WINDOW_DAYS)}) / {float(ANOMALY_WINDOW_DAYS - 1)}) > 0
+ORDER BY event_type, day
+"""

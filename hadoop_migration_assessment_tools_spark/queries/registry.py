@@ -143,6 +143,7 @@ QUERIES: dict[str, Query] = {
     "orders_zorder_locality": tpch.orders_zorder_locality,
     "docs_incremental_ingest": llm.docs_incremental_ingest,
     "docs_bpe_train": llm.docs_bpe_train,
+    "events_anomaly_days": ea.events_anomaly_days,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
@@ -261,6 +262,7 @@ ORACLE_SQL: dict[str, str] = {
     "q22_global_sales_opportunity": tpch.Q22_ORACLE,
     "orders_zorder_locality": tpch.ORDERS_ZORDER_LOCALITY_ORACLE,
     "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
+    "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
     "docs_unigram_surprisal": llm.DOCS_UNIGRAM_SURPRISAL_ORACLE,
     "docs_temperature_mixture": llm.DOCS_TEMPERATURE_MIXTURE_ORACLE,
     "emb_random_projection": llm.EMB_RANDOM_PROJECTION_ORACLE,
