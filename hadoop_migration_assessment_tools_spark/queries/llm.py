@@ -2596,3 +2596,55 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
     ).orderBy("rank")
+
+
+# --- multimodal_resize ---------------------------------------------------------------
+# Thumbnail-pass certification: synthesize PPM images (+WAV/raw-video rows), run
+# resize_media(8,8) (integer box-average / nearest-neighbor re-encode to PPM), and
+# roll up per-kind byte totals. Image payload sizes after resize are closed-form
+# (9 + len('8')*2 + 8*8*3 bytes each); audio/video rows must pass through with
+# their original closed-form sizes — one hash certifies the resize geometry, the
+# re-encode, and the non-image passthrough.
+
+RESIZE_H = 8
+RESIZE_W = 8
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import resize_media, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)  # ppm images, wav audio, raw-text video
+    resized = resize_media(media, RESIZE_H, RESIZE_W)
+    return (
+        resized.groupBy("kind")
+        .agg(
+            count_big("n_media"),
+            F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+            F.sum(F.coalesce(F.col("meta.width"), F.lit(0))).cast("long").alias("sum_width"),
+            F.sum(F.coalesce(F.col("meta.height"), F.lit(0))).cast("long").alias("sum_height"),
+        )
+        .orderBy("kind")
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    length(text) % 400 + 100 AS cnt
+  FROM documents
+)
+SELECT kind,
+  CAST(COUNT(*) AS BIGINT) AS n_media,
+  CAST(SUM(CASE kind
+    WHEN 'image' THEN 9 + length(CAST({RESIZE_W} AS VARCHAR)) + length(CAST({RESIZE_H} AS VARCHAR)) + 3 * {RESIZE_W} * {RESIZE_H}
+    WHEN 'audio' THEN 44 + 2 * cnt
+    ELSE strlen(text) END) AS BIGINT) AS total_bytes,
+  CAST(SUM(CASE WHEN kind = 'image' THEN {RESIZE_W} ELSE 0 END) AS BIGINT) AS sum_width,
+  CAST(SUM(CASE WHEN kind = 'image' THEN {RESIZE_H} ELSE 0 END) AS BIGINT) AS sum_height
+FROM m
+GROUP BY kind
+ORDER BY kind
+"""
