@@ -28,6 +28,7 @@ __all__ = [
     "domain_rates",
     "temperature_sample",
     "MIX_HEX_DIGITS",
+    "interleave_schedule",
 ]
 
 
@@ -163,4 +164,37 @@ def temperature_sample(
         df.join(F.broadcast(rates.select(domain_col, "rate_bound_hex")), domain_col)
         .filter(prefix < F.col("rate_bound_hex"))
         .drop("rate_bound_hex")
+    )
+
+
+def interleave_schedule(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic epoch schedule: shuffle WITHIN each domain by md5 hash order,
+    then round-robin across domains — position = intra_rank * n_domains +
+    domain_index. The standard training-order construction: every domain's
+    documents are spread evenly across the epoch (no domain-burst curriculum
+    accidents), the order is reproducible, and changing the salt re-shuffles
+    epochs independently.
+
+    Scale shape: one partitioned window per domain (hash-ordered row_number —
+    partition-parallel, never a global window) plus a broadcast of the tiny
+    (domain -> index) table. Consumers sort by `position` lazily (range partition
+    on write), so no global sort happens here."""
+    domains = (
+        df.select(domain_col).distinct().orderBy(domain_col)
+        .withColumn("_didx", F.row_number().over(Window.orderBy(domain_col)) - 1)
+    )
+    n_domains = F.lit(domains.count())  # bounded: #domains
+    w = Window.partitionBy(domain_col).orderBy(
+        split_key(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(domains), domain_col)
+        .withColumn("_rank", F.row_number().over(w) - 1)
+        .withColumn("position", F.col("_rank") * n_domains + F.col("_didx"))
+        .drop("_rank", "_didx")
     )

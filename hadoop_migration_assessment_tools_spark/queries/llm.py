@@ -2648,3 +2648,49 @@ FROM m
 GROUP BY kind
 ORDER BY kind
 """
+
+
+# --- docs_epoch_schedule -------------------------------------------------------------
+# Training-order certification (ext/sampling.py interleave_schedule): md5-shuffled
+# within domain, round-robin across domains. DuckDB reproduces the exact position
+# assignment (md5 is engine-portable), so one hash certifies the shuffle order, the
+# domain indexing, and the interleave arithmetic.
+
+
+def docs_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import interleave_schedule
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sched = interleave_schedule(docs, "source")
+    return (
+        sched.groupBy("source")
+        .agg(
+            count_big("n_docs"),
+            F.min("position").cast("long").alias("min_pos"),
+            F.max("position").cast("long").alias("max_pos"),
+            F.sum("position").cast("long").alias("sum_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_EPOCH_SCHEDULE_ORACLE = """
+WITH d AS (
+  SELECT source, CAST(COUNT(DISTINCT source) OVER () AS BIGINT) AS n_dom,
+         doc_id,
+         DENSE_RANK() OVER (ORDER BY source) - 1 AS didx,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) - 1 AS rnk
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(rnk * n_dom + didx) AS BIGINT) AS min_pos,
+  CAST(MAX(rnk * n_dom + didx) AS BIGINT) AS max_pos,
+  CAST(SUM(rnk * n_dom + didx) AS BIGINT) AS sum_pos
+FROM d
+GROUP BY source
+ORDER BY source
+"""

@@ -145,6 +145,7 @@ QUERIES: dict[str, Query] = {
     "docs_bpe_train": llm.docs_bpe_train,
     "events_anomaly_days": ea.events_anomaly_days,
     "multimodal_resize": llm.multimodal_resize,
+    "docs_epoch_schedule": llm.docs_epoch_schedule,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
@@ -265,6 +266,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
     "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
     "multimodal_resize": llm.MULTIMODAL_RESIZE_ORACLE,
+    "docs_epoch_schedule": llm.DOCS_EPOCH_SCHEDULE_ORACLE,
     "docs_unigram_surprisal": llm.DOCS_UNIGRAM_SURPRISAL_ORACLE,
     "docs_temperature_mixture": llm.DOCS_TEMPERATURE_MIXTURE_ORACLE,
     "emb_random_projection": llm.EMB_RANDOM_PROJECTION_ORACLE,

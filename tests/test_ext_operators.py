@@ -1297,3 +1297,30 @@ def test_indexed_ingest_equals_self_contained(spark, tmp_path):
     assert {(r["doc_id"], r["reason"]) for r in r1.collect()} == {
         (r["doc_id"], r["reason"]) for r in r2.collect()
     }
+
+
+def test_interleave_schedule_round_robin_properties(spark):
+    from hadoop_migration_assessment_tools_spark.ext.sampling import interleave_schedule
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 3}") for i in range(90)] + [(1000, "dom0")],  # unequal sizes
+        "doc_id: long, domain: string",
+    )
+    rows = interleave_schedule(df, "domain").collect()
+    assert len({r["position"] for r in rows}) == len(rows)  # injective
+    # round-robin law: position mod n_domains identifies the domain
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(r["position"])
+    n_dom = len(by_dom)
+    for dom, poss in by_dom.items():
+        residues = {p % n_dom for p in poss}
+        assert len(residues) == 1, dom  # one residue class per domain
+        step = sorted(poss)
+        assert all(b - a == n_dom for a, b in zip(step, step[1:])), dom  # even spread
+    # determinism + salt sensitivity
+    again = {(r["doc_id"], r["position"]) for r in interleave_schedule(df, "domain").collect()}
+    assert again == {(r["doc_id"], r["position"]) for r in rows}
+    other = {(r["doc_id"], r["position"]) for r in
+             interleave_schedule(df, "domain", salt="epoch1").collect()}
+    assert other != again  # a new salt is a new shuffle
