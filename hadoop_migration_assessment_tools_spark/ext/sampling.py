@@ -187,6 +187,7 @@ def interleave_schedule(
     domains = (
         df.select(domain_col).distinct().orderBy(domain_col)
         .withColumn("_didx", F.row_number().over(Window.orderBy(domain_col)) - 1)
+        .localCheckpoint()  # tiny; one distinct scan feeds both the count and the join
     )
     n_domains = F.lit(domains.count())  # bounded: #domains
     w = Window.partitionBy(domain_col).orderBy(
