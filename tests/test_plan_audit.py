@@ -180,6 +180,18 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_incremental_ingest": dict(
         shuffle_exchange=13, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=8
     ),
+    # Partitioned rows-frame window per event type — exactly one Window, no joins.
+    "events_anomaly_days": dict(
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
+    ),
+    # mapInPandas chain is scan-local; exchanges are the kind roll-up only.
+    "multimodal_resize": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    # Per-domain partitioned window + broadcast of the checkpointed domain table.
+    "docs_epoch_schedule": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=1
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
