@@ -2694,3 +2694,102 @@ FROM d
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- docs_hybrid_search --------------------------------------------------------------
+# Flagship retrieval composite: lexical candidate generation (integer-IDF token
+# overlap — bit-length IDF from ext/lm.py's portable-arithmetic playbook) feeding an
+# embedding cosine re-rank. The two-stage shape is the production retrieval
+# architecture: the cheap inverted-index stage bounds the candidate set, the
+# expensive vector stage runs only on LEX_TOPK rows. documents.doc_id aligns with
+# embeddings.vec_id in this corpus (both 0..N-1). Fully DuckDB-oracled: integer IDF
+# sums are exact, and the cosine follows the proven list-order dot idiom.
+
+HYBRID_QUERY_DOC = 0
+HYBRID_LEX_TOPK = 20
+
+
+def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.lm import bit_length
+    from ..ext.similarity import cosine
+    from ..ext.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_docs = docs.count()  # bounded 1-value driver action (IDF normalizer)
+
+    doc_tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    q_tok = doc_tok.filter(F.col("doc_id") == HYBRID_QUERY_DOC).select("tok")
+    idf = doc_tok.groupBy("tok").agg(
+        (F.lit(int(n_docs).bit_length()) - bit_length(F.count(F.lit(1)))).alias("bits")
+    )
+    lex = (
+        doc_tok.filter(F.col("doc_id") != HYBRID_QUERY_DOC)
+        .join(F.broadcast(q_tok), "tok", "left_semi")
+        .join(F.broadcast(idf.join(F.broadcast(q_tok), "tok", "left_semi")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("bits").cast("long").alias("lex_score"))
+        .orderBy(F.desc("lex_score"), F.asc("doc_id"))
+        .limit(HYBRID_LEX_TOPK)
+    )
+    q_vec = emb.filter(F.col("vec_id") == HYBRID_QUERY_DOC).select(
+        F.col("embedding").alias("_qv")
+    )
+    reranked = (
+        lex.join(emb, lex["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(q_vec))
+        .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("_qv")), 6))
+        .select("doc_id", "lex_score", "cosine")
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
+    )
+
+
+DOCS_HYBRID_SEARCH_ORACLE = rf"""
+WITH all_tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+'))) AS tok
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '')) > 0
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+q_tok AS (SELECT DISTINCT tok FROM all_tok WHERE doc_id = {HYBRID_QUERY_DOC}),
+idf AS (
+  SELECT tok,
+         length(printf('%b', (SELECT n FROM n_docs))) - length(printf('%b', COUNT(*))) AS bits
+  FROM all_tok GROUP BY tok
+),
+lex AS (
+  SELECT t.doc_id, CAST(SUM(i.bits) AS BIGINT) AS lex_score
+  FROM all_tok t
+  JOIN q_tok q ON t.tok = q.tok
+  JOIN idf i ON t.tok = i.tok
+  WHERE t.doc_id <> {HYBRID_QUERY_DOC}
+  GROUP BY t.doc_id
+  ORDER BY lex_score DESC, doc_id ASC
+  LIMIT {HYBRID_LEX_TOPK}
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {HYBRID_QUERY_DOC}),
+scored AS (
+  SELECT l.doc_id, l.lex_score,
+         list_sum(list_transform(list_zip(e.embedding, (SELECT v FROM qv)),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+         sqrt(list_sum(list_transform(e.embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nc,
+         sqrt(list_sum(list_transform((SELECT v FROM qv), y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nq
+  FROM lex l JOIN embeddings e ON l.doc_id = e.vec_id
+),
+ranked AS (
+  SELECT doc_id, lex_score,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nc * nq) ELSE 0.0 END, 6) AS cosine
+  FROM scored
+)
+SELECT doc_id, lex_score, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+FROM ranked
+ORDER BY rank
+"""

@@ -146,6 +146,7 @@ QUERIES: dict[str, Query] = {
     "events_anomaly_days": ea.events_anomaly_days,
     "multimodal_resize": llm.multimodal_resize,
     "docs_epoch_schedule": llm.docs_epoch_schedule,
+    "docs_hybrid_search": llm.docs_hybrid_search,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
@@ -267,6 +268,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
     "multimodal_resize": llm.MULTIMODAL_RESIZE_ORACLE,
     "docs_epoch_schedule": llm.DOCS_EPOCH_SCHEDULE_ORACLE,
+    "docs_hybrid_search": llm.DOCS_HYBRID_SEARCH_ORACLE,
     "docs_unigram_surprisal": llm.DOCS_UNIGRAM_SURPRISAL_ORACLE,
     "docs_temperature_mixture": llm.DOCS_TEMPERATURE_MIXTURE_ORACLE,
     "emb_random_projection": llm.EMB_RANDOM_PROJECTION_ORACLE,
