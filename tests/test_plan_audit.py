@@ -192,6 +192,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_epoch_schedule": dict(
         shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=1
     ),
+    # bnlj=1 = the deliberate 1-row query-vector broadcast crossJoin; the window
+    # ranks only the LEX_TOPK candidate rows.
+    "docs_hybrid_search": dict(
+        shuffle_exchange=3, broadcast_exchange=5, bnlj=1, cartesian=0, smj=0, bhj=4, shj=0, window=1
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -206,6 +211,7 @@ BNLJ_ALLOWED = {
     "docs_training_prep_pipeline",
     "q22_global_sales_opportunity",
     "docs_temperature_mixture",
+    "docs_hybrid_search",
 }
 
 
