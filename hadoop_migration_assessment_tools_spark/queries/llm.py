@@ -983,7 +983,11 @@ WITH docs_aug AS (
 ), kept AS (
   SELECT * FROM scored WHERE quality >= {QUALITY_KEEP_THRESHOLD}
 ), survivors AS (
-  SELECT MIN(doc_id) AS keeper_id, MIN(source) AS source
+  -- the survivor is the min-id ROW; its source travels with it. MIN(source)
+  -- independently of MIN(doc_id) diverges when duplicate texts span sources
+  -- (latent until sf0.1, where organic cross-source duplicate texts exist —
+  -- caught by the tri-SF sweep).
+  SELECT MIN(doc_id) AS keeper_id, arg_min(source, doc_id) AS source
   FROM kept GROUP BY text
 )
 SELECT
