@@ -65,3 +65,23 @@ def test_survivor_semantics_at_sf01(spark):
     actually live."""
     for name in SURVIVOR_SEMANTICS:
         assert_oracle_parity(spark, QUERIES[name], ORACLE_SQL[name], "/root/testdata/sf0.1")
+
+
+REPLAY_STATEFUL = [
+    # queries that WRITE state (scratch dirs, managed tables, streaming
+    # checkpoints) during evaluation — a second same-session run must produce the
+    # identical canonical result (wipe-on-entry / overwrite discipline)
+    "qe_avro_roundtrip",
+    "orders_customer_bucketed_join",
+    "docs_pack_stream_parity",
+    "docs_incremental_ingest",
+]
+
+
+def test_stateful_queries_replay_deterministically(spark):
+    from hadoop_migration_assessment_tools_spark.testing import _canon_rows, spark_result
+
+    for name in REPLAY_STATEFUL:
+        c1, r1 = spark_result(QUERIES[name](spark, SF_CORRECT))
+        c2, r2 = spark_result(QUERIES[name](spark, SF_CORRECT))
+        assert _canon_rows(c1, r1) == _canon_rows(c2, r2), name
