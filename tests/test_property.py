@@ -305,3 +305,49 @@ def test_temperature_rates_structural_properties(spark, counts, target):
     lo_d, hi_d = min(counts, key=counts.get), max(counts, key=counts.get)
     if counts[hi_d] > counts[lo_d] and rates[hi_d] < 1.0 and rates[lo_d] < 1.0:
         assert eff[lo_d] / eff[hi_d] >= counts[lo_d] / counts[hi_d] - 1e-9
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=0, max_size=25), min_size=1, max_size=8),
+    st.lists(st.text(alphabet="ab c", min_size=0, max_size=25), min_size=1, max_size=8),
+)
+def test_incremental_ingest_matches_python_reference(spark, corpus_texts, batch_texts):
+    """Admission fuzz: stages 1+2 (exact gates) must match a pure-Python replay on
+    arbitrary text (whitespace-only, empty, all-duplicate batches included); stage
+    3 rejections must be a subset of batch ids and only ever fire for docs with
+    >= k tokens on both sides."""
+    from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
+
+    existing = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)], "doc_id long, text string"
+    )
+    admitted, audit = incremental_ingest(existing, incoming, jaccard_threshold=0.99)
+    adm = {r["doc_id"] for r in admitted.collect()}
+    aud = {r["doc_id"]: r["reason"] for r in audit.collect()}
+
+    # python replay of stages 1+2
+    corpus_set = set(corpus_texts)
+    expect = {}
+    seen_batch: dict[str, int] = {}
+    for i, t in enumerate(batch_texts):
+        did = 100 + i
+        if t in corpus_set:
+            expect[did] = "exact_vs_corpus"
+        elif t in seen_batch:
+            expect[did] = "exact_in_batch"
+        else:
+            seen_batch[t] = did
+    for did, reason in expect.items():
+        assert aud.get(did) == reason, (did, reason, aud.get(did))
+    # partition property: everything lands exactly once
+    all_ids = {100 + i for i in range(len(batch_texts))}
+    assert adm | set(aud) == all_ids and not (adm & set(aud))
+    # stage-3 rejections only for shingle-able texts
+    for did, reason in aud.items():
+        if reason == "near_dup_vs_corpus":
+            t = batch_texts[did - 100]
+            assert len([w for w in t.split() if w]) >= 4, (did, t)
