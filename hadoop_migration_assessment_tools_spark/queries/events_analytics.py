@@ -1436,3 +1436,64 @@ WHERE c = {ANOMALY_WINDOW_DAYS}
   AND SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / {float(ANOMALY_WINDOW_DAYS)}) / {float(ANOMALY_WINDOW_DAYS - 1)}) > 0
 ORDER BY event_type, day
 """
+
+
+# --- events_gap_fill -----------------------------------------------------------------
+# Calendar-spine gap filling: a sparse daily series (deterministic event_id % 97
+# slice) joined onto the full (event_type x day) spine, missing days forward-filled
+# with the last observed daily sum. The spine is types x date sequence — both tiny
+# (broadcast); the fill is a per-type ordered window (partition-parallel, bounded
+# frame state). Sums are exact decimals (parity discipline); the fill then carries
+# already-rounded doubles, so DuckDB's IGNORE NULLS window reproduces them exactly.
+
+GAP_FILL_MOD = 97
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % GAP_FILL_MOD == 0)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        sum_money("value", "day_value")
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .withColumn("was_missing", F.col("day_value").isNull())
+        .select("event_type", "day", "filled_value", "was_missing")
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_GAP_FILL_ORACLE = f"""
+WITH sparse AS (
+  SELECT * FROM events WHERE event_id % {GAP_FILL_MOD} = 0
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS day_value
+  FROM sparse GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM sparse),
+days AS (SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 DAY))::DATE AS day),
+types AS (SELECT DISTINCT event_type FROM sparse),
+spine AS (SELECT event_type, day FROM types, days)
+SELECT s.event_type, s.day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       d.day_value IS NULL AS was_missing
+FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+ORDER BY s.event_type, s.day
+"""

@@ -144,6 +144,7 @@ QUERIES: dict[str, Query] = {
     "docs_incremental_ingest": llm.docs_incremental_ingest,
     "docs_bpe_train": llm.docs_bpe_train,
     "events_anomaly_days": ea.events_anomaly_days,
+    "events_gap_fill": ea.events_gap_fill,
     "multimodal_resize": llm.multimodal_resize,
     "docs_epoch_schedule": llm.docs_epoch_schedule,
     "docs_hybrid_search": llm.docs_hybrid_search,
@@ -266,6 +267,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_zorder_locality": tpch.ORDERS_ZORDER_LOCALITY_ORACLE,
     "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
     "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
+    "events_gap_fill": ea.EVENTS_GAP_FILL_ORACLE,
     "multimodal_resize": llm.MULTIMODAL_RESIZE_ORACLE,
     "docs_epoch_schedule": llm.DOCS_EPOCH_SCHEDULE_ORACLE,
     "docs_hybrid_search": llm.DOCS_HYBRID_SEARCH_ORACLE,

@@ -197,6 +197,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_hybrid_search": dict(
         shuffle_exchange=3, broadcast_exchange=5, bnlj=1, cartesian=0, smj=0, bhj=4, shj=0, window=1
     ),
+    # bnlj=1 = the tiny types x days spine crossJoin (both broadcast-sized);
+    # the fill window is partitioned per type.
+    "events_gap_fill": dict(
+        shuffle_exchange=4, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=1
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -212,6 +217,7 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",
     "docs_temperature_mixture",
     "docs_hybrid_search",
+    "events_gap_fill",
 }
 
 
