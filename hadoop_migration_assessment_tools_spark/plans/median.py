@@ -1,0 +1,92 @@
+"""Exact distributed median without a global sort.
+
+Spark's exact ``percentile``/``median`` aggregates buffer each group's values in
+one aggregation buffer — memory proportional to group size, a cliff at 100 TB.
+The scale-safe exact algorithm is two-phase histogram selection:
+
+1. bounds pass: per group min/max/count (cheap columnar aggregates);
+2. histogram pass: per group, count rows per fixed bucket (map-side partials,
+   B-sized state per group);
+3. driver (bounded: #groups x B integers) walks each histogram to find the
+   bucket containing the k-th smallest (k = (n+1)//2, the lower median —
+   discrete, hence exactly reproducible) and the rank offset below it;
+4. selection pass: ONLY the rows of the candidate buckets (expected n/B per
+   group) are ranked with a per-group window — the only sort touches ~1/B of
+   the data, partition-parallel across groups.
+
+Ties are safe: equal values share a bucket (the bucket function is monotone),
+and the k-th smallest VALUE is order-independent under duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["distributed_median"]
+
+
+def distributed_median(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact lower median of ``value_col`` per group. Returns group_cols +
+    (n_rows, median)."""
+    v = F.col(value_col).cast("double")
+
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+        F.count(v).cast("long").alias("n_rows"),
+    )
+    with_b = df.join(F.broadcast(bounds), group_cols)
+    # monotone bucket id; degenerate (lo == hi) groups collapse to bucket 0
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    hist = (
+        with_b.withColumn("_b", bucket)
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_bn"))
+    )
+    # bounded driver step: #groups x <=B rows of integers
+    rows = hist.collect()
+    counts: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        counts.setdefault(key, {})[r["_b"]] = r["_bn"]
+    targets = []  # (group..., candidate bucket, rank within bucket)
+    for key, h in counts.items():
+        n = sum(h.values())
+        k = (n + 1) // 2
+        below = 0
+        for b in sorted(h):
+            if below + h[b] >= k:
+                targets.append((*key, b, k - below))
+                break
+            below += h[b]
+    spec = df.sparkSession.createDataFrame(
+        targets,
+        schema=hist.select(*group_cols).schema.add("_tb", "integer").add("_tk", "long"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(v.asc())
+    candidates = (
+        with_b.withColumn("_b", bucket)
+        .join(F.broadcast(spec), on=group_cols)
+        .filter(F.col("_b") == F.col("_tb"))
+    )
+    ranked = candidates.withColumn("_rn", F.row_number().over(w))
+    med = ranked.filter(F.col("_rn") == F.col("_tk")).select(
+        *group_cols, v.alias("median")
+    )
+    return (
+        bounds.select(*group_cols, "n_rows")
+        .join(med, group_cols)
+        .orderBy(*group_cols)
+    )

@@ -141,6 +141,7 @@ QUERIES: dict[str, Query] = {
     "customers_without_orders": tpch.customers_without_orders,
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "orders_zorder_locality": tpch.orders_zorder_locality,
+    "lineitem_exact_median": tpch.lineitem_exact_median,
     "docs_incremental_ingest": llm.docs_incremental_ingest,
     "docs_bpe_train": llm.docs_bpe_train,
     "events_anomaly_days": ea.events_anomaly_days,
@@ -265,6 +266,7 @@ ORACLE_SQL: dict[str, str] = {
     "q21_waiting_suppliers": tpch.Q21_ORACLE,
     "q22_global_sales_opportunity": tpch.Q22_ORACLE,
     "orders_zorder_locality": tpch.ORDERS_ZORDER_LOCALITY_ORACLE,
+    "lineitem_exact_median": tpch.LINEITEM_EXACT_MEDIAN_ORACLE,
     "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
     "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
     "events_gap_fill": ea.EVENTS_GAP_FILL_ORACLE,

@@ -1595,3 +1595,30 @@ ORDER BY z_group
 
 
 ORDERS_ZORDER_LOCALITY_ORACLE = _zorder_oracle()
+
+
+# --- lineitem_exact_median ----------------------------------------------------------
+# Exact per-group median WITHOUT a global sort (plans/median.py): two-phase
+# histogram selection — the only sort touches the ~n/1024 rows of the candidate
+# bucket per group. Spark's built-in exact percentile buffers whole groups in
+# memory; this is the shape that survives 100 TB groups. Lower (discrete) median,
+# hence exactly DuckDB-reproducible with no float arithmetic at all.
+
+
+def lineitem_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.median import distributed_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return distributed_median(li, "l_extendedprice", ["l_returnflag"])
+
+
+LINEITEM_EXACT_MEDIAN_ORACLE = """
+SELECT l_returnflag, n AS n_rows, v AS median FROM (
+  SELECT l_returnflag, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM lineitem
+)
+WHERE rn = (n + 1) // 2
+ORDER BY l_returnflag
+"""

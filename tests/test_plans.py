@@ -436,3 +436,47 @@ def test_observation_api_collects_metrics_in_flight(spark):
     assert got["qty_sum"] == truth["qty_sum"]
     assert got["null_shipdates"] == truth["null_shipdates"] == 0
     assert 0 < result < got["rows_seen"]  # the filter actually ran as the action
+
+
+def test_distributed_median_edge_cases(spark):
+    """Exact-median selection across the degenerate shapes: single-row groups,
+    all-equal groups (lo == hi bucket collapse), even/odd counts, duplicates
+    straddling the median."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.plans.median import distributed_median
+
+    rows = (
+        [("single", 42.0)]
+        + [("equal", 7.0)] * 5
+        + [("odd", float(v)) for v in [5, 1, 9, 3, 7]]        # median 5
+        + [("even", float(v)) for v in [4, 1, 3, 2]]          # lower median 2
+        + [("dups", float(v)) for v in [1, 2, 2, 2, 9, 9]]    # lower median 2
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["n_rows"], r["median"]) for r in
+           distributed_median(df, "v", ["g"], n_buckets=4).collect()}
+    assert got == {
+        "single": (1, 42.0),
+        "equal": (5, 7.0),
+        "odd": (5, 5.0),
+        "even": (4, 2.0),
+        "dups": (6, 2.0),
+    }
+
+
+def test_distributed_median_matches_sorted_reference(spark):
+    import random
+
+    from hadoop_migration_assessment_tools_spark.plans.median import distributed_median
+
+    rng = random.Random(42)
+    rows = [(f"g{i % 7}", round(rng.uniform(-1000, 1000), 3)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r["median"] for r in distributed_median(df, "v", ["g"]).collect()}
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        assert got[g] == vs[(len(vs) + 1) // 2 - 1], g
