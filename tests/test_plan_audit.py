@@ -202,6 +202,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "events_gap_fill": dict(
         shuffle_exchange=4, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=1
     ),
+    # Two-phase median: bounds/histogram aggs + broadcast spec; the single window
+    # ranks only the candidate bucket's rows.
+    "lineitem_exact_median": dict(
+        shuffle_exchange=4, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=1
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
