@@ -38,6 +38,11 @@ TRACKED = [
     # (self-join semi+anti pair; scalar-subquery + anti join)
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    # late round-4 strategy operators
+    "docs_incremental_ingest",
+    "docs_hybrid_search",
+    "lineitem_exact_median",
+    "orders_zorder_locality",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
