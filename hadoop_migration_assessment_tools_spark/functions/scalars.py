@@ -69,3 +69,18 @@ def json_get_long(json_col: Column | str, key: str) -> Column:
     """JSON scalar extraction used all over the analytics layer (SURVEY §2.7 JSON family)."""
     c = F.col(json_col) if isinstance(json_col, str) else json_col
     return F.get_json_object(c, f"$.{key}").cast("long")
+
+
+def normalize_query_text(col: Column) -> Column:
+    """Query fingerprinting: strip literals so structurally identical queries
+    collapse to one shape — the standard assessment move for grouping a workload's
+    QueryText (avsc:21-28) into migration-relevant patterns. Lowercase, replace
+    quoted string literals then bare integer literals with '?', collapse
+    whitespace. The string-literal pattern honors SQL doubled-quote escapes
+    ('O''Neil' is ONE literal). Dialect-portable regexes (no backrefs — Java
+    regex and RE2 agree); the DuckDB oracle runs the identical expressions."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"'([^']|'')*'", "?")
+    t = F.regexp_replace(t, r"[0-9]+", "?")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

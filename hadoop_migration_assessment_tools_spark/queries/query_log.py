@@ -930,3 +930,99 @@ WHERE l_orderkey % 11 = 0
 GROUP BY l_orderkey
 ORDER BY l_orderkey
 """
+
+
+# --- qe_query_fingerprints -----------------------------------------------------------
+# Workload fingerprinting over QueryText (avsc:21-28): deterministic SQL-ish texts
+# (three templates with per-row literals) normalized by functions/scalars.py:
+# normalize_query_text — structurally identical queries collapse to one fingerprint
+# regardless of their literals. The assessment report: per-shape volume, distinct
+# users, failure counts. Oracle runs the IDENTICAL regex pipeline in DuckDB.
+
+
+def qe_query_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import normalize_query_text
+
+    orders = load_table(spark, sf_dir, "orders")
+    text = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(
+                F.lit("SELECT * FROM orders WHERE o_orderkey = "),
+                F.col("o_orderkey").cast("string"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(
+                F.lit("select  o_totalprice,o_orderdate   FROM Orders WHERE o_custkey="),
+                F.col("o_custkey").cast("string"),
+                F.lit(" AND o_orderpriority = '"),
+                F.col("o_orderpriority"),
+                F.lit("'"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("INSERT INTO target SELECT "),
+                F.col("o_orderkey").cast("string"),
+                F.lit(", '"),
+                F.col("o_orderstatus"),
+                F.lit("' FROM src WHERE id IN ("),
+                F.col("o_orderkey").cast("string"),
+                F.lit(", "),
+                F.col("o_custkey").cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+    log = orders.select(
+        F.col("o_orderkey"),
+        _user(F.col("o_custkey")).alias("RequestUser"),
+        F.when(F.col("o_orderkey") % 10 == 0, "FAIL").otherwise("SUCCESS").alias("Status"),
+        text.alias("QueryText"),
+    )
+    return (
+        log.withColumn("fingerprint", normalize_query_text(F.col("QueryText")))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.countDistinct("RequestUser").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("Status") == "FAIL", 1).otherwise(0))
+            .cast("long")
+            .alias("n_failed"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+QE_QUERY_FINGERPRINTS_ORACLE = r"""
+WITH texts AS (
+  SELECT o_orderkey,
+         'user_' || CAST(o_custkey % 10 AS VARCHAR) AS request_user,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'FAIL' ELSE 'SUCCESS' END AS status,
+         CASE CAST(o_orderkey % 3 AS INTEGER)
+           WHEN 0 THEN 'SELECT * FROM orders WHERE o_orderkey = ' || CAST(o_orderkey AS VARCHAR)
+           WHEN 1 THEN 'select  o_totalprice,o_orderdate   FROM Orders WHERE o_custkey=' || CAST(o_custkey AS VARCHAR)
+                      || ' AND o_orderpriority = ''' || o_orderpriority || ''''
+           ELSE 'INSERT INTO target SELECT ' || CAST(o_orderkey AS VARCHAR) || ', ''' || o_orderstatus
+                || ''' FROM src WHERE id IN (' || CAST(o_orderkey AS VARCHAR) || ', ' || CAST(o_custkey AS VARCHAR) || ')'
+         END AS query_text
+  FROM orders
+),
+fp AS (
+  SELECT o_orderkey, request_user, status,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(query_text),
+              '''([^'']|'''')*''', '?', 'g'), '[0-9]+', '?', 'g'), '\s+', ' ', 'g')) AS fingerprint
+  FROM texts
+)
+SELECT fingerprint,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(COUNT(DISTINCT request_user) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+  CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM fp
+GROUP BY fingerprint
+ORDER BY fingerprint
+"""

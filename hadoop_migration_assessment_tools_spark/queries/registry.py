@@ -142,6 +142,7 @@ QUERIES: dict[str, Query] = {
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "orders_zorder_locality": tpch.orders_zorder_locality,
     "lineitem_exact_median": tpch.lineitem_exact_median,
+    "qe_query_fingerprints": ql.qe_query_fingerprints,
     "docs_incremental_ingest": llm.docs_incremental_ingest,
     "docs_bpe_train": llm.docs_bpe_train,
     "events_anomaly_days": ea.events_anomaly_days,
@@ -267,6 +268,7 @@ ORACLE_SQL: dict[str, str] = {
     "q22_global_sales_opportunity": tpch.Q22_ORACLE,
     "orders_zorder_locality": tpch.ORDERS_ZORDER_LOCALITY_ORACLE,
     "lineitem_exact_median": tpch.LINEITEM_EXACT_MEDIAN_ORACLE,
+    "qe_query_fingerprints": ql.QE_QUERY_FINGERPRINTS_ORACLE,
     "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
     "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
     "events_gap_fill": ea.EVENTS_GAP_FILL_ORACLE,

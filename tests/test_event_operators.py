@@ -408,3 +408,24 @@ def test_scd2_apply_routes_rows(spark):
     )
     assert k1 == [(t0, t1, 10.0), (t1, t2, 11.0), (t2, None, 12.0)]
     assert out2.filter(F.col("valid_to").isNull() & (F.col("k") == 1)).count() == 1
+
+
+def test_normalize_query_text_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.functions.scalars import (
+        normalize_query_text,
+    )
+
+    cases = [
+        ("SELECT * FROM t WHERE id = 42", "select * from t where id = ?"),
+        ("select a,b  FROM  T where x='O''Neil corp' and y=7",
+         "select a,b from t where x=? and y=?"),
+        ("INSERT INTO x VALUES (1, 'a'), (2, 'b')",
+         "insert into x values (?, ?), (?, ?)"),
+        ("  SELECT\t1\n", "select ?"),
+    ]
+    df = spark.createDataFrame([(q,) for q, _ in cases], "q: string")
+    got = [r["f"] for r in df.select(normalize_query_text(F.col("q")).alias("f")).collect()]
+    want = [w for _, w in cases]
+    assert got == want
