@@ -90,3 +90,88 @@ def distributed_median(
         .join(med, group_cols)
         .orderBy(*group_cols)
     )
+
+
+def distributed_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: dict[str, float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact lower quantiles per group, same two-phase machinery as
+    ``distributed_median`` but with ANY number of targets per group answered from
+    ONE histogram and ONE candidate-bucket ranking pass. ``qs`` maps output column
+    name -> quantile in (0, 1]; k = max(1, ceil(q * n)) (discrete lower quantile —
+    exactly reproducible). Returns group_cols + n_rows + one column per quantile."""
+    import math
+
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+        F.count(v).cast("long").alias("n_rows"),
+    )
+    with_b = df.join(F.broadcast(bounds), group_cols)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1), F.floor((v - F.col("_lo")) / width).cast("int"))
+    )
+    hist = (
+        with_b.withColumn("_b", bucket)
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_bn"))
+    )
+    rows = hist.collect()  # bounded: #groups x <=B integers
+    counts: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        counts.setdefault(key, {})[r["_b"]] = r["_bn"]
+    targets = []  # (group..., qname, bucket, rank-within-bucket)
+    for key, h in counts.items():
+        n = sum(h.values())
+        for qname, q in qs.items():
+            k = max(1, math.ceil(q * n))
+            below = 0
+            for b in sorted(h):
+                if below + h[b] >= k:
+                    targets.append((*key, qname, b, k - below))
+                    break
+                below += h[b]
+    spec = df.sparkSession.createDataFrame(
+        targets,
+        schema=hist.select(*group_cols)
+        .schema.add("_q", "string")
+        .add("_tb", "integer")
+        .add("_tk", "long"),
+    )
+    # rank once per (group, candidate bucket); a bucket hosting two quantile
+    # targets is ranked once and matched twice via the spec join
+    wb = Window.partitionBy(*group_cols, "_b").orderBy(v.asc())
+    candidates = (
+        with_b.withColumn("_b", bucket)
+        .join(
+            F.broadcast(spec.select(*group_cols, "_tb").distinct()),
+            on=group_cols,
+        )
+        .filter(F.col("_b") == F.col("_tb"))
+        .drop("_tb")
+        .withColumn("_rn", F.row_number().over(wb))
+    )
+    from functools import reduce as _reduce
+
+    cand_a, spec_a = candidates.alias("c"), spec.alias("s")
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"c.{g}") == F.col(f"s.{g}") for g in group_cols]
+        + [F.col("c._b") == F.col("s._tb"), F.col("c._rn") == F.col("s._tk")],
+    )
+    hits = cand_a.join(F.broadcast(spec_a), cond).select(
+        *[F.col(f"c.{g}") for g in group_cols],
+        F.col("s._q").alias("_q"),
+        F.col(f"c.{value_col}").cast("double").alias("_val"),
+    )
+    wide = hits.groupBy(*group_cols).pivot("_q", list(qs)).agg(F.first("_val"))
+    return (
+        bounds.select(*group_cols, "n_rows").join(wide, group_cols).orderBy(*group_cols)
+    )

@@ -1026,3 +1026,56 @@ FROM fp
 GROUP BY fingerprint
 ORDER BY fingerprint
 """
+
+
+# --- qe_runtime_percentiles ----------------------------------------------------------
+# The assessment SLA report: exact per-queue p50/p95 of query runtimes, computed
+# with the two-phase quantile selector (plans/median.py) — no whole-group
+# percentile buffers, the only sort touches candidate buckets. Durations are
+# closed-form in the synthetic log (o_orderkey % 3600 seconds), so the oracle
+# derives them relationally and selects the same discrete k-th values.
+
+
+def qe_runtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.median import distributed_quantiles
+
+    log = synthetic_query_log(spark, sf_dir)
+    corr = correlate_submit_complete(deduplicate_events(log))
+    # Materialize the (queue, duration) relation once: the quantile selector
+    # references its input three times (bounds, histogram, candidates), and
+    # without the cut each reference re-evaluates the whole dedup+pair chain
+    # (measured 13 shuffles / 19 windows; with the cut, the selector's own 4/1).
+    done = (
+        corr.filter(F.col("EndTime").isNotNull())
+        .select("Queue", F.col("DurationMillis").cast("double").alias("dur_ms"))
+        .localCheckpoint()
+    )
+    out = distributed_quantiles(done, "dur_ms", ["Queue"], {"p50_ms": 0.5, "p95_ms": 0.95})
+    return out.select(
+        F.col("Queue").alias("queue"),
+        "n_rows",
+        F.col("p50_ms").cast("long").alias("p50_ms"),
+        F.col("p95_ms").cast("long").alias("p95_ms"),
+    ).orderBy("queue")
+
+
+QE_RUNTIME_PERCENTILES_ORACLE = """
+WITH done AS (
+  SELECT 'q' || CAST(o_orderkey % 3 AS VARCHAR) AS queue,
+         CAST((o_orderkey % 3600) * 1000 AS DOUBLE) AS dur_ms
+  FROM orders WHERE o_orderkey % 17 <> 0
+),
+ranked AS (
+  SELECT queue, dur_ms,
+         ROW_NUMBER() OVER (PARTITION BY queue ORDER BY dur_ms) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY queue) AS BIGINT) AS n
+  FROM done
+)
+SELECT queue,
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) THEN dur_ms END) AS BIGINT) AS p50_ms,
+  CAST(MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN dur_ms END) AS BIGINT) AS p95_ms
+FROM ranked
+GROUP BY queue
+ORDER BY queue
+"""

@@ -207,6 +207,15 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "lineitem_exact_median": dict(
         shuffle_exchange=4, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=1
     ),
+    # Regex normalization is scan-local; exchanges are the fingerprint roll-up.
+    "qe_query_fingerprints": dict(
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    # localCheckpoint of the (queue, duration) relation before the quantile
+    # selector's three references — without it: 13 shuffles / 19 windows.
+    "qe_runtime_percentiles": dict(
+        shuffle_exchange=7, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=1
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern

@@ -480,3 +480,23 @@ def test_distributed_median_matches_sorted_reference(spark):
     for g, vs in by_g.items():
         vs.sort()
         assert got[g] == vs[(len(vs) + 1) // 2 - 1], g
+
+
+def test_distributed_quantiles_match_sorted_reference(spark):
+    import random
+
+    from hadoop_migration_assessment_tools_spark.plans.median import distributed_quantiles
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 3}", round(rng.uniform(0, 100), 3)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["q25"], r["q50"], r["q95"]) for r in
+           distributed_quantiles(df, "v", ["g"], {"q25": 0.25, "q50": 0.5, "q95": 0.95}).collect()}
+    import math
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        want = tuple(vs[max(1, math.ceil(q * len(vs))) - 1] for q in (0.25, 0.5, 0.95))
+        assert got[g] == want, g
