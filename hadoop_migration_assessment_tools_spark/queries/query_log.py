@@ -1079,3 +1079,49 @@ FROM ranked
 GROUP BY queue
 ORDER BY queue
 """
+
+
+# --- qe_mode_migration_trend ---------------------------------------------------------
+# The assessment's headline narrative: execution-mode mix over time (is the MR->TEZ
+# migration progressing?). Month buckets from the synthetic log's StartTime, mode
+# from the deterministic %3 rule; share-of-month via a window over the month's
+# (tiny) mode rows. Integer counts + one rounded double division — oracle-exact.
+
+
+def qe_mode_migration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = synthetic_query_log(spark, sf_dir).filter(
+        F.col("EventType") == "QUERY_SUBMITTED"
+    )
+    monthly = log.groupBy(
+        F.to_date(F.date_trunc("month", "StartTime")).alias("month"),
+        F.col("ExecutionMode").alias("mode"),
+    ).agg(count_big("n_queries"))
+    w = Window.partitionBy("month")
+    return (
+        monthly.withColumn(
+            "month_share",
+            F.round(
+                F.col("n_queries").cast("double")
+                / F.sum("n_queries").over(w).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("month", "mode")
+    )
+
+
+QE_MODE_MIGRATION_TREND_ORACLE = """
+WITH subs AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'TEZ' ELSE 'MR' END AS mode
+  FROM orders
+),
+monthly AS (
+  SELECT month, mode, CAST(COUNT(*) AS BIGINT) AS n_queries
+  FROM subs GROUP BY month, mode
+)
+SELECT month, mode, n_queries,
+       ROUND(CAST(n_queries AS DOUBLE) / CAST(SUM(n_queries) OVER (PARTITION BY month) AS DOUBLE), 6) AS month_share
+FROM monthly
+ORDER BY month, mode
+"""

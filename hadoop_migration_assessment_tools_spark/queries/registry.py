@@ -144,6 +144,7 @@ QUERIES: dict[str, Query] = {
     "lineitem_exact_median": tpch.lineitem_exact_median,
     "qe_query_fingerprints": ql.qe_query_fingerprints,
     "qe_runtime_percentiles": ql.qe_runtime_percentiles,
+    "qe_mode_migration_trend": ql.qe_mode_migration_trend,
     "docs_incremental_ingest": llm.docs_incremental_ingest,
     "docs_bpe_train": llm.docs_bpe_train,
     "events_anomaly_days": ea.events_anomaly_days,
@@ -271,6 +272,7 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_exact_median": tpch.LINEITEM_EXACT_MEDIAN_ORACLE,
     "qe_query_fingerprints": ql.QE_QUERY_FINGERPRINTS_ORACLE,
     "qe_runtime_percentiles": ql.QE_RUNTIME_PERCENTILES_ORACLE,
+    "qe_mode_migration_trend": ql.QE_MODE_MIGRATION_TREND_ORACLE,
     "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
     "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
     "events_gap_fill": ea.EVENTS_GAP_FILL_ORACLE,
