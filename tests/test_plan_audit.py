@@ -216,6 +216,10 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "qe_runtime_percentiles": dict(
         shuffle_exchange=7, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=1
     ),
+    # Monthly mix + share-of-month window (tiny per-month partitions).
+    "qe_mode_migration_trend": dict(
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
