@@ -30,9 +30,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..plans.checkpoints import free_local_checkpoint
 from .text import tokens
 
-__all__ = ["word_frequency_table", "train_bpe_merges", "apply_merge_expr", "encode_with_merges"]
+__all__ = [
+    "word_frequency_table",
+    "train_bpe_merges",
+    "train_bpe_merges_batched",
+    "apply_merge_expr",
+    "encode_with_merges",
+]
 
 END_MARK = "</w>"
 
@@ -88,7 +95,11 @@ def train_bpe_merges(
     """Train num_merges BPE merges; returns [(rank, a, b, merged, pair_count)].
 
     Each iteration's argmax is a bounded 1-row collect — BPE is sequential by
-    definition (merge k+1's counts depend on merge k having been applied)."""
+    definition (merge k+1's counts depend on merge k having been applied).
+
+    The previous round's checkpointed word table is released from executor
+    storage once the new one materializes (free_local_checkpoint) — without
+    that, num_merges copies of the word-type table accumulate over a long run."""
     wf = word_frequency_table(df, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(num_merges):
@@ -102,7 +113,95 @@ def train_bpe_merges(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
         merges.append((rank, a, b, a + b, int(cnt)))
+        prev = wf
         wf = wf.withColumn("syms", apply_merge_expr(F.col("syms"), a, b)).localCheckpoint()
+        free_local_checkpoint(prev)
+    return merges
+
+
+def train_bpe_merges_batched(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    batch_size: int = 32,
+) -> list[tuple[int, str, str, str, int]]:
+    """Sequential-identical BPE training with ~batch_size× fewer Spark rounds.
+
+    Per round: ONE pair-count job collects the top ``batch_size + 1`` pairs, the
+    driver selects a prefix of them that is PROVABLY the same sequence the
+    one-merge-at-a-time trainer would pick, and all selected merges are applied
+    as one composed fold (one narrow job + one checkpoint per round instead of
+    per merge). Output is identical to ``train_bpe_merges`` — same golden test —
+    because the selection rule only admits pair p_i when no other pair can
+    overtake it at sequential step i:
+
+    - **prefix + stop-at-interaction**: iterate pairs in (count desc, a, b)
+      order; STOP at the first pair sharing a symbol with an earlier selection
+      (or whose symbols collide with a string a_j+b_j created in this batch, or
+      whose own merged string a_i+b_i already exists as a vocabulary symbol —
+      the string-collision cases where applying an earlier merge could GROW a
+      later pair's count). Everything at/after the stop has count <= c_excl,
+      the count at the stop position.
+    - **strict-count truncation**: keep only selected pairs with count >
+      c_excl. Non-selected pairs can't rise above c_excl (non-interacting
+      counts are invariant; interacting ones only shrink; pairs created by a
+      batch merge (x, a_j b_j) inherit occurrences from an original interacting
+      pair (x, a_j), so they are bounded by c_excl too). Ties inside the batch
+      resolve lexicographically — the same order they were selected in.
+    - degenerate rounds (truncation empties the batch) fall back to applying
+      just the top pair, which is the sequential step by definition.
+
+    Driver state is vocabulary-sized: the symbol-string set starts as the
+    corpus's distinct symbols (one bounded collect) and grows by one per merge.
+    """
+    wf = word_frequency_table(df, text_col).localCheckpoint()
+    # Vocabulary symbol strings, for the merged-string collision guard.
+    vocab_syms = {
+        r["s"] for r in wf.select(F.explode("syms").alias("s")).distinct().collect()
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < num_merges:
+        rows = (
+            _pair_counts(wf)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(batch_size + 1)
+            .collect()
+        )
+        if not rows:
+            break
+        pairs = [(r["a"], r["b"], int(r["cnt"])) for r in rows]
+        touched: set[str] = set()
+        selected: list[tuple[str, str, int]] = []
+        c_excl: int | None = None
+        for a, b, cnt in pairs:
+            interacts = (
+                a in touched
+                or b in touched
+                or (a + b) in touched  # collides with a string created this batch
+                or (a + b) in vocab_syms  # collides with a pre-existing symbol
+            )
+            if interacts:
+                c_excl = cnt
+                break
+            selected.append((a, b, cnt))
+            touched.update((a, b, a + b))
+        else:
+            if len(pairs) > batch_size:  # full page: the next count is unknown
+                c_excl = selected[-1][2]
+                selected = selected[:-1]
+        if c_excl is not None:
+            selected = [p for p in selected if p[2] > c_excl]
+        if not selected:  # all ties with the exclusion boundary: sequential step
+            selected = [pairs[0]]
+        selected = selected[: num_merges - len(merges)]
+        syms_col = F.col("syms")
+        for a, b, cnt in selected:
+            merges.append((len(merges), a, b, a + b, cnt))
+            vocab_syms.add(a + b)
+            syms_col = apply_merge_expr(syms_col, a, b)
+        prev = wf
+        wf = wf.withColumn("syms", syms_col).localCheckpoint()
+        free_local_checkpoint(prev)
     return merges
 
 

@@ -346,7 +346,66 @@ def _simhash_sql(text_expr: str) -> str:
     """
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+# --- portable token hash (oracle-reproducible SimHash) ------------------------------
+# xxhash64 is Spark-specific, so fingerprints built on it are rows-only for an
+# external oracle. hash_mode="portable" swaps in a hash an ANSI-SQL engine can
+# replay exactly: a 32-bit polynomial char fold (h = (h*31 + codepoint) & 0xFFFFFFFF)
+# plus a lowbias32-style avalanche per bit index. Every intermediate stays under
+# 2^59, so the arithmetic is overflow-free under Spark 4's default ANSI mode AND
+# under DuckDB's checked BIGINT — no wraparound semantics anywhere.
+
+_PORTABLE_FOLD_INIT = 2166136261  # FNV-1 offset basis (seed only; fold is poly-31)
+_PORTABLE_MASK32 = 4294967295
+_PORTABLE_STEP = 2654435761  # Knuth multiplicative constant, spreads bit indexes
+_PORTABLE_MIX = 73244475  # 0x45d9f3b — lowbias32 multiplier
+
+
+def portable_token_hash(col: Column) -> Column:
+    """32-bit polynomial hash of a token, identical in Spark and DuckDB."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substring(col, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(_PORTABLE_FOLD_INIT).cast("long"),
+        lambda acc, c: ((acc * 31) + c).bitwiseAND(F.lit(_PORTABLE_MASK32)),
+    )
+
+
+def _portable_bit(h: Column, j: int) -> Column:
+    """Bit j of the portable per-token hash: avalanche-mix h with the bit index."""
+    m = F.lit(_PORTABLE_MASK32)
+    x = (h + F.lit(j * _PORTABLE_STEP)).bitwiseAND(m)
+    x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_PORTABLE_MIX)).bitwiseAND(m)
+    x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_PORTABLE_MIX)).bitwiseAND(m)
+    return x.bitwiseXOR(F.shiftright(x, 16)).bitwiseAND(F.lit(1))
+
+
+def portable_fold_sql(tok_expr: str) -> str:
+    """DuckDB SQL for portable_token_hash over a token expression."""
+    return (
+        f"list_reduce(list_prepend(CAST({_PORTABLE_FOLD_INIT} AS BIGINT), "
+        f"list_transform(generate_series(1, length({tok_expr})), "
+        f"i -> CAST(ord(substr({tok_expr}, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> ((acc * 31) + c) & {_PORTABLE_MASK32})"
+    )
+
+
+def portable_bit_sql(h_expr: str, j: int) -> str:
+    """DuckDB SQL for _portable_bit (DuckDB spells xor as a function, not ^)."""
+    x0 = f"(({h_expr} + {j * _PORTABLE_STEP}) & {_PORTABLE_MASK32})"
+    x1 = f"((xor({x0}, {x0} >> 16) * {_PORTABLE_MIX}) & {_PORTABLE_MASK32})"
+    x2 = f"((xor({x1}, {x1} >> 16) * {_PORTABLE_MIX}) & {_PORTABLE_MASK32})"
+    return f"(xor({x2}, {x2} >> 16) & 1)"
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """doc id -> 64-bit SimHash fingerprint.
 
     Explode+aggregate form (not the array-expression form of ``simhash64``): per
@@ -354,14 +413,24 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     positive vote reassemble into the fingerprint with literal-shift adds. Whole-stage
     codegen end to end — the HOF form interprets ~tokens×64 lambda calls per doc.
     Docs with no tokens are absent from the output (nothing to fingerprint).
+
+    ``hash_mode``: "xxhash64" (default — fastest, engine-specific) or "portable"
+    (cross-engine-exact bit votes; see portable_token_hash). Plan shape is identical
+    in both modes — only the per-token bit expressions differ.
     """
+    if hash_mode not in ("xxhash64", "portable"):
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    )
+    if hash_mode == "xxhash64":
+        toks = toks.select("_id", F.xxhash64("_t").alias("_h"))
+        bit = lambda j: F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        toks = toks.select("_id", portable_token_hash(F.col("_t")).alias("_h"))
+        bit = lambda j: _portable_bit(F.col("_h"), j)  # noqa: E731
     vote_cols = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_s{j}")
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"_s{j}")
         for j in range(64)
     ]
     sums = toks.groupBy("_id").agg(*vote_cols)
@@ -384,12 +453,18 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_distance: int = 3,
     bands: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64 bits into `bands` blocks (a distance-k pair
     with k < bands must agree exactly on ≥1 block), bucket-join on (block_idx, block),
-    verify with popcount. Same LSH economics as MinHash banding."""
+    verify with popcount. Same LSH economics as MinHash banding.
+
+    When ``max_distance < bands`` the pigeonhole principle makes banding LOSSLESS
+    (any pair within distance agrees exactly on >= 1 block), so the output equals
+    the exact all-pairs answer — which is what the DuckDB oracle computes when
+    ``hash_mode="portable"`` makes the fingerprints engine-independent."""
     bits_per = 64 // bands
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col, hash_mode=hash_mode)
     mask = (1 << bits_per) - 1
     banded = fp.select(
         F.col(id_col).alias("_id"),

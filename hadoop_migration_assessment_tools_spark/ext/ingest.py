@@ -34,6 +34,22 @@ __all__ = ["incremental_ingest", "build_corpus_index", "incremental_ingest_index
 REASON_EXACT_CORPUS = "exact_vs_corpus"
 REASON_EXACT_BATCH = "exact_in_batch"
 REASON_NEAR_CORPUS = "near_dup_vs_corpus"
+REASON_NULL_TEXT = "null_text"
+
+
+def _route_null_text(
+    incoming: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 0: rows with NULL text get their own audit reason instead of
+    silently vanishing (NULL never equals anything, so stage 1's anti join
+    passes such rows through but stage 2's survivor join then drops them —
+    neither admitted nor audited, breaking the 'audit + admitted partition the
+    batch' invariant). A NULL document is never admissible, so explicit
+    rejection is the right governance semantics."""
+    null_rejected = incoming.filter(F.col(text_col).isNull()).select(
+        F.col(id_col), F.lit(REASON_NULL_TEXT).alias("reason")
+    )
+    return incoming.filter(F.col(text_col).isNotNull()), null_rejected
 
 
 def incremental_ingest(
@@ -48,8 +64,10 @@ def incremental_ingest(
 
     Returns (admitted, audit): ``admitted`` is the incoming rows that survived all
     three gates (original schema); ``audit`` is (id_col, reason) for every
-    rejected row, reason in {exact_vs_corpus, exact_in_batch, near_dup_vs_corpus}.
+    rejected row, reason in {null_text, exact_vs_corpus, exact_in_batch,
+    near_dup_vs_corpus}.
     """
+    incoming, s0_rejected = _route_null_text(incoming, text_col, id_col)
     th = F.xxhash64(F.col(text_col))
 
     # Stage-boundary materialization (NOTES "capstone" lesson): each stage below
@@ -118,7 +136,11 @@ def incremental_ingest(
             near_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
         ).drop("_th")
     )
-    audit = s1_rejected.unionByName(s2_rejected).unionByName(s3_rejected)
+    audit = (
+        s0_rejected.unionByName(s1_rejected)
+        .unionByName(s2_rejected)
+        .unionByName(s3_rejected)
+    )
     return admitted, audit
 
 
@@ -164,6 +186,7 @@ def incremental_ingest_indexed(
     ex_hashes = spark.read.parquet(f"{index_path}/hashes")
     ex_shingles = spark.read.parquet(f"{index_path}/shingles")
 
+    incoming, s0_rejected = _route_null_text(incoming, text_col, id_col)
     inc = incoming.withColumn("_th", F.xxhash64(F.col(text_col))).localCheckpoint()
     cond = (inc["_th"] == ex_hashes["_th"]) & (inc[text_col] == ex_hashes["_ex_text"])
     s1_rejected = inc.join(ex_hashes, cond, "left_semi").select(
@@ -200,5 +223,9 @@ def incremental_ingest_indexed(
     admitted = s2_pass.join(
         near_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
     ).drop("_th")
-    audit = s1_rejected.unionByName(s2_rejected).unionByName(s3_rejected)
+    audit = (
+        s0_rejected.unionByName(s1_rejected)
+        .unionByName(s2_rejected)
+        .unionByName(s3_rejected)
+    )
     return admitted, audit

@@ -116,11 +116,15 @@ def assign_centroids(
     from pyspark.sql.functions import pandas_udf
 
     cents = np.asarray(centroids, dtype=np.float64)
+    # argmin_j |x-c_j|^2 == argmin_j (|c_j|^2 - 2 x.c_j): one BLAS matmul per Arrow
+    # batch instead of a batch x nlist x dim broadcasted temp (the temp is the memory
+    # and time hot spot at production batch sizes).
+    cent_sq = (cents * cents).sum(axis=1)
 
     @pandas_udf("int")
     def nearest(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy())
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = cent_sq - 2.0 * (x @ cents.T)
         return pd.Series(d.argmin(axis=1))
 
     return df.withColumn(out_col, nearest(F.col(vec_col)))
@@ -146,6 +150,7 @@ def cosine_topk_ivf(
     sample_n: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF bucketing. Recall vs bruteforce is tested in pytest;
     probe more lists for higher recall. Corpus is scanned once to bucket; the search
@@ -155,10 +160,17 @@ def cosine_topk_ivf(
     ``sample_n``-row centroid-training sample (centroids are tiny by construction).
     Query-to-probe-list assignment is a crossJoin against the broadcast nlist-row
     centroid table + a per-query window — distributed, so the query set can itself be
-    a full table (the VERDICT r1 fix: no ``queries.collect()``)."""
+    a full table (the VERDICT r1 fix: no ``queries.collect()``).
+
+    ``train_sample`` optionally supplies a CHEAPER relation to draw the centroid
+    sample from (same ``id_col``/``vec_col`` schema). When the corpus is derived
+    (synthetically replicated, unioned, transformed), sampling the underlying base
+    table skips re-evaluating the derivation just to collect 2k rows — the
+    centroids only need to be representative, not corpus-exact."""
+    src = corpus if train_sample is None else train_sample
     sample = [
         r[0]
-        for r in corpus.select(vec_col).orderBy(id_col).limit(sample_n).collect()
+        for r in src.select(id_col, vec_col).orderBy(id_col).limit(sample_n).select(vec_col).collect()
     ]
     cents = _train_centroids(sample, nlist)
 

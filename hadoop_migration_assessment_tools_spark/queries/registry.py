@@ -190,8 +190,9 @@ QUERIES: dict[str, Query] = {
     "docs_pack_stream_parity": llm.docs_pack_stream_parity,
     "emb_near_dup_lsh": llm.emb_near_dup_lsh,
     "emb_topk_scaled_bruteforce": llm.emb_topk_scaled_bruteforce,
-    # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
+    "docs_ingest_indexed_parity": llm.docs_ingest_indexed_parity,
+    # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "emb_cluster_profile": llm.emb_cluster_profile,
@@ -322,4 +323,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_null_safe_join": ea.EVENTS_NULL_SAFE_JOIN_ORACLE,
     "events_global_rank_sample": ea.EVENTS_GLOBAL_RANK_SAMPLE_ORACLE,
     "docs_training_prep_pipeline": llm.DOCS_TRAINING_PREP_PIPELINE_ORACLE,
+    "docs_simhash_near_dup": llm.DOCS_SIMHASH_NEAR_DUP_ORACLE,
+    "docs_ingest_indexed_parity": llm.DOCS_INGEST_INDEXED_PARITY_ORACLE,
 }

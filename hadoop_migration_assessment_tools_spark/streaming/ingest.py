@@ -47,11 +47,21 @@ def ingest_stream(
     spark = corpus.sparkSession
     base_cols = [id_col, text_col]
 
+    def _admitted_so_far() -> DataFrame | None:
+        """Prior admissions, or None ONLY when the path genuinely does not exist
+        yet (first batch). Any other read failure — permissions, corrupt files
+        from a crashed batch, transient FS errors — must fail the batch: treating
+        it as 'nothing admitted yet' would silently drop the growing-reference-set
+        guarantee and re-admit cross-batch duplicates."""
+        sc = spark.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(admitted_path)
+        if not jpath.getFileSystem(hconf).exists(jpath):
+            return None
+        return spark.read.parquet(admitted_path).select(*base_cols)
+
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            prior = spark.read.parquet(admitted_path).select(*base_cols)
-        except Exception:  # first batch: nothing admitted yet
-            prior = None
+        prior = _admitted_so_far()
         reference = corpus.select(*base_cols)
         if prior is not None:
             reference = reference.unionByName(prior)
@@ -63,10 +73,16 @@ def ingest_stream(
             jaccard_threshold=jaccard_threshold,
             shingle_k=shingle_k,
         )
-        admitted.select(*base_cols).write.mode("append").parquet(admitted_path)
-        audit.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            audit_path
-        )
+        # Materialize BOTH results before EITHER write: audit's lazy plan scans
+        # `reference`, which includes admitted_path — if admitted committed its
+        # append first and audit's plan re-listed the directory, audit would
+        # observe this batch's own output (it happened to work only because
+        # Spark's InMemoryFileIndex caches the pre-write listing). The cuts also
+        # stop the stage-3 shingle pipeline being recomputed once per write.
+        admitted = admitted.select(*base_cols).localCheckpoint()
+        audit = audit.withColumn("batch_id", F.lit(batch_id)).localCheckpoint()
+        admitted.write.mode("append").parquet(admitted_path)
+        audit.write.mode("append").parquet(audit_path)
 
     writer = incoming_stream.writeStream.foreachBatch(admit_batch).option(
         "checkpointLocation", checkpoint_dir

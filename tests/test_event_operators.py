@@ -424,6 +424,9 @@ def test_normalize_query_text_goldens(spark):
         ("INSERT INTO x VALUES (1, 'a'), (2, 'b')",
          "insert into x values (?, ?), (?, ?)"),
         ("  SELECT\t1\n", "select ?"),
+        # digits inside identifiers survive (word-bounded literal stripping):
+        # queries over different numbered tables keep distinct fingerprints.
+        ("SELECT col2 FROM t1 WHERE k = 10", "select col2 from t1 where k = ?"),
     ]
     df = spark.createDataFrame([(q,) for q, _ in cases], "q: string")
     got = [r["f"] for r in df.select(normalize_query_text(F.col("q")).alias("f")).collect()]

@@ -88,6 +88,48 @@ def test_simhash_identical_and_near(spark):
     assert (1, 4) not in pairs
 
 
+def _py_portable_hash(tok: str) -> int:
+    h = 2166136261
+    for ch in tok:
+        h = ((h * 31) + ord(ch)) & 0xFFFFFFFF
+    return h
+
+
+def _py_portable_bit(h: int, j: int) -> int:
+    x = (h + j * 2654435761) & 0xFFFFFFFF
+    x = ((x ^ (x >> 16)) * 73244475) & 0xFFFFFFFF
+    x = ((x ^ (x >> 16)) * 73244475) & 0xFFFFFFFF
+    return (x ^ (x >> 16)) & 1
+
+
+def test_portable_simhash_matches_python_reference(spark):
+    """hash_mode='portable' fingerprints must equal a pure-Python rebuild bit for
+    bit — the property the DuckDB oracle of docs_simhash_near_dup rests on."""
+    texts = {1: "alpha beta gamma delta", 2: "alpha beta gamma delta", 3: "Zz 0 ~!"}
+    df = _docs(spark, list(texts.items()))
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, hash_mode="portable").collect()
+    }
+
+    def ref_fp(text):
+        votes = [0] * 64
+        for t in text.split():
+            h = _py_portable_hash(t)
+            for j in range(64):
+                votes[j] += 1 if _py_portable_bit(h, j) else -1
+        fp = 0
+        for j in range(64):
+            if votes[j] > 0:
+                fp += (1 << j) if j < 63 else -(1 << 63)
+        return fp
+
+    assert got == {i: ref_fp(t) for i, t in texts.items()}
+    # bit votes should be roughly balanced (avalanche sanity, not a proof)
+    ones = sum((_py_portable_bit(_py_portable_hash(f"w{i}"), j)) for i in range(64) for j in range(64))
+    assert 1500 < ones < 2600, ones
+
+
 def test_hamming_distance_expr(spark):
     df = spark.createDataFrame([(0b1011, 0b0011)], ["a", "b"])
     got = df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"]
@@ -1134,6 +1176,25 @@ def test_incremental_ingest_stages_and_audit_partition(spark):
     assert adm | set(aud) == {100, 101, 102, 103} and not (adm & set(aud))
 
 
+def test_incremental_ingest_null_text_audited_not_lost(spark):
+    """NULL-text rows must land in the audit (reason=null_text), not vanish:
+    stage 1's null-unsafe anti join used to pass them through and stage 2's
+    survivor join then dropped them — neither admitted nor audited."""
+    from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
+
+    existing = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    incoming = spark.createDataFrame(
+        [(400, None), (401, "totally fresh words appear here")],
+        "doc_id: long, text: string",
+    )
+    admitted, audit = incremental_ingest(existing, incoming)
+    adm = {r["doc_id"] for r in admitted.collect()}
+    aud = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert adm == {401}
+    assert aud == {400: "null_text"}
+    assert adm | set(aud) == {400, 401} and not (adm & set(aud))
+
+
 def test_incremental_ingest_below_threshold_admits(spark):
     from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
 
@@ -1225,6 +1286,47 @@ def test_bpe_canonical_example(spark):
     )
     m = train_bpe_merges(df, 2)
     assert [(r[1], r[2]) for r in m] == [("l", "o"), ("lo", "w")]
+
+
+def test_bpe_batched_matches_sequential_on_corpus(spark):
+    """The batched trainer's selection rule is proved sequential-identical in
+    its docstring; this pins it empirically on the real corpus at several batch
+    sizes (including batch_size=1, which must degenerate to the sequential
+    algorithm exactly)."""
+    from hadoop_migration_assessment_tools_spark.ext.bpe import (
+        train_bpe_merges,
+        train_bpe_merges_batched,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("lang") == "en").limit(40)
+    want = train_bpe_merges(docs, 12)
+    for bs in (1, 4, 32):
+        got = train_bpe_merges_batched(docs, 12, batch_size=bs)
+        assert got == want, f"batch_size={bs} diverged from sequential"
+
+
+def test_bpe_batched_tie_and_collision_guards(spark):
+    """Adversarial corpora for the batch-selection guards: heavy count ties
+    (strict-count truncation must fall back to one merge per round) and a
+    merged-string collision ('ab' exists as a pre-existing... here created
+    within training when (a,b) merges while 'ab'-adjacent pairs are counted).
+    Output must equal the pure-Python sequential reference in every case."""
+    from hadoop_migration_assessment_tools_spark.ext.bpe import train_bpe_merges_batched
+
+    corpora = [
+        # all pair counts tied
+        ["ab cd ef gh", "ab cd ef gh"],
+        # chained symbols: every adjacent pair interacts with the next
+        ["aaaa aaa aa a", "aaaaa aaaa"],
+        # collision bait: merging (a,b)->"ab" while words contain 'ab'-shaped contexts
+        ["ab ab abab abc", "a b ab abc abcd"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = train_bpe_merges_batched(df, 6, batch_size=8)
+        want = _reference_bpe(texts, 6)
+        assert got == want, f"diverged on {texts}"
 
 
 def test_bpe_encode_matches_reference(spark):
