@@ -49,7 +49,12 @@ QUERIES: dict[str, Query] = {
     #    AGG5, pushdown-sensitive predicates, Q2-shaped correlated min) --
     "q1_pricing_summary": tpch.q1_pricing_summary,
     "q3_shipping_priority": tpch.q3_shipping_priority,
-    "q6_forecast_revenue": tpch.q6_forecast_revenue,
+    # Round-5 swap (VERDICT r4 #7): docs_training_prep_pipeline in for
+    # q6_forecast_revenue — the five-stage oracled capstone (filter->dedup->
+    # decontaminate->pack->funnel) is stronger scored evidence than a third
+    # single-table filter+agg shape (q19 keeps that family's scored row; q6
+    # stays oracled below the line).
+    "docs_training_prep_pipeline": llm.docs_training_prep_pipeline,
     "q19_disjunctive_predicates": tpch.q19_disjunctive_predicates,
     "order_priority_semijoin": tpch.order_priority_semijoin,
     "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
@@ -181,7 +186,7 @@ QUERIES: dict[str, Query] = {
     "docs_decontaminate": llm.docs_decontaminate,
     "docs_contamination_ratio": llm.docs_contamination_ratio,
     "docs_two_band_decon": llm.docs_two_band_decon,
-    "docs_training_prep_pipeline": llm.docs_training_prep_pipeline,
+    "q6_forecast_revenue": tpch.q6_forecast_revenue,  # r5 swap-out, still oracled
     "docs_length_histogram": llm.docs_length_histogram,
     "docs_quality_dedup_pipeline": llm.docs_quality_dedup_pipeline,
     "emb_quantization_error": llm.emb_quantization_error,

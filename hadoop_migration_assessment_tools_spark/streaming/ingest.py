@@ -10,10 +10,11 @@ ingestion; batch-by-batch independence would silently re-admit dups.
 Implementation: ``foreachBatch`` (the admission pipeline needs joins/groupBys and
 localCheckpoints that are not stream-legal as a continuous plan — the standard
 pattern for batch-only operators, same as streaming/packing.py). Admitted rows
-and the per-id audit append to parquet; the audit carries the batch id for
-lineage. Replay caveat: a crashed-and-replayed batch re-appends its output; at
-production scale the append target is a transactional table (Delta/Iceberg) or
-the IdempotentBatchSink pattern from streaming/foreach.py.
+and the per-id audit are written to ``<path>/batch_id=<n>`` with OVERWRITE (the
+IdempotentBatchSink discipline, streaming/foreach.py): a crashed-and-replayed
+batch rewrites exactly its own location, so recovery from the checkpoint is
+exactly-once across restarts (pinned by the kill-restart test in
+tests/test_streaming.py). batch_id surfaces as a partition column on read-back.
 
 Scale: per batch, the corpus side costs one 8-byte-hash anti join plus one
 shingle-index build over corpus + admitted-so-far. Production deployments
@@ -23,7 +24,7 @@ per-batch rebuild here keeps the module self-contained and correct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..ext.ingest import incremental_ingest
@@ -47,21 +48,35 @@ def ingest_stream(
     spark = corpus.sparkSession
     base_cols = [id_col, text_col]
 
-    def _admitted_so_far() -> DataFrame | None:
-        """Prior admissions, or None ONLY when the path genuinely does not exist
-        yet (first batch). Any other read failure — permissions, corrupt files
-        from a crashed batch, transient FS errors — must fail the batch: treating
-        it as 'nothing admitted yet' would silently drop the growing-reference-set
-        guarantee and re-admit cross-batch duplicates."""
+    def _admitted_before(batch_id: int) -> DataFrame | None:
+        """Admissions from batches STRICTLY before ``batch_id``, or None when the
+        path does not exist yet (first batch). Two correctness properties:
+
+        - The ``batch_id < current`` filter (a partition-pruned scan) excludes the
+          current batch's own possibly-partially-committed output: a batch that
+          crashed AFTER its admitted write but BEFORE the checkpoint commit is
+          replayed, and without the bound it would see its own first attempt in
+          the reference set and reject its rows as duplicates of themselves
+          (caught by the kill-restart test — admitted ids actually flipped).
+        - Any read failure other than path-not-found (permissions, corrupt files,
+          transient FS errors) must FAIL the batch: treating it as 'nothing
+          admitted yet' would silently drop the growing-reference-set guarantee
+          and re-admit cross-batch duplicates."""
         sc = spark.sparkContext
         hconf = sc._jsc.hadoopConfiguration()
         jpath = sc._jvm.org.apache.hadoop.fs.Path(admitted_path)
         if not jpath.getFileSystem(hconf).exists(jpath):
             return None
-        return spark.read.parquet(admitted_path).select(*base_cols)
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(admitted_path)
+            .filter(F.col("batch_id") < batch_id)
+            .select(*base_cols)
+        )
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prior = _admitted_so_far()
+        prior = _admitted_before(batch_id)
         reference = corpus.select(*base_cols)
         if prior is not None:
             reference = reference.unionByName(prior)
@@ -75,14 +90,14 @@ def ingest_stream(
         )
         # Materialize BOTH results before EITHER write: audit's lazy plan scans
         # `reference`, which includes admitted_path — if admitted committed its
-        # append first and audit's plan re-listed the directory, audit would
+        # write first and audit's plan re-listed the directory, audit would
         # observe this batch's own output (it happened to work only because
         # Spark's InMemoryFileIndex caches the pre-write listing). The cuts also
         # stop the stage-3 shingle pipeline being recomputed once per write.
         admitted = admitted.select(*base_cols).localCheckpoint()
-        audit = audit.withColumn("batch_id", F.lit(batch_id)).localCheckpoint()
-        admitted.write.mode("append").parquet(admitted_path)
-        audit.write.mode("append").parquet(audit_path)
+        audit = audit.localCheckpoint()
+        admitted.write.mode("overwrite").parquet(f"{admitted_path}/batch_id={batch_id}")
+        audit.write.mode("overwrite").parquet(f"{audit_path}/batch_id={batch_id}")
 
     writer = incoming_stream.writeStream.foreachBatch(admit_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -42,9 +42,13 @@ def pack_sequences_stream(
     Each micro-batch runs the batch FFD packer (groupBy + applyInPandas is not
     stream-legal, so the stateless per-batch form runs inside foreachBatch — the
     standard pattern for batch-only operators, same as the avro sink's
-    ``write_stream``) and appends (id, n_tokens, bin_id, overflow) to
-    ``output_path`` as parquet. Exactly-once per batch via the checkpoint +
-    idempotent parquet append of the deterministic packing output.
+    ``write_stream``) and writes (id, n_tokens, bin_id, overflow) to
+    ``output_path/batch_id=<n>`` with OVERWRITE — the IdempotentBatchSink
+    discipline (streaming/foreach.py). A batch replayed after a mid-write crash
+    rewrites exactly its own location, so recovery is exactly-once across
+    restarts, not just within a session (pinned by the kill-restart test in
+    tests/test_streaming.py). Read back with ``spark.read.parquet(output_path)``
+    (batch_id surfaces as a partition column).
     """
     from pyspark.sql import functions as F
 
@@ -54,7 +58,7 @@ def pack_sequences_stream(
         packed = pack_sequences(
             batch_df, token_col, id_col, budget=budget, num_partitions=num_partitions
         ).withColumn("bin_id", F.col("bin_id") + F.lit(batch_id * batch_stride))
-        packed.write.mode("append").parquet(output_path)
+        packed.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = (
         stream_df.writeStream.foreachBatch(pack_batch)

@@ -236,6 +236,14 @@ BNLJ_ALLOWED = {
     "docs_temperature_mixture",
     "docs_hybrid_search",
     "events_gap_fill",
+    # round-5 sweep additions — every BNLJ below is a crossJoin of 1-row scalar
+    # aggregates (funnel/parity counters, a share-of-total denominator, the IDF
+    # corpus count), i.e. broadcast sides of exactly one row:
+    "events_funnel",
+    "docs_pack_stream_parity",
+    "qe_stream_batch_parity",
+    "important_part_stock",
+    "docs_tfidf_top_terms",
 }
 
 
@@ -247,6 +255,40 @@ def test_plan_signature_pinned(spark, name):
         f"  current: {sig}\nIf deliberate, review the delta and re-pin."
     )
     assert_scale_safe(sig, allow_bnlj=name in BNLJ_ALLOWED)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_sweep_scale_safe(spark, name):
+    """SCALE.md as an executable claim (VERDICT r4 #9): EVERY registry query —
+    not just the pinned subset — must be free of CartesianProduct and of any
+    BroadcastNestedLoopJoin outside the documented tiny-broadcast allowlist
+    (BNLJ_ALLOWED above: broadcast query/centroid sets, 1-row scalar-aggregate
+    cross joins, bounded spine crossJoins). Signatures come from the
+    pre-execution physical plan, so the sweep costs plan compilation only."""
+    sig = plan_signature(QUERIES[name](spark, SF))
+    assert_scale_safe(sig, allow_bnlj=name in BNLJ_ALLOWED)
+
+
+def test_bpe_round_job_plan_pinned(spark):
+    """docs_bpe_train's registry plan is a trivial LocalTableScan (training is a
+    driver-sequenced loop), so pin the HOT plan instead: the per-round pair-count
+    job over the word-type table. Exactly two shuffles — the corpus word groupBy
+    and the pair-count groupBy, both map-side-combined — and nothing else; a third
+    Exchange or any join appearing here means a regression in the inner loop that
+    runs once per merge round."""
+    from hadoop_migration_assessment_tools_spark.ext.bpe import (
+        _pair_counts,
+        word_frequency_table,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sig = plan_signature(_pair_counts(word_frequency_table(docs)))
+    assert sig == dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0,
+        bhj=0, shj=0, window=0,
+    ), sig
+    assert_scale_safe(sig)
 
 
 def test_audit_catches_degraded_join(spark):

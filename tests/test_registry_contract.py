@@ -18,7 +18,9 @@ from hadoop_migration_assessment_tools_spark.queries.registry import ORACLE_SQL,
 SCORED_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
+    # round-5 reviewed swap (VERDICT r4 #7): the five-stage capstone replaces the
+    # third single-table filter+agg (q6 — still oracled below the line)
+    "docs_training_prep_pipeline",
     "q19_disjunctive_predicates",
     "order_priority_semijoin",
     "q21_waiting_suppliers",

@@ -592,10 +592,10 @@ def test_pack_stream_single_batch_equals_batch_pack(spark, tmp_path):
         budget=256, num_partitions=8,
     ).awaitTermination()
 
-    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
-    batch = sorted(
-        map(tuple, pack_sequences(docs, "n_tok", budget=256, num_partitions=8).collect())
-    )
+    batch_df = pack_sequences(docs, "n_tok", budget=256, num_partitions=8)
+    cols = batch_df.columns  # readback adds a batch_id partition column; ignore it
+    streamed = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    batch = sorted(map(tuple, batch_df.collect()))
     assert streamed == batch and len(batch) == 80
 
 
@@ -635,6 +635,128 @@ def test_pack_stream_multi_batch_invariants(spark, tmp_path):
     assert {r["doc_id"] for r in packed if r["overflow"]} == {
         d for d, n in want.items() if n > 256
     }
+
+
+def _wait_for_batches(pattern: str, n: int, timeout_s: float = 90.0) -> int:
+    """Poll until >= n committed batch dirs (_SUCCESS markers) match pattern."""
+    import glob
+    import time as _t
+
+    deadline = _t.time() + timeout_s
+    while _t.time() < deadline:
+        done = len(glob.glob(pattern))
+        if done >= n:
+            return done
+    return len(glob.glob(pattern))
+
+
+def test_pack_stream_kill_restart_equals_uninterrupted(spark, tmp_path):
+    """STR3/STR5 crash recovery (VERDICT r4 #5): start a CONTINUOUS packing query,
+    kill it mid-stream after the first batches commit (stop() can land inside a
+    later batch's write), restart from the SAME checkpoint, and assert the final
+    output row-for-row equals an uninterrupted run. The batch-addressed overwrite
+    sink makes a replayed batch rewrite exactly its own location — exactly-once
+    across restart, not just within a session."""
+    import os
+
+    from hadoop_migration_assessment_tools_spark.streaming.packing import (
+        pack_sequences_stream,
+    )
+
+    docs = _doc_sizes(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # six single-file sources -> six deterministic micro-batches
+    for i in range(6):
+        docs.filter((F.col("doc_id") % 6) == i).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, n_tok long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+
+    out, ckpt = str(tmp_path / "packed"), str(tmp_path / "ckpt")
+    q = pack_sequences_stream(
+        make_stream(), "n_tok", out, ckpt,
+        budget=256, num_partitions=4, available_now=False,
+    )
+    assert _wait_for_batches(f"{out}/batch_id=*/_SUCCESS", 2) >= 2
+    q.stop()  # the kill: may interrupt a batch mid-write
+    q.awaitTermination(60)
+
+    # restart on the SAME checkpoint; drain the rest
+    pack_sequences_stream(
+        make_stream(), "n_tok", out, ckpt, budget=256, num_partitions=4
+    ).awaitTermination()
+
+    # uninterrupted control run (fresh checkpoint/output, same sources)
+    out2, ckpt2 = str(tmp_path / "packed2"), str(tmp_path / "ckpt2")
+    pack_sequences_stream(
+        make_stream(), "n_tok", out2, ckpt2, budget=256, num_partitions=4
+    ).awaitTermination()
+
+    cols = ["doc_id", "n_tokens", "bin_id", "overflow"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple, spark.read.parquet(out2).select(*cols).collect()))
+    assert got == want
+    assert sorted(r[0] for r in got) == list(range(80))  # exactly once, nothing lost
+
+
+def test_ingest_stream_kill_restart_equals_uninterrupted(spark, tmp_path):
+    """Crash recovery for streaming admission: kill after the first batch commits,
+    restart from the checkpoint, and the admitted/audit sets must equal an
+    uninterrupted run — including the growing-reference-set decisions that depend
+    on earlier batches' output being visible exactly once."""
+    import os
+
+    from hadoop_migration_assessment_tools_spark.streaming.ingest import ingest_stream
+
+    corpus_text = " ".join(f"c{i}" for i in range(12))
+    corpus = spark.createDataFrame([(1, corpus_text)], ["doc_id", "text"])
+    fresh = [" ".join(f"w{j}_{i}" for i in range(12)) for j in range(4)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(100, fresh[0]), (101, corpus_text)],
+        [(200, fresh[0]), (201, fresh[1])],  # 200 = cross-batch dup of 100
+        [(300, fresh[2]), (301, fresh[1] + " tail")],  # 301 near-dups 201
+        [(400, fresh[3])],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+
+    def run(tag: str, interrupt: bool):
+        adm, aud, ckpt = (str(tmp_path / f"{d}_{tag}") for d in ("adm", "aud", "ck"))
+        if interrupt:
+            q = ingest_stream(corpus, make_stream(), adm, aud, ckpt, available_now=False)
+            assert _wait_for_batches(f"{adm}/batch_id=*/_SUCCESS", 1) >= 1
+            q.stop()
+            q.awaitTermination(60)
+        ingest_stream(corpus, make_stream(), adm, aud, ckpt).awaitTermination()
+        admitted = {r["doc_id"] for r in spark.read.parquet(adm).collect()}
+        audit = {(r["doc_id"], r["reason"]) for r in spark.read.parquet(aud).collect()}
+        return admitted, audit
+
+    got = run("killed", interrupt=True)
+    want = run("clean", interrupt=False)
+    assert got == want
+    admitted, audit = got
+    all_ids = {i for rows in batches for i, _ in rows}
+    assert admitted | {i for i, _ in audit} == all_ids
+    assert not (admitted & {i for i, _ in audit})
 
 
 # --- streaming ingestion (streaming/ingest.py) --------------------------------------
