@@ -1,0 +1,558 @@
+"""[EXT] Baseline JPEG codec in pure numpy + stdlib (no PIL/libjpeg).
+
+Implements the baseline sequential DCT process of the public JPEG spec
+(ITU-T T.81 / ISO 10918-1): 8x8 forward/inverse DCT, Annex-K luminance and
+chrominance quantization tables with libjpeg-style quality scaling, zigzag,
+DC DPCM + AC run-length coding, canonical Huffman built from DHT BITS/HUFFVAL,
+entropy bitstream with 0xFF byte stuffing, JFIF marker structure, generic
+component sampling factors (4:4:4, 4:2:0, 4:2:2 MCU interleave) and RSTn
+restart markers.
+
+Decoder coverage is honest-baseline: SOF0 (baseline DCT, 8-bit) only —
+progressive (SOF2), arithmetic coding, hierarchical and 12-bit inputs raise
+NotImplementedError, matching the WAV/PPM/PNG codecs' partial-coverage
+discipline (ext/multimodal.py callers catch and fall back with decoded=false).
+
+The encoder exists to close the loop in-sandbox: it emits valid baseline JFIF
+that ANY decoder can read, using compact generated Huffman tables (12 DC codes
+of length 4, 162 AC codes of length 8 — valid canonical tables; optimality is
+irrelevant to correctness). The golden test strategy mirrors BPE's: the lossy
+step is quantization ONLY, so the decoder's dequantized coefficients must
+EXACTLY equal the encoder's quantized coefficients times the table — pinned in
+tests/test_ext_operators.py along with pixel-error bounds on the roundtrip.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["make_jpeg_bytes", "parse_jpeg"]
+
+# Annex K quantization tables (ITU-T T.81 Tables K.1/K.2), zigzag-unordered
+# (natural row-major order here; zigzag applied at coefficient serialization).
+_QT_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_QT_CHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+# zigzag scan order (T.81 Figure 5): _ZIGZAG[k] = (row, col) of the k-th coeff.
+# Odd anti-diagonals run top-right -> bottom-left (increasing row), even ones
+# bottom-left -> top-right (increasing col).
+def _zigzag_order():
+    return sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+    )
+
+
+_ZIGZAG = _zigzag_order()
+_ZZ_ROWS = np.array([rc[0] for rc in _ZIGZAG])
+_ZZ_COLS = np.array([rc[1] for rc in _ZIGZAG])
+
+# 8x8 DCT-II orthonormal basis: C[u, x] = a(u) * cos((2x+1) u pi / 16) / 2
+_DCT_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT_C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _quality_scaled(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 50 = Annex K verbatim, 100 = near-lossless."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((table * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _fdct(blocks: np.ndarray) -> np.ndarray:
+    """Forward DCT over (n, 8, 8) level-shifted blocks."""
+    return np.einsum("ux,nxy,vy->nuv", _DCT_C, blocks, _DCT_C)
+
+
+def _idct(blocks: np.ndarray) -> np.ndarray:
+    """Inverse DCT over (n, 8, 8) coefficient blocks."""
+    return np.einsum("xu,nuv,yv->nxy", _DCT_C.T, blocks, _DCT_C.T)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# --- Huffman tables (encoder side: compact generated canonical tables) ---------------
+
+_DC_SYMBOLS = list(range(12))  # DC size categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_SYMBOLS = sorted(set(_AC_SYMBOLS))  # 162 symbols: EOB, ZRL, (run,size)
+
+#: encoder BITS/HUFFVAL: all DC codes length 4 (12 <= 15 avoids the all-ones
+#: code), all AC codes length 8 (162 <= 255 likewise). Valid canonical Huffman.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical JPEG procedure (T.81 C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_ENC_DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_ENC_AC_CODES = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _size_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude_bits(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _quantized_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Level-shift, 8x8-tile, FDCT and quantize one component plane.
+    Returns (n_blocks_v, n_blocks_h, 8, 8) int32 quantized coefficients."""
+    h, w = plane.shape
+    bv, bh = h // 8, w // 8
+    blocks = plane.reshape(bv, 8, bh, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = _fdct(blocks - 128.0)
+    q = np.round(coefs / qtable).astype(np.int32)
+    return q.reshape(bv, bh, 8, 8)
+
+
+def _pad_to_blocks(plane: np.ndarray, mult: int = 8) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if (ph or pw) else plane
+
+
+def _encode_block(
+    zz: np.ndarray, dc_pred: int, wr: _BitWriter,
+    dc_codes: dict, ac_codes: dict,
+) -> int:
+    """Entropy-encode one zigzagged quantized block; returns the new DC predictor."""
+    dc = int(zz[0])
+    diff = dc - dc_pred
+    size = _size_category(diff)
+    code, length = dc_codes[size]
+    wr.write(code, length)
+    if size:
+        wr.write(_amplitude_bits(diff, size), size)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            wr.write(code, length)
+            run -= 16
+        size = _size_category(v)
+        code, length = ac_codes[(run << 4) | size]
+        wr.write(code, length)
+        wr.write(_amplitude_bits(v, size), size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        wr.write(code, length)
+    return dc
+
+
+def make_jpeg_bytes(
+    pixels, quality: int = 90, subsampling: str = "4:4:4", restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF.
+
+    ``subsampling``: "4:4:4" (one block per component per MCU) or "4:2:0"
+    (2x2 luma blocks + box-averaged half-resolution chroma per MCU).
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = none) —
+    exists mainly so the decoder's restart path has a real producer to test
+    against."""
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "4:2:0"
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    ycc = _rgb_to_ycbcr(px.astype(np.float64))
+    qt = [_quality_scaled(_QT_LUM, quality), _quality_scaled(_QT_CHROM, quality)]
+
+    if sub:
+        y = _pad_to_blocks(ycc[..., 0], 16)
+        # box-average 2x2 -> half-resolution chroma
+        chroma = []
+        for c in (1, 2):
+            p = _pad_to_blocks(ycc[..., c], 16)
+            ph, pw = p.shape
+            chroma.append(p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+        planes = [y, chroma[0], chroma[1]]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        planes = [_pad_to_blocks(ycc[..., c]) for c in range(3)]
+        samp = [(1, 1)] * 3
+    quant = [
+        _quantized_blocks(planes[c], qt[0 if c == 0 else 1]) for c in range(3)
+    ]
+
+    wr = _BitWriter()
+    dc_pred = [0, 0, 0]
+    mcuy = quant[0].shape[0] // samp[0][1]
+    mcux = quant[0].shape[1] // samp[0][0]
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wr.flush()  # pad to byte boundary with 1-bits
+                wr.out += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)])
+                dc_pred = [0, 0, 0]
+            for c in range(3):
+                ch, cv = samp[c]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = quant[c][my * cv + by, mx * ch + bx]
+                        zz = blk[_ZZ_ROWS, _ZZ_COLS]
+                        dc_pred[c] = _encode_block(
+                            zz, dc_pred[c], wr, _ENC_DC_CODES, _ENC_AC_CODES
+                        )
+            mcu_count += 1
+    wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zz = table[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
+        return seg(0xFFDB, bytes([tid]) + zz.tobytes())
+
+    def dht(tclass: int, tid: int, bits: list[int], values: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values))
+
+    y_sampling = 0x22 if sub else 0x11
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, y_sampling, 0])  # Y
+        + bytes([2, 0x11, 1])  # Cb
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+        + bytes([0, 63, 0]),  # spectral selection (full, baseline)
+    )
+    app0 = seg(0xFF00 | 0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"  # SOI
+        + app0
+        + dqt(0, qt[0])
+        + dqt(1, qt[1])
+        + sof
+        + dht(0, 0, _DC_BITS, _DC_SYMBOLS)
+        + dht(1, 0, _AC_BITS, _AC_SYMBOLS)
+        + dht(0, 1, _DC_BITS, _DC_SYMBOLS)
+        + dht(1, 1, _AC_BITS, _AC_SYMBOLS)
+        + dri
+        + sos
+        + bytes(wr.out)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+# --- decoder -------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing and RSTn detection."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal FF
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker mid-fill: should not happen
+                raise ValueError("unexpected RST marker inside a coded unit")
+            else:  # EOI or next segment reached with bits still requested
+                raise ValueError("entropy data exhausted")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def bit(self) -> int:
+        if not self._nbits:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume padding + an RSTn marker between restart intervals."""
+        self._acc = 0
+        self._nbits = 0
+        d = self.data
+        while d[self.pos] != 0xFF or d[self.pos + 1] == 0x00:
+            self.pos += 1
+        if 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected RST marker")
+
+
+def _decode_huffman(rd: _BitReader, lookup: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | rd.bit()
+        length += 1
+        sym = lookup.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map amplitude bits back to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def parse_jpeg(payload: bytes, _return_coefs: bool = False):
+    """Decode baseline JFIF/JPEG -> (h, w, 3) uint8 RGB ndarray.
+
+    Supports: SOF0 baseline sequential DCT, 8-bit precision, 1 or 3 components,
+    generic sampling factors (4:4:4 / 4:2:0 / 4:2:2 MCU interleave), DRI/RSTn
+    restart intervals, multiple DQT/DHT segments. Raises NotImplementedError for
+    progressive (SOF2) and other non-baseline processes.
+
+    ``_return_coefs`` (tests only): also return the per-component DEQUANTIZED
+    coefficient blocks, for the exact coefficient-level golden against the
+    encoder (the only lossy step in JPEG is quantization; everything downstream
+    of it must round-trip losslessly).
+    """
+    d = bytes(payload)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        if marker in (0xD8, 0xD9):
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", d, pos + 2)
+        body = d[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                prec, tid = body[off] >> 4, body[off] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=off + 1)
+                qt = np.zeros((8, 8))
+                qt[_ZZ_ROWS, _ZZ_COLS] = zz
+                qtables[tid] = qt
+                off += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                tclass, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                values = list(body[off + 17 : off + 17 + nvals])
+                codes = _canonical_codes(bits, values)
+                huff[(tclass, tid)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                off += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            for i in range(ncomp):
+                cid, sampling, qid = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": sampling >> 4, "v": sampling & 0x0F, "q": qid}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            for i in range(ns):
+                cid, tables = body[1 + 2 * i], body[2 + 2 * i]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["dc_t"] = tables >> 4
+                        comp["ac_t"] = tables & 0x0F
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("no SOS segment found")
+    if not comps or h == 0:
+        raise ValueError("missing SOF header")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coefs"] = np.zeros((c["bh"], c["bw"], 8, 8))
+
+    rd = _BitReader(d, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rd.align_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_lut = huff[(0, c["dc_t"])]
+                ac_lut = huff[(1, c["ac_t"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64)
+                        size = _decode_huffman(rd, dc_lut)
+                        diff = _extend(rd.bits(size), size) if size else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huffman(rd, ac_lut)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0x0F
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[k] = _extend(rd.bits(size), size)
+                            k += 1
+                        blk = np.zeros((8, 8))
+                        blk[_ZZ_ROWS, _ZZ_COLS] = zz
+                        c["coefs"][my * c["v"] + by, mx * c["h"] + bx] = (
+                            blk * qtables[c["q"]]
+                        )
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        blocks = c["coefs"].reshape(-1, 8, 8)
+        spatial = _idct(blocks) + 128.0
+        bh_, bw_ = c["bh"], c["bw"]
+        plane = (
+            spatial.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        )
+        # upsample subsampled chroma to full resolution (nearest neighbor)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        rgb = np.stack([planes[0]] * 3, axis=-1)
+    else:
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if _return_coefs:
+        return px, [c["coefs"] for c in comps]
+    return px

@@ -1,10 +1,12 @@
 """[EXT] Multimodal columns: image/audio/video as opaque binary with typed metadata.
 
-The decode step is REAL for the three formats parseable with numpy/stdlib —
-WAV (RIFF PCM) audio, PPM (P6) images, and PNG (8-bit truecolor; zlib inflate +
-full scanline unfiltering) — implemented from their public format specs, with no
-media libraries. Formats that genuinely require external codecs (jpeg/mp3/mp4
-"video" here) raise ``NotImplementedError`` from ``decode_media`` and
+The decode step is REAL for the four formats parseable with numpy/stdlib —
+WAV (RIFF PCM) audio, PPM (P6) images, PNG (8-bit truecolor; zlib inflate +
+full scanline unfiltering), and baseline JPEG (full sequential-DCT pipeline:
+Huffman entropy decode, dequant, IDCT, chroma upsampling — ext/jpeg.py) —
+implemented from their public format specs, with no media libraries. Formats
+that genuinely require external codecs (progressive jpeg, mp3, mp4 "video"
+here) raise ``NotImplementedError`` from ``decode_media`` and
 ``extract_features`` falls back to a clearly-marked deterministic digest feature,
 so the distributed pipeline shape stays exercised end to end either way.
 
@@ -328,9 +330,10 @@ def resize_image(pixels, out_h: int, out_w: int):
 
 
 def decode_media(payload: bytes, kind: str, meta=None) -> dict:
-    """Decode an opaque payload into numpy form. Real for WAV PCM audio and PPM
-    images; anything else (true video codecs, jpeg, mp3...) needs external libs this
-    container doesn't have and raises NotImplementedError — callers fall back."""
+    """Decode an opaque payload into numpy form. Real for WAV PCM audio, PPM/PNG/
+    baseline-JPEG images, and PVID video; anything else (true video codecs,
+    progressive jpeg, mp3...) needs external libs this container doesn't have and
+    raises NotImplementedError — callers fall back."""
     payload = bytes(payload)
     if payload[:4] == b"RIFF":
         samples, rate = parse_wav(payload)
@@ -339,12 +342,16 @@ def decode_media(payload: bytes, kind: str, meta=None) -> dict:
         return {"kind": "image", "pixels": parse_ppm(payload)}
     if payload[:8] == _PNG_SIG:
         return {"kind": "image", "pixels": parse_png(payload)}
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        from .jpeg import parse_jpeg
+
+        return {"kind": "image", "pixels": parse_jpeg(payload)}
     if payload[:4] == _PVID_SIG:
         n, w, h, frames = parse_pvid(payload)
         return {"kind": "video", "frames": frames, "n_frames": n, "width": w, "height": h}
     raise NotImplementedError(
         f"no pure-python decoder for this payload (kind={kind!r}); "
-        "jpeg/mp3/video require PIL/librosa/av"
+        "progressive jpeg/mp3/mp4 require PIL/librosa/av"
     )
 
 
@@ -438,8 +445,10 @@ def synthesize_media(
     payloads never touch the driver. PPM stays the default because its payload size
     is closed-form (the multimodal_manifest oracle certifies it); PNG sizes depend
     on zlib and are pytest-verified instead."""
-    if image_format not in ("ppm", "png"):
-        raise ValueError(f"image_format must be 'ppm' or 'png', got {image_format!r}")
+    if image_format not in ("ppm", "png", "jpeg"):
+        raise ValueError(
+            f"image_format must be 'ppm', 'png' or 'jpeg', got {image_format!r}"
+        )
     if video_format not in ("raw", "pvid"):
         raise ValueError(f"video_format must be 'raw' or 'pvid', got {video_format!r}")
 
@@ -466,6 +475,11 @@ def synthesize_media(
                     if image_format == "png":
                         payload, kind = make_png_bytes(px), "image"
                         meta = ("image/png", w, h, None, None)
+                    elif image_format == "jpeg":
+                        from .jpeg import make_jpeg_bytes
+
+                        payload, kind = make_jpeg_bytes(px, quality=90), "image"
+                        meta = ("image/jpeg", w, h, None, None)
                     else:
                         payload, kind = make_ppm_bytes(px), "image"
                         meta = ("image/ppm", w, h, None, None)
@@ -524,12 +538,20 @@ def partition_by_byte_budget(
     return df.repartition(target)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
     """Arrow-batched decode + feature extraction over media rows (mapInPandas).
 
-    WAV/PPM payloads decode for real (duration/RMS/peak/zero-crossings; dimensions/
-    mean-RGB/gray-std); undecodable payloads get digest features with decoded=false —
-    the consumer can filter or route on that flag."""
+    WAV/PPM/PNG/baseline-JPEG payloads decode for real (duration/RMS/peak/
+    zero-crossings; dimensions/mean-RGB/gray-std); undecodable payloads get digest
+    features with decoded=false — the consumer can filter or route on that flag.
+
+    ``passthrough``: extra top-level input columns to carry into the output
+    unchanged (mapInPandas replaces the schema, so they would otherwise drop)."""
+    passthrough = passthrough or []
+    schema = T.StructType(
+        FEATURES_SCHEMA.fields
+        + [next(f for f in media.schema.fields if f.name == c) for c in passthrough]
+    )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -540,17 +562,18 @@ def extract_features(media: DataFrame) -> DataFrame:
                 ok, f = media_features(bytes(payload), kind)
                 decoded_flags.append(ok)
                 feats.append([float(v) for v in f])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "decoded": decoded_flags,
-                    "features": feats,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "decoded": decoded_flags,
+                "features": feats,
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+    return media.mapInPandas(batches, schema=schema)
 
 
 def media_summary(media: DataFrame) -> DataFrame:

@@ -378,6 +378,119 @@ def test_png_roundtrip_filters_and_feature_parity():
     assert np.array_equal(parse_png(payload), np.stack(rows).reshape(h, w, ch))
 
 
+def _gradient_image(h=21, w=37):
+    import numpy as np
+
+    i, j = np.indices((h, w))
+    return np.clip(
+        np.stack([i * 255 / (h - 1), j * 255 / (w - 1), (i + j) * 127 / (h + w - 2)], axis=-1),
+        0,
+        255,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec (ext/jpeg.py): encode->decode across 4:4:4 / 4:2:0 and
+    restart intervals on a non-block-aligned image; marker structure and bounded
+    pixel error (the only loss is quantization, tiny on smooth gradients)."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    px = _gradient_image()
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 3):
+            data = make_jpeg_bytes(px, quality=92, subsampling=sub, restart_interval=ri)
+            assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+            out = parse_jpeg(data)
+            assert out.shape == px.shape
+            err = int(np.abs(out.astype(int) - px.astype(int)).max())
+            bound = 16 if sub == "4:2:0" else 6
+            assert err <= bound, (sub, ri, err)
+
+
+def test_jpeg_coefficient_exact_golden():
+    """The BPE-style golden: quantization is JPEG's ONLY lossy step, so the
+    decoder's dequantized coefficients must EXACTLY equal the encoder's quantized
+    coefficients times the table — pins zigzag, Huffman, DPCM, RLE, bitstream
+    stuffing and marker parsing all at once, bit for bit."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import jpeg as J
+
+    px = _gradient_image(24, 40)
+    q = 75
+    _, coefs = J.parse_jpeg(J.make_jpeg_bytes(px, quality=q), _return_coefs=True)
+    ycc = J._rgb_to_ycbcr(px.astype(np.float64))
+    qts = [J._quality_scaled(J._QT_LUM, q), J._quality_scaled(J._QT_CHROM, q)]
+    for c in range(3):
+        qt = qts[0 if c == 0 else 1]
+        plane = J._pad_to_blocks(ycc[..., c])
+        want = J._quantized_blocks(plane, qt).astype(np.float64) * qt
+        assert np.array_equal(coefs[c], want), f"component {c} coefficients diverged"
+
+
+def test_jpeg_rejects_non_baseline_and_falls_back():
+    """Progressive (SOF2) must raise NotImplementedError from the codec, and the
+    feature pipeline must route such payloads to digest features, decoded=false."""
+    import pytest as _pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import media_features
+
+    data = bytearray(make_jpeg_bytes(_gradient_image()))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2  # masquerade as progressive
+    with _pytest.raises(NotImplementedError):
+        parse_jpeg(bytes(data))
+    decoded, feats = media_features(bytes(data), "image")
+    assert decoded is False and len(feats) == 8
+
+
+def test_jpeg_features_match_ppm_features(spark):
+    """End-to-end honesty check: the SAME pixels through the JPEG path must yield
+    image features close to the lossless PPM path (dimensions exact, channel
+    means within quantization error)."""
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import make_jpeg_bytes
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        make_ppm_bytes,
+        media_features,
+    )
+
+    px = _gradient_image(32, 48)
+    ok_j, fj = media_features(make_jpeg_bytes(px, quality=95), "image")
+    ok_p, fp_ = media_features(make_ppm_bytes(px), "image")
+    assert ok_j and ok_p
+    assert fj[0] == fp_[0] == 48.0 and fj[1] == fp_[1] == 32.0  # exact dimensions
+    for a, b in zip(fj[2:6], fp_[2:6]):  # mean RGB + gray std
+        assert abs(a - b) < 0.01, (fj, fp_)
+
+
+def test_synthesize_media_jpeg_pipeline(spark):
+    """The distributed pipeline with image_format='jpeg': every image row decodes
+    for real (decoded=true) through the Arrow-batched UDF."""
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = synthesize_media(docs, image_format="jpeg")
+    feats = extract_features(media.withColumn("format", F.col("meta.format")),
+                             passthrough=["format"]).collect()
+    images = [r for r in feats if r["kind"] == "image"]
+    assert images and all(r["format"] == "image/jpeg" for r in images)
+    assert all(r["decoded"] for r in images)
+    assert all(len(r["features"]) == 8 and r["features"][0] > 0 for r in images)
+
+
 def test_synthesize_media_png_pipeline(spark):
     """The Spark pipeline decodes PNG payloads end to end: synthesize with
     image_format='png' -> extract_features marks every image row decoded=true and
