@@ -40,6 +40,38 @@ def heavy_hitters(
     ).limit(k)
 
 
+def heavy_hitters_verified(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact top-k via the standard two-phase sketch-then-verify plan.
+
+    Phase 1 is the bounded-memory Misra-Gries summary (every value with true
+    frequency > n_partition/capacity per partition is guaranteed to survive —
+    so with capacity >= 8k, all true top-k items are candidates on any corpus
+    whose k-th hitter clears that floor). Phase 2 EXACT-counts only the
+    candidate set with one more corpus pass: a broadcast semi-join keeps the
+    count map-side, so the corpus never shuffles by term. Output (item,
+    exact_count) is deterministic and partition-layout-independent — unlike the
+    raw summary's undercounts — which is what makes the registry query
+    DuckDB-oracle-able (the oracle is the plain exact GROUP BY top-k).
+    """
+    cands = (
+        _mg_summaries(df, col, capacity or 8 * k)
+        .select(F.col("item"))
+        .filter(F.col("item").isNotNull())
+    )
+    exact = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return exact.orderBy(F.desc("exact_count"), F.asc("item")).limit(k)
+
+
 def _mg_summaries(df: DataFrame, col: str, cap: int) -> DataFrame:
     """Merged Misra-Gries summaries plus the exact total row count, one scan.
 

@@ -971,12 +971,32 @@ ORDER BY len_bucket
 
 
 def docs_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ext.sketch import heavy_hitters
+    """Top-20 corpus terms via Misra-Gries candidates + exact verification.
+
+    Round 5 upgrade (rows-only -> oracled): the two-phase sketch-then-verify
+    plan (ext/sketch.py: heavy_hitters_verified) reports EXACT counts for the
+    reported items, so the result is deterministic and equals DuckDB's plain
+    exact GROUP BY top-k — the oracle certifies both the MG recall (a missed
+    true hitter would change the set) and the verify pass. The raw bounded-
+    memory summary stays available as heavy_hitters (pytest-verified)."""
+    from ..ext.sketch import heavy_hitters_verified
     from ..ext.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
-    return heavy_hitters(toks, "term", k=20)
+    return heavy_hitters_verified(toks, "term", k=20)
+
+
+DOCS_HEAVY_TERMS_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count
+FROM toks GROUP BY item
+ORDER BY exact_count DESC, item ASC
+LIMIT 20
+"""
 
 
 # --- docs_quality_dedup_pipeline ----------------------------------------------------
@@ -2689,6 +2709,95 @@ def docs_ingest_indexed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOCS_INGEST_INDEXED_PARITY_ORACLE = DOCS_INCREMENTAL_INGEST_ORACLE
+
+
+# --- docs_repeated_spans -------------------------------------------------------------
+# [EXT] substring-level dedup (ext/spans.py): document-level dedup misses shared
+# verbatim PASSAGES (boilerplate, licenses, quoted articles). The corpus is
+# augmented two ways so both span shapes exist: a fixed 12-token legal boilerplate
+# appended to every doc_id % 5 == 0 row (partial tail spans), and the standard
+# whole-doc planted dups (full-coverage spans). DuckDB replays the entire k-gram
+# pipeline — windows, distinct-doc duplication, interval union — relationally;
+# one hash certifies span bounds AND exact covered-token counts for every doc.
+
+SPAN_MIN_TOKENS = 8
+_BOILERPLATE = " ".join(f"legal{i}" for i in range(12))
+
+
+def _docs_with_boilerplate_and_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + _BOILERPLATE))
+        ).otherwise(F.col("text")),
+    )
+    dups = aug.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    return aug.unionByName(dups)
+
+
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.spans import span_coverage
+
+    aug = _docs_with_boilerplate_and_dups(spark, sf_dir)
+    return span_coverage(aug, min_tokens=SPAN_MIN_TOKENS).orderBy("doc_id")
+
+
+DOCS_REPEATED_SPANS_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {_BOILERPLATE}' ELSE text END AS text
+  FROM documents
+), aug AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM base WHERE doc_id % 7 = 0
+), toked AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM aug
+), g AS (
+  -- unnest(list) supports lateral column refs; the generate_series TABLE
+  -- function does not. An empty list (len(t) < k) yields zero rows.
+  SELECT doc_id, gs.i AS start,
+         array_to_string(t[gs.i:gs.i + {SPAN_MIN_TOKENS - 1}], ' ') AS gram
+  FROM toked, unnest(generate_series(1, len(t) - {SPAN_MIN_TOKENS - 1})) AS gs(i)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.start FROM g SEMI JOIN dup ON g.gram = dup.gram
+), chained AS (
+  SELECT doc_id, start,
+         CASE WHEN start - LAG(start) OVER (PARTITION BY doc_id ORDER BY start)
+                   <= {SPAN_MIN_TOKENS - 1} THEN 0 ELSE 1 END AS new_grp
+  FROM hits
+), grouped AS (
+  SELECT doc_id, start,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM chained
+), spans AS (
+  SELECT doc_id, MIN(start) AS span_start,
+         MAX(start) + {SPAN_MIN_TOKENS - 1} AS span_end
+  FROM grouped GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / GREATEST(len(t.t), 1), 6) AS dup_ratio
+FROM toked t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+"""
 
 
 # --- docs_bpe_train ------------------------------------------------------------------

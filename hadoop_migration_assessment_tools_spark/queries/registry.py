@@ -197,12 +197,13 @@ QUERIES: dict[str, Query] = {
     "emb_topk_scaled_bruteforce": llm.emb_topk_scaled_bruteforce,
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
     "docs_ingest_indexed_parity": llm.docs_ingest_indexed_parity,
+    "docs_heavy_terms": llm.docs_heavy_terms,
+    "docs_repeated_spans": llm.docs_repeated_spans,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "emb_cluster_profile": llm.emb_cluster_profile,
     "multimodal_features": llm.multimodal_features,
-    "docs_heavy_terms": llm.docs_heavy_terms,
     "docs_pack_sequences": llm.docs_pack_sequences,
 }
 
@@ -330,4 +331,6 @@ ORACLE_SQL: dict[str, str] = {
     "docs_training_prep_pipeline": llm.DOCS_TRAINING_PREP_PIPELINE_ORACLE,
     "docs_simhash_near_dup": llm.DOCS_SIMHASH_NEAR_DUP_ORACLE,
     "docs_ingest_indexed_parity": llm.DOCS_INGEST_INDEXED_PARITY_ORACLE,
+    "docs_heavy_terms": llm.DOCS_HEAVY_TERMS_ORACLE,
+    "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
 }

@@ -566,6 +566,27 @@ def test_partition_by_byte_budget(spark):
     assert tiny.rdd.getNumPartitions() == 3
 
 
+def test_heavy_hitters_verified_equals_exact_any_partitioning(spark):
+    """heavy_hitters_verified must return the EXACT top-k (items AND counts)
+    regardless of partition layout — the property its DuckDB oracle rests on.
+    The raw MG summary's counts legitimately vary with partitioning; the
+    verified form must not."""
+    import collections
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import heavy_hitters_verified
+
+    rows = [(f"t{i % 37}",) for i in range(1500)] + [("rare%d" % i,) for i in range(300)]
+    counts = collections.Counter(v for v, in rows)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, ["term"]).repartition(parts)
+        got = [
+            (r["item"], r["exact_count"])
+            for r in heavy_hitters_verified(df, "term", k=10).collect()
+        ]
+        assert got == want, (parts, got[:3], want[:3])
+
+
 def test_heavy_hitters_recovers_planted_skew(spark):
     from hadoop_migration_assessment_tools_spark.ext.sketch import (
         distinct_sketch_profile,
@@ -1330,6 +1351,82 @@ def test_incremental_ingest_short_docs_skip_near_dup_gate(spark):
     admitted, audit = incremental_ingest(existing, incoming)
     assert {r["doc_id"] for r in admitted.collect()} == {300}
     assert audit.count() == 0
+
+
+# --- verbatim repeated spans (ext/spans.py) -----------------------------------------
+
+
+def test_repeated_spans_planted_boilerplate(spark):
+    """A shared 10-token passage inside otherwise-unique docs must come back as
+    one maximal span per doc with exact bounds; unique docs report nothing."""
+    from hadoop_migration_assessment_tools_spark.ext.spans import (
+        repeated_spans,
+        span_coverage,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"x{i}" for i in range(5)) + f" {boiler} " + " ".join(f"y{i}" for i in range(4))),
+            (2, " ".join(f"p{i}" for i in range(3)) + f" {boiler}"),
+            (3, " ".join(f"z{i}" for i in range(20))),  # unique — no spans
+        ],
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in repeated_spans(docs, min_tokens=8).collect()
+    }
+    # doc 1: boiler occupies tokens 6..15; doc 2: tokens 4..13
+    assert spans == {1: (6, 15, 10), 2: (4, 13, 10)}
+    cov = {r["doc_id"]: (r["n_spans"], r["dup_tokens"]) for r in span_coverage(docs, min_tokens=8).collect()}
+    assert cov == {1: (1, 10), 2: (1, 10), 3: (0, 0)}
+
+
+def test_repeated_spans_interval_merge_and_full_dup(spark):
+    """Identical docs -> one full-coverage span (all windows chain into one
+    interval); two separated shared passages -> two distinct spans."""
+    from hadoop_migration_assessment_tools_spark.ext.spans import repeated_spans
+
+    a = " ".join(f"w{i}" for i in range(30))
+    shared1 = " ".join(f"s{i}" for i in range(8))
+    shared2 = " ".join(f"t{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(12))
+    gap2 = " ".join(f"h{i}" for i in range(12))
+    docs = _docs(
+        spark,
+        [
+            (1, a),
+            (2, a),  # full duplicate of 1
+            (3, f"{shared1} {gap} {shared2}"),
+            (4, f"{shared2} {gap2} {shared1}"),
+        ],
+    )
+    got = {}
+    for r in repeated_spans(docs, min_tokens=8).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert got[1] == [(1, 30)] and got[2] == [(1, 30)]
+    assert sorted(got[3]) == [(1, 8), (21, 28)]
+    assert sorted(got[4]) == [(1, 8), (21, 28)]
+
+
+def test_repeated_spans_short_docs_and_within_doc_repeat(spark):
+    """Docs shorter than min_tokens yield no phantom windows (the sequence(1,0)
+    descending-range trap); a gram repeated only WITHIN one doc is not flagged
+    (cross-document semantics)."""
+    from hadoop_migration_assessment_tools_spark.ext.spans import span_coverage
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = _docs(
+        spark,
+        [
+            (1, "tiny doc"),
+            (2, f"{rep} {rep}"),  # within-doc repeat only
+            (3, " ".join(f"u{i}" for i in range(9))),
+        ],
+    )
+    cov = {r["doc_id"]: r["dup_tokens"] for r in span_coverage(docs, min_tokens=8).collect()}
+    assert cov == {1: 0, 2: 0, 3: 0}
 
 
 # --- BPE vocabulary training (ext/bpe.py) -------------------------------------------

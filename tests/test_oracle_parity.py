@@ -37,6 +37,10 @@ PARTITIONING_SENSITIVE = [
     "docs_incremental_ingest",
     "docs_training_prep_pipeline",
     "emb_near_dup_pairs",
+    # round 5: MG candidate sets vary with partition layout — the verified form
+    # must not; simhash banding must stay lossless under any layout
+    "docs_heavy_terms",
+    "docs_simhash_near_dup",
 ]
 
 
@@ -75,6 +79,7 @@ REPLAY_STATEFUL = [
     "orders_customer_bucketed_join",
     "docs_pack_stream_parity",
     "docs_incremental_ingest",
+    "docs_ingest_indexed_parity",  # writes the corpus index to a scratch dir
 ]
 
 

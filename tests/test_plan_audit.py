@@ -220,6 +220,16 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "qe_mode_migration_trend": dict(
         shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
     ),
+    # round 5: MG candidates -> broadcast-semi exact count (one gram shuffle,
+    # one map-side-combined count; the corpus never shuffles by term).
+    "docs_heavy_terms": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
+    # round 5: k-gram span detection — gram-keyed dup count + semi join back +
+    # per-doc interval-union window + coverage join.
+    "docs_repeated_spans": dict(
+        shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=2
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern

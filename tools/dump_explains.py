@@ -43,6 +43,11 @@ TRACKED = [
     "docs_hybrid_search",
     "lineitem_exact_median",
     "orders_zorder_locality",
+    # round-5 additions: amortized admission path, verified heavy hitters,
+    # verbatim span dedup
+    "docs_ingest_indexed_parity",
+    "docs_heavy_terms",
+    "docs_repeated_spans",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
