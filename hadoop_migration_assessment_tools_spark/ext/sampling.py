@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "split_key",
+    "split_expr",
     "hash_split",
     "stratified_sample",
     "SPLIT_BOUNDS_HEX",
@@ -62,15 +63,24 @@ def hash_split(
 ) -> DataFrame:
     """Assign every row to a named split by hashed-id bucket. Deterministic,
     re-run-stable, and append-stable (new ids never move old ones). Pure map."""
+    return df.withColumn(out_col, split_expr(F.col(id_col), weights, salt))
+
+
+def split_expr(
+    id_col: Column, weights: dict[str, float] | None = None, salt: str = ""
+) -> Column:
+    """The split assignment as a bare Column — a pure function of the id, usable
+    anywhere a join against hash_split output would be wasteful (e.g. deriving
+    the split of BOTH ids of a pair without touching the corpus again)."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    prefix = F.substring(split_key(F.col(id_col), salt), 1, 4)
+    prefix = F.substring(split_key(id_col, salt), 1, 4)
     expr: Column | None = None
     for name, bound in _bounds_hex(weights):
         cond = prefix < F.lit(bound)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     # md5 prefix == 'ffff' edge: fold into the last split
     last = list(weights)[-1]
-    return df.withColumn(out_col, expr.otherwise(F.lit(last)))
+    return expr.otherwise(F.lit(last))
 
 
 def stratified_sample(

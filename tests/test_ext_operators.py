@@ -88,18 +88,16 @@ def test_simhash_identical_and_near(spark):
     assert (1, 4) not in pairs
 
 
-def _py_portable_hash(tok: str) -> int:
-    h = 2166136261
-    for ch in tok:
-        h = ((h * 31) + ord(ch)) & 0xFFFFFFFF
-    return h
+def _py_portable_hash(tok: str) -> tuple[int, int]:
+    import hashlib
+
+    hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+    return int(hx[:8], 16), int(hx[8:16], 16)
 
 
-def _py_portable_bit(h: int, j: int) -> int:
-    x = (h + j * 2654435761) & 0xFFFFFFFF
-    x = ((x ^ (x >> 16)) * 73244475) & 0xFFFFFFFF
-    x = ((x ^ (x >> 16)) * 73244475) & 0xFFFFFFFF
-    return (x ^ (x >> 16)) & 1
+def _py_portable_bit(halves: tuple[int, int], j: int) -> int:
+    h, shift = (halves[0], j) if j < 32 else (halves[1], j - 32)
+    return (h >> shift) & 1
 
 
 def test_portable_simhash_matches_python_reference(spark):
@@ -705,6 +703,23 @@ def test_hash_split_deterministic_and_append_stable(spark):
     frac_train = sum(1 for v in g.values() if v == "train") / n
     assert 0.85 < frac_train < 0.95  # ~0.9 by hash uniformity
     assert set(g.values()) == {"train", "val", "test"}
+
+
+def test_split_expr_matches_hash_split(spark):
+    """split_expr (the bare-Column form used to assign both ids of a pair) must
+    agree with hash_split row for row — they are the same function."""
+    from hadoop_migration_assessment_tools_spark.ext.sampling import (
+        hash_split,
+        split_expr,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    via_df = {r["doc_id"]: r["split"] for r in hash_split(df, salt="s1").collect()}
+    via_expr = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", split_expr(F.col("doc_id"), salt="s1").alias("s")).collect()
+    }
+    assert via_df == via_expr
 
 
 def test_hash_split_salt_changes_assignment(spark):
