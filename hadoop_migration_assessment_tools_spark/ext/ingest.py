@@ -158,10 +158,39 @@ def build_corpus_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 4,
-) -> None:
+) -> bool:
     """Write the two corpus-side artifacts: hashes/ (text-hash + text for the
     collision-safe exact gate) and shingles/ (inverted index with per-doc sizes
-    for the exact-Jaccard gate)."""
+    for the exact-Jaccard gate).
+
+    Rebuilds are SKIPPED when the corpus fingerprint matches the one recorded at
+    the last build — one cheap aggregate scan (count + order-independent content
+    hash + the shingle_k the index was built with) instead of the full shingle
+    explode. This is the amortization the production admission path is about:
+    the index is paid once per corpus VERSION, not once per batch. Any content
+    change (or a different shingle_k) changes the fingerprint and forces a
+    rebuild. Returns True if a build ran, False if the cached index was reused.
+    """
+    import json
+    import os
+
+    # bit_xor, not sum: order-independent like sum, but cannot overflow under
+    # ANSI mode (a sum of 64-bit hashes routinely would). Marker I/O is plain
+    # local-file for this sandbox; production swaps it for the object-store API.
+    row = existing.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64(cast({id_col} as string), {text_col}))").alias(
+            "content"
+        ),
+    ).first()
+    fingerprint = f"{row['n']}:{row['content']}:k={shingle_k}"
+    marker = os.path.join(index_path, "_FINGERPRINT")
+    try:
+        with open(marker) as fh:
+            if json.load(fh).get("fingerprint") == fingerprint:
+                return False
+    except (OSError, ValueError):
+        pass  # no/unreadable marker: build
     existing.select(
         F.xxhash64(F.col(text_col)).alias("_th"), F.col(text_col).alias("_ex_text")
     ).write.mode("overwrite").parquet(f"{index_path}/hashes")
@@ -170,6 +199,10 @@ def build_corpus_index(
     sh.join(sizes, "_id").select(
         F.col("_id").alias("_ex_id"), F.col("_sh"), F.col("_nb")
     ).write.mode("overwrite").parquet(f"{index_path}/shingles")
+    os.makedirs(index_path, exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump({"fingerprint": fingerprint}, fh)
+    return True
 
 
 def incremental_ingest_indexed(

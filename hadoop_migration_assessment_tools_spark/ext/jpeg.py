@@ -401,15 +401,30 @@ class _BitReader:
         self._bit = self._seg_bits[self._seg_idx]
 
 
-def _huffman_lut(codes: dict[int, tuple[int, int]]):
-    """(symbol, length) flat lookup arrays indexed by the next 16 bits."""
+_LUT_CACHE: dict[tuple, tuple] = {}
+
+
+def _huffman_lut(bits: list[int], values: list[int]):
+    """(symbol, length) flat lookup arrays indexed by the next 16 bits.
+
+    Cached by table CONTENT: a corpus encoded with one table set (ours always
+    is; real-world encoders overwhelmingly ship the Annex-K defaults) builds
+    each 65536-entry LUT once per worker instead of once per image — the naive
+    per-image build churned ~400 KB of array writes per decode."""
+    key = (tuple(bits), tuple(values))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     sym = np.zeros(65536, dtype=np.int16)
     length = np.zeros(65536, dtype=np.uint8)
-    for symbol, (code, ln) in codes.items():
+    for symbol, (code, ln) in _canonical_codes(bits, values).items():
         lo = code << (16 - ln)
         hi = lo + (1 << (16 - ln))
         sym[lo:hi] = symbol
         length[lo:hi] = ln
+    if len(_LUT_CACHE) > 64:  # malformed-stream safety valve, never hit in practice
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = (sym, length)
     return sym, length
 
 
@@ -477,7 +492,7 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
                 bits = list(body[off + 1 : off + 17])
                 nvals = sum(bits)
                 values = list(body[off + 17 : off + 17 + nvals])
-                huff[(tclass, tid)] = _huffman_lut(_canonical_codes(bits, values))
+                huff[(tclass, tid)] = _huffman_lut(bits, values)
                 off += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)

@@ -2703,7 +2703,7 @@ def docs_ingest_indexed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = scratch_dir("ingest_index", sf_dir)
     build_corpus_index(
         docs, index_path, shingle_k=INGEST_SHINGLE_K
-    )  # one-time corpus pass (overwrite mode: reruns cost zero net disk)
+    )  # fingerprint-cached: reruns on an unchanged corpus skip the build entirely
     admitted, audit = incremental_ingest_indexed(
         spark,
         index_path,

@@ -1325,6 +1325,22 @@ def test_incremental_ingest_stages_and_audit_partition(spark):
     assert adm | set(aud) == {100, 101, 102, 103} and not (adm & set(aud))
 
 
+def test_corpus_index_fingerprint_cache(spark, tmp_path):
+    """build_corpus_index skips the expensive shingle build when the corpus
+    fingerprint matches the marker, and rebuilds on ANY content or parameter
+    change — the amortization contract of the production admission path."""
+    from hadoop_migration_assessment_tools_spark.ext.ingest import build_corpus_index
+
+    docs = _docs(spark, [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")])
+    p = str(tmp_path / "idx")
+    assert build_corpus_index(docs, p) is True       # first build runs
+    assert build_corpus_index(docs, p) is False      # same corpus: cached
+    changed = _docs(spark, [(1, "alpha beta gamma delta"), (2, "different words here now")])
+    assert build_corpus_index(changed, p) is True    # content change: rebuild
+    assert build_corpus_index(changed, p, shingle_k=5) is True  # param change: rebuild
+    assert build_corpus_index(changed, p, shingle_k=5) is False
+
+
 def test_incremental_ingest_null_text_audited_not_lost(spark):
     """NULL-text rows must land in the audit (reason=null_text), not vanish:
     stage 1's null-unsafe anti join used to pass them through and stage 2's

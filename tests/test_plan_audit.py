@@ -230,6 +230,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_repeated_spans": dict(
         shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=2
     ),
+    # round 5: contamination audit = the pinned fused-MinHash shape (8 shuffles,
+    # 3 BHJ, 6 windows) + one rollup shuffle; split assignment is scan-local.
+    "docs_split_leakage": dict(
+        shuffle_exchange=9, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
