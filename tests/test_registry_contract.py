@@ -58,10 +58,13 @@ SCORED_WINDOW = [
     "docs_exact_dedup",
     "docs_token_stats",
     "docs_quality",
-    "docs_lang_scores",
+    # round-5 reviewed swaps: hamming-banding LSH and the cross-split
+    # contamination audit gain scored rows; lang_scores/gopher_filters (two of
+    # SIX text-stat rows) stay oracled below the line
+    "docs_simhash_near_dup",
     "docs_shingle_jaccard",
     "docs_tfidf_top_terms",
-    "docs_gopher_filters",
+    "docs_split_leakage",
     "docs_pii_scrub",
     "multimodal_manifest",
     "docs_dup_clusters",
