@@ -1125,3 +1125,171 @@ SELECT month, mode, n_queries,
 FROM monthly
 ORDER BY month, mode
 """
+
+
+# --- qe_assessment_summary -----------------------------------------------------------
+# The composed migration-assessment REPORT — the reference's end-user deliverable
+# (its whole logging pipeline exists to feed exactly this kind of summary;
+# MigrationAssessmentLoggingHook collects the raw material, the assessment tool
+# renders the report). Four sections over ONE correlated log, unioned into a
+# single typed relation so one oracle hash certifies the entire report:
+#   1_engine_mix     — submissions per ExecutionMode with share-of-total
+#   2_queue_health   — failures per queue with failure rate over completions
+#   3_top_users      — top-3 users by query volume (deterministic tie-break)
+#   4_orphans        — submissions that never completed, with share-of-total
+# The correlated relation is localCheckpointed before fanning out to the four
+# section branches (the capstone lineage lesson: each branch would otherwise
+# re-expand dedup + correlate).
+
+
+def qe_assessment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = synthetic_query_log(spark, sf_dir)
+    corr = (
+        correlate_submit_complete(deduplicate_events(log))
+        .select(
+            "QueryId",
+            "RequestUser",
+            "ExecutionMode",
+            "Queue",
+            "EndTime",
+            "Status",
+            F.col("DurationMillis").cast("long").alias("dur_ms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_all = Window.partitionBy()
+
+    mode_mix = (
+        corr.groupBy(F.col("ExecutionMode").alias("item"))
+        .agg(count_big("_n"))
+        .select(
+            F.lit("1_engine_mix").alias("section"),
+            "item",
+            F.col("_n").alias("metric_long"),
+            F.round(
+                F.col("_n").cast("double") / F.sum("_n").over(w_all).cast("double"), 6
+            ).alias("metric_double"),
+        )
+    )
+    queue_health = (
+        corr.groupBy(F.col("Queue").alias("item"))
+        .agg(
+            F.count(F.col("EndTime")).cast("long").alias("_completed"),
+            F.sum(F.when(F.col("Status") == "FAIL", 1).otherwise(0))
+            .cast("long")
+            .alias("_failed"),
+        )
+        .select(
+            F.lit("2_queue_health").alias("section"),
+            "item",
+            F.col("_failed").alias("metric_long"),
+            F.when(
+                F.col("_completed") > 0,
+                F.round(
+                    F.col("_failed").cast("double") / F.col("_completed").cast("double"),
+                    6,
+                ),
+            ).alias("metric_double"),
+        )
+    )
+    top_users = (
+        corr.groupBy(F.col("RequestUser").alias("item"))
+        .agg(
+            count_big("_n"),
+            F.count(F.col("EndTime")).cast("long").alias("_completed"),
+            F.sum("dur_ms").cast("long").alias("_dur"),
+        )
+        .orderBy(F.desc("_n"), F.asc("item"))
+        .limit(3)
+        .select(
+            F.lit("3_top_users").alias("section"),
+            "item",
+            F.col("_n").alias("metric_long"),
+            F.when(
+                F.col("_completed") > 0,
+                F.round(
+                    F.col("_dur").cast("double") / F.col("_completed").cast("double"), 6
+                ),
+            ).alias("metric_double"),
+        )
+    )
+    orphans = corr.agg(
+        F.sum(F.when(F.col("EndTime").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_orphans"),
+        F.count(F.lit(1)).cast("long").alias("_total"),
+    ).select(
+        F.lit("4_orphans").alias("section"),
+        F.lit("never_completed").alias("item"),
+        F.col("_orphans").alias("metric_long"),
+        F.round(
+            F.col("_orphans").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("metric_double"),
+    )
+    return (
+        mode_mix.unionByName(queue_health)
+        .unionByName(top_users)
+        .unionByName(orphans)
+        .orderBy("section", "item")
+    )
+
+
+QE_ASSESSMENT_SUMMARY_ORACLE = """
+WITH subs AS (
+  SELECT
+    CAST(o_orderkey AS VARCHAR) AS QueryId,
+    'user_' || CAST(o_custkey % 10 AS VARCHAR) AS RequestUser,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'TEZ' ELSE 'MR' END AS ExecutionMode,
+    'q' || CAST(o_orderkey % 3 AS VARCHAR) AS Queue,
+    o_orderdate AS StartTime
+  FROM orders
+), comps AS (
+  SELECT
+    CAST(o_orderkey AS VARCHAR) AS QueryId,
+    o_orderdate + (o_orderkey % 3600) * INTERVAL 1 SECOND AS EndTime,
+    CASE WHEN o_orderkey % 10 = 0 THEN 'FAIL' ELSE 'SUCCESS' END AS Status
+  FROM orders
+  WHERE o_orderkey % 17 <> 0
+), corr AS (
+  SELECT s.QueryId, s.RequestUser, s.ExecutionMode, s.Queue, c.EndTime, c.Status,
+         epoch_ms(c.EndTime) - epoch_ms(s.StartTime) AS dur_ms
+  FROM subs s LEFT JOIN comps c ON s.QueryId = c.QueryId
+), mode_mix AS (
+  SELECT '1_engine_mix' AS section, ExecutionMode AS item,
+         CAST(COUNT(*) AS BIGINT) AS metric_long,
+         ROUND(CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS metric_double
+  FROM corr GROUP BY ExecutionMode
+), queue_health AS (
+  SELECT '2_queue_health' AS section, Queue AS item,
+         CAST(SUM(CASE WHEN Status = 'FAIL' THEN 1 ELSE 0 END) AS BIGINT) AS metric_long,
+         CASE WHEN COUNT(EndTime) > 0 THEN
+           ROUND(CAST(SUM(CASE WHEN Status = 'FAIL' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(EndTime) AS DOUBLE), 6)
+         END AS metric_double
+  FROM corr GROUP BY Queue
+), top_users AS (
+  SELECT '3_top_users' AS section, item, metric_long,
+         CASE WHEN completed > 0 THEN
+           ROUND(CAST(dur AS DOUBLE) / CAST(completed AS DOUBLE), 6)
+         END AS metric_double
+  FROM (
+    SELECT RequestUser AS item, CAST(COUNT(*) AS BIGINT) AS metric_long,
+           CAST(COUNT(EndTime) AS BIGINT) AS completed,
+           CAST(SUM(dur_ms) AS BIGINT) AS dur
+    FROM corr GROUP BY RequestUser
+    ORDER BY COUNT(*) DESC, RequestUser ASC LIMIT 3
+  )
+), orphans AS (
+  SELECT '4_orphans' AS section, 'never_completed' AS item,
+         CAST(SUM(CASE WHEN EndTime IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric_long,
+         ROUND(CAST(SUM(CASE WHEN EndTime IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS metric_double
+  FROM corr
+)
+SELECT * FROM mode_mix
+UNION ALL SELECT * FROM queue_health
+UNION ALL SELECT * FROM top_users
+UNION ALL SELECT * FROM orphans
+ORDER BY section, item
+"""

@@ -212,6 +212,7 @@ QUERIES: dict[str, Query] = {
     "docs_ingest_indexed_parity": llm.docs_ingest_indexed_parity,
     "docs_heavy_terms": llm.docs_heavy_terms,
     "docs_repeated_spans": llm.docs_repeated_spans,
+    "qe_assessment_summary": ql.qe_assessment_summary,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
@@ -347,4 +348,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_heavy_terms": llm.DOCS_HEAVY_TERMS_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
+    "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,
 }

@@ -235,6 +235,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_split_leakage": dict(
         shuffle_exchange=9, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
     ),
+    # round 5: composed assessment report — four section aggregates over the
+    # checkpointed correlated log (pre-checkpoint dedup+correlate not re-shown);
+    # the single window is the 2-row engine-mix share.
+    "qe_assessment_summary": dict(
+        shuffle_exchange=6, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
