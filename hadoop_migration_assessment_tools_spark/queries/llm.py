@@ -421,6 +421,100 @@ ORDER BY q.query_id
 """
 
 
+# --- emb_hard_negatives --------------------------------------------------------------
+# [EXT] contrastive-pair mining: for each query vector, the most-similar vectors
+# carrying a DIFFERENT label — the "hard negatives" a contrastive/embedding
+# trainer pairs against its positives. Runs the sign-bucket ANN plan (bucket
+# equi-join + per-query window, ~1/2^n_bits of the corpus per query) with the
+# label-inequality predicate fused into the candidate join, so easy negatives
+# never reach the ranking window. The closed-form bucket function keeps the
+# whole thing SQL-reproducible: candidates, label filter, ranking and cosines
+# all replay in DuckDB (same machinery as emb_ann_recall).
+
+HARD_NEG_K = 3
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..ext.similarity import _paired_cosine, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.col("embedding")[i] > 0, F.lit(1 << (ANN_SIGN_BITS - 1 - i))).otherwise(
+                F.lit(0)
+            )
+        )
+        for i in range(ANN_SIGN_BITS)
+    ).alias("_bucket")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("_qvec"),
+        l2_norm(F.col("embedding")).alias("_qnorm"),
+        bucket,
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("_cvec"),
+        l2_norm(F.col("embedding")).alias("_cnorm"),
+        bucket,
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .withColumn("cosine", _paired_cosine())
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label", "cosine", "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+EMB_HARD_NEGATIVES_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv, bucket
+  FROM b WHERE vec_id < {TOPK_QUERIES}
+), pair AS (
+  SELECT
+    q.query_id, q.query_label, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    list_sum(list_transform(list_zip(q.qv, c.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM b c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id AND c.label <> q.query_label
+), ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pair
+), final AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM ranked
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM final WHERE rank <= {HARD_NEG_K}
+ORDER BY query_id, rank
+"""
+
+
 # --- emb_label_centroids ------------------------------------------------------------
 # Element-wise centroid per label: exact decimal sums keep the shuffle-order noise out.
 

@@ -213,6 +213,7 @@ QUERIES: dict[str, Query] = {
     "docs_heavy_terms": llm.docs_heavy_terms,
     "docs_repeated_spans": llm.docs_repeated_spans,
     "qe_assessment_summary": ql.qe_assessment_summary,
+    "emb_hard_negatives": llm.emb_hard_negatives,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
@@ -349,4 +350,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,
+    "emb_hard_negatives": llm.EMB_HARD_NEGATIVES_ORACLE,
 }

@@ -241,6 +241,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "qe_assessment_summary": dict(
         shuffle_exchange=6, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
     ),
+    # round 5: hard-negative mining = sign-bucket BroadcastHashJoin with the
+    # label-inequality predicate fused into the candidate join (no BNLJ).
+    "emb_hard_negatives": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
