@@ -310,13 +310,18 @@ def test_temperature_rates_structural_properties(spark, counts, target):
 @settings(**_SETTINGS)
 @given(
     st.lists(st.text(alphabet="ab c", min_size=0, max_size=25), min_size=1, max_size=8),
-    st.lists(st.text(alphabet="ab c", min_size=0, max_size=25), min_size=1, max_size=8),
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab c", min_size=0, max_size=25)),
+        min_size=1,
+        max_size=8,
+    ),
 )
 def test_incremental_ingest_matches_python_reference(spark, corpus_texts, batch_texts):
     """Admission fuzz: stages 1+2 (exact gates) must match a pure-Python replay on
-    arbitrary text (whitespace-only, empty, all-duplicate batches included); stage
-    3 rejections must be a subset of batch ids and only ever fire for docs with
-    >= k tokens on both sides."""
+    arbitrary text (whitespace-only, empty, all-duplicate batches, NULL text —
+    the case the r4 review caught vanishing — included); stage 3 rejections must
+    be a subset of batch ids and only ever fire for docs with >= k tokens on
+    both sides."""
     from hadoop_migration_assessment_tools_spark.ext.ingest import incremental_ingest
 
     existing = spark.createDataFrame(
@@ -335,7 +340,9 @@ def test_incremental_ingest_matches_python_reference(spark, corpus_texts, batch_
     seen_batch: dict[str, int] = {}
     for i, t in enumerate(batch_texts):
         did = 100 + i
-        if t in corpus_set:
+        if t is None:
+            expect[did] = "null_text"
+        elif t in corpus_set:
             expect[did] = "exact_vs_corpus"
         elif t in seen_batch:
             expect[did] = "exact_in_batch"
