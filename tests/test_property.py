@@ -358,3 +358,49 @@ def test_incremental_ingest_matches_python_reference(spark, corpus_texts, batch_
         if reason == "near_dup_vs_corpus":
             t = batch_texts[did - 100]
             assert len([w for w in t.split() if w]) >= 4, (did, t)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=20).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_span_coverage_matches_python_reference(spark, texts):
+    """Verbatim-span fuzz over a tiny alphabet (maximizes cross-doc k-gram
+    collisions): per-doc covered-token counts must equal a direct pure-Python
+    replay of the definition — duplicated k-grams (>= 2 distinct docs) and the
+    union of their [start, start+k-1] windows."""
+    from hadoop_migration_assessment_tools_spark.ext.spans import span_coverage
+
+    K = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
+        for r in span_coverage(df, min_tokens=K).collect()
+    }
+
+    toks = {i: [w for w in t.split() if w] for i, t in docs}
+    gram_docs: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - K + 1):
+            gram_docs.setdefault(tuple(ts[s : s + K]), set()).add(i)
+    want = {}
+    for i, ts in toks.items():
+        starts = [
+            s
+            for s in range(len(ts) - K + 1)
+            if len(gram_docs[tuple(ts[s : s + K])]) >= 2
+        ]
+        spans: list[list[int]] = []  # [first_start, last_start]
+        for s in starts:  # already sorted; chain when gap between STARTS <= K-1
+            if spans and s - spans[-1][1] <= K - 1:
+                spans[-1][1] = s
+            else:
+                spans.append([s, s])
+        covered = sum(last + K - 1 - first + 1 for first, last in spans)
+        want[i] = (len(ts), len(spans), covered)
+    assert got == want
