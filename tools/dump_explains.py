@@ -48,6 +48,9 @@ TRACKED = [
     "docs_ingest_indexed_parity",
     "docs_heavy_terms",
     "docs_repeated_spans",
+    "docs_split_leakage",
+    "qe_assessment_summary",
+    "emb_hard_negatives",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
