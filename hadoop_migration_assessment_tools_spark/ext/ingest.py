@@ -174,16 +174,27 @@ def build_corpus_index(
     import json
     import os
 
-    # bit_xor, not sum: order-independent like sum, but cannot overflow under
-    # ANSI mode (a sum of 64-bit hashes routinely would). Marker I/O is plain
-    # local-file for this sandbox; production swaps it for the object-store API.
+    # Two INDEPENDENT order-independent accumulators (ADVICE r5): bit_xor alone
+    # cancels — any row-set change whose hash deltas xor to zero (e.g. swap two
+    # rows' texts) collides at equal count, silently reusing a stale index. The
+    # second channel sums a differently-salted xxhash64 as DECIMAL(38,0):
+    # order-independent, overflow-free under ANSI (sum of 2^63-bounded terms
+    # stays far inside 38 digits for any realistic corpus), and a cancellation
+    # now requires a simultaneous zero-delta in two unrelated hash functions.
+    # Marker I/O is plain local-file for this sandbox; production swaps it for
+    # the object-store API.
     row = existing.select(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"bit_xor(xxhash64(cast({id_col} as string), {text_col}))").alias(
             "content"
         ),
+        F.expr(
+            "sum(cast(xxhash64('fp2', cast({id} as string), {t}) as decimal(38,0)))".format(
+                id=id_col, t=text_col
+            )
+        ).alias("content2"),
     ).first()
-    fingerprint = f"{row['n']}:{row['content']}:k={shingle_k}"
+    fingerprint = f"{row['n']}:{row['content']}:{row['content2']}:k={shingle_k}"
     marker = os.path.join(index_path, "_FINGERPRINT")
     try:
         with open(marker) as fh:

@@ -449,13 +449,25 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
     Supports: SOF0 baseline sequential DCT, 8-bit precision, 1 or 3 components,
     generic sampling factors (4:4:4 / 4:2:0 / 4:2:2 MCU interleave), DRI/RSTn
     restart intervals, multiple DQT/DHT segments. Raises NotImplementedError for
-    progressive (SOF2) and other non-baseline processes.
+    progressive (SOF2) and other non-baseline processes; any other failure on a
+    torn/malformed payload is normalized to ValueError so callers' documented
+    decoded=false fallback routes it instead of the raw struct.error/IndexError/
+    KeyError crashing an Arrow UDF task (a torn file must never kill the job).
 
     ``_return_coefs`` (tests only): also return the per-component DEQUANTIZED
     coefficient blocks, for the exact coefficient-level golden against the
     encoder (the only lossy step in JPEG is quantization; everything downstream
     of it must round-trip losslessly).
     """
+    try:
+        return _parse_jpeg_impl(payload, _return_coefs)
+    except (NotImplementedError, ValueError):
+        raise
+    except (struct.error, IndexError, KeyError, ZeroDivisionError, OverflowError) as ex:
+        raise ValueError(f"malformed JPEG payload: {type(ex).__name__}: {ex}") from ex
+
+
+def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
     d = bytes(payload)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -469,7 +481,11 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
         if d[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = d[pos + 1]
-        if marker in (0xD8, 0xD9):
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2) — skip it
+            pos += 1
+            continue
+        # length-less markers: SOI/EOI, TEM, standalone RSTn between segments
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         (seglen,) = struct.unpack_from(">H", d, pos + 2)
@@ -500,9 +516,10 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
                 raise NotImplementedError(f"{prec}-bit precision")
             for i in range(ncomp):
                 cid, sampling, qid = body[6 + 3 * i : 9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": sampling >> 4, "v": sampling & 0x0F, "q": qid}
-                )
+                sh, sv = sampling >> 4, sampling & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"invalid SOF sampling factors {sh}x{sv}")
+                comps.append({"id": cid, "h": sh, "v": sv, "q": qid})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

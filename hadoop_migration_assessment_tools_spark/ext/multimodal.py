@@ -400,10 +400,17 @@ def _digest_features(payload: bytes) -> list[float]:
 
 
 def media_features(payload: bytes, kind: str) -> tuple[bool, list[float]]:
-    """Decode one payload and compute its feature vector; (decoded?, features)."""
+    """Decode one payload and compute its feature vector; (decoded?, features).
+
+    ANY decode failure routes to the decoded=false digest fallback, not just
+    NotImplementedError/ValueError: at corpus scale a torn or adversarial payload
+    can raise struct.error / IndexError / KeyError from any codec's parse loop,
+    and a raw exception would crash the whole Arrow UDF task (and job) instead of
+    flagging one row. Codec-level tests still see precise exception types by
+    calling parse_* directly."""
     try:
         decoded = decode_media(payload, kind)
-    except (NotImplementedError, ValueError):
+    except Exception:  # noqa: BLE001 — documented fallback contract
         return False, _digest_features(bytes(payload))
     if decoded["kind"] == "audio":
         return True, _audio_features(decoded["samples"], decoded["sample_rate"])

@@ -57,19 +57,64 @@ def heavy_hitters_verified(
     exact_count) is deterministic and partition-layout-independent — unlike the
     raw summary's undercounts — which is what makes the registry query
     DuckDB-oracle-able (the oracle is the plain exact GROUP BY top-k).
+
+    The exactness claim is GUARDED (ADVICE r5): it holds only when the k-th
+    candidate's exact count clears the merged Misra-Gries floor n_total/capacity
+    (any item above the floor is guaranteed a candidate; below it, a non-candidate
+    could outrank the returned tail). On a corpus too flat for the configured
+    capacity the query now FAILS LOUDLY at execution (in-plan ``assert_true``,
+    still lazy/distributed) with a message saying which capacity would be safe,
+    instead of silently returning a plausible-but-wrong top-k that would only
+    surface as an opaque oracle-hash mismatch.
     """
-    cands = (
-        _mg_summaries(df, col, capacity or 8 * k)
-        .select(F.col("item"))
-        .filter(F.col("item").isNotNull())
-    )
+    from pyspark.sql.window import Window
+
+    cap = capacity or 8 * k
+    summ = _mg_summaries(df, col, cap)
+    cands = summ.select(F.col("item"), F.col("total_rows"))
     exact = (
         df.select(F.col(col).cast("string").alias("item"))
-        .join(F.broadcast(cands), "item", "left_semi")
+        .join(F.broadcast(cands.select("item")), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .join(F.broadcast(cands), "item")
     )
-    return exact.orderBy(F.desc("exact_count"), F.asc("item")).limit(k)
+    # Reliability over the BOUNDED candidate set: rank candidates, read the k-th
+    # count. Provably exact iff the floor is < 1 (n_total < capacity: nothing can
+    # have been evicted) OR there are >= k candidates and the k-th one strictly
+    # clears the floor (every non-candidate count <= n/cap < kth).
+    w = Window.partitionBy()
+    ranked = exact.withColumn(
+        "_rk",
+        F.row_number().over(w.orderBy(F.desc("exact_count"), F.asc("item"))),
+    )
+    kth = F.max(F.when(F.col("_rk") == k, F.col("exact_count"))).over(w)
+    n_cands = F.count(F.lit(1)).over(w)
+    reliable = (F.col("total_rows") < F.lit(cap)) | (
+        (n_cands >= k)
+        & (kth.cast("decimal(38,0)") * cap > F.col("total_rows").cast("decimal(38,0)"))
+    )
+    guarded = ranked.withColumn(
+        "_guard",
+        F.assert_true(
+            reliable,
+            F.concat(
+                F.lit(
+                    f"heavy_hitters_verified(k={k}, capacity={cap}): corpus too "
+                    "flat for exact top-k — k-th candidate count "
+                ),
+                kth.cast("string"),
+                F.lit(" does not clear the Misra-Gries floor n/capacity = "),
+                F.round(F.col("total_rows") / cap, 2).cast("string"),
+                F.lit("; raise capacity above n_total/kth_count"),
+            ),
+        ),
+    ).filter(F.col("_guard").isNull())
+    return (
+        guarded.select("item", "exact_count")
+        .orderBy(F.desc("exact_count"), F.asc("item"))
+        .limit(k)
+    )
 
 
 def _mg_summaries(df: DataFrame, col: str, cap: int) -> DataFrame:

@@ -103,13 +103,16 @@ def repeated_spans(
         .select("gram")
     )
     hits = candidates.join(dup_grams, "gram", "left_semi").select("_id", "start")
-    # interval union: window-starts s cover [s, s+k-1]; a gap > k-1 between
-    # consecutive starts means disjoint spans.
+    # interval union: window-starts s cover [s, s+k-1]; consecutive starts with
+    # p + k >= s overlap OR touch (ADVICE r5: start-gap == k means the windows
+    # are exactly adjacent — tokens [p, p+k-1][s, s+k-1] form ONE contiguous
+    # duplicated run, so they merge into one maximal span). Only a gap > k
+    # leaves uncovered tokens between them and starts a new span.
     w = Window.partitionBy("_id").orderBy("start")
     chained = hits.withColumn(
         "_new",
         F.when(
-            F.col("start") - F.lag("start").over(w) <= min_tokens - 1, F.lit(0)
+            F.col("start") - F.lag("start").over(w) <= min_tokens, F.lit(0)
         ).otherwise(F.lit(1)),
     ).withColumn("_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     return (

@@ -77,13 +77,17 @@ def normalize_query_text(col: Column) -> Column:
     QueryText (avsc:21-28) into migration-relevant patterns. Lowercase, replace
     quoted string literals then bare integer literals with '?', collapse
     whitespace. The string-literal pattern honors SQL doubled-quote escapes
-    ('O''Neil' is ONE literal). The integer pattern is word-bounded so digits
+    ('O''Neil' is ONE literal) and is written in the unrolled linear-scan form
+    '[^']*(?:''[^']*)*' — same language as the per-character alternation
+    '([^']|'')*' but runs as a plain scan in both Java regex and RE2 (the
+    alternation form backtracks per character and was a 3x perf regression).
+    The integer pattern is word-bounded so digits
     INSIDE identifiers survive ("t1"/"col2" keep their digits — different
     numbered tables must NOT collapse to one fingerprint). Dialect-portable
     regexes (no backrefs; \\b is an ASCII word boundary in both Java regex and
     RE2); the DuckDB oracle runs the identical expressions."""
     t = F.lower(col)
-    t = F.regexp_replace(t, r"'([^']|'')*'", "?")
+    t = F.regexp_replace(t, r"'[^']*(?:''[^']*)*'", "?")
     t = F.regexp_replace(t, r"\b[0-9]+\b", "?")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)

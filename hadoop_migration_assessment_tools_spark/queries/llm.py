@@ -2967,7 +2967,7 @@ WITH base AS (
 ), chained AS (
   SELECT doc_id, start,
          CASE WHEN start - LAG(start) OVER (PARTITION BY doc_id ORDER BY start)
-                   <= {SPAN_MIN_TOKENS - 1} THEN 0 ELSE 1 END AS new_grp
+                   <= {SPAN_MIN_TOKENS} THEN 0 ELSE 1 END AS new_grp
   FROM hits
 ), grouped AS (
   SELECT doc_id, start,

@@ -451,6 +451,67 @@ def test_jpeg_rejects_non_baseline_and_falls_back():
     assert decoded is False and len(feats) == 8
 
 
+def test_jpeg_malformed_payloads_route_to_fallback():
+    """ADVICE r5: torn/adversarial JPEG payloads must surface as ValueError from
+    the codec (never raw struct.error/IndexError/KeyError/ZeroDivisionError) and
+    as decoded=false digest features from media_features — a torn file at corpus
+    scale must flag one row, not crash the Arrow task."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import media_features
+
+    good = make_jpeg_bytes(_gradient_image())
+
+    # Truncations at awkward offsets. Header-area cuts must raise a NORMALIZED
+    # error; entropy-area cuts may either raise ValueError or decode the
+    # zero-padded tail (libjpeg-style) — but must never escape a raw parse crash.
+    for cut in (3, 10, len(good) // 2, len(good) - 3):
+        torn = good[:cut]
+        try:
+            out = parse_jpeg(torn)
+        except (ValueError, NotImplementedError):
+            decoded, feats = media_features(torn, "image")
+            assert decoded is False and len(feats) == 8, cut
+        else:
+            assert out.shape == _gradient_image().shape, cut
+    for cut in (3, 10):  # cuts inside the marker headers always raise
+        with _pytest.raises((ValueError, NotImplementedError)):
+            parse_jpeg(good[:cut])
+
+    # SOF sampling factor 0 (would divide by zero in chroma upsampling).
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 2 + 2 + 5 + 1] = 0x00  # first component's sampling byte -> 0x00
+    with _pytest.raises(ValueError):
+        parse_jpeg(bytes(bad))
+    assert media_features(bytes(bad), "image")[0] is False
+
+    # SOS referencing a DHT slot that was never defined.
+    bad = bytearray(good)
+    sos = bad.find(b"\xff\xda")
+    bad[sos + 2 + 2 + 1 + 1] = 0x77  # first scan component's table ids -> 7/7
+    with _pytest.raises(ValueError):
+        parse_jpeg(bytes(bad))
+    assert media_features(bytes(bad), "image")[0] is False
+
+    # Random bytes behind a valid SOI: must not escape as a raw parse crash.
+    rng = np.random.RandomState(7)
+    junk = b"\xff\xd8" + rng.bytes(256)
+    with _pytest.raises((ValueError, NotImplementedError)):
+        parse_jpeg(junk)
+    assert media_features(junk, "image")[0] is False
+
+    # Fill bytes / standalone markers between segments are LEGAL — still decodes.
+    padded = good[:2] + b"\xff\xff\xff\x01" + good[2:]
+    out = parse_jpeg(padded)
+    assert out.shape == _gradient_image().shape
+
+
 def test_jpeg_features_match_ppm_features(spark):
     """End-to-end honesty check: the SAME pixels through the JPEG path must yield
     image features close to the lossless PPM path (dimensions exact, channel
@@ -583,6 +644,26 @@ def test_heavy_hitters_verified_equals_exact_any_partitioning(spark):
             for r in heavy_hitters_verified(df, "term", k=10).collect()
         ]
         assert got == want, (parts, got[:3], want[:3])
+
+
+def test_heavy_hitters_verified_fails_loudly_on_flat_corpus(spark):
+    """ADVICE r5: on a corpus too flat for the configured capacity (k-th hitter
+    below the Misra-Gries floor n/capacity) the verified form must RAISE at
+    execution, not silently return a plausible-but-wrong exact-looking top-k.
+    With capacity >= n_total nothing can be evicted, so the same corpus becomes
+    provably exact and must succeed."""
+    import pytest as _pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import heavy_hitters_verified
+
+    flat = spark.createDataFrame(
+        [(f"u{i:04d}",) for i in range(1000)], ["term"]
+    ).repartition(8)
+    with _pytest.raises(Exception, match="corpus too flat"):
+        heavy_hitters_verified(flat, "term", k=10, capacity=16).collect()
+    # capacity above n_total: no evictions possible -> provably exact, succeeds
+    got = [r["item"] for r in heavy_hitters_verified(flat, "term", k=10, capacity=2000).collect()]
+    assert got == [f"u{i:04d}" for i in range(10)]  # all-ties broken by item asc
 
 
 def test_heavy_hitters_recovers_planted_skew(spark):
@@ -1341,6 +1422,21 @@ def test_corpus_index_fingerprint_cache(spark, tmp_path):
     assert build_corpus_index(changed, p, shingle_k=5) is False
 
 
+def test_corpus_index_fingerprint_survives_xor_cancellation(spark, tmp_path):
+    """ADVICE r5: bit_xor alone cancels on duplicated rows — corpora
+    {x, y, y} and {x, z, z} have equal count AND equal bit_xor (the pair
+    self-cancels), which silently reused a stale index. The second salted-hash
+    SUM channel must force the rebuild."""
+    from hadoop_migration_assessment_tools_spark.ext.ingest import build_corpus_index
+
+    a = _docs(spark, [(1, "unique text"), (2, "dup one"), (2, "dup one")])
+    b = _docs(spark, [(1, "unique text"), (3, "dup two"), (3, "dup two")])
+    p = str(tmp_path / "idx")
+    assert build_corpus_index(a, p) is True
+    assert build_corpus_index(a, p) is False  # cache still works
+    assert build_corpus_index(b, p) is True   # xor-canceling corpus: MUST rebuild
+
+
 def test_incremental_ingest_null_text_audited_not_lost(spark):
     """NULL-text rows must land in the audit (reason=null_text), not vanish:
     stage 1's null-unsafe anti join used to pass them through and stage 2's
@@ -1439,6 +1535,34 @@ def test_repeated_spans_interval_merge_and_full_dup(spark):
     assert got[1] == [(1, 30)] and got[2] == [(1, 30)]
     assert sorted(got[3]) == [(1, 8), (21, 28)]
     assert sorted(got[4]) == [(1, 8), (21, 28)]
+
+
+def test_repeated_spans_touching_spans_merge(spark):
+    """ADVICE r5: two duplicated passages that TOUCH (no token gap, but the
+    straddling windows are unique to one doc) must merge into ONE maximal span —
+    the covered tokens are contiguous. Partner docs hold A and B separately so
+    no window across the A|B boundary is cross-document duplicated."""
+    from hadoop_migration_assessment_tools_spark.ext.spans import repeated_spans
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    pad2 = " ".join(f"q{i}" for i in range(9))
+    pad3 = " ".join(f"u{i}" for i in range(9))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{a} {b}"),  # A at tokens 1-8, B at tokens 9-16: touching
+            (2, f"{a} {pad2}"),  # partner for A only
+            (3, f"{pad3} {b}"),  # partner for B only
+        ],
+    )
+    got = {}
+    for r in repeated_spans(docs, min_tokens=8).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert got[1] == [(1, 16, 16)]  # ONE maximal span, not two touching rows
+    assert got[2] == [(1, 8, 8)] and got[3] == [(10, 17, 8)]
 
 
 def test_repeated_spans_short_docs_and_within_doc_repeat(spark):

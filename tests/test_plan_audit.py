@@ -222,8 +222,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     ),
     # round 5: MG candidates -> broadcast-semi exact count (one gram shuffle,
     # one map-side-combined count; the corpus never shuffles by term).
+    # round 6 (ADVICE): + exactness guard — 3 global windows and a second
+    # broadcast join, ALL over the bounded candidate summary (<= capacity
+    # rows), computing the k-th count vs the n/capacity floor for the in-plan
+    # assert_true. The corpus-side shape is unchanged.
     "docs_heavy_terms": dict(
-        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=5, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=3
     ),
     # round 5: k-gram span detection — gram-keyed dup count + semi join back +
     # per-doc interval-union window + coverage join.

@@ -396,8 +396,8 @@ def test_span_coverage_matches_python_reference(spark, texts):
             if len(gram_docs[tuple(ts[s : s + K])]) >= 2
         ]
         spans: list[list[int]] = []  # [first_start, last_start]
-        for s in starts:  # already sorted; chain when gap between STARTS <= K-1
-            if spans and s - spans[-1][1] <= K - 1:
+        for s in starts:  # sorted; chain when windows overlap OR touch (gap <= K)
+            if spans and s - spans[-1][1] <= K:
                 spans[-1][1] = s
             else:
                 spans.append([s, s])

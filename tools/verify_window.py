@@ -3,6 +3,7 @@ entries) — run after ANY registry change, before committing:
 
     python tools/verify_window.py            # scored window only (driver-like)
     python tools/verify_window.py --all      # every oracled entry
+    python tools/verify_window.py --only a b # just the named entries
 
 Uses a bare SparkSession.builder session (no get_spark tuning) to mirror the
 driver's conditions; a query that only passes under our session config is a
@@ -28,7 +29,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main(argv: list[str]) -> int:
-    names = list(ORACLE_SQL) if "--all" in argv else list(QUERIES)[:50]
+    if "--only" in argv:
+        names = argv[argv.index("--only") + 1 :]
+    elif "--all" in argv:
+        names = list(ORACLE_SQL)
+    else:
+        names = list(QUERIES)[:50]
     spark = SparkSession.builder.master("local[8]").appName("verify-window").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     fails = []
