@@ -32,7 +32,10 @@ SCORED_WINDOW = [
     "signup_purchase_asof",
     "events_dedup",
     "events_error_never_purchased",
-    "events_daily_type_matrix",
+    # round-6 reviewed swap (VERDICT r5 #1): the composed assessment report (the
+    # reference's flagship deliverable) replaces the daily-type cube, whose
+    # rollup shape events_hourly_rollup already scores (matrix stays oracled
+    # below the line; qe_assessment_summary sits in the qe_* block below)
     "events_value_percentiles",
     "docs_minhash_near_dup",
     "emb_ann_recall",
@@ -55,15 +58,20 @@ SCORED_WINDOW = [
     "qe_avro_roundtrip",
     "qe_event_chain",
     "qe_yarn_enrichment",
+    "qe_assessment_summary",
     "docs_exact_dedup",
     "docs_token_stats",
-    "docs_quality",
+    # round-6 reviewed swaps (VERDICT r5 #1): substring-level span dedup and the
+    # production indexed-ingest parity replace two of the three narrow-map
+    # text-stat rows (quality/tfidf — still oracled below the line;
+    # token_stats keeps that shape's scored row)
+    "docs_repeated_spans",
+    "docs_ingest_indexed_parity",
     # round-5 reviewed swaps: hamming-banding LSH and the cross-split
     # contamination audit gain scored rows; lang_scores/gopher_filters (two of
     # SIX text-stat rows) stay oracled below the line
     "docs_simhash_near_dup",
     "docs_shingle_jaccard",
-    "docs_tfidf_top_terms",
     "docs_split_leakage",
     "docs_pii_scrub",
     "multimodal_manifest",
