@@ -1,12 +1,13 @@
 """[EXT] Multimodal columns: image/audio/video as opaque binary with typed metadata.
 
-The decode step is REAL for the four formats parseable with numpy/stdlib —
+The decode step is REAL for the formats parseable with numpy/stdlib —
 WAV (RIFF PCM) audio, PPM (P6) images, PNG (8-bit truecolor; zlib inflate +
-full scanline unfiltering), and baseline JPEG (full sequential-DCT pipeline:
-Huffman entropy decode, dequant, IDCT, chroma upsampling — ext/jpeg.py) —
+full scanline unfiltering), and JPEG both baseline (SOF0 sequential-DCT:
+Huffman entropy decode, dequant, IDCT, chroma upsampling) and progressive
+(SOF2 spectral selection + successive approximation) — ext/jpeg.py —
 implemented from their public format specs, with no media libraries. Formats
-that genuinely require external codecs (progressive jpeg, mp3, mp4 "video"
-here) raise ``NotImplementedError`` from ``decode_media`` and
+that genuinely require external codecs (arithmetic/12-bit jpeg, mp3, mp4
+"video" here) raise ``NotImplementedError`` from ``decode_media`` and
 ``extract_features`` falls back to a clearly-marked deterministic digest feature,
 so the distributed pipeline shape stays exercised end to end either way.
 
@@ -330,10 +331,10 @@ def resize_image(pixels, out_h: int, out_w: int):
 
 
 def decode_media(payload: bytes, kind: str, meta=None) -> dict:
-    """Decode an opaque payload into numpy form. Real for WAV PCM audio, PPM/PNG/
-    baseline-JPEG images, and PVID video; anything else (true video codecs,
-    progressive jpeg, mp3...) needs external libs this container doesn't have and
-    raises NotImplementedError — callers fall back."""
+    """Decode an opaque payload into numpy form. Real for WAV PCM audio, PPM/PNG
+    images, JPEG (baseline AND progressive), and PVID video; anything else (true
+    video codecs, arithmetic-coded jpeg, mp3...) needs external libs this
+    container doesn't have and raises NotImplementedError — callers fall back."""
     payload = bytes(payload)
     if payload[:4] == b"RIFF":
         samples, rate = parse_wav(payload)
@@ -351,7 +352,7 @@ def decode_media(payload: bytes, kind: str, meta=None) -> dict:
         return {"kind": "video", "frames": frames, "n_frames": n, "width": w, "height": h}
     raise NotImplementedError(
         f"no pure-python decoder for this payload (kind={kind!r}); "
-        "progressive jpeg/mp3/mp4 require PIL/librosa/av"
+        "mp3/mp4/arithmetic-jpeg require librosa/av/PIL"
     )
 
 
@@ -483,9 +484,16 @@ def synthesize_media(
                         payload, kind = make_png_bytes(px), "image"
                         meta = ("image/png", w, h, None, None)
                     elif image_format == "jpeg":
-                        from .jpeg import make_jpeg_bytes
+                        from .jpeg import make_jpeg_bytes, make_progressive_jpeg_bytes
 
-                        payload, kind = make_jpeg_bytes(px, quality=90), "image"
+                        # alternate baseline / PROGRESSIVE so the corpus carries
+                        # both real-world JPEG processes (both decode for real)
+                        mk = (
+                            make_progressive_jpeg_bytes
+                            if (doc_id // 3) % 2
+                            else make_jpeg_bytes
+                        )
+                        payload, kind = mk(px, quality=90), "image"
                         meta = ("image/jpeg", w, h, None, None)
                     else:
                         payload, kind = make_ppm_bytes(px), "image"

@@ -432,8 +432,11 @@ def test_jpeg_coefficient_exact_golden():
 
 
 def test_jpeg_rejects_non_baseline_and_falls_back():
-    """Progressive (SOF2) must raise NotImplementedError from the codec, and the
-    feature pipeline must route such payloads to digest features, decoded=false."""
+    """Arithmetic-coded (SOF9) must raise NotImplementedError from the codec, and
+    the feature pipeline must route such payloads to digest features,
+    decoded=false. A baseline stream merely RELABELED as progressive (SOF2 with
+    a sequential full-band scan header) is malformed progressive — a normalized
+    ValueError, also routed to the fallback."""
     import pytest as _pytest
 
     from hadoop_migration_assessment_tools_spark.ext.jpeg import (
@@ -444,11 +447,82 @@ def test_jpeg_rejects_non_baseline_and_falls_back():
 
     data = bytearray(make_jpeg_bytes(_gradient_image()))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC2  # masquerade as progressive
+    data[idx + 1] = 0xC9  # masquerade as arithmetic sequential
     with _pytest.raises(NotImplementedError):
         parse_jpeg(bytes(data))
     decoded, feats = media_features(bytes(data), "image")
     assert decoded is False and len(feats) == 8
+
+    data[idx + 1] = 0xC2  # SOF2 label on a baseline scan: invalid DC scan Se=63
+    with _pytest.raises(ValueError):
+        parse_jpeg(bytes(data))
+    assert media_features(bytes(data), "image")[0] is False
+
+
+def test_progressive_jpeg_decodes_pixel_identical_to_baseline():
+    """SOF2 progressive decode (spectral selection + successive approximation):
+    both encoders quantize identically, so the progressive decode must produce
+    the EXACT same pixels as the baseline decode — across subsampling modes,
+    content shapes (noise = dense coefficients, sparse = long EOB runs,
+    pattern = mixed) and qualities, on non-block-aligned sizes."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import jpeg as J
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (rng.rand(37, 53, 3) * 255).astype(np.uint8),  # dense spectra
+        np.zeros((41, 29, 3), np.uint8),  # all-EOB
+    ]
+    cases[1][::5, :, 1] = 200  # sparse stripes -> long EOB runs + refinements
+    for px in cases:
+        for sub in ("4:4:4", "4:2:0"):
+            for q in (40, 90):
+                seq = J.parse_jpeg(J.make_jpeg_bytes(px, quality=q, subsampling=sub))
+                pro = J.parse_jpeg(
+                    J.make_progressive_jpeg_bytes(px, quality=q, subsampling=sub)
+                )
+                assert np.array_equal(seq, pro), (px.shape, sub, q)
+
+
+def test_progressive_jpeg_coefficient_exact_golden():
+    """The same coefficient-level golden as baseline, through the progressive
+    scan script: on a block-aligned 4:4:4 image every block is transmitted, so
+    the decoder's dequantized coefficients must EXACTLY equal the encoder's
+    quantized coefficients times the table — pinning DC/AC first+refinement
+    scans, EOB-run coding and correction bits bit for bit."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import jpeg as J
+
+    px = _gradient_image(24, 40)
+    q = 75
+    _, coefs = J.parse_jpeg(
+        J.make_progressive_jpeg_bytes(px, quality=q), _return_coefs=True
+    )
+    ycc = J._rgb_to_ycbcr(px.astype(np.float64))
+    qts = [J._quality_scaled(J._QT_LUM, q), J._quality_scaled(J._QT_CHROM, q)]
+    for c in range(3):
+        qt = qts[0 if c == 0 else 1]
+        plane = J._pad_to_blocks(ycc[..., c])
+        want = J._quantized_blocks(plane, qt).astype(np.float64) * qt
+        assert np.array_equal(coefs[c], want), f"component {c} coefficients diverged"
+
+
+def test_progressive_jpeg_media_features_decoded_true():
+    """media_features must report decoded=true for a progressive fixture, with
+    features equal to the baseline-JPEG path on the same pixels."""
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_jpeg_bytes,
+        make_progressive_jpeg_bytes,
+    )
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import media_features
+
+    px = _gradient_image(32, 48)
+    ok_p, fp_ = media_features(make_progressive_jpeg_bytes(px, quality=95), "image")
+    ok_b, fb_ = media_features(make_jpeg_bytes(px, quality=95), "image")
+    assert ok_p is True and ok_b is True
+    assert fp_ == fb_  # identical quantization -> identical pixels -> identical features
 
 
 def test_jpeg_malformed_payloads_route_to_fallback():
