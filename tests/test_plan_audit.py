@@ -277,6 +277,47 @@ BNLJ_ALLOWED = {
 }
 
 
+# Queries whose pinned broadcasts are SIZE-DEPENDENT (Catalyst-chosen from
+# toy-SF statistics, not F.broadcast()-hinted): at 100x the candidate side can
+# exceed autoBroadcastJoinThreshold and AQE will flip those joins to
+# SMJ/SHJ — a CORRECT runtime re-plan that the exact pins above would flag
+# (VERDICT r5 #6, seen first on docs_repeated_spans' candidate-gram semi
+# join). The flip test below disables broadcast-by-size entirely and asserts
+# the properties that must SURVIVE the flip: equi-join count (strategy-
+# agnostic — a join may change strategy, never disappear into a BNLJ or
+# cartesian), window count, and scale-safety.
+SIZE_DEPENDENT_BROADCAST = [
+    "docs_repeated_spans",
+    "docs_minhash_near_dup",
+    "docs_split_leakage",
+    "docs_decontaminate",
+    "docs_heavy_terms",
+    "lineitem_price_band_join",
+    "q7_volume_shipping",
+    "q21_waiting_suppliers",
+    "qe_table_read_frequency",
+]
+
+
+@pytest.mark.parametrize("name", SIZE_DEPENDENT_BROADCAST)
+def test_size_dependent_pins_tolerate_broadcast_smj_flip(spark, name):
+    pinned = PLAN_SIGNATURES[name]
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sig = plan_signature(QUERIES[name](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert_scale_safe(sig, allow_bnlj=name in BNLJ_ALLOWED)
+    got_joins = sig["smj"] + sig["bhj"] + sig["shj"] + sig["bnlj"]
+    want_joins = pinned["smj"] + pinned["bhj"] + pinned["shj"] + pinned["bnlj"]
+    assert got_joins == want_joins, (
+        f"{name}: equi-join count changed under no-broadcast planning "
+        f"(pinned {want_joins}, got {got_joins}): {sig}"
+    )
+    assert sig["window"] == pinned["window"], (name, sig)
+
+
 @pytest.mark.parametrize("name", sorted(PLAN_SIGNATURES))
 def test_plan_signature_pinned(spark, name):
     sig = plan_signature(QUERIES[name](spark, SF))
