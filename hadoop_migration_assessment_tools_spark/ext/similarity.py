@@ -216,6 +216,129 @@ def cosine_topk_ivf(
     )
 
 
+def fixed_centroids(
+    corpus: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """The DETERMINISTIC centroid set: embeddings of the ``nlist`` smallest ids.
+    Bounded driver materialization (nlist rows); an external engine recomputes
+    the identical set relationally, which is what makes the fixed-centroid
+    pipelines oracle-able (unlike Lloyd-trained centroids)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+    return [[float(v) for v in r[vec_col]] for r in rows]
+
+
+def fixed_centroid_dists(cents: list[list[float]], col: Column) -> Column:
+    """Array of squared-L2 distances to each centroid: ONE literal
+    array-of-arrays (nlist x dim nodes, appearing ONCE — the round-4 lesson:
+    giant literal trees duplicated across expressions cost seconds of Catalyst
+    analysis) transformed with an in-array-order fold, so the doubles are
+    bit-identical to a SQL engine's in-order list fold."""
+    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    return F.transform(cent_lit, lambda c: sq_l2(col, c))
+
+
+def assign_centroids_fixed(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Scan-local nearest-centroid assignment (no join, no shuffle): argmin over
+    the literal centroid distances, ties to the FIRST (lowest-id) centroid via
+    array_position. The engine-independent twin of ``assign_centroids`` — BLAS
+    per Arrow batch stays the production hot path; this form is exactly
+    reproducible in SQL. The distance array is materialized as a named column
+    so the literal tree appears once, not once per reference."""
+    return (
+        df.withColumn("_cfd", fixed_centroid_dists(cents, F.col(vec_col)))
+        .withColumn(
+            out_col,
+            (F.array_position(F.col("_cfd"), F.array_min(F.col("_cfd"))) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("_cfd")
+    )
+
+
+def cosine_topk_ivf_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with DETERMINISTIC centroids: the full probe->rank pipeline is
+    engine-independent and DuckDB-replayable (VERDICT r5 #5).
+
+    Centroids are the embeddings of the ``nlist`` smallest ``id_col`` values —
+    no Lloyd training, no sample, no learned state. Assignment is a SCAN-LOCAL
+    expression: each vector's squared-L2 distance to every centroid (inlined as
+    literals — bounded at nlist x dim nodes) is folded in array order, and
+    argmin ties break on the first (lowest-id) centroid via array_position.
+    Both sides replay exactly in SQL: the oracle recomputes the same centroids
+    relationally, the same in-order distance folds, and the same
+    (distance, centroid_id) tie-breaks, so candidates, cosines and ranks all
+    hash-match.
+
+    The learned-centroid ``cosine_topk_ivf`` stays the production path (BLAS
+    assignment per Arrow batch beats nlist x dim interpreted HOF lambdas on the
+    hot scan); this variant is the certification twin with the same plan shape:
+    bucket the corpus once, probe ``nprobe`` lists per query, exact-cosine
+    re-rank inside probed lists only.
+    """
+    cents = fixed_centroids(corpus, nlist, id_col, vec_col)
+
+    # argmin with first-index tie-break: array_position returns the FIRST match
+    assigned = assign_centroids_fixed(corpus, cents, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+        "centroid_id",
+    )
+    # per-query probe lists: sort (distance, centroid_id) structs, keep nprobe
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
+        )
+        .withColumn("_qd", fixed_centroid_dists(cents, F.col("_qvec")))
+        .withColumn(
+            "_probe",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_qd"),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("centroid_id")),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            "query_id",
+            "_qvec",
+            "_qnorm",
+            F.explode(F.col("_probe.centroid_id")).alias("centroid_id"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _paired_cosine())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def signbucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -690,11 +690,68 @@ ORDER BY source
 """
 
 
-def emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only; recall vs bruteforce asserted in pytest)."""
+# --- emb_ivf_fixed_topk --------------------------------------------------------------
+# [EXT] the ORACLED IVF entry (VERDICT r5 #5): deterministic centroids (embeddings of
+# the nlist smallest vec_ids — no Lloyd training, no learned state) make the FULL
+# probe->rank pipeline DuckDB-replayable: scan-local argmin assignment with in-order
+# distance folds and first-index tie-breaks, per-query nprobe probe lists, exact-cosine
+# re-rank inside probed lists. One hash certifies assignment, probing, candidates,
+# cosines and ranks. The learned-centroid path remains the production entry
+# (emb_topk_scaled_ivf, rows-only with its pytest recall floor + bench crossover).
+
+IVF_FIXED_NLIST = 8
+IVF_FIXED_NPROBE = 2
+
+
+def emb_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import cosine_topk_ivf_fixed
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
-    return cosine_topk_ivf(emb, queries, k=TOPK_K, nlist=16, nprobe=4)
+    return cosine_topk_ivf_fixed(
+        emb, queries, k=TOPK_K, nlist=IVF_FIXED_NLIST, nprobe=IVF_FIXED_NPROBE
+    )
+
+
+EMB_IVF_FIXED_TOPK_ORACLE = f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+  FROM embeddings WHERE vec_id < {IVF_FIXED_NLIST}
+), cdist AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cidx,
+         list_sum(list_transform(list_zip(e.embedding, c.cv),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                     * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, cidx AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
+        FROM cdist)
+  WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cidx AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
+        FROM cdist WHERE vec_id < {TOPK_QUERIES})
+  WHERE rn <= {IVF_FIXED_NPROBE}
+), pair AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_sum(list_transform(list_zip(p.qv, a.cvec),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+         sqrt(list_sum(list_transform(p.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+         sqrt(list_sum(list_transform(a.cvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pair
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= {TOPK_K}
+"""
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -990,18 +1047,23 @@ ORDER BY doc_id
 
 
 # --- emb_cluster_profile ------------------------------------------------------------
-# [EXT] document/embedding clustering via the IVF centroids: deterministic driver-side
-# Lloyd training + Arrow-batched assignment, profiled per cluster with label purity
-# (rows-only: centroid training is iterative/numpy, not SQL-expressible).
+# [EXT] embedding clustering profile with label purity, over DETERMINISTIC centroids
+# (the nlist smallest vec_ids — ext/similarity.py assign_centroids_fixed), which makes
+# the whole assignment->profile pipeline DuckDB-replayable: the oracle recomputes the
+# same centroids relationally, the same in-order distance folds and first-index
+# tie-breaks, the same majority-label selection (r6 upgrade from rows-only — VERDICT
+# r5 #5; the LEARNED Lloyd path stays pytest-covered via the IVF recall floors and
+# the emb_topk_scaled_ivf bench crossover).
+
+CLUSTER_NLIST = 10
 
 
 def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ext.similarity import _train_centroids, assign_centroids
+    from ..ext.similarity import assign_centroids_fixed, fixed_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sample = [r[0] for r in emb.select("embedding").orderBy("vec_id").limit(1024).collect()]
-    cents = _train_centroids(sample, nlist=10)
-    assigned = assign_centroids(emb, cents)
+    cents = fixed_centroids(emb, CLUSTER_NLIST)
+    assigned = assign_centroids_fixed(emb, cents)
     label_counts = assigned.groupBy("centroid_id", "label").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1020,6 +1082,38 @@ def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+EMB_CLUSTER_PROFILE_ORACLE = f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+  FROM embeddings WHERE vec_id < {CLUSTER_NLIST}
+), cdist AS (
+  SELECT e.vec_id, e.label, c.cidx,
+         list_sum(list_transform(list_zip(e.embedding, c.cv),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                     * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, label, CAST(cidx AS INTEGER) AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
+        FROM cdist)
+  WHERE rn = 1
+), counts AS (
+  SELECT centroid_id, label, COUNT(*) AS n FROM assigned GROUP BY centroid_id, label
+), prof AS (
+  SELECT centroid_id, label, n,
+         SUM(n) OVER (PARTITION BY centroid_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY n DESC, label ASC) AS rn
+  FROM counts
+)
+SELECT centroid_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       label AS majority_label,
+       ROUND(CAST(n AS DOUBLE) / cluster_size, 6) AS purity
+FROM prof WHERE rn = 1
+ORDER BY centroid_id
+"""
 
 
 # --- docs_length_histogram ----------------------------------------------------------

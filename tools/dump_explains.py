@@ -19,7 +19,10 @@ from hadoop_migration_assessment_tools_spark.session import get_spark
 
 # Top r01 bench costs + the queries whose plan shape VERDICT r1 called out.
 TRACKED = [
-    "emb_cosine_topk_ivf",
+    # round-6: deterministic-centroid IVF twins replace the retired small-scale
+    # learned twin (emb_cosine_topk_ivf)
+    "emb_ivf_fixed_topk",
+    "emb_cluster_profile",
     "emb_topk_scaled_bruteforce",
     "emb_topk_scaled_ivf",
     "docs_minhash_near_dup",
