@@ -1013,8 +1013,8 @@ WITH texts AS (
 ),
 fp AS (
   SELECT o_orderkey, request_user, status,
-         trim(regexp_replace(regexp_replace(regexp_replace(lower(query_text),
-              '''[^'']*(?:''''[^'']*)*''', '?', 'g'), '\b[0-9]+\b', '?', 'g'), '\s+', ' ', 'g')) AS fingerprint
+         trim(regexp_replace(regexp_replace(lower(query_text),
+              '''[^'']*(?:''''[^'']*)*''|\b[0-9]+\b', '?', 'g'), '\s+', ' ', 'g')) AS fingerprint
   FROM texts
 )
 SELECT fingerprint,

@@ -136,7 +136,14 @@ QUERIES: dict[str, Query] = {
     # scoring maps + rollups) remain scored via docs_quality, docs_token_stats
     # and docs_tfidf_top_terms.
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
-    "docs_shingle_jaccard": llm.docs_shingle_jaccard,
+    # Round-6 fourth swap (VERDICT r5 #5 flagship): emb_ivf_fixed_topk in for
+    # docs_shingle_jaccard — the IVF centroid-probe ANN family gains its scored
+    # row (deterministic centroids make the full assign->probe->rank pipeline
+    # one certified hash; distinct index structure from emb_ann_recall's
+    # sign-bucket LSH). Exact all-pairs shingle-Jaccard evidence stays scored
+    # inside docs_minhash_near_dup's verify stage, and docs_shingle_jaccard
+    # remains oracled below the line.
+    "emb_ivf_fixed_topk": llm.emb_ivf_fixed_topk,
     "docs_split_leakage": llm.docs_split_leakage,
     "docs_pii_scrub": llm.docs_pii_scrub,
     "multimodal_manifest": llm.multimodal_manifest,
@@ -232,12 +239,13 @@ QUERIES: dict[str, Query] = {
     "docs_quality": llm.docs_quality,  # r6 swap-out, still oracled
     "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,  # r6 swap-out, still oracled
     # r6 (VERDICT r5 #5): the IVF family gains ORACLED entries via deterministic
-    # centroids — emb_ivf_fixed_topk certifies the full probe->rank pipeline,
-    # emb_cluster_profile (upgraded from rows-only) the assignment->purity
-    # profile. The learned-Lloyd path stays rows-only below (emb_topk_scaled_ivf,
-    # the bench crossover proof) with its pytest recall floors; the small-scale
-    # learned twin emb_cosine_topk_ivf is retired in its favor.
-    "emb_ivf_fixed_topk": llm.emb_ivf_fixed_topk,
+    # centroids — emb_ivf_fixed_topk (scored, above) certifies the full
+    # probe->rank pipeline, emb_cluster_profile (upgraded from rows-only) the
+    # assignment->purity profile. The learned-Lloyd path stays rows-only below
+    # (emb_topk_scaled_ivf, the bench crossover proof) with its pytest recall
+    # floors; the small-scale learned twin emb_cosine_topk_ivf is retired in its
+    # favor. docs_shingle_jaccard moved here in the r6 fourth swap, still oracled.
+    "docs_shingle_jaccard": llm.docs_shingle_jaccard,
     "emb_cluster_profile": llm.emb_cluster_profile,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,

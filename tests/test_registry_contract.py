@@ -71,7 +71,11 @@ SCORED_WINDOW = [
     # contamination audit gain scored rows; lang_scores/gopher_filters (two of
     # SIX text-stat rows) stay oracled below the line
     "docs_simhash_near_dup",
-    "docs_shingle_jaccard",
+    # round-6 fourth reviewed swap (VERDICT r5 #5): the fixed-centroid IVF
+    # certification replaces docs_shingle_jaccard (whose exact all-pairs
+    # Jaccard shape stays scored inside docs_minhash_near_dup's verify stage
+    # and remains oracled below the line)
+    "emb_ivf_fixed_topk",
     "docs_split_leakage",
     "docs_pii_scrub",
     "multimodal_manifest",
