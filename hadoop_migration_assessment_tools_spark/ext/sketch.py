@@ -184,3 +184,89 @@ def distinct_sketch_profile(df: DataFrame, cols: list[str], rsd: float = 0.02) -
         for c in cols
     ]
     return df.agg(*aggs)
+
+
+# --- engine-portable HyperLogLog ----------------------------------------------------
+# ``approx_count_distinct`` above is Spark's HLL++: fast, but its registers and bias
+# tables are engine-internal, so nothing built on it can be certified by an external
+# SQL replay. The portable twin below is a from-scratch classic HLL (Flajolet et al.
+# 2007) whose EVERY intermediate is exact integer arithmetic on intrinsics both Spark
+# and DuckDB compile the same way: 60 hash bits from md5 hex (the repo-wide portable
+# hash idiom — ext/dedup.py portable_token_hash_halves), register index = low p bits,
+# rank = leading-zero count of the remaining bits via the integer bit-length idiom
+# (ext/lm.py bit_length: conv(n,10,2) length == printf('%b',n) length), and the
+# harmonic sum held as a SCALED INTEGER: sum of 2^(maxrank - M_j) over all m
+# registers, which for p=8 is at most 2^61 — overflow-free under ANSI and DuckDB's
+# checked BIGINT. Only the very last step (alpha * m^2 * scale / S) touches doubles,
+# one identical left-associated expression in both engines, then one ROUND.
+#
+# 100 TB shape: the corpus shuffles ONCE, reduced to at most m = 2^p register rows by
+# map-side partial MAX; the estimate is a scalar over m rows. Registers are also
+# trivially mergeable across corpora/days (elementwise MAX), which is the real reason
+# a pipeline owns an HLL instead of COUNT(DISTINCT).
+
+HLL_HASH_BITS = 60  # 15 md5 hex chars: the largest hex prefix that stays < 2^63
+
+
+def hll_registers(items: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """(reg, max_rank) HyperLogLog registers of ``col``, engine-portable.
+
+    reg = low ``p`` bits of the 60-bit md5-prefix hash; rank = position of the
+    first 1-bit in the remaining ``60 - p`` bits (1-based; all-zero rest ->
+    ``60 - p + 1``). Registers with no items are simply absent (the estimator
+    accounts for them). One shuffle, map-side MAX partials, <= 2^p rows out.
+    """
+    m = 1 << p
+    rest_bits = HLL_HASH_BITS - p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rest = F.shiftright(h, p)
+    bl = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = (
+        F.when(rest == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits + 1) - bl)
+        .cast("int")
+    )
+    return (
+        items.select(h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"), rank.alias("r"))
+        .groupBy("reg")
+        .agg(F.max("r").cast("int").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One row: (n_regs_used, s_total, est_distinct) from ``hll_registers`` output.
+
+    s_total is the harmonic sum as a scaled exact integer:
+    sum over ALL m registers of 2^(maxrank - M_j), absent registers contributing
+    2^maxrank (M_j = 0). est_distinct = alpha_m * m^2 * 2^maxrank / s_total,
+    the classic raw HLL estimate, rounded once; the small-range (linear counting)
+    regime is deliberately out of scope — callers choose p so the expected
+    cardinality is far above 2.5*m, and the exact control in the certifying query
+    would expose a violation.
+    """
+    m = 1 << p
+    sb = HLL_HASH_BITS - p + 1  # max rank == scale bits
+    scale = 1 << sb
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {sb} - max_rank)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present") + (F.lit(m) - F.col("n_regs_used")) * F.lit(scale)
+    ).cast("long")
+    est = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        * F.lit(float(m * m))
+        * F.lit(float(scale))
+        / s_total.cast("double")
+    )
+    return agg.select(
+        F.col("n_regs_used"),
+        s_total.alias("s_total"),
+        F.round(est, 4).alias("est_distinct"),
+    )

@@ -1181,6 +1181,91 @@ def docs_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_verified(toks, "term", k=20)
 
 
+# --- docs_shingle_hll ---------------------------------------------------------------
+# [EXT] dedup-index sizing via an ENGINE-PORTABLE HyperLogLog: estimate the distinct
+# 3-token-shingle cardinality (what a MinHash/ingest shingle index will hold) in ONE
+# register-bounded pass (ext/sketch.py: hll_registers/hll_estimate). Every sketch
+# intermediate — md5-prefix hash, register index, leading-zero rank, scaled-integer
+# harmonic sum — is exact integer arithmetic both engines compute identically, so the
+# oracle replays the ENTIRE sketch (registers, sum, estimate), not just a tolerance
+# band. The exact COUNT(DISTINCT) rides along as the certification control (rel_err
+# makes the sketch's accuracy a checked output); at production scale the control is
+# dropped and only the one-shuffle register pass runs. Shingles (not bare terms) are
+# the estimated key because the synthetic corpus's 31-word vocabulary would sit in
+# HLL's linear-counting regime, whose ln()-based correction is NOT cross-engine
+# exact; 3-shingles are ~16k distinct at every tested SF — far above 2.5*m, the raw
+# estimate's domain.
+
+HLL_P = 8  # 256 registers: rsd ~6.5%
+HLL_SHINGLE_K = 3
+
+
+def docs_shingle_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import token_shingles
+    from ..ext.sketch import hll_estimate, hll_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(token_shingles(F.lower(F.col("text")), k=HLL_SHINGLE_K)).alias("shingle")
+    )
+    est = hll_estimate(hll_registers(sh, "shingle", p=HLL_P), p=HLL_P)
+    exact = sh.agg(F.countDistinct("shingle").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "n_regs_used",
+        "s_total",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+DOCS_SHINGLE_HLL_ORACLE = rf"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), shingled AS (
+  SELECT list_distinct(list_transform(generate_series(1, len(t) - {HLL_SHINGLE_K - 1}),
+                                      i -> array_to_string(t[i:i+{HLL_SHINGLE_K - 1}], ' '))) AS shingles
+  FROM toks WHERE len(t) >= {HLL_SHINGLE_K}
+), sh AS (
+  SELECT unnest(shingles) AS shingle FROM shingled
+), hashed AS (
+  SELECT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+), ranked AS (
+  SELECT (h & 255) AS reg,
+         CASE WHEN (h >> 8) = 0 THEN 53
+              ELSE 53 - length(printf('%b', h >> 8)) END AS r
+  FROM hashed
+), regs AS (
+  SELECT reg, MAX(r) AS max_rank FROM ranked GROUP BY reg
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_regs_used,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rank)) AS BIGINT) AS s_present
+  FROM regs
+), est AS (
+  SELECT n_regs_used,
+         CAST(s_present + (256 - n_regs_used) * CAST(9007199254740992 AS BIGINT) AS BIGINT) AS s_total
+  FROM agg
+), est2 AS (
+  SELECT n_regs_used, s_total,
+         ROUND(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+               * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+               / CAST(s_total AS DOUBLE), 4) AS est_distinct
+  FROM est
+), ex AS (
+  SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS exact_distinct FROM sh
+)
+SELECT n_regs_used, s_total, est_distinct, exact_distinct,
+       ROUND(ABS(est_distinct - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+FROM est2, ex
+"""
+
+
 DOCS_HEAVY_TERMS_ORACLE = r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item

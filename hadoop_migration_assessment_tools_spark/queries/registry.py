@@ -234,6 +234,10 @@ QUERIES: dict[str, Query] = {
     "docs_lang_scores": llm.docs_lang_scores,  # r5 swap-out, still oracled
     "docs_gopher_filters": llm.docs_gopher_filters,  # r5 swap-out, still oracled
     "docs_heavy_terms": llm.docs_heavy_terms,
+    # r6: engine-portable HyperLogLog — the oracle replays the whole sketch
+    # (registers, scaled-integer harmonic sum, estimate); exact distinct rides
+    # along as the accuracy control
+    "docs_shingle_hll": llm.docs_shingle_hll,
     "emb_hard_negatives": llm.emb_hard_negatives,
     "events_daily_type_matrix": ea.events_daily_type_matrix,  # r6 swap-out, still oracled
     "docs_quality": llm.docs_quality,  # r6 swap-out, still oracled
@@ -378,6 +382,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_simhash_near_dup": llm.DOCS_SIMHASH_NEAR_DUP_ORACLE,
     "docs_ingest_indexed_parity": llm.DOCS_INGEST_INDEXED_PARITY_ORACLE,
     "docs_heavy_terms": llm.DOCS_HEAVY_TERMS_ORACLE,
+    "docs_shingle_hll": llm.DOCS_SHINGLE_HLL_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

@@ -214,6 +214,41 @@ def test_fixed_centroid_ivf_recall_and_determinism(spark):
     assert recall >= 0.5, f"fixed-centroid IVF recall too low: {recall}"
 
 
+def test_hll_layout_invariance_accuracy_and_merge(spark):
+    """The portable HLL (ext/sketch.py): (a) registers and estimate are
+    partition-layout-independent (the property its DuckDB oracle rests on);
+    (b) the estimate lands within the ~3-sigma band of the 6.5% rsd at p=8;
+    (c) registers MERGE by elementwise MAX — union(regs(A), regs(B)) followed by
+    MAX re-aggregation estimates A union B exactly as a single pass would (the
+    real reason a pipeline owns an HLL instead of COUNT DISTINCT)."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    items = spark.range(n).select(F.concat(F.lit("item_"), F.col("id")).alias("v"))
+    runs = []
+    for parts in (1, 7):
+        regs = hll_registers(items.repartition(parts), "v", p=8)
+        runs.append(sorted((r["reg"], r["max_rank"]) for r in regs.collect()))
+    assert runs[0] == runs[1], "HLL registers varied with partitioning"
+    est = hll_estimate(hll_registers(items, "v", p=8), p=8).collect()[0]
+    assert abs(est["est_distinct"] - n) / n < 0.20, est
+    # mergeability: split by parity, merge register relations via MAX
+    a = items.filter(F.col("v").substr(6, 10).cast("long") % 2 == 0)
+    b = items.filter(F.col("v").substr(6, 10).cast("long") % 2 == 1)
+    merged_regs = (
+        hll_registers(a, "v", p=8)
+        .unionByName(hll_registers(b, "v", p=8))
+        .groupBy("reg")
+        .agg(F.max("max_rank").cast("int").alias("max_rank"))
+    )
+    one_pass = hll_estimate(hll_registers(items, "v", p=8), p=8).collect()[0]
+    merged = hll_estimate(merged_regs, p=8).collect()[0]
+    assert merged == one_pass, (merged, one_pass)
+
+
 def test_language_id_fixtures(spark):
     rows = [
         (1, "the cat and the dog went to the park with a ball", "en"),

@@ -282,6 +282,8 @@ BNLJ_ALLOWED = {
     "qe_stream_batch_parity",
     "important_part_stock",
     "docs_tfidf_top_terms",
+    # round-6: the HLL estimate row x the 1-row exact-distinct control
+    "docs_shingle_hll",
 }
 
 
