@@ -183,6 +183,8 @@ QUERIES: dict[str, Query] = {
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "orders_zorder_locality": tpch.orders_zorder_locality,
     "lineitem_exact_median": tpch.lineitem_exact_median,
+    # r6: Bloom semi-join reduction — map-side join pruning, bitmap replayed in SQL
+    "lineitem_bloom_prefilter": tpch.lineitem_bloom_prefilter,
     "qe_query_fingerprints": ql.qe_query_fingerprints,
     "qe_runtime_percentiles": ql.qe_runtime_percentiles,
     "qe_mode_migration_trend": ql.qe_mode_migration_trend,
@@ -327,6 +329,7 @@ ORACLE_SQL: dict[str, str] = {
     "q22_global_sales_opportunity": tpch.Q22_ORACLE,
     "orders_zorder_locality": tpch.ORDERS_ZORDER_LOCALITY_ORACLE,
     "lineitem_exact_median": tpch.LINEITEM_EXACT_MEDIAN_ORACLE,
+    "lineitem_bloom_prefilter": tpch.LINEITEM_BLOOM_PREFILTER_ORACLE,
     "qe_query_fingerprints": ql.QE_QUERY_FINGERPRINTS_ORACLE,
     "qe_runtime_percentiles": ql.QE_RUNTIME_PERCENTILES_ORACLE,
     "qe_mode_migration_trend": ql.QE_MODE_MIGRATION_TREND_ORACLE,

@@ -1622,3 +1622,84 @@ SELECT l_returnflag, n AS n_rows, v AS median FROM (
 WHERE rn = (n + 1) // 2
 ORDER BY l_returnflag
 """
+
+
+# --- lineitem_bloom_prefilter --------------------------------------------------------
+# Bloom-filter semi-join reduction (plans/bloom.py): prune the fact scan against a
+# broadcast Bloom bitmap of the selective key set BEFORE any shuffle or exact join —
+# the canonical 100 TB join-pruning strategy, in its engine-portable form. The md5
+# double-hash positions and the 2048-word bitmap replay exactly in SQL, so ONE oracle
+# hash certifies the admitted set (true matches AND false positives), the exact-join
+# control counts, and the revenue checksum over the true matches. The probe side is
+# scanned once with k broadcast word-lookups (one ReusedExchange) and zero shuffles
+# before the final 1-row aggregate.
+
+
+def lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.bloom import bloom_prefilter, bloom_words
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    words = bloom_words(keys, "o_orderkey")
+    passed = bloom_prefilter(
+        li.select("l_orderkey", "l_extendedprice"), "l_orderkey", words
+    )
+    marked = passed.join(
+        F.broadcast(keys.withColumn("_hit", F.lit(1))),
+        passed["l_orderkey"] == keys["o_orderkey"],
+        "left",
+    )
+    return marked.agg(
+        count_big("n_bloom_pass"),
+        F.count(F.col("_hit")).cast("long").alias("n_true_match"),
+        (F.count(F.lit(1)) - F.count(F.col("_hit"))).cast("long").alias("n_false_positive"),
+        sum_money(
+            F.when(F.col("_hit") == 1, F.col("l_extendedprice")), "revenue_checksum"
+        ),
+    )
+
+
+def _bloom_probe_sql(key: str, i: int) -> str:
+    """One Bloom membership probe: join words on the position's word index and
+    test its bit. Mirrors plans/bloom.py bloom_position exactly."""
+    pos = f"((h1 + {i} * h2) % 65536)"
+    return (
+        f"JOIN words w{i} ON w{i}.word = CAST({pos} // 32 AS INTEGER) "
+        f"AND ((w{i}.bits >> CAST({pos} % 32 AS INTEGER)) & 1) = 1"
+    )
+
+
+LINEITEM_BLOOM_PREFILTER_ORACLE = f"""
+WITH keys AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), kh AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+  FROM keys
+), kpos AS (
+  SELECT ((h1 + i * h2) % 65536) AS pos FROM kh, UNNEST([0, 1, 2]) AS t(i)
+), words AS (
+  SELECT CAST(pos // 32 AS INTEGER) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM kpos GROUP BY 1
+), ph AS (
+  SELECT l_orderkey, l_extendedprice,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+  FROM lineitem
+), passed AS (
+  SELECT p.l_orderkey, p.l_extendedprice
+  FROM ph p
+  {_bloom_probe_sql("l_orderkey", 0)}
+  {_bloom_probe_sql("l_orderkey", 1)}
+  {_bloom_probe_sql("l_orderkey", 2)}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+       CAST(COUNT(k.o_orderkey) AS BIGINT) AS n_true_match,
+       CAST(COUNT(*) - COUNT(k.o_orderkey) AS BIGINT) AS n_false_positive,
+       CAST(ROUND(SUM(CASE WHEN k.o_orderkey IS NOT NULL
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+         AS revenue_checksum
+FROM passed LEFT JOIN keys k ON passed.l_orderkey = k.o_orderkey
+"""

@@ -43,6 +43,14 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_cluster_profile": dict(
         shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
+    # round 6: Bloom semi-join reduction — the probe (lineitem) side never
+    # shuffles: k=3 broadcast word-lookups + the broadcast exact-join control;
+    # the 4 shuffles are the words bitmap agg (x3 in the STATIC plan; AQE's
+    # runtime stage cache builds it once and ReusedExchange covers the other
+    # two probes — asserted in test_plans.py) and the final 1-row aggregate.
+    "lineitem_bloom_prefilter": dict(
+        shuffle_exchange=4, broadcast_exchange=4, bnlj=0, cartesian=0, smj=0, bhj=4, shj=0, window=0
+    ),
     "emb_topk_scaled_bruteforce": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),

@@ -500,3 +500,30 @@ def test_distributed_quantiles_match_sorted_reference(spark):
         vs.sort()
         want = tuple(vs[max(1, math.ceil(q * len(vs))) - 1] for q in (0.25, 0.5, 0.95))
         assert got[g] == want, g
+
+
+def test_bloom_prefilter_no_false_negatives_and_runtime_reuse(spark):
+    """plans/bloom.py: (a) NO false negatives — every probe row whose key is in
+    the filter set survives the prefilter (the Bloom guarantee the exact join
+    relies on); (b) false positives exist only outside the key set; (c) the
+    words bitmap broadcast is built ONCE at runtime — AQE's stage cache turns
+    the k=3 static broadcasts into 1 build + ReusedExchange."""
+    from hadoop_migration_assessment_tools_spark.plans.bloom import (
+        bloom_prefilter,
+        bloom_words,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 500, 3).select(F.col("id").alias("k"))  # every 3rd id
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    words = bloom_words(keys, "k")
+    passed = bloom_prefilter(probe, "k", words)
+    got = {r["k"] for r in passed.collect()}
+    true_set = set(range(0, 500, 3))
+    assert true_set <= got, f"false negatives: {sorted(true_set - got)[:5]}"
+    # determinism across partition layouts
+    got2 = {r["k"] for r in bloom_prefilter(probe.repartition(7), "k", words).collect()}
+    assert got == got2
+    # runtime exchange reuse (one bitmap build for all three probes)
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan[:500]
