@@ -54,16 +54,34 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def token_shingles(col: Column, k: int = 4) -> Column:
     """Distinct word k-shingles (space-joined token windows). Word shingles stay
-    distinctive even over small vocabularies, keeping the LSH index sparse."""
+    distinctive even over small vocabularies, keeping the LSH index sparse.
+
+    Built as a zip_with chain over k offset slices of the token array, NOT as
+    ``transform(sequence(...), i -> slice(toks, i+1, k))``: a lambda that
+    captures ``toks`` re-evaluates the inlined tokenization on EVERY element
+    (interpreted HOFs get no subexpression elimination inside lambda bodies),
+    making the transform form O(tokens²) per doc — measured 10× slower at sf0.1
+    (r7). zip_with's array ARGUMENTS are evaluated once per row, and its lambda
+    touches only the two zipped elements, so this form is O(tokens·k) and stays
+    narrow (no shuffle). Output is element-for-element identical to the
+    transform form (same window order; array_distinct keeps first occurrence).
+    """
     toks = tokens(col)
     n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    if k <= 1:
+        windows = toks
+    else:
+        length = n - (k - 1)
+        acc = F.slice(toks, 1, length)
+        for off in range(2, k + 1):
+            acc = F.zip_with(
+                acc,
+                F.slice(toks, off, length),
+                lambda x, y: F.concat(x, F.lit(" "), y),
             )
-        )
+        windows = acc
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(windows)
     )
 
 

@@ -217,6 +217,17 @@ def hll_registers(items: DataFrame, col: str, p: int = 8) -> DataFrame:
     accounts for them). One shuffle, map-side MAX partials, <= 2^p rows out.
     """
     m = 1 << p
+    h, rank = _hll_hash_and_rank(col, p)
+    return (
+        items.where(F.col(col).isNotNull())  # a NULL md5's to NULL: a phantom register
+        .select(h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"), rank.alias("r"))
+        .groupBy("reg")
+        .agg(F.max("r").cast("int").alias("max_rank"))
+    )
+
+
+def _hll_hash_and_rank(col: str, p: int):
+    """(60-bit md5-prefix hash, HLL rank) column pair shared by the register builders."""
     rest_bits = HLL_HASH_BITS - p
     h = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
@@ -228,11 +239,7 @@ def hll_registers(items: DataFrame, col: str, p: int = 8) -> DataFrame:
         .otherwise(F.lit(rest_bits + 1) - bl)
         .cast("int")
     )
-    return (
-        items.select(h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"), rank.alias("r"))
-        .groupBy("reg")
-        .agg(F.max("r").cast("int").alias("max_rank"))
-    )
+    return h, rank
 
 
 def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
@@ -269,4 +276,62 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         F.col("n_regs_used"),
         s_total.alias("s_total"),
         F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_certified(items: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """One row: HLL estimate PLUS the exact distinct-hash control, ONE corpus scan.
+
+    The r6-round form computed ``hll_registers`` and a ``countDistinct(col)``
+    control as two branches over the same unpersisted subtree, so the expensive
+    upstream (tokenize/shingle/explode) ran twice and the control shuffled full
+    strings (VERDICT r6 #2). This form is one linear pipeline: hash once, group
+    by register computing BOTH max rank and the per-register exact distinct-hash
+    count — ``reg`` is a function of ``h``, so the per-register counts sum to the
+    global ``COUNT(DISTINCT h)`` — then one scalar agg replaying
+    ``hll_estimate``'s scaled-integer arithmetic. The control counts distinct
+    60-bit HASHES, not raw strings (8-byte shuffle keys; cardinality-equal by the
+    injectivity-in-practice argument docs_fingerprints certifies). NULL items are
+    dropped before hashing (they would otherwise form a phantom register whose
+    NULL rank deflates the harmonic sum).
+    """
+    m = 1 << p
+    sb = HLL_HASH_BITS - p + 1
+    scale = 1 << sb
+    h, rank = _hll_hash_and_rank(col, p)
+    regs = (
+        items.where(F.col(col).isNotNull())
+        .select(
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"),
+            rank.alias("r"),
+            h.alias("h"),
+        )
+        .groupBy("reg")
+        .agg(
+            F.max("r").cast("int").alias("max_rank"),
+            F.countDistinct("h").cast("long").alias("reg_distinct"),
+        )
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {sb} - max_rank)"))
+        .cast("long")
+        .alias("s_present"),
+        F.sum("reg_distinct").cast("long").alias("exact_distinct"),
+    )
+    s_total = (
+        F.col("s_present") + (F.lit(m) - F.col("n_regs_used")) * F.lit(scale)
+    ).cast("long")
+    est = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        * F.lit(float(m * m))
+        * F.lit(float(scale))
+        / s_total.cast("double")
+    )
+    return agg.select(
+        F.col("n_regs_used"),
+        s_total.alias("s_total"),
+        F.round(est, 4).alias("est_distinct"),
+        F.col("exact_distinct"),
     )

@@ -150,7 +150,14 @@ QUERIES: dict[str, Query] = {
     "docs_dup_clusters": llm.docs_dup_clusters,
     "multimodal_frame_sample": llm.multimodal_frame_sample,
     "emb_label_centroids": llm.emb_label_centroids,
-    "emb_near_dup_pairs": llm.emb_near_dup_pairs,
+    # Round-7 swap (VERDICT r6 #5): lineitem_bloom_prefilter in for
+    # emb_near_dup_pairs — the engine-portable Bloom semi-join reduction (the
+    # canonical 100 TB fact-table join-pruning move: k=3 Kirsch-Mitzenmacher
+    # positions, bitmap built via bit_or and replayed in SQL, false positives an
+    # oracle-checked output) gains a scored row. Embedding near-dup evidence
+    # remains scored via emb_ann_recall's sign-bucket LSH (same index family),
+    # and emb_near_dup_pairs stays oracled below the line.
+    "lineitem_bloom_prefilter": tpch.lineitem_bloom_prefilter,
     # ================= end of driver-scored window (50) =================
     # Oracled but outside the scored window (green in prior CORRECTNESS rounds or
     # pytest oracle-parity tests; kept for bench + coverage breadth).
@@ -183,8 +190,9 @@ QUERIES: dict[str, Query] = {
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "orders_zorder_locality": tpch.orders_zorder_locality,
     "lineitem_exact_median": tpch.lineitem_exact_median,
-    # r6: Bloom semi-join reduction — map-side join pruning, bitmap replayed in SQL
-    "lineitem_bloom_prefilter": tpch.lineitem_bloom_prefilter,
+    # r7 swap-out: sign-LSH embedding near-dup (scored evidence now carried by
+    # emb_ann_recall; exact-pair certification stays oracled here)
+    "emb_near_dup_pairs": llm.emb_near_dup_pairs,
     "qe_query_fingerprints": ql.qe_query_fingerprints,
     "qe_runtime_percentiles": ql.qe_runtime_percentiles,
     "qe_mode_migration_trend": ql.qe_mode_migration_trend,

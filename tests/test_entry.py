@@ -47,8 +47,13 @@ def test_scored_window_contract():
     # Floors reflect the round-4 window rebalance (three events variants out,
     # three [EXT] certifications in — see tests/test_registry_contract.py, which
     # pins the exact window; this test guards only family-level representation).
+    # Events floor lowered 10 -> 9 in round 7: the r6 reviewed swap traded
+    # events_daily_type_matrix (cube shape already scored via
+    # events_hourly_rollup) for qe_assessment_summary, the reference's flagship
+    # composed report; the nine remaining events rows still cover AGG5-6,
+    # WIN1-3, JN6 as-of, SET2, DDP1 and percentiles.
     assert count(("qe_",)) >= 12, "reference-chain family underrepresented"
     assert count(("docs_", "emb_", "multimodal")) >= 14, "LLM-pipeline family underrepresented"
-    assert count(("events_", "signup_", "users_")) >= 10, "events-analytics family underrepresented"
+    assert count(("events_", "signup_", "users_")) >= 9, "events-analytics family underrepresented"
     relational = 50 - count(("qe_", "docs_", "emb_", "multimodal", "events_", "signup_", "users_"))
     assert relational >= 8, "relational family underrepresented"

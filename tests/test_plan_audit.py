@@ -290,8 +290,8 @@ BNLJ_ALLOWED = {
     "qe_stream_batch_parity",
     "important_part_stock",
     "docs_tfidf_top_terms",
-    # round-6: the HLL estimate row x the 1-row exact-distinct control
-    "docs_shingle_hll",
+    # (r7: docs_shingle_hll left this list — hll_certified computes sketch and
+    # exact control in one linear pipeline, no scalar crossJoin remains)
 }
 
 

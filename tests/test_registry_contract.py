@@ -82,7 +82,11 @@ SCORED_WINDOW = [
     "docs_dup_clusters",
     "multimodal_frame_sample",
     "emb_label_centroids",
-    "emb_near_dup_pairs",
+    # round-7 reviewed swap (VERDICT r6 #5): the engine-portable Bloom semi-join
+    # reduction (join pruning certified via SQL bitmap replay + exact control)
+    # replaces emb_near_dup_pairs, whose sign-bucket-LSH shape emb_ann_recall
+    # already scores (near-dup pairs stay oracled below the line)
+    "lineitem_bloom_prefilter",
 ]
 
 
