@@ -47,6 +47,26 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     sdf.agg(*[F.sum((F.col("id") + i) % 7).alias(f"s{i}") for i in range(64)]).count()
+    # Structured-Streaming machinery warmup: the first streaming query in a
+    # session pays one-time micro-batch engine + state-store initialization
+    # (~4-6 s) that would otherwise land on qe_stream_batch_parity's number.
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="bench_stream_warm_") as tmp:
+        spark.range(4).withColumn(
+            "ts", F.current_timestamp()
+        ).write.mode("overwrite").parquet(f"{tmp}/src")
+        warm_src = spark.readStream.schema("id long, ts timestamp").parquet(f"{tmp}/src")
+        (
+            warm_src.withWatermark("ts", "1 minute")
+            .dropDuplicatesWithinWatermark(["id"])
+            .writeStream.format("memory")
+            .queryName("bench_stream_warm")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     # One failing query must never zero the whole bench (round-2 lesson): isolate
     # each query, record its failure, and keep the JSON line flowing regardless.

@@ -8,8 +8,10 @@ entropy bitstream with 0xFF byte stuffing, JFIF marker structure, generic
 component sampling factors (4:4:4, 4:2:0, 4:2:2 MCU interleave) and RSTn
 restart markers.
 
-Decoder coverage is honest-baseline: SOF0 (baseline DCT, 8-bit) only —
-progressive (SOF2), arithmetic coding, hierarchical and 12-bit inputs raise
+Decoder coverage: SOF0 baseline sequential AND SOF2 progressive (spectral
+selection + successive approximation, DC/AC first and refinement scans, EOB
+runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow). The remaining
+processes (arithmetic coding, hierarchical, 12-bit precision, lossless) raise
 NotImplementedError, matching the WAV/PPM/PNG codecs' partial-coverage
 discipline (ext/multimodal.py callers catch and fall back with decoded=false).
 
@@ -29,6 +31,11 @@ import struct
 import numpy as np
 
 __all__ = ["make_jpeg_bytes", "make_progressive_jpeg_bytes", "parse_jpeg"]
+
+#: Decompression-bomb ceiling for parse_jpeg (total pixels). 16 MP covers any
+#: sane corpus image; declared dimensions above it raise ValueError (routed to
+#: decoded=false by media_features) instead of allocating gigabytes.
+JPEG_MAX_PIXELS = 16_000_000
 
 # Annex K quantization tables (ITU-T T.81 Tables K.1/K.2), zigzag-unordered
 # (natural row-major order here; zigzag applied at coefficient serialization).
@@ -785,6 +792,11 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
+            if h * w > JPEG_MAX_PIXELS:
+                # decompression-bomb guard (same idea as PIL MAX_IMAGE_PIXELS):
+                # a few flipped SOF bytes must not make one corpus row allocate
+                # gigabytes / loop over 67M MCUs inside an Arrow UDF task
+                raise ValueError(f"image too large: {w}x{h} > {JPEG_MAX_PIXELS} px")
             for i in range(ncomp):
                 cid, sampling, qid = body[6 + 3 * i : 9 + 3 * i]
                 sh, sv = sampling >> 4, sampling & 0x0F
@@ -985,10 +997,14 @@ def _decode_progressive_scan(
     buf = rd._buf
     state = {"bit": rd._bit}
 
+    nbuf = len(buf)
+
     def bits(n):
         b = state["bit"]
         byte = b >> 3
         sh = b & 7
+        if byte + 5 > nbuf:  # slice would silently zero-pad: fail loud like the
+            raise ValueError("truncated entropy data")  # baseline loop's indexing
         win = int.from_bytes(buf[byte : byte + 5], "big")
         state["bit"] = b + n
         return (win >> (40 - sh - n)) & ((1 << n) - 1)
@@ -998,6 +1014,8 @@ def _decode_progressive_scan(
         b = state["bit"]
         byte = b >> 3
         sh = b & 7
+        if byte + 5 > nbuf:
+            raise ValueError("truncated entropy data")
         win = int.from_bytes(buf[byte : byte + 5], "big")
         p = (win >> (24 - sh)) & 0xFFFF
         ln = len_l[p]

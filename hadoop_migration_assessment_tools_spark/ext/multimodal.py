@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -403,15 +404,28 @@ def _digest_features(payload: bytes) -> list[float]:
 def media_features(payload: bytes, kind: str) -> tuple[bool, list[float]]:
     """Decode one payload and compute its feature vector; (decoded?, features).
 
-    ANY decode failure routes to the decoded=false digest fallback, not just
-    NotImplementedError/ValueError: at corpus scale a torn or adversarial payload
-    can raise struct.error / IndexError / KeyError from any codec's parse loop,
-    and a raw exception would crash the whole Arrow UDF task (and job) instead of
-    flagging one row. Codec-level tests still see precise exception types by
-    calling parse_* directly."""
+    Decode failures route to the decoded=false digest fallback: at corpus scale
+    a torn or adversarial payload can raise struct.error / IndexError / KeyError
+    from any codec's parse loop, and a raw exception would crash the whole Arrow
+    UDF task (and job) instead of flagging one row. The catch list is the closed
+    set of parse-failure types the codecs can raise — NOT bare Exception, which
+    would also swallow MemoryError and other resource-exhaustion signals,
+    converting executor memory pressure into silent decoded=false rows (ADVICE
+    r6). Codec-level tests still see precise exception types by calling parse_*
+    directly."""
     try:
         decoded = decode_media(payload, kind)
-    except Exception:  # noqa: BLE001 — documented fallback contract
+    except (
+        NotImplementedError,
+        ValueError,
+        struct.error,
+        IndexError,
+        KeyError,
+        TypeError,
+        OverflowError,
+        ZeroDivisionError,
+        zlib.error,
+    ):
         return False, _digest_features(bytes(payload))
     if decoded["kind"] == "audio":
         return True, _audio_features(decoded["samples"], decoded["sample_rate"])

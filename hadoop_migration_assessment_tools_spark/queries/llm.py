@@ -715,8 +715,12 @@ def emb_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_IVF_FIXED_TOPK_ORACLE = f"""
 WITH cents AS (
+  -- the nlist SMALLEST ids, mirroring fixed_centroids' orderBy().limit() exactly
+  -- (ADVICE r6: a WHERE vec_id < nlist filter only agrees when ids are contiguous
+  -- from 0 — QUALIFY keeps the oracle honest under gaps or a nonzero base)
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
-  FROM embeddings WHERE vec_id < {IVF_FIXED_NLIST}
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {IVF_FIXED_NLIST}
 ), cdist AS (
   SELECT e.vec_id, e.label, e.embedding, c.cidx,
          list_sum(list_transform(list_zip(e.embedding, c.cv),
@@ -1086,8 +1090,10 @@ def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_CLUSTER_PROFILE_ORACLE = f"""
 WITH cents AS (
+  -- nlist SMALLEST ids via QUALIFY, mirroring fixed_centroids (see the IVF oracle)
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
-  FROM embeddings WHERE vec_id < {CLUSTER_NLIST}
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {CLUSTER_NLIST}
 ), cdist AS (
   SELECT e.vec_id, e.label, c.cidx,
          list_sum(list_transform(list_zip(e.embedding, c.cv),
@@ -3177,16 +3183,75 @@ ORDER BY t.doc_id
 
 
 # --- docs_bpe_train ------------------------------------------------------------------
-# [EXT] real BPE vocabulary training (ext/bpe.py) over the corpus: iterative argmax
-# makes it genuinely non-SQL-expressible (each merge's counts depend on the previous
-# merge having been applied), so this is rows-only in the driver; correctness is
-# pinned by the golden test against a pure-Python reference BPE with identical
-# tie-breaks (tests/test_ext_operators.py::test_bpe_matches_reference_implementation).
-# Round 5: runs the BATCHED trainer (provably sequential-identical selection, one
-# count job + one fold per round instead of per merge — the production shape for
-# 32k-merge vocabularies); equality with the sequential trainer is golden-tested.
+# [EXT] real BPE vocabulary training (ext/bpe.py) over the corpus. Runs the BATCHED
+# trainer (provably sequential-identical selection, one count job + one fold per round
+# instead of per merge — the production shape for 32k-merge vocabularies); equality
+# with the sequential trainer AND a pure-Python reference BPE is golden-tested
+# (tests/test_ext_operators.py::test_bpe_matches_reference_implementation).
+#
+# ORACLED since r7 (VERDICT r6 #9; was rows-only): the iterative argmax is not
+# RECURSIVE SQL-expressible in general, but at a FIXED small merge count the rounds
+# unroll as chained CTEs. Each round: pair-count the word-type table, argmax with the
+# trainer's exact tie-break (cnt DESC, a ASC, b ASC), then apply the merge with
+# left-to-right non-overlapping semantics via string replace() over a
+# sentinel-delimited symbol string — every token is enclosed in its own chr(31)
+# sentinels (join with a DOUBLED sentinel), so consecutive matches never share a
+# boundary character and replace() reproduces apply_merge_expr's fold exactly
+# (including the "a a a" -> [aa, a] case). The oracle replays ALL six rounds — word
+# table, counts, tie-breaks, merge application — not just the final list.
 
 BPE_NUM_MERGES = 6
+
+
+def _bpe_oracle_sql(num_merges: int) -> str:
+    s = "chr(31)"
+    ss = f"{s}||{s}"
+    ctes = [
+        """w0 AS (
+  SELECT syms, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT list_append(string_split(word, ''), '</w>') AS syms FROM (
+      SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word
+      FROM documents
+      WHERE lang = 'en' AND length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+    )
+  ) GROUP BY syms
+)"""
+    ]
+    for r in range(1, num_merges + 1):
+        prev = r - 1
+        ctes.append(
+            f"""p{r} AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+           i -> {{'a': syms[i], 'b': syms[i+1]}})) AS p
+    FROM w{prev} WHERE len(syms) > 1
+  ) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if r < num_merges:
+            ctes.append(
+                f"""w{r} AS (
+  SELECT freq, string_split(substr(s2, 2, length(s2) - 2), {ss}) AS syms FROM (
+    SELECT w.freq,
+           replace({s} || array_to_string(w.syms, {ss}) || {s},
+                   {s} || m.a || {ss} || m.b || {s},
+                   {s} || m.a || m.b || {s}) AS s2
+    FROM w{prev} w, m{r} m
+  )
+)"""
+            )
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS rank, a AS sym_a, b AS sym_b,"
+        f" a||b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + final + ") ORDER BY rank"
+
+
+DOCS_BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_NUM_MERGES)
 
 
 def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,6 +342,9 @@ ORACLE_SQL: dict[str, str] = {
     "qe_runtime_percentiles": ql.QE_RUNTIME_PERCENTILES_ORACLE,
     "qe_mode_migration_trend": ql.QE_MODE_MIGRATION_TREND_ORACLE,
     "docs_incremental_ingest": llm.DOCS_INCREMENTAL_INGEST_ORACLE,
+    # r7 (VERDICT r6 #9): rows-only -> oracled — six unrolled CTE rounds replay
+    # the full trainer (word table, tie-broken argmax, replace()-fold merges)
+    "docs_bpe_train": llm.DOCS_BPE_TRAIN_ORACLE,
     "events_anomaly_days": ea.EVENTS_ANOMALY_DAYS_ORACLE,
     "events_gap_fill": ea.EVENTS_GAP_FILL_ORACLE,
     "multimodal_resize": llm.MULTIMODAL_RESIZE_ORACLE,

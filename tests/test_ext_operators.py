@@ -5,6 +5,7 @@ the exact baseline, heuristic accuracy on crafted fixtures."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from hadoop_migration_assessment_tools_spark.ext.dedup import (
@@ -645,6 +646,66 @@ def test_jpeg_malformed_payloads_route_to_fallback():
     padded = good[:2] + b"\xff\xff\xff\x01" + good[2:]
     out = parse_jpeg(padded)
     assert out.shape == _gradient_image().shape
+
+
+def _fuzz_corpus():
+    """Valid baseline + progressive JPEGs (both subsamplings), built once."""
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_jpeg_bytes,
+        make_progressive_jpeg_bytes,
+    )
+
+    px = _gradient_image()
+    return [
+        make_jpeg_bytes(px, quality=80, subsampling="4:4:4"),
+        make_jpeg_bytes(px, quality=60, subsampling="4:2:0", restart_interval=3),
+        make_progressive_jpeg_bytes(px, quality=80, subsampling="4:4:4"),
+        make_progressive_jpeg_bytes(px, quality=60, subsampling="4:2:0"),
+    ]
+
+
+_FUZZ_JPEGS: list[bytes] = []
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    which=st.integers(0, 3),
+    op=st.sampled_from(["truncate", "flip", "flip3", "trunc+flip"]),
+    frac=st.floats(0.0, 1.0),
+    bitpos=st.integers(0, 2**31),
+)
+def test_jpeg_fuzz_decode_or_clean_fallback(which, op, frac, bitpos):
+    """VERDICT r6 #8: random truncations and bit flips of VALID baseline and
+    progressive JPEGs must either decode (zero-padded-tail decodes are legal,
+    libjpeg-style) or raise the normalized ValueError/NotImplementedError —
+    never a raw struct.error/IndexError/KeyError escape, and never an
+    unbounded allocation (JPEG_MAX_PIXELS guards flipped SOF dimensions).
+    media_features must always flag the row, not crash."""
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import parse_jpeg
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import media_features
+
+    if not _FUZZ_JPEGS:
+        _FUZZ_JPEGS.extend(_fuzz_corpus())
+    good = _FUZZ_JPEGS[which]
+    data = bytearray(good)
+    if op in ("truncate", "trunc+flip"):
+        cut = 2 + int(frac * (len(data) - 2))
+        data = data[:cut]
+    if op in ("flip", "flip3", "trunc+flip") and len(data) > 2:
+        nflips = 3 if op == "flip3" else 1
+        for i in range(nflips):
+            pos = 2 + (bitpos // 8 + 7919 * i) % (len(data) - 2)
+            data[pos] ^= 1 << ((bitpos + i) % 8)
+    payload = bytes(data)
+    try:
+        out = parse_jpeg(payload)
+    except (ValueError, NotImplementedError):
+        pass  # the normalized failure contract
+    else:
+        # a successful decode must be a plausibly-shaped uint8 image
+        assert out.ndim == 3 and out.shape[2] == 3 and out.dtype.name == "uint8"
+    decoded, feats = media_features(payload, "image")
+    assert isinstance(decoded, bool) and len(feats) == 8
 
 
 def test_jpeg_features_match_ppm_features(spark):
