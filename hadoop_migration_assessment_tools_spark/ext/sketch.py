@@ -279,6 +279,109 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     )
 
 
+def hll_registers_grouped(
+    items: DataFrame, group_cols: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL registers: (*group_cols, reg, max_rank) — the production
+    grouped-sketch shape. ONE shuffle keyed (group, reg) with map-side MAX
+    partials; at most n_groups * 2^p rows out. Sketches merge by elementwise
+    MAX — within a group across batches/days, AND across groups into a global
+    sketch (max over (g, reg) of max == max over reg), the property
+    docs_shingle_hll_by_lang certifies relationally."""
+    m = 1 << p
+    h, rank = _hll_hash_and_rank(col, p)
+    return (
+        items.where(F.col(col).isNotNull())
+        .select(
+            *[F.col(g) for g in group_cols],
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"),
+            rank.alias("r"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("r").cast("int").alias("max_rank"))
+    )
+
+
+def hll_grouped_certified(
+    items: DataFrame, group_col: str, col: str, p: int = 8, all_label: str = "*ALL*"
+) -> DataFrame:
+    """Per-group HLL estimates + exact controls, PLUS a merged ``all_label`` row
+    whose registers are the elementwise-MAX MERGE of the per-group registers.
+
+    The merge row is the point: its oracle twin computes the same row from the
+    GLOBAL distinct set directly, so a hash match proves merge(per-group
+    sketches) == sketch(union) — the property that lets a pipeline keep per-day
+    / per-source registers and combine them without rescanning anything.
+
+    Certifying shape: one corpus scan -> distinct (group, hash) level
+    (localCheckpoint: four downstream consumers — per-group registers, exact
+    counts, merged registers, global exact — must not re-tokenize the corpus),
+    then all aggregation happens on the small distinct set. The production
+    path with no exact controls is hll_registers_grouped (pure one-shuffle
+    register aggregation, no distinct level needed).
+
+    Output: (group_col, n_regs_used, s_total, est_distinct, exact_distinct).
+    """
+    m = 1 << p
+    sb = HLL_HASH_BITS - p + 1
+    scale = 1 << sb
+    h, rank = _hll_hash_and_rank(col, p)
+    lvl0 = (
+        items.where(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), h.alias("h"), rank.alias("r"))
+        .distinct()  # (group, h); r and reg are functions of h
+        .localCheckpoint(eager=False)
+    )
+    lvl1 = (
+        lvl0.withColumn("reg", F.col("h").bitwiseAND(F.lit(m - 1)).cast("int"))
+        .groupBy("_g", "reg")
+        .agg(
+            F.max("r").cast("int").alias("max_rank"),
+            F.count(F.lit(1)).cast("long").alias("reg_distinct"),
+        )
+    )
+    s_present = (
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {sb} - max_rank)"))
+        .cast("long")
+        .alias("s_present")
+    )
+    n_regs = F.count(F.lit(1)).cast("long").alias("n_regs_used")
+
+    def estimate(agg: DataFrame) -> list:
+        s_total = (
+            F.col("s_present") + (F.lit(m) - F.col("n_regs_used")) * F.lit(scale)
+        ).cast("long")
+        est = (
+            F.lit(0.7213)
+            / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+            * F.lit(float(m * m))
+            * F.lit(float(scale))
+            / s_total.cast("double")
+        )
+        return [
+            F.col("n_regs_used"),
+            s_total.alias("s_total"),
+            F.round(est, 4).alias("est_distinct"),
+            F.col("exact_distinct"),
+        ]
+
+    per_group = lvl1.groupBy("_g").agg(
+        n_regs, s_present, F.sum("reg_distinct").cast("long").alias("exact_distinct")
+    )
+    per_group = per_group.select("_g", *estimate(per_group))
+    merged_agg = (
+        lvl1.groupBy("reg")
+        .agg(F.max("max_rank").cast("int").alias("max_rank"))
+        .agg(n_regs, s_present)
+    )
+    global_exact = lvl0.agg(
+        F.countDistinct("h").cast("long").alias("exact_distinct")
+    )
+    merged = merged_agg.crossJoin(global_exact)
+    merged = merged.select(F.lit(all_label).alias("_g"), *estimate(merged))
+    return per_group.unionByName(merged).withColumnRenamed("_g", group_col)
+
+
 def hll_certified(items: DataFrame, col: str, p: int = 8) -> DataFrame:
     """One row: HLL estimate PLUS the exact distinct-hash control, ONE corpus scan.
 

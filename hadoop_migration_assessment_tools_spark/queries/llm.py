@@ -1275,6 +1275,107 @@ FROM est2, ex
 """
 
 
+# --- docs_shingle_hll_by_lang --------------------------------------------------------
+# [EXT] GROUPED HLL + the mergeability certification (r7). Per-language register
+# sets estimate each language's distinct-shingle cardinality in one keyed shuffle
+# (ext/sketch.py: hll_registers_grouped is the production form). The '*ALL*' row is
+# the heart of the certification: the ENGINE computes it by elementwise-MAX MERGING
+# the per-language registers, while the ORACLE computes the same row from the global
+# distinct set directly — a hash match proves merge(per-group sketches) ==
+# sketch(union) relationally, the property that lets a pipeline keep per-day /
+# per-source registers and union them without rescanning history. Per-language
+# cardinalities are 3.0k-27k at every tested SF — far above the 2.5*m raw-estimate
+# floor (see docs_shingle_hll's regime note).
+
+
+def docs_shingle_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import token_shingles
+    from ..ext.sketch import hll_grouped_certified
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang",
+        F.explode(token_shingles(F.lower(F.col("text")), k=HLL_SHINGLE_K)).alias(
+            "shingle"
+        ),
+    )
+    out = hll_grouped_certified(sh, "lang", "shingle", p=HLL_P)
+    return out.select(
+        "lang",
+        "n_regs_used",
+        "s_total",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_err"),
+    ).orderBy("lang")
+
+
+DOCS_SHINGLE_HLL_BY_LANG_ORACLE = rf"""
+WITH toks AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(t) - {HLL_SHINGLE_K - 1}),
+                i -> array_to_string(t[i:i+{HLL_SHINGLE_K - 1}], ' '))) AS shingle
+  FROM toks WHERE len(t) >= {HLL_SHINGLE_K}
+), hashed AS (
+  SELECT DISTINCT lang, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), ranked AS (
+  SELECT lang, h, (h & 255) AS reg,
+         CASE WHEN (h >> 8) = 0 THEN 53
+              ELSE 53 - length(printf('%b', h >> 8)) END AS r
+  FROM hashed
+), regs AS (
+  SELECT lang, reg, MAX(r) AS max_rank, CAST(COUNT(*) AS BIGINT) AS reg_distinct
+  FROM ranked GROUP BY 1, 2
+), agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_regs_used,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rank)) AS BIGINT) AS s_present,
+         CAST(SUM(reg_distinct) AS BIGINT) AS exact_distinct
+  FROM regs GROUP BY 1
+), gran AS (
+  -- the merged row from the GLOBAL distinct set (NOT by merging): equality with
+  -- the engine's register-merge is the certification
+  SELECT h, (h & 255) AS reg,
+         CASE WHEN (h >> 8) = 0 THEN 53
+              ELSE 53 - length(printf('%b', h >> 8)) END AS r
+  FROM (SELECT DISTINCT h FROM hashed)
+), gregs AS (
+  SELECT reg, MAX(r) AS max_rank FROM gran GROUP BY 1
+), gagg AS (
+  SELECT '*ALL*' AS lang, CAST(COUNT(*) AS BIGINT) AS n_regs_used,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rank)) AS BIGINT) AS s_present,
+         (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM hashed) AS exact_distinct
+  FROM gregs
+), unioned AS (
+  SELECT * FROM agg UNION ALL SELECT * FROM gagg
+), est AS (
+  SELECT lang, n_regs_used,
+         CAST(s_present + (256 - n_regs_used) * CAST(9007199254740992 AS BIGINT) AS BIGINT) AS s_total,
+         exact_distinct
+  FROM unioned
+)
+SELECT lang, n_regs_used, s_total, est_distinct, exact_distinct,
+       ROUND(ABS(est_distinct - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+FROM (
+  SELECT lang, n_regs_used, s_total,
+         ROUND(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+               * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+               / CAST(s_total AS DOUBLE), 4) AS est_distinct,
+         exact_distinct
+  FROM est
+)
+ORDER BY lang
+"""
+
+
 DOCS_HEAVY_TERMS_ORACLE = r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item

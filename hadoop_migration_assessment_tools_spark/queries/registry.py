@@ -248,6 +248,9 @@ QUERIES: dict[str, Query] = {
     # (registers, scaled-integer harmonic sum, estimate); exact distinct rides
     # along as the accuracy control
     "docs_shingle_hll": llm.docs_shingle_hll,
+    # r7: grouped HLL + the mergeability certification (engine merges per-lang
+    # registers; oracle computes the same row from the global distinct set)
+    "docs_shingle_hll_by_lang": llm.docs_shingle_hll_by_lang,
     "emb_hard_negatives": llm.emb_hard_negatives,
     "events_daily_type_matrix": ea.events_daily_type_matrix,  # r6 swap-out, still oracled
     "docs_quality": llm.docs_quality,  # r6 swap-out, still oracled
@@ -397,6 +400,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_ingest_indexed_parity": llm.DOCS_INGEST_INDEXED_PARITY_ORACLE,
     "docs_heavy_terms": llm.DOCS_HEAVY_TERMS_ORACLE,
     "docs_shingle_hll": llm.DOCS_SHINGLE_HLL_ORACLE,
+    "docs_shingle_hll_by_lang": llm.DOCS_SHINGLE_HLL_BY_LANG_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

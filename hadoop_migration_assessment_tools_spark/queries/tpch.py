@@ -1628,7 +1628,7 @@ ORDER BY l_returnflag
 # Bloom-filter semi-join reduction (plans/bloom.py): prune the fact scan against a
 # broadcast Bloom bitmap of the selective key set BEFORE any shuffle or exact join —
 # the canonical 100 TB join-pruning strategy, in its engine-portable form. The md5
-# double-hash positions and the 2048-word bitmap replay exactly in SQL, so ONE oracle
+# double-hash positions and the 16384-word bitmap replay exactly in SQL, so ONE oracle
 # hash certifies the admitted set (true matches AND false positives), the exact-join
 # control counts, and the revenue checksum over the true matches. The probe side is
 # scanned once with k broadcast word-lookups (one ReusedExchange) and zero shuffles
@@ -1660,10 +1660,13 @@ def lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..plans.bloom import BLOOM_M_BITS as _BLOOM_M
+
+
 def _bloom_probe_sql(key: str, i: int) -> str:
     """One Bloom membership probe: join words on the position's word index and
     test its bit. Mirrors plans/bloom.py bloom_position exactly."""
-    pos = f"((h1 + {i} * h2) % 65536)"
+    pos = f"((h1 + {i} * h2) % {_BLOOM_M})"
     return (
         f"JOIN words w{i} ON w{i}.word = CAST({pos} // 32 AS INTEGER) "
         f"AND ((w{i}.bits >> CAST({pos} % 32 AS INTEGER)) & 1) = 1"
@@ -1678,7 +1681,7 @@ WITH keys AS (
          CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
   FROM keys
 ), kpos AS (
-  SELECT ((h1 + i * h2) % 65536) AS pos FROM kh, UNNEST([0, 1, 2]) AS t(i)
+  SELECT ((h1 + i * h2) % {_BLOOM_M}) AS pos FROM kh, UNNEST([0, 1, 2]) AS t(i)
 ), words AS (
   SELECT CAST(pos // 32 AS INTEGER) AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits

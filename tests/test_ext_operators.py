@@ -250,6 +250,31 @@ def test_hll_layout_invariance_accuracy_and_merge(spark):
     assert merged == one_pass, (merged, one_pass)
 
 
+def test_hll_grouped_certified_merge_and_nulls(spark):
+    """Grouped HLL (r7): per-group exact controls are exact, the '*ALL*' row's
+    register-MERGED sketch equals the single-pass global sketch (s_total and
+    estimate identical), and NULL values/groups are dropped rather than
+    forming phantom registers (ADVICE r6)."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        hll_certified,
+        hll_grouped_certified,
+    )
+
+    rows = [("g1", f"item_{i}") for i in range(3000)]
+    rows += [("g2", f"item_{i}") for i in range(1500, 4500)]  # overlaps g1
+    rows += [("g1", None), (None, "item_1"), (None, None)]
+    items = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in hll_grouped_certified(items, "g", "v", p=8).collect()}
+    assert set(out) == {"g1", "g2", "*ALL*"}
+    assert out["g1"]["exact_distinct"] == 3000
+    assert out["g2"]["exact_distinct"] == 3000
+    assert out["*ALL*"]["exact_distinct"] == 4500  # union, not sum
+    # the merged row must equal the ungrouped single-pass sketch bit for bit
+    glob = hll_certified(items.select("v"), "v", p=8).collect()[0]
+    for f in ("n_regs_used", "s_total", "est_distinct", "exact_distinct"):
+        assert out["*ALL*"][f] == glob[f], (f, out["*ALL*"][f], glob[f])
+
+
 def test_language_id_fixtures(spark):
     rows = [
         (1, "the cat and the dog went to the park with a ball", "en"),

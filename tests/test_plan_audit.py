@@ -292,6 +292,9 @@ BNLJ_ALLOWED = {
     "docs_tfidf_top_terms",
     # (r7: docs_shingle_hll left this list — hll_certified computes sketch and
     # exact control in one linear pipeline, no scalar crossJoin remains)
+    # r7: the merged '*ALL*' row is a crossJoin of two 1-row aggregates over the
+    # checkpointed distinct level (merged registers x global exact control)
+    "docs_shingle_hll_by_lang",
 }
 
 
