@@ -66,23 +66,34 @@ def token_shingles(col: Column, k: int = 4) -> Column:
     narrow (no shuffle). Output is element-for-element identical to the
     transform form (same window order; array_distinct keeps first occurrence).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    if k <= 1:
-        windows = toks
-    else:
-        length = n - (k - 1)
-        acc = F.slice(toks, 1, length)
-        for off in range(2, k + 1):
-            acc = F.zip_with(
-                acc,
-                F.slice(toks, off, length),
-                lambda x, y: F.concat(x, F.lit(" "), y),
-            )
-        windows = acc
+    windows, n = _shingle_windows(col, k)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(windows)
     )
+
+
+def _shingle_windows(col: Column, k: int) -> tuple[Column, Column]:
+    """(non-distinct window array, token count) — the zip_with shingling core
+    shared by token_shingles and shingle_index. NOTE: references ``col``'s
+    tokenization k+1 times (one per slice argument); when the input is a raw
+    text column, tokenize into a materialized column first (see shingle_index)
+    so the regex split runs once per row, not k+1 times."""
+    return _shingle_windows_from_tokens(tokens(col), k)
+
+
+def _shingle_windows_from_tokens(toks: Column, k: int) -> tuple[Column, Column]:
+    n = F.size(toks)
+    if k <= 1:
+        return toks, n
+    length = n - (k - 1)
+    acc = F.slice(toks, 1, length)
+    for off in range(2, k + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, off, length),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return acc, n
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -107,24 +118,26 @@ def shingle_index(
     k: int = 4,
     distinct: bool = True,
 ) -> DataFrame:
-    """Exploded (doc, shingle) index: posexplode tokens, window-lead to form k-grams.
+    """Exploded (doc, shingle) index via the zip_with window chain + explode.
 
-    This is the scalable shingling shape: Spark's array higher-order functions are
-    interpreted (CodegenFallback) and nested lambdas re-evaluate inlined children per
-    element — array-form shingling costs O(tokens²) interpreted work per doc. The
-    explode+lead pipeline tokenizes once, runs compiled expressions, and its single
-    shuffle (by doc id) is exactly the distribution the downstream joins want.
+    r7 rewrite: this was a posexplode + window-lead pipeline, adopted in r2
+    because array-form shingling via transform(sequence, i -> slice(toks, ...))
+    re-evaluates the captured token array per element (O(tokens²) interpreted
+    work). The zip_with chain (_shingle_windows) closed that hole — its array
+    arguments evaluate once per row — so the index no longer needs the window's
+    full-token-stream shuffle at all: shingling is NARROW, and downstream
+    groupBy/joins see map-side partial aggregation instead of a pre-shuffled
+    stream (minhash_signatures' shuffle drops from the exploded token stream to
+    ~64 longs per doc). Row order within a doc differs from the window form;
+    every consumer is order-insensitive (distinct / min / semi join).
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    tdf = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
-    last = F.lead("_t", k - 1).over(w)
-    sh = (
-        toks.select("_id", F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("_sh"))
-        .filter(F.col("_sh").isNotNull())
+    windows, n = _shingle_windows_from_tokens(F.col("_toks"), k)
+    sh = tdf.select(
+        F.col("_id"),
+        F.explode(F.when(n >= k, windows)).alias("_sh"),
     )
     return sh.distinct() if distinct else sh
 

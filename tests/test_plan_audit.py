@@ -58,10 +58,10 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
         shuffle_exchange=1, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=5
     ),
     "docs_minhash_near_dup": dict(
-        shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+        shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
     "docs_shingle_jaccard": dict(
-        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=4
+        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
     ),
     "docs_simhash_near_dup": dict(
         shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
@@ -99,10 +99,10 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
         shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=1, bhj=0, shj=0, window=0
     ),
     "docs_decontaminate": dict(
-        shuffle_exchange=5, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=2
+        shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
     ),
     "docs_contamination_ratio": dict(
-        shuffle_exchange=6, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=2
+        shuffle_exchange=6, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=0
     ),
     "qe_submit_complete_join": dict(
         shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=6
@@ -194,8 +194,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     ),
     # Three-stage admission with localCheckpoint lineage cuts at stage boundaries —
     # without them this plan measured 46 shuffles / 177 broadcast exchanges.
+    # r7 re-pin (shingle_index window -> explode form): the 8 per-id Windows are
+    # gone; each consumer now exchanges its own (smaller, partially-aggregated)
+    # output instead of reusing the window's full-token-stream partitioning —
+    # more exchanges, strictly less shuffled volume.
     "docs_incremental_ingest": dict(
-        shuffle_exchange=13, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=8
+        shuffle_exchange=21, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=0
     ),
     # Partitioned rows-frame window per event type — exactly one Window, no joins.
     "events_anomaly_days": dict(
@@ -251,10 +255,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_repeated_spans": dict(
         shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=2
     ),
-    # round 5: contamination audit = the pinned fused-MinHash shape (8 shuffles,
-    # 3 BHJ, 6 windows) + one rollup shuffle; split assignment is scan-local.
+    # round 5: contamination audit = the pinned fused-MinHash shape + one rollup
+    # shuffle; split assignment is scan-local. r7 re-pin: windows 6 -> 2 (the
+    # shingle windows left with the explode-form shingle_index; the remaining 2
+    # are the candidate-rank windows).
     "docs_split_leakage": dict(
-        shuffle_exchange=9, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+        shuffle_exchange=9, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
     # round 5: composed assessment report — four section aggregates over the
     # checkpointed correlated log (pre-checkpoint dedup+correlate not re-shown);
