@@ -438,3 +438,94 @@ def hll_certified(items: DataFrame, col: str, p: int = 8) -> DataFrame:
         F.round(est, 4).alias("est_distinct"),
         F.col("exact_distinct"),
     )
+
+
+# --- engine-portable Count-Min sketch -----------------------------------------------
+# Completes the certified-sketch family: Bloom answers membership (plans/bloom.py),
+# HLL answers distinct cardinality (above), Misra-Gries answers top-k identity
+# (heavy_hitters); Count-Min (Cormode & Muthukrishnan 2005) answers POINT FREQUENCY
+# — "how often does this term occur?" — in d*w bounded counters, never undercounting
+# (est >= true always; est <= true + eps*N with prob 1-delta, eps ~ e/w). The 100 TB
+# use is frequency lookups over a vocabulary too large to exact-count per batch:
+# counters merge by elementwise SUM across batches/days (sum of counts is a count),
+# so a pipeline keeps one d*w table per day and adds them.
+#
+# Portability contract (same as HLL/Bloom): positions come from the repo-wide
+# portable md5-half hashes via Kirsch-Mitzenmacher double hashing pos_i =
+# (h1 + i*h2) mod w (intermediates < 2^34 — ANSI/checked-BIGINT safe), counters are
+# exact BIGINT sums — every intermediate is integer arithmetic both Spark and DuckDB
+# compute identically, so an oracle replays the ENTIRE sketch and its lookups.
+#
+# Shape: the build is ONE shuffle keyed (row, pos) with map-side combine, <= d*w
+# rows out; lookups broadcast the counter table (d*w <= a few thousand rows) and
+# never shuffle the query side.
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row: eps = e/w ~ 0.27% of N per estimate
+
+
+def _cms_positions(col: Column, d: int, w: int) -> Column:
+    """Array of the d Kirsch-Mitzenmacher counter positions of a key.
+
+    coalesce for nullability (not reachability): Spark types ``%`` nullable even
+    with a literal divisor, and nullable join keys re-trigger the isnotnull
+    constraint-inlining documented in plans/bloom.py:_md5_halves."""
+    from .dedup import portable_token_hash_halves
+
+    h1, h2 = portable_token_hash_halves(col)
+    return F.array(
+        *[
+            F.coalesce((h1 + F.lit(i) * h2) % F.lit(w), F.lit(0)).cast("int")
+            for i in range(d)
+        ]
+    )
+
+
+def cms_counters(items: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """(row, pos, cnt) Count-Min counter table over item OCCURRENCES.
+
+    Production build: one pass, one map-side-combined shuffle, <= d*w rows out.
+    Mergeable across builds by groupBy(row, pos).sum(cnt)."""
+    pos = F.posexplode(_cms_positions(F.col(col), d, w))
+    return (
+        items.where(F.col(col).isNotNull())
+        .select(pos.alias("row", "pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_counters_weighted(
+    term_counts: DataFrame, col: str, weight_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Counter table from a pre-aggregated (term, count) relation — identical to
+    ``cms_counters`` over the raw occurrences by associativity of SUM (pytest
+    asserts the equality). This is the certification shape: a query that already
+    owns exact per-term counts derives the sketch from the vocabulary-sized
+    relation instead of re-scanning the corpus."""
+    pos = F.posexplode(_cms_positions(F.col(col), d, w))
+    return (
+        term_counts.where(F.col(col).isNotNull())
+        .select(pos.alias("row", "pos"), F.col(weight_col).alias("_w"))
+        .groupBy("row", "pos")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    queries: DataFrame, col: str, counters: DataFrame, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point-frequency estimates: queries + (cms_count = min over the d rows).
+
+    d broadcast left joins against the counter relation collapsed to one
+    per-term MIN; an absent (row, pos) cell means zero occurrences hashed there
+    (count 0), which correctly zeroes the MIN for never-seen terms."""
+    probes = (
+        queries.where(F.col(col).isNotNull())
+        .select("*", F.posexplode(_cms_positions(F.col(col), d, w)).alias("row", "pos"))
+        .join(F.broadcast(counters), ["row", "pos"], "left")
+    )
+    others = [c for c in queries.columns if c != col]
+    return probes.groupBy(col, *others).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count")
+    )

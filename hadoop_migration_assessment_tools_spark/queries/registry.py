@@ -251,6 +251,10 @@ QUERIES: dict[str, Query] = {
     # r7: grouped HLL + the mergeability certification (engine merges per-lang
     # registers; oracle computes the same row from the global distinct set)
     "docs_shingle_hll_by_lang": llm.docs_shingle_hll_by_lang,
+    # r7: engine-portable Count-Min point-frequency sketch — the oracle replays
+    # hashes, counter sums, and min-over-rows lookups; overcount (collision
+    # mass) is a certified output, est >= exact enforced in-plan
+    "docs_shingle_cms": llm.docs_shingle_cms,
     "emb_hard_negatives": llm.emb_hard_negatives,
     "events_daily_type_matrix": ea.events_daily_type_matrix,  # r6 swap-out, still oracled
     "docs_quality": llm.docs_quality,  # r6 swap-out, still oracled
@@ -401,6 +405,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_heavy_terms": llm.DOCS_HEAVY_TERMS_ORACLE,
     "docs_shingle_hll": llm.DOCS_SHINGLE_HLL_ORACLE,
     "docs_shingle_hll_by_lang": llm.DOCS_SHINGLE_HLL_BY_LANG_ORACLE,
+    "docs_shingle_cms": llm.DOCS_SHINGLE_CMS_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

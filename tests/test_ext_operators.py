@@ -2012,3 +2012,57 @@ def test_interleave_schedule_round_robin_properties(spark):
     other = {(r["doc_id"], r["position"]) for r in
              interleave_schedule(df, "domain", salt="epoch1").collect()}
     assert other != again  # a new salt is a new shuffle
+
+
+def test_cms_build_forms_identical_and_never_undercounts(spark):
+    """Weighted (vocab-relation) build == occurrence build (associativity of SUM),
+    and the Count-Min guarantee est >= exact holds for EVERY term, not just the
+    top-k slice the registry query reports."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        cms_counters,
+        cms_counters_weighted,
+        cms_lookup,
+    )
+
+    toks = spark.createDataFrame(
+        [(f"tok{i % 97}",) for i in range(3000)] + [(None,)], "term: string"
+    )
+    raw = {(r["row"], r["pos"]): r["cnt"] for r in cms_counters(toks, "term", w=64).collect()}
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    weighted = {
+        (r["row"], r["pos"]): r["cnt"]
+        for r in cms_counters_weighted(vocab, "term", "n", w=64).collect()
+    }
+    assert raw == weighted
+    counters = cms_counters(toks, "term", w=64)
+    est = cms_lookup(vocab, "term", counters, w=64).collect()
+    assert len(est) == 97
+    assert all(r["cms_count"] >= r["n"] for r in est)  # never undercounts
+    # w=64 over 97 keys forces collisions: at least one real overcount observed
+    assert any(r["cms_count"] > r["n"] for r in est)
+    # absent key: est is the (possibly zero) collision mass, never negative
+    ghost = spark.createDataFrame([("never-seen",)], "term: string")
+    g = cms_lookup(ghost, "term", counters, w=64).collect()[0]
+    assert g["cms_count"] >= 0
+
+
+def test_cms_counters_merge_by_sum(spark):
+    """Counter tables merge by elementwise SUM: merge(build(A), build(B)) ==
+    build(A union B) — the property that lets a pipeline keep per-day sketches."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import cms_counters
+
+    a = spark.createDataFrame([(f"a{i % 11}",) for i in range(200)], "term: string")
+    b = spark.createDataFrame([(f"b{i % 13}",) for i in range(300)], "term: string")
+    merged = (
+        cms_counters(a, "term", w=32)
+        .unionByName(cms_counters(b, "term", w=32))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    direct = cms_counters(a.unionByName(b), "term", w=32)
+    as_map = lambda df: {(r["row"], r["pos"]): r["cnt"] for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(direct)

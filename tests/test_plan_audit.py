@@ -201,6 +201,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_incremental_ingest": dict(
         shuffle_exchange=21, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=0
     ),
+    # r7: Count-Min certification — vocab relation is localCheckpointed (its
+    # build shuffle is behind the lineage cut); visible plan = one counter
+    # groupBy shuffle + one broadcast lookup join, no windows.
+    "docs_shingle_cms": dict(
+        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
     # Partitioned rows-frame window per event type — exactly one Window, no joins.
     "events_anomaly_days": dict(
         shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
