@@ -35,7 +35,13 @@ def main() -> None:
     # not the plan. A 32-partition no-op mapInPandas touches every worker slot;
     # importing numpy inside the UDF mirrors what the real UDFs do.
     def _warm(batches):
-        import numpy  # noqa: F401 - per-worker import cost is the warm target
+        # Per-worker one-time costs are the warm target: numpy/pandas import plus
+        # the repo's own UDF-bearing modules (multimodal/jpeg pull numpy kernels),
+        # which cloudpickled UDFs import on first use in each worker — without
+        # this, the first media query measures ~3 s of module import, not its plan.
+        import numpy  # noqa: F401
+
+        from hadoop_migration_assessment_tools_spark.ext import multimodal  # noqa: F401
 
         yield from batches
 
