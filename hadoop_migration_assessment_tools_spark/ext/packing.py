@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _PART = "__pack_part"
 
@@ -32,6 +32,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     budget: int = 2048,
     num_partitions: int = 32,
+    partition_expr: Column | None = None,
 ) -> DataFrame:
     """Assign each doc to a bin such that per-bin token sums stay within ``budget``.
 
@@ -41,6 +42,12 @@ def pack_sequences(
 
     Deterministic: partition by ``hash(id) % num_partitions``, pack in
     (tokens desc, id asc) order — replays produce identical assignments.
+
+    ``partition_expr`` overrides the group key (must produce ints in
+    [0, num_partitions)): the default xxhash64 balances adversarial id
+    distributions, but is engine-internal; a certifying query passes a PORTABLE
+    key (e.g. ``pmod(id, n)``) so an external SQL engine can replay the exact
+    per-group FFD fold (docs_pack_sequences' oracle does, via recursive CTE).
 
     Returns (id_col, n_tokens, bin_id, overflow).
     """
@@ -85,9 +92,14 @@ def pack_sequences(
             }
         )
 
+    part_key = (
+        partition_expr
+        if partition_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_partitions))
+    )
     prepped = df.select(
         F.col(id_col),
         F.col(token_col).cast("long").alias("_n"),
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_partitions))).alias(_PART),
+        part_key.cast("int").alias(_PART),
     )
     return prepped.groupBy(_PART).applyInPandas(pack, schema=out_schema)

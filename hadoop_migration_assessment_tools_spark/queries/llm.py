@@ -2128,16 +2128,21 @@ ORDER BY lang
 # --- docs_pack_sequences ------------------------------------------------------------
 # [EXT] chunk -> pack composition (ext/packing.py): chunk to 128-token windows, then
 # first-fit-decreasing pack the chunks into 512-token training bins, partition-local
-# (no shuffle beyond one hash repartition). Rows-only: bin ids depend on the hash
-# partitioner; the packing INVARIANTS (each chunk exactly once, no bin over budget,
-# deterministic replay) are pytest-asserted, and the summary row's utilization shows
-# the packing is doing real work (~0.74 at sf0.01 — partition-local FFD tails off
-# with only ~60 chunks per partition; fill improves with corpus size as every open
-# bin sees more candidates).
+# (no shuffle beyond one hash repartition). r7 upgrade (rows-only -> oracled): the
+# certifying form partitions by the PORTABLE key chunk_uid % 32 (production default
+# stays xxhash64 — partition_expr seam), which lets DuckDB replay the EXACT
+# per-group FFD fold with a recursive CTE: the fold state is each group's open-bin
+# capacity LIST, one lockstep iteration per within-group rank, first-fit =
+# list_position over a c >= n scan, bin count = final list length. n_seqs /
+# total_tokens / n_overflow are closed-form; n_bins — the only fold-dependent
+# output, and with it utilization — is what the recursive replay certifies.
+# Utilization ~0.74 at sf0.01: partition-local FFD tails off with only ~60 chunks
+# per partition; fill improves with corpus size.
 
 PACK_CHUNK_TOKENS = 128
 PACK_CHUNK_OVERLAP = 16
 PACK_BUDGET = 512
+PACK_N_PARTS = 32
 
 
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2150,7 +2155,18 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "chunk_uid", F.col("doc_id") * 10_000 + F.col("chunk_idx")
     )
-    packed = pack_sequences(chunks, "chunk_tokens", "chunk_uid", budget=PACK_BUDGET)
+    # Portable group key = doc_id % 32 (chunk_uid % 32 would collapse to two
+    # groups: 10000 = 16 mod 32, so the uid's low bits carry only doc parity).
+    # Keying by doc also means a doc's chunks pack together — the locality a
+    # training pipeline wants anyway.
+    packed = pack_sequences(
+        chunks,
+        "chunk_tokens",
+        "chunk_uid",
+        budget=PACK_BUDGET,
+        num_partitions=PACK_N_PARTS,
+        partition_expr=F.pmod(F.col("doc_id"), F.lit(PACK_N_PARTS)),
+    )
     agg = packed.agg(
         count_big("n_seqs"),
         F.count_distinct("bin_id").cast("long").alias("n_bins"),
@@ -2163,6 +2179,68 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / (F.col("n_bins") * F.lit(PACK_BUDGET)), 4
         ).alias("utilization"),
     )
+
+
+
+# The oracle replays the EXACT per-group FFD fold as a recursive CTE: state =
+# each group's open-bin capacity list, one lockstep iteration per within-group
+# rank (32 rows per iteration), first-fit = list_position of the first capacity
+# >= n (DuckDB's list_position returns 0-or-NULL for "not found" depending on
+# version — both guarded), bin update = slice/concat around the hit index.
+# chunks/ranked are MATERIALIZED so the recursive member joins a computed table
+# instead of re-deriving tokenize+window per iteration (120x measured). Only
+# n_bins (and through it utilization) needs the fold; the other outputs are
+# closed-form and double as cross-checks that the fold consumed every chunk.
+
+DOCS_PACK_SEQUENCES_ORACLE = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {PACK_CHUNK_TOKENS} THEN 1
+              ELSE CAST(ceil((n - {PACK_CHUNK_TOKENS}) / {PACK_CHUNK_TOKENS - PACK_CHUNK_OVERLAP}.0) AS BIGINT) + 1 END AS n_chunks
+  FROM t
+), chunks AS MATERIALIZED (
+  SELECT doc_id, doc_id * 10000 + i AS chunk_uid,
+         least({PACK_CHUNK_TOKENS}, n - i * {PACK_CHUNK_TOKENS - PACK_CHUNK_OVERLAP}) AS n_tok
+  FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+), ranked AS MATERIALIZED (
+  SELECT doc_id % {PACK_N_PARTS} AS g, chunk_uid, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {PACK_N_PARTS}
+                            ORDER BY n_tok DESC, chunk_uid ASC) AS rn
+  FROM chunks
+), steps AS (
+  SELECT g, 0 AS rn, CAST([] AS BIGINT[]) AS caps
+  FROM (SELECT DISTINCT g FROM ranked) AS gg
+  UNION ALL
+  SELECT g, rn,
+         CASE WHEN n_tok > {PACK_BUDGET} THEN caps || [CAST(0 AS BIGINT)]
+              WHEN idx IS NULL OR idx = 0 THEN caps || [CAST({PACK_BUDGET} AS BIGINT) - n_tok]
+              ELSE caps[1:idx-1] || [caps[idx] - n_tok] || caps[idx+1:]
+         END AS caps
+  FROM (
+    SELECT r.g AS g, r.rn AS rn, r.n_tok AS n_tok, s.caps AS caps,
+           list_position(list_transform(s.caps, x -> x >= r.n_tok), true) AS idx
+    FROM steps s JOIN ranked r ON r.g = s.g AND r.rn = s.rn + 1
+  ) AS step
+), fin AS (
+  SELECT g, caps FROM (
+    SELECT g, caps, ROW_NUMBER() OVER (PARTITION BY g ORDER BY rn DESC) AS rk
+    FROM steps
+  ) WHERE rk = 1
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM chunks) AS n_seqs,
+  CAST(SUM(len(caps)) AS BIGINT) AS n_bins,
+  (SELECT CAST(SUM(n_tok) AS BIGINT) FROM chunks) AS total_tokens,
+  (SELECT CAST(SUM(CASE WHEN n_tok > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) FROM chunks) AS n_overflow,
+  ROUND(CAST((SELECT SUM(n_tok) FROM chunks) AS DOUBLE)
+        / (CAST(SUM(len(caps)) AS BIGINT) * {PACK_BUDGET}), 4) AS utilization
+FROM fin
+"""
 
 
 # --- docs_pack_invariants -----------------------------------------------------------

@@ -268,10 +268,12 @@ QUERIES: dict[str, Query] = {
     # favor. docs_shingle_jaccard moved here in the r6 fourth swap, still oracled.
     "docs_shingle_jaccard": llm.docs_shingle_jaccard,
     "emb_cluster_profile": llm.emb_cluster_profile,
+    # r7 (rows-only -> oracled): portable doc_id%32 group key + a recursive-CTE
+    # replay of the exact per-group FFD fold (state = open-bin capacity list)
+    "docs_pack_sequences": llm.docs_pack_sequences,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
-    "docs_pack_sequences": llm.docs_pack_sequences,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -406,6 +408,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_shingle_hll": llm.DOCS_SHINGLE_HLL_ORACLE,
     "docs_shingle_hll_by_lang": llm.DOCS_SHINGLE_HLL_BY_LANG_ORACLE,
     "docs_shingle_cms": llm.DOCS_SHINGLE_CMS_ORACLE,
+    "docs_pack_sequences": llm.DOCS_PACK_SEQUENCES_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

@@ -41,6 +41,9 @@ PARTITIONING_SENSITIVE = [
     # must not; simhash banding must stay lossless under any layout
     "docs_heavy_terms",
     "docs_simhash_near_dup",
+    # round 7: the FFD fold must be layout-independent — its group key is an
+    # explicit portable expression, not the physical partitioner
+    "docs_pack_sequences",
 ]
 
 
