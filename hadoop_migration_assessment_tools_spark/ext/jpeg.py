@@ -8,10 +8,11 @@ entropy bitstream with 0xFF byte stuffing, JFIF marker structure, generic
 component sampling factors (4:4:4, 4:2:0, 4:2:2 MCU interleave) and RSTn
 restart markers.
 
-Decoder coverage: SOF0 baseline sequential AND SOF2 progressive (spectral
+Decoder coverage: SOF0 baseline sequential, SOF1 extended sequential (8- and
+12-bit precision, 16-bit Pq=1 DQT tables) AND SOF2 progressive (spectral
 selection + successive approximation, DC/AC first and refinement scans, EOB
 runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow). The remaining
-processes (arithmetic coding, hierarchical, 12-bit precision, lossless) raise
+processes (arithmetic coding, hierarchical, 12-bit progressive, lossless) raise
 NotImplementedError, matching the WAV/PPM/PNG codecs' partial-coverage
 discipline (ext/multimodal.py callers catch and fall back with decoded=false).
 
@@ -106,16 +107,16 @@ def _idct(blocks: np.ndarray) -> np.ndarray:
     return np.einsum("xu,nuv,yv->nxy", _DCT_C.T, blocks, _DCT_C.T)
 
 
-def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(px: np.ndarray, half: float = 128.0) -> np.ndarray:
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+def _ycbcr_to_rgb(ycc: np.ndarray, half: float = 128.0) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - half, ycc[..., 2] - half
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
@@ -151,6 +152,19 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int,
 
 _ENC_DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
 _ENC_AC_CODES = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+#: 12-bit (extended sequential, T.81 Table F.6/F.7) tables: DC size categories
+#: reach 15 and AC sizes 14, so the 8-bit tables above can't encode them. 15 DC
+#: codes at length 4 + 1 at 5 and 225 AC codes at length 8 + 1 at 9 keep the
+#: all-ones code of every length reserved (T.81 C.2), same as the 8-bit tables.
+_DC_SYMBOLS_12 = list(range(16))
+_DC_BITS_12 = [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMBOLS_12 = sorted(
+    {0x00, 0xF0} | {(run << 4) | size for run in range(16) for size in range(1, 15)}
+)
+_AC_BITS_12 = [0, 0, 0, 0, 0, 0, 0, 225, 1, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_CODES_12 = _canonical_codes(_DC_BITS_12, _DC_SYMBOLS_12)
+_ENC_AC_CODES_12 = _canonical_codes(_AC_BITS_12, _AC_SYMBOLS_12)
 
 
 class _BitWriter:
@@ -209,13 +223,15 @@ def _amplitude_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _quantized_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+def _quantized_blocks(
+    plane: np.ndarray, qtable: np.ndarray, half: float = 128.0
+) -> np.ndarray:
     """Level-shift, 8x8-tile, FDCT and quantize one component plane.
     Returns (n_blocks_v, n_blocks_h, 8, 8) int32 quantized coefficients."""
     h, w = plane.shape
     bv, bh = h // 8, w // 8
     blocks = plane.reshape(bv, 8, bh, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    coefs = _fdct(blocks - 128.0)
+    coefs = _fdct(blocks - half)
     q = np.round(coefs / qtable).astype(np.int32)
     return q.reshape(bv, bh, 8, 8)
 
@@ -266,22 +282,42 @@ def _encode_block(
 
 
 def make_jpeg_bytes(
-    pixels, quality: int = 90, subsampling: str = "4:4:4", restart_interval: int = 0
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF.
+    """Encode an (h, w, 3) RGB array as baseline (8-bit, SOF0) or extended
+    sequential (12-bit, SOF1) JFIF.
 
     ``subsampling``: "4:4:4" (one block per component per MCU) or "4:2:0"
     (2x2 luma blocks + box-averaged half-resolution chroma per MCU).
     ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = none) —
     exists mainly so the decoder's restart path has a real producer to test
-    against."""
+    against.
+    ``precision``: 8 (uint8 input, 8-bit DQT, SOF0) or 12 (uint16 input in
+    [0, 4095], Annex-K tables x16 emitted as 16-bit Pq=1 DQT, SOF1, extended
+    Huffman tables covering DC sizes to 15 / AC sizes to 14 per T.81 F.6/F.7) —
+    the producer for the decoder's extended-sequential path."""
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     sub = subsampling == "4:2:0"
-    px = np.asarray(pixels, dtype=np.uint8)
+    half = float(1 << (precision - 1))
+    px = np.asarray(pixels, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(px.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
     h, w, _ = px.shape
-    ycc = _rgb_to_ycbcr(px.astype(np.float64))
+    ycc = _rgb_to_ycbcr(px.astype(np.float64), half=half)
     qt = [_quality_scaled(_QT_LUM, quality), _quality_scaled(_QT_CHROM, quality)]
+    if precision == 12:
+        # scale the 8-bit-reference tables into the 12-bit coefficient range
+        # (libjpeg's jcparam.c does the same x16); needs the 16-bit DQT form
+        qt = [t * 16.0 for t in qt]
+    dc_codes = _ENC_DC_CODES if precision == 8 else _ENC_DC_CODES_12
+    ac_codes = _ENC_AC_CODES if precision == 8 else _ENC_AC_CODES_12
 
     if sub:
         y = _pad_to_blocks(ycc[..., 0], 16)
@@ -297,7 +333,8 @@ def make_jpeg_bytes(
         planes = [_pad_to_blocks(ycc[..., c]) for c in range(3)]
         samp = [(1, 1)] * 3
     quant = [
-        _quantized_blocks(planes[c], qt[0 if c == 0 else 1]) for c in range(3)
+        _quantized_blocks(planes[c], qt[0 if c == 0 else 1], half=half)
+        for c in range(3)
     ]
 
     wr = _BitWriter()
@@ -318,7 +355,7 @@ def make_jpeg_bytes(
                         blk = quant[c][my * cv + by, mx * ch + bx]
                         zz = blk[_ZZ_ROWS, _ZZ_COLS]
                         dc_pred[c] = _encode_block(
-                            zz, dc_pred[c], wr, _ENC_DC_CODES, _ENC_AC_CODES
+                            zz, dc_pred[c], wr, dc_codes, ac_codes
                         )
             mcu_count += 1
     wr.flush()
@@ -327,16 +364,18 @@ def make_jpeg_bytes(
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     def dqt(tid: int, table: np.ndarray) -> bytes:
-        zz = table[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
-        return seg(0xFFDB, bytes([tid]) + zz.tobytes())
+        zz = table[_ZZ_ROWS, _ZZ_COLS]
+        if precision == 12:  # Pq=1: 16-bit big-endian table entries (T.81 B.2.4.1)
+            return seg(0xFFDB, bytes([0x10 | tid]) + zz.astype(">u2").tobytes())
+        return seg(0xFFDB, bytes([tid]) + zz.astype(np.uint8).tobytes())
 
     def dht(tclass: int, tid: int, bits: list[int], values: list[int]) -> bytes:
         return seg(0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values))
 
     y_sampling = 0x22 if sub else 0x11
     sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
+        0xFFC0 if precision == 8 else 0xFFC1,  # SOF0 baseline / SOF1 extended
+        struct.pack(">BHHB", precision, h, w, 3)
         + bytes([1, y_sampling, 0])  # Y
         + bytes([2, 0x11, 1])  # Cb
         + bytes([3, 0x11, 1]),  # Cr
@@ -354,10 +393,14 @@ def make_jpeg_bytes(
         + dqt(0, qt[0])
         + dqt(1, qt[1])
         + sof
-        + dht(0, 0, _DC_BITS, _DC_SYMBOLS)
-        + dht(1, 0, _AC_BITS, _AC_SYMBOLS)
-        + dht(0, 1, _DC_BITS, _DC_SYMBOLS)
-        + dht(1, 1, _AC_BITS, _AC_SYMBOLS)
+        + dht(0, 0, *((_DC_BITS, _DC_SYMBOLS) if precision == 8
+                      else (_DC_BITS_12, _DC_SYMBOLS_12)))
+        + dht(1, 0, *((_AC_BITS, _AC_SYMBOLS) if precision == 8
+                      else (_AC_BITS_12, _AC_SYMBOLS_12)))
+        + dht(0, 1, *((_DC_BITS, _DC_SYMBOLS) if precision == 8
+                      else (_DC_BITS_12, _DC_SYMBOLS_12)))
+        + dht(1, 1, *((_AC_BITS, _AC_SYMBOLS) if precision == 8
+                      else (_AC_BITS_12, _AC_SYMBOLS_12)))
         + dri
         + sos
         + bytes(wr.out)
@@ -714,12 +757,14 @@ def _extend(v: int, size: int) -> int:
 def parse_jpeg(payload: bytes, _return_coefs: bool = False):
     """Decode baseline JFIF/JPEG -> (h, w, 3) uint8 RGB ndarray.
 
-    Supports: SOF0 baseline sequential DCT AND SOF2 progressive (spectral
-    selection + successive approximation, DC/AC first and refinement scans),
-    8-bit precision, 1 or 3 components, generic sampling factors (4:4:4 /
-    4:2:0 / 4:2:2 MCU interleave), DRI/RSTn restart intervals, multiple
-    DQT/DHT segments. Raises NotImplementedError for the remaining
-    non-baseline processes (arithmetic, hierarchical, 12-bit, lossless);
+    Supports: SOF0 baseline sequential DCT, SOF1 extended sequential (8- and
+    12-bit precision; 12-bit output is the top 8 bits of each sample) AND SOF2
+    progressive (spectral selection + successive approximation, DC/AC first
+    and refinement scans), 1 or 3 components, generic sampling factors
+    (4:4:4 / 4:2:0 / 4:2:2 MCU interleave), 8- and 16-bit DQT tables,
+    DRI/RSTn restart intervals, multiple DQT/DHT segments. Raises
+    NotImplementedError for the remaining non-baseline processes
+    (arithmetic, hierarchical, 12-bit progressive, lossless);
     any other failure on a
     torn/malformed payload is normalized to ValueError so callers' documented
     decoded=false fallback routes it instead of the raw struct.error/IndexError/
@@ -749,6 +794,7 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
     h = w = 0
     restart_interval = 0
     progressive = False
+    precision = 8
     grids_ready = False
     mcux = mcuy = hmax = vmax = 0
     scans = 0
@@ -771,13 +817,20 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
             off = 0
             while off < len(body):
                 prec, tid = body[off] >> 4, body[off] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=off + 1)
+                if prec not in (0, 1):
+                    raise ValueError(f"invalid DQT precision field {prec}")
+                if prec:  # Pq=1: 16-bit big-endian entries (T.81 B.2.4.1)
+                    if off + 129 > len(body):
+                        raise ValueError("truncated 16-bit DQT segment")
+                    zz = np.frombuffer(body, dtype=">u2", count=64, offset=off + 1)
+                else:
+                    if off + 65 > len(body):
+                        raise ValueError("truncated DQT segment")
+                    zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=off + 1)
                 qt = np.zeros((8, 8))
                 qt[_ZZ_ROWS, _ZZ_COLS] = zz
                 qtables[tid] = qt
-                off += 65
+                off += 129 if prec else 65
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(body):
@@ -787,11 +840,16 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 values = list(body[off + 17 : off + 17 + nvals])
                 huff[(tclass, tid)] = _huffman_lut(bits, values)
                 off += 17 + nvals
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / SOF1 extended / SOF2 prog.
             progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
+            # SOF0 is 8-bit by definition; SOF1 extended sequential adds 12-bit
+            # (T.81 Table B.2). 12-bit progressive stays honestly unimplemented.
+            if prec not in ((8, 12) if marker == 0xC1 else (8,)):
+                raise NotImplementedError(
+                    f"{prec}-bit precision for SOF marker 0xFF{marker:02X}"
+                )
+            precision = prec
             if h * w > JPEG_MAX_PIXELS:
                 # decompression-bomb guard (same idea as PIL MAX_IMAGE_PIXELS):
                 # a few flipped SOF bytes must not make one corpus row allocate
@@ -803,7 +861,7 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise ValueError(f"invalid SOF sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "q": qid})
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
@@ -860,7 +918,7 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
             blocks = np.zeros((flat.shape[0], 8, 8))
             blocks[:, _ZZ_ROWS, _ZZ_COLS] = flat
             c["coefs"] = (blocks * qtables[c["q"]]).reshape(c["bh"], c["bw"], 8, 8)
-        return _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs)
+        return _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs, precision)
 
     # --- baseline entropy decode: the per-coefficient hot loop ------------------
     # Everything is inlined into plain-int arithmetic on local variables (no
@@ -968,7 +1026,7 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
         blocks = np.zeros((nb, 8, 8))
         blocks[:, _ZZ_ROWS, _ZZ_COLS] = flat
         c["coefs"] = (blocks * qtables[c["q"]]).reshape(c["bh"], c["bw"], 8, 8)
-    return _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs)
+    return _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs, precision)
 
 
 def _noninterleaved_dims(c, hmax, vmax, w, h):
@@ -1161,12 +1219,18 @@ def _decode_progressive_scan(
     rd._bit = state["bit"]
 
 
-def _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs):
-    """Dequantized block tensors -> cropped RGB (shared by both processes)."""
+def _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs, precision=8):
+    """Dequantized block tensors -> cropped RGB (shared by both processes).
+
+    12-bit decodes return the top 8 bits of each [0, 4095] sample (>> 4) so the
+    downstream features pipeline stays uniform uint8 — documented lossy view,
+    same spirit as libjpeg's scaled output."""
+    half = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     planes = []
     for c in comps:
         blocks = c["coefs"].reshape(-1, 8, 8)
-        spatial = _idct(blocks) + 128.0
+        spatial = _idct(blocks) + half
         bh_, bw_ = c["bh"], c["bw"]
         plane = (
             spatial.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
@@ -1179,8 +1243,12 @@ def _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs):
     if len(comps) == 1:
         rgb = np.stack([planes[0]] * 3, axis=-1)
     else:
-        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
-    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1), half=half)
+    vals = np.clip(np.round(rgb), 0, maxv)
+    if precision > 8:
+        px = (vals.astype(np.uint16) >> (precision - 8)).astype(np.uint8)
+    else:
+        px = vals.astype(np.uint8)
     if _return_coefs:
         return px, [c["coefs"] for c in comps]
     return px

@@ -2,11 +2,12 @@
 
 The decode step is REAL for the formats parseable with numpy/stdlib —
 WAV (RIFF PCM) audio, PPM (P6) images, PNG (8-bit truecolor; zlib inflate +
-full scanline unfiltering), and JPEG both baseline (SOF0 sequential-DCT:
-Huffman entropy decode, dequant, IDCT, chroma upsampling) and progressive
-(SOF2 spectral selection + successive approximation) — ext/jpeg.py —
-implemented from their public format specs, with no media libraries. Formats
-that genuinely require external codecs (arithmetic/12-bit jpeg, mp3, mp4
+full scanline unfiltering), and JPEG baseline (SOF0 sequential-DCT:
+Huffman entropy decode, dequant, IDCT, chroma upsampling), progressive
+(SOF2 spectral selection + successive approximation) and 12-bit extended
+sequential (SOF1, 16-bit DQT) — ext/jpeg.py — implemented from their public
+format specs, with no media libraries. Formats that genuinely require
+external codecs (arithmetic-coded jpeg, mp3, mp4
 "video" here) raise ``NotImplementedError`` from ``decode_media`` and
 ``extract_features`` falls back to a clearly-marked deterministic digest feature,
 so the distributed pipeline shape stays exercised end to end either way.
@@ -333,9 +334,10 @@ def resize_image(pixels, out_h: int, out_w: int):
 
 def decode_media(payload: bytes, kind: str, meta=None) -> dict:
     """Decode an opaque payload into numpy form. Real for WAV PCM audio, PPM/PNG
-    images, JPEG (baseline AND progressive), and PVID video; anything else (true
-    video codecs, arithmetic-coded jpeg, mp3...) needs external libs this
-    container doesn't have and raises NotImplementedError — callers fall back."""
+    images, JPEG (baseline, progressive AND 12-bit extended sequential), and PVID
+    video; anything else (true video codecs, arithmetic-coded jpeg, mp3...) needs
+    external libs this container doesn't have and raises NotImplementedError —
+    callers fall back."""
     payload = bytes(payload)
     if payload[:4] == b"RIFF":
         samples, rate = parse_wav(payload)
@@ -500,14 +502,21 @@ def synthesize_media(
                     elif image_format == "jpeg":
                         from .jpeg import make_jpeg_bytes, make_progressive_jpeg_bytes
 
-                        # alternate baseline / PROGRESSIVE so the corpus carries
-                        # both real-world JPEG processes (both decode for real)
-                        mk = (
-                            make_progressive_jpeg_bytes
-                            if (doc_id // 3) % 2
-                            else make_jpeg_bytes
-                        )
-                        payload, kind = mk(px, quality=90), "image"
+                        # cycle baseline / PROGRESSIVE / 12-BIT extended
+                        # sequential so the corpus carries all three real-world
+                        # JPEG processes the decoder covers (all decode for real)
+                        variant = (doc_id // 3) % 3
+                        if variant == 1:
+                            payload = make_progressive_jpeg_bytes(px, quality=90)
+                        elif variant == 2:
+                            payload = make_jpeg_bytes(
+                                (px.astype(np.uint16) << 4) | (px >> 4),
+                                quality=90,
+                                precision=12,
+                            )
+                        else:
+                            payload = make_jpeg_bytes(px, quality=90)
+                        kind = "image"
                         meta = ("image/jpeg", w, h, None, None)
                     else:
                         payload, kind = make_ppm_bytes(px), "image"

@@ -674,18 +674,23 @@ def test_jpeg_malformed_payloads_route_to_fallback():
 
 
 def _fuzz_corpus():
-    """Valid baseline + progressive JPEGs (both subsamplings), built once."""
+    """Valid baseline + progressive + 12-bit JPEGs (both subsamplings), built once."""
+    import numpy as np
+
     from hadoop_migration_assessment_tools_spark.ext.jpeg import (
         make_jpeg_bytes,
         make_progressive_jpeg_bytes,
     )
 
     px = _gradient_image()
+    px12 = (px.astype(np.uint16) << 4) | (px >> 4)
     return [
         make_jpeg_bytes(px, quality=80, subsampling="4:4:4"),
         make_jpeg_bytes(px, quality=60, subsampling="4:2:0", restart_interval=3),
         make_progressive_jpeg_bytes(px, quality=80, subsampling="4:4:4"),
         make_progressive_jpeg_bytes(px, quality=60, subsampling="4:2:0"),
+        make_jpeg_bytes(px12, quality=80, subsampling="4:4:4", precision=12),
+        make_jpeg_bytes(px12, quality=60, subsampling="4:2:0", precision=12),
     ]
 
 
@@ -694,7 +699,7 @@ _FUZZ_JPEGS: list[bytes] = []
 
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
-    which=st.integers(0, 3),
+    which=st.integers(0, 5),
     op=st.sampled_from(["truncate", "flip", "flip3", "trunc+flip"]),
     frac=st.floats(0.0, 1.0),
     bitpos=st.integers(0, 2**31),
@@ -731,6 +736,78 @@ def test_jpeg_fuzz_decode_or_clean_fallback(which, op, frac, bitpos):
         assert out.ndim == 3 and out.shape[2] == 3 and out.dtype.name == "uint8"
     decoded, feats = media_features(payload, "image")
     assert isinstance(decoded, bool) and len(feats) == 8
+
+
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """12-bit extended sequential (SOF1, 16-bit Pq=1 DQT, T.81 F.6/F.7 extended
+    Huffman size ranges): the coefficient-exact golden must hold through the
+    16-bit-table dequantization, and the pixel output (top 8 bits of each
+    12-bit sample) must approximate the 8-bit view of the source."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import jpeg as J
+
+    px8 = _gradient_image(24, 40)
+    px12 = (px8.astype(np.uint16) << 4) | (px8 >> 4)  # 0..255 -> 0..4095
+    q = 75
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 3):
+            data = J.make_jpeg_bytes(
+                px12, quality=q, subsampling=sub, restart_interval=ri, precision=12
+            )
+            # marker structure: SOF1, not SOF0; a 16-bit (Pq=1) DQT present
+            assert data.find(b"\xff\xc1") > 0 and data.find(b"\xff\xc0") < 0
+            dqt_off = data.find(b"\xff\xdb")
+            assert data[dqt_off + 4] >> 4 == 1  # Pq=1
+            out = J.parse_jpeg(data)
+            assert out.shape == px8.shape and out.dtype == np.uint8
+            err = int(np.abs(out.astype(int) - px8.astype(int)).max())
+            assert err <= (16 if sub == "4:2:0" else 6), (sub, ri, err)
+
+    # coefficient-exact golden (4:4:4): decoder dequant == encoder quant * table
+    data = J.make_jpeg_bytes(px12, quality=q, precision=12)
+    _, coefs = J.parse_jpeg(data, _return_coefs=True)
+    ycc = J._rgb_to_ycbcr(px12.astype(np.float64), half=2048.0)
+    qts = [J._quality_scaled(J._QT_LUM, q) * 16, J._quality_scaled(J._QT_CHROM, q) * 16]
+    for c in range(3):
+        qt = qts[0 if c == 0 else 1]
+        plane = J._pad_to_blocks(ycc[..., c])
+        want = J._quantized_blocks(plane, qt, half=2048.0).astype(np.float64) * qt
+        assert np.array_equal(coefs[c], want), f"component {c} coefficients diverged"
+
+
+def test_jpeg_12bit_feature_pipeline_and_guards():
+    """media_features decodes 12-bit SOF1 for real (features ~= the 8-bit path on
+    the same top-8-bit pixels); 12-bit PROGRESSIVE stays an honest
+    NotImplementedError routed to decoded=false; out-of-range 12-bit encoder
+    input is rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_migration_assessment_tools_spark.ext import jpeg as J
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import media_features
+
+    px8 = _gradient_image(32, 48)
+    px12 = (px8.astype(np.uint16) << 4) | (px8 >> 4)
+    ok12, f12 = media_features(J.make_jpeg_bytes(px12, quality=95, precision=12), "image")
+    ok8, f8 = media_features(J.make_jpeg_bytes(px8, quality=95), "image")
+    assert ok12 is True and ok8 is True
+    assert f12[0] == f8[0] and f12[1] == f8[1]  # exact dimensions
+    for a, b in zip(f12[2:6], f8[2:6]):  # channel means within quantization error
+        assert abs(a - b) < 1.0, (f12, f8)
+
+    # SOF2 relabeled to 12-bit: honest NotImplementedError -> decoded=false
+    prog = bytearray(J.make_progressive_jpeg_bytes(px8, quality=90))
+    sof = prog.find(b"\xff\xc2")
+    prog[sof + 4] = 12  # precision byte inside the SOF2 segment
+    with _pytest.raises(NotImplementedError):
+        J.parse_jpeg(bytes(prog))
+    assert media_features(bytes(prog), "image")[0] is False
+
+    with _pytest.raises(ValueError):
+        J.make_jpeg_bytes(np.full((8, 8, 3), 4096, np.uint16), precision=12)
+    with _pytest.raises(ValueError):
+        J.make_jpeg_bytes(px8, precision=10)
 
 
 def test_jpeg_features_match_ppm_features(spark):
