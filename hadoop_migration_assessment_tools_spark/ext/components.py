@@ -27,8 +27,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.checkpoints import free_local_checkpoint
+
 __all__ = [
     "connected_components",
+    "pagerank_fixed_point",
     "dup_clusters",
     "dedup_by_components",
 ]
@@ -140,3 +143,75 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(victims, id_col, "left_anti")
+
+
+# --- fixed-point PageRank -------------------------------------------------------------
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in SCALED-INTEGER arithmetic over a directed edge list.
+
+    rank_0(v) = scale div n; each round
+        rank_{t+1}(v) = ((100 - damping_pct) * (scale div n)
+                         + damping_pct * SUM_{u -> v} (rank_t(u) div outdeg(u))) div 100
+    — every operation is 64-bit integer div/sum, so two engines that replay the
+    same formula agree BIT FOR BIT (float PageRank never certifies: parallel
+    double sums are order-dependent and libm exp/log differ across engines).
+    The truncation of each `div` loses mass (ranks sum to slightly under
+    `scale`), which is harmless for ranking and exactly reproducible.
+
+    Every node must have outdeg >= 1 (true for symmetrized duplicate graphs;
+    dangling-mass redistribution is deliberately out of scope). Returns
+    (node, rank_fp, outdeg).
+
+    Scale shape: per round, one shuffle join of ranks onto the edge list keyed
+    by src and one groupBy(dst) with map-side partial sums; `localCheckpoint`
+    per round cuts the iterative lineage exactly as connected_components does.
+    The tiny n-count is crossJoin-broadcast, never collected per row.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    nodes = e.select(F.col("_s").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    base_pct = 100 - int(damping_pct)
+
+    ranks = (
+        nodes.join(F.broadcast(n_df))
+        .select("node", F.expr(f"{int(scale)} div _n").alias("rank_fp"), "_n")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["_s"])
+            .select(
+                F.col("node").alias("_u"),
+                F.expr("rank_fp div outdeg").alias("_c"),
+                "_n",
+            )
+        )
+        nxt = (
+            e.join(contrib, e["_s"] == F.col("_u"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(
+                F.sum("_c").cast("long").alias("_msum"),
+                F.first("_n").alias("_n"),
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"({base_pct} * ({int(scale)} div _n) + {int(damping_pct)} * _msum) div 100"
+                ).alias("rank_fp"),
+                "_n",
+            )
+        )
+        old = ranks
+        ranks = nxt.localCheckpoint(eager=True)
+        free_local_checkpoint(old)
+    return ranks.join(deg, ranks["node"] == deg["_s"]).select("node", "rank_fp", "outdeg")

@@ -30,6 +30,7 @@ __all__ = [
     "temperature_sample",
     "MIX_HEX_DIGITS",
     "interleave_schedule",
+    "pps_systematic_sample",
 ]
 
 
@@ -208,4 +209,107 @@ def interleave_schedule(
         .withColumn("_rank", F.row_number().over(w) - 1)
         .withColumn("position", F.col("_rank") * n_domains + F.col("_didx"))
         .drop("_rank", "_didx")
+    )
+
+
+# --- weight-proportional systematic sampling (PPS) -----------------------------------
+# Madow's systematic probability-proportional-to-size design: lay every row's
+# weight end to end along [0, W) in a deterministic hash-random order, then take
+# the k rows whose weight interval contains a multiple of W/k. Inclusion
+# probability is exactly k*w/W for w <= W/k (larger rows are hit multiple times
+# -> n_hits > 1, surfaced as a column), the sample size is exactly k, and the
+# whole construction is INTEGER arithmetic — no ln/pow (their libm rounding
+# differs across engines), so the sampled SET is bit-reproducible in any engine
+# and certifiable against a SQL replay.
+#
+# Scale shape — the naive form needs a global running sum (a single-task window
+# at 100 TB). This is the classic distributed two-phase prefix sum instead:
+#   1. ONE range shuffle on the hash key (global order across partitions);
+#   2. a NARROW per-partition running sum (mapInPandas, Arrow batches, carrying
+#      the running total across batches — no second shuffle);
+#   3. per-partition totals (#partitions rows) -> exclusive prefix offsets via
+#      one tiny single-task window over #partitions rows — bounded, not data;
+#   4. broadcast the offsets back; global cum = local cum + partition offset.
+# The corpus is shuffled once and scanned twice (weights projection only).
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "pps",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic PPS systematic sample of ``k`` rows: returns
+    (id_col, weight, cum_weight, n_hits) for every selected row.
+
+    Weights must be positive integers (cast to long). Requires W * k < 2^63
+    (asserted in-plan): at 100 TB with byte weights and k=1000 that is
+    1e14 * 1e3 = 1e17 < 9.2e18 — headroom, but the guard fails loudly rather
+    than wrap. ``num_partitions`` exists as a test seam to prove the result is
+    partitioning-invariant."""
+    spark = df.sparkSession
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).withColumn("_k", split_key(F.col("_id"), salt))
+
+    # phase 1+2: range-shuffle to global hash order, then a narrow in-partition
+    # running sum (sortWithinPartitions is a local sort; mapInPandas carries the
+    # running total across Arrow batches without any further exchange)
+    ordered = base.repartitionByRange(parts, F.col("_k"), F.col("_id")).sortWithinPartitions(
+        "_k", "_id"
+    )
+
+    def _local_cumsum(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        total = 0
+        for pdf in batches:
+            c = pdf["_w"].to_numpy(dtype="int64").cumsum() + total
+            total = int(c[-1]) if len(c) else total
+            pdf = pdf.assign(_cum_local=c)
+            yield pdf
+
+    local = ordered.mapInPandas(
+        _local_cumsum, "_id long, _w long, _k string, _cum_local long"
+    ).withColumn("_pid", F.spark_partition_id())
+
+    # phase 3: exclusive prefix of the per-partition totals. #partitions rows —
+    # the single-task window is over a BOUNDED tiny frame, never the data.
+    totals = local.groupBy("_pid").agg(F.max("_cum_local").alias("_tot"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)))
+
+    # phase 4: broadcast offsets back; select rows whose interval covers a
+    # multiple of W/k (counted exactly with integer floor division). The in-plan
+    # assert_true turns a would-be 63-bit wraparound into a loud failure.
+    w_total = totals.agg(F.sum("_tot").cast("long").alias("_wt"))
+    k = int(k)
+    hits = (
+        F.expr(f"_cum * {k} div _wt") - F.expr(f"(_cum - _w) * {k} div _wt")
+    ).cast("long")
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .join(F.broadcast(w_total))
+        .withColumn("_cum", F.col("_cum_local") + F.col("_off"))
+        .withColumn(
+            "_guard",
+            F.assert_true(
+                (F.col("_wt") > 0) & (F.col("_wt") <= F.lit((1 << 62) // max(k, 1))),
+                F.lit("pps_systematic_sample: W * k would overflow 63-bit range"),
+            ),
+        )
+        .filter(F.col("_guard").isNull())  # keeps the assert in the live plan
+        .withColumn("n_hits", hits)
+        .filter(F.col("n_hits") > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias("weight"),
+            F.col("_cum").alias("cum_weight"),
+            F.col("n_hits"),
+        )
     )

@@ -1650,21 +1650,7 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark algorithm is hash-checked against an independent formulation."""
     from ..ext.components import dup_clusters
 
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    e1 = ids.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + DUP_OFFSET).alias("id_b")
-    )
-    e2 = ids.filter(F.col("doc_id") % 14 == 0).select(
-        (F.col("doc_id") + DUP_OFFSET).alias("id_a"),
-        (F.col("doc_id") + 2 * DUP_OFFSET).alias("id_b"),
-    )
-    e3 = (
-        ids.alias("d")
-        .join(ids.alias("e"), F.col("e.doc_id") == F.col("d.doc_id") + 7)
-        .filter(F.col("d.doc_id") % 21 == 0)
-        .select(F.col("d.doc_id").alias("id_a"), F.col("e.doc_id").alias("id_b"))
-    )
-    pairs = e1.unionByName(e2).unionByName(e3)
+    pairs = _planted_pair_graph(spark, sf_dir)
     return (
         dup_clusters(pairs)
         .select(
@@ -1701,6 +1687,144 @@ SELECT
 FROM labels
 GROUP BY component
 ORDER BY component
+"""
+
+
+# --- docs_dup_pagerank -----------------------------------------------------------------
+# [EXT] Graph authority over the planted duplicate graph: which member of each
+# duplicate cluster is the most-connected representative (a principled survivor
+# pick vs min-id). PageRank in SCALED-INTEGER arithmetic (ext/components.py
+# pagerank_fixed_point): every round is BIGINT div/sum only, so the DuckDB
+# oracle's five unrolled iterations reproduce the engine's iterative
+# join+groupBy loop bit for bit — float PageRank never certifies (parallel
+# double sums are order-dependent; libm differs across engines).
+
+_PR_EDGES_SQL = f"""
+  SELECT doc_id AS a, doc_id + {DUP_OFFSET} AS b FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS a, doc_id + {2 * DUP_OFFSET} AS b
+  FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT d.doc_id AS a, e.doc_id AS b
+  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
+  WHERE d.doc_id % 21 = 0
+"""
+
+PR_SCALE = 10**12
+PR_ITERATIONS = 5
+
+
+def _planted_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docs_dup_clusters planted pair graph (chains + cross-links), reused."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = ids.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + DUP_OFFSET).alias("id_b")
+    )
+    e2 = ids.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("id_a"),
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("id_b"),
+    )
+    e3 = (
+        ids.alias("d")
+        .join(ids.alias("e"), F.col("e.doc_id") == F.col("d.doc_id") + 7)
+        .filter(F.col("d.doc_id") % 21 == 0)
+        .select(F.col("d.doc_id").alias("id_a"), F.col("e.doc_id").alias("id_b"))
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+def docs_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 duplicate-graph authorities by fixed-point PageRank (5 rounds,
+    scale 10^12, damping 85/100) over the symmetrized planted pair graph."""
+    from ..ext.components import pagerank_fixed_point
+
+    pairs = _planted_pair_graph(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    ranked = pagerank_fixed_point(edges, iterations=PR_ITERATIONS, scale=PR_SCALE)
+    return (
+        ranked.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("rank_fp").cast("long").alias("rank_fp"),
+            F.col("outdeg").cast("long").alias("outdeg"),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _pr_iteration_sql(prev: str) -> str:
+    return f"""
+  SELECT u.dst AS node,
+         (15 * ({PR_SCALE} // n.cnt) + 85 * SUM(r.rank // d.outdeg)) // 100 AS rank
+  FROM {prev} r JOIN und u ON u.src = r.node JOIN deg d ON d.src = r.node, n
+  GROUP BY u.dst, n.cnt
+"""
+
+
+DOCS_DUP_PAGERANK_ORACLE = f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+und AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM und GROUP BY src),
+n AS (SELECT COUNT(DISTINCT src) AS cnt FROM und),
+r0 AS (SELECT DISTINCT src AS node, ({PR_SCALE} // cnt) AS rank FROM und, n),
+it1 AS ({_pr_iteration_sql('r0')}),
+it2 AS ({_pr_iteration_sql('it1')}),
+it3 AS ({_pr_iteration_sql('it2')}),
+it4 AS ({_pr_iteration_sql('it3')}),
+it5 AS ({_pr_iteration_sql('it4')})
+SELECT CAST(it5.node AS BIGINT) AS node,
+       CAST(it5.rank AS BIGINT) AS rank_fp,
+       CAST(deg.outdeg AS BIGINT) AS outdeg
+FROM it5 JOIN deg ON deg.src = it5.node
+ORDER BY rank_fp DESC, node ASC
+LIMIT 20
+"""
+
+
+# --- docs_pps_sample -------------------------------------------------------------------
+# [EXT] Weight-proportional systematic sampling (Madow PPS) — importance sampling
+# by document size with EXACT sample count and integer-only arithmetic. The
+# engine runs the distributed two-phase prefix sum (ext/sampling.py:
+# range-shuffle once, narrow per-partition running sum, #partitions-row offset
+# table broadcast back); the oracle replays the definition with one naive global
+# window. Identical output certifies that the distributed prefix-sum
+# decomposition is exactly the sequential cumulative sum.
+
+PPS_K = 37
+
+
+def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=37 size-weighted systematic sample of the corpus (weight =
+    n_chars + 1), with each row's weight interval and hit count."""
+    from ..ext.sampling import pps_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).alias("w")
+    )
+    return pps_systematic_sample(docs, "w", PPS_K).orderBy("doc_id")
+
+
+DOCS_PPS_SAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, n_chars + 1 AS w,
+         md5('pps' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+tot AS (SELECT SUM(w) AS wt FROM base),
+cums AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(w AS BIGINT) AS weight,
+       CAST(cum AS BIGINT) AS cum_weight,
+       CAST((cum * {PPS_K}) // wt - ((cum - w) * {PPS_K}) // wt AS BIGINT) AS n_hits
+FROM cums, tot
+WHERE (cum * {PPS_K}) // wt > ((cum - w) * {PPS_K}) // wt
+ORDER BY doc_id
 """
 
 

@@ -271,6 +271,14 @@ QUERIES: dict[str, Query] = {
     # r7 (rows-only -> oracled): portable doc_id%32 group key + a recursive-CTE
     # replay of the exact per-group FFD fold (state = open-bin capacity list)
     "docs_pack_sequences": llm.docs_pack_sequences,
+    # r7: fixed-point (BIGINT-only) PageRank over the planted duplicate graph —
+    # the oracle unrolls all five iterations; integer div/sum make the
+    # iterative join+groupBy loop bit-reproducible across engines
+    "docs_dup_pagerank": llm.docs_dup_pagerank,
+    # r7: weight-proportional systematic sample (Madow PPS) — engine runs the
+    # distributed two-phase prefix sum, oracle the naive global window; equal
+    # output certifies the prefix-sum decomposition, integer-only selection
+    "docs_pps_sample": llm.docs_pps_sample,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -409,6 +417,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_shingle_hll_by_lang": llm.DOCS_SHINGLE_HLL_BY_LANG_ORACLE,
     "docs_shingle_cms": llm.DOCS_SHINGLE_CMS_ORACLE,
     "docs_pack_sequences": llm.DOCS_PACK_SEQUENCES_ORACLE,
+    "docs_dup_pagerank": llm.DOCS_DUP_PAGERANK_ORACLE,
+    "docs_pps_sample": llm.DOCS_PPS_SAMPLE_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

@@ -2143,3 +2143,106 @@ def test_cms_counters_merge_by_sum(spark):
     direct = cms_counters(a.unionByName(b), "term", w=32)
     as_map = lambda df: {(r["row"], r["pos"]): r["cnt"] for r in df.collect()}  # noqa: E731
     assert as_map(merged) == as_map(direct)
+
+
+# --- PPS systematic sampling ----------------------------------------------------------
+
+
+def test_pps_systematic_sample_matches_naive_and_is_partition_invariant(spark):
+    """The distributed two-phase prefix sum must equal the naive single-window
+    cumulative sum exactly (same selected set, same cum_weight), and the result
+    must not depend on the partition count (the num_partitions test seam)."""
+    from pyspark.sql.window import Window
+
+    from hadoop_migration_assessment_tools_spark.ext.sampling import (
+        pps_systematic_sample,
+        split_key,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    k = 11
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).alias("w")
+    )
+    got = {
+        parts: [
+            (r.doc_id, r.weight, r.cum_weight, r.n_hits)
+            for r in pps_systematic_sample(docs, "w", k, num_partitions=parts)
+            .orderBy("doc_id")
+            .collect()
+        ]
+        for parts in (1, 3, 16)
+    }
+    assert got[1] == got[3] == got[16], "sample depends on partitioning"
+
+    # naive twin: one global window (test scale only — the single-task shape
+    # the distributed form exists to avoid)
+    key = split_key(F.col("doc_id"), "pps")
+    w_cum = Window.orderBy(key.asc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = docs.withColumn("_cum", F.sum("w").over(w_cum))
+    wt = base.agg(F.sum("w").cast("long").alias("_wt"))
+    naive = (
+        base.join(F.broadcast(wt))
+        .withColumn(
+            "n_hits",
+            (F.expr(f"_cum * {k} div _wt") - F.expr(f"(_cum - w) * {k} div _wt")).cast("long"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            F.col("_cum").alias("cum_weight"),
+            "n_hits",
+        )
+        .orderBy("doc_id")
+    )
+    want = [(r.doc_id, r.weight, r.cum_weight, r.n_hits) for r in naive.collect()]
+    assert got[3] == want, "two-phase prefix sum != naive cumulative sum"
+    assert sum(r[3] for r in want) == k, "total hits must be exactly k"
+
+
+def test_pps_systematic_sample_overflow_guard(spark):
+    """W * k beyond the 63-bit range must fail LOUDLY via the in-plan assert,
+    never wrap around into a silently-wrong sample."""
+    from hadoop_migration_assessment_tools_spark.ext.sampling import pps_systematic_sample
+
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"), F.lit(1 << 61).alias("w")
+    )
+    with pytest.raises(Exception, match="overflow|ASSERT|assert"):
+        pps_systematic_sample(df, "w", 1000, num_partitions=2).collect()
+
+
+# --- fixed-point PageRank ---------------------------------------------------------------
+
+
+def test_pagerank_fixed_point_matches_pure_python_replay(spark):
+    """BIGINT-only PageRank: the distributed join+groupBy loop must equal a
+    sequential pure-Python replay of the same integer recurrence bit for bit,
+    and the total rank mass must stay within the documented truncation loss."""
+    from hadoop_migration_assessment_tools_spark.ext.components import pagerank_fixed_point
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6), (6, 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = pagerank_fixed_point(edges, iterations=5)
+    rows = {r.node: (r.rank_fp, r.outdeg) for r in out.collect()}
+
+    nodes = sorted({x for p in pairs for x in p})
+    und = set(pairs) | {(b, a) for a, b in pairs}
+    outdeg = {v: sum(1 for s, _ in und if s == v) for v in nodes}
+    scale = 10**12
+    unit = scale // len(nodes)
+    rank = {v: unit for v in nodes}
+    for _ in range(5):
+        contrib = {v: rank[v] // outdeg[v] for v in nodes}
+        rank = {
+            v: (15 * unit + 85 * sum(contrib[s] for s, d in und if d == v)) // 100
+            for v in nodes
+        }
+    assert rows == {v: (rank[v], outdeg[v]) for v in nodes}
+    mass = sum(r for r, _ in rows.values())
+    assert 0.9 * scale < mass <= scale, mass  # div truncation loses a little mass

@@ -307,6 +307,12 @@ BNLJ_ALLOWED = {
     # r7: the merged '*ALL*' row is a crossJoin of two 1-row aggregates over the
     # checkpointed distinct level (merged registers x global exact control)
     "docs_shingle_hll_by_lang",
+    # r7: PPS sampling joins the 1-row total-weight aggregate (and the tiny
+    # per-partition offset table) back onto the corpus — both broadcast
+    "docs_pps_sample",
+    # r7: fixed-point PageRank crossJoins the 1-row node-count aggregate onto
+    # the node set before the first iteration
+    "docs_dup_pagerank",
 }
 
 
