@@ -84,7 +84,13 @@ QUERIES: dict[str, Query] = {
     "docs_pack_invariants": llm.docs_pack_invariants,
     "events_session_windows": ea.events_session_windows,
     "events_props_roundtrip": ea.events_props_roundtrip,
-    "docs_temperature_mixture": llm.docs_temperature_mixture,
+    # Round-7 second swap (VERDICT r6 #5 pattern): docs_pps_sample in for
+    # docs_temperature_mixture — the sampling family's scored row upgrades to
+    # the PPS systematic sample (distributed two-phase prefix sum certified
+    # against the oracle's naive global window; integer-only selection; exact
+    # sample count). The temperature mixture stays oracled below the line and
+    # its rate-filter shape remains scored inside docs_training_prep_pipeline.
+    "docs_pps_sample": llm.docs_pps_sample,
     # -- scored window: physical-plan strategy operators (range join via bucket+
     #    refine, bucketed co-located zero-Exchange join) --
     "lineitem_price_band_join": tpch.lineitem_price_band_join,
@@ -275,10 +281,9 @@ QUERIES: dict[str, Query] = {
     # the oracle unrolls all five iterations; integer div/sum make the
     # iterative join+groupBy loop bit-reproducible across engines
     "docs_dup_pagerank": llm.docs_dup_pagerank,
-    # r7: weight-proportional systematic sample (Madow PPS) — engine runs the
-    # distributed two-phase prefix sum, oracle the naive global window; equal
-    # output certifies the prefix-sum decomposition, integer-only selection
-    "docs_pps_sample": llm.docs_pps_sample,
+    # r7 swap-out (second swap): rate-filter temperature mixture, still oracled;
+    # the sampling family's scored row moved to docs_pps_sample
+    "docs_temperature_mixture": llm.docs_temperature_mixture,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,

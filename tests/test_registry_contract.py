@@ -42,7 +42,14 @@ SCORED_WINDOW = [
     "docs_pack_invariants",
     "events_session_windows",
     "events_props_roundtrip",
-    "docs_temperature_mixture",
+    # round-7 reviewed swap (VERDICT r6 #5 pattern): the PPS systematic sample —
+    # distributed two-phase prefix sum certified against the naive global
+    # window, integer-only selection, exact k — replaces the temperature
+    # mixture as the sampling family's scored row (strictly stronger evidence:
+    # a multi-stage distributed decomposition vs a rate filter; temperature
+    # mixture stays oracled below the line, and rate-filter sampling remains
+    # scored inside docs_training_prep_pipeline's stage mix)
+    "docs_pps_sample",
     "lineitem_price_band_join",
     "orders_customer_bucketed_join",
     "qe_submit_complete_join",
