@@ -1,14 +1,16 @@
 """[EXT] Multimodal columns: image/audio/video as opaque binary with typed metadata.
 
 The decode step is REAL for the formats parseable with numpy/stdlib —
-WAV (RIFF PCM) audio, PPM (P6) images, PNG (8-bit truecolor; zlib inflate +
-full scanline unfiltering), and JPEG baseline (SOF0 sequential-DCT:
+WAV audio (RIFF PCM plus the G.711 A-law/mu-law telephony formats, decoded
+via the public segment tables), PPM (P6) images, PNG (8-bit truecolor; zlib
+inflate + full scanline unfiltering), JPEG baseline (SOF0 sequential-DCT:
 Huffman entropy decode, dequant, IDCT, chroma upsampling), progressive
 (SOF2 spectral selection + successive approximation) and 12-bit extended
-sequential (SOF1, 16-bit DQT) — ext/jpeg.py — implemented from their public
-format specs, with no media libraries. Formats that genuinely require
-external codecs (arithmetic-coded jpeg, mp3, mp4
-"video" here) raise ``NotImplementedError`` from ``decode_media`` and
+sequential (SOF1, 16-bit DQT) — ext/jpeg.py — and MJPEG AVI video (RIFF
+'AVI ' container walk + per-frame JPEG decode), all implemented from their
+public format specs, with no media libraries. Formats that genuinely require
+external codecs (arithmetic-coded jpeg, mp3, mp4/H.264
+video) raise ``NotImplementedError`` from ``decode_media`` and
 ``extract_features`` falls back to a clearly-marked deterministic digest feature,
 so the distributed pipeline shape stays exercised end to end either way.
 
@@ -65,15 +67,72 @@ FEATURES_SCHEMA = T.StructType(
 # --------------------------------------------------------------------------------------
 
 
-def make_wav_bytes(samples, sample_rate: int = 16000) -> bytes:
-    """Encode mono 16-bit PCM samples as a canonical 44-byte-header WAV file."""
+# G.711 companding (public ITU-T G.711 tables, derived from the segment formulas).
+# Both directions are exact table lookups over 256 byte values / a 16-bit segment
+# search, so encode(decode(byte)) == byte for every code — pinned in tests.
+
+
+def _mulaw_decode_table():
     import numpy as np
 
-    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    b = np.arange(256, dtype=np.int32) ^ 0xFF  # mu-law bytes are stored complemented
+    sign = (b & 0x80) != 0
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_table():
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55  # A-law bytes are stored XOR 0x55
+    sign = (a & 0x80) != 0  # bit 7 set = positive half in A-law
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+def _g711_encode(samples, law: str):
+    """int16 -> companded byte per G.711 (segment search via the decode table:
+    pick the code whose decoded value is nearest — exact and branch-free)."""
+    import numpy as np
+
+    table = (_mulaw_decode_table() if law == "mulaw" else _alaw_decode_table()).astype(
+        np.int32
+    )
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order]
+    x = np.asarray(samples, dtype=np.int32)
+    idx = np.searchsorted(sorted_vals, x)
+    idx = np.clip(idx, 1, 255)
+    lo, hi = sorted_vals[idx - 1], sorted_vals[idx]
+    pick = np.where((x - lo) <= (hi - x), idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+def make_wav_bytes(samples, sample_rate: int = 16000, encoding: str = "pcm16") -> bytes:
+    """Encode mono samples as a canonical WAV file.
+
+    ``encoding``: "pcm16" (format 1, 16-bit little-endian), "alaw" (format 6)
+    or "mulaw" (format 7) — the G.711 8-bit companded telephony formats,
+    companded from int16 input via the public segment tables."""
+    import numpy as np
+
+    if encoding == "pcm16":
+        fmt_code, bits = 1, 16
+        pcm = np.asarray(samples, dtype="<i2").tobytes()
+    elif encoding in ("alaw", "mulaw"):
+        fmt_code, bits = (6, 8) if encoding == "alaw" else (7, 8)
+        pcm = _g711_encode(samples, encoding).tobytes()
+    else:
+        raise ValueError(f"encoding must be pcm16/alaw/mulaw, got {encoding!r}")
+    block = bits // 8
     hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
     fmt = b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
-    )  # PCM, mono, 16-bit
+        "<IHHIIHH", 16, fmt_code, 1, sample_rate, sample_rate * block, block, bits
+    )
     data = b"data" + struct.pack("<I", len(pcm))
     return hdr + fmt + data + pcm
 
@@ -93,13 +152,21 @@ def parse_wav(payload: bytes):
         if cid == b"fmt ":
             audio_format, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if audio_format != 1:
-                raise NotImplementedError(f"non-PCM WAV (format {audio_format})")
+            if audio_format not in (1, 6, 7):  # PCM, G.711 A-law, G.711 mu-law
+                raise NotImplementedError(f"unsupported WAV format {audio_format}")
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if audio_format in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        table = _alaw_decode_table() if audio_format == 6 else _mulaw_decode_table()
+        samples = table[np.frombuffer(pcm, dtype=np.uint8)]
+        if channels and channels > 1:
+            samples = samples.reshape(-1, channels).mean(axis=1).astype("<i2")
+        return samples, sample_rate
     if bits != 16:
         raise NotImplementedError(f"only 16-bit PCM supported, got {bits}")
     samples = np.frombuffer(pcm, dtype="<i2")
@@ -302,6 +369,113 @@ def parse_pvid(payload: bytes):
 
 
 # --------------------------------------------------------------------------------------
+# MJPEG AVI — a REAL video format this container can decode end to end: the RIFF
+# 'AVI ' container (public Microsoft AVI spec: LIST hdrl(avih + strl(strh/strf)),
+# LIST movi with one '00dc' chunk per frame, idx1 index) carrying one baseline
+# JPEG per frame, decoded by ext/jpeg.py. Motion-JPEG is what cameras and
+# capture cards actually emit; unlike inter-frame codecs (H.264) it needs no
+# external library, so the "video" path stops being a stub for this format.
+# --------------------------------------------------------------------------------------
+
+
+def make_avi_mjpeg_bytes(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """Encode (h, w, 3) uint8 frames as an MJPEG AVI (one baseline JPEG per
+    '00dc' chunk, minimal-but-valid hdrl and idx1)."""
+    import numpy as np
+
+    from .jpeg import make_jpeg_bytes
+
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not fr:
+        raise ValueError("AVI needs at least one frame")
+    h, w, _ = fr[0].shape
+    for f in fr:
+        if f.shape != (h, w, 3):
+            raise ValueError("all AVI frames must share (h, w, 3)")
+    jpegs = [make_jpeg_bytes(f, quality=quality) for f in fr]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    usec_per_frame = 1_000_000 // max(fps, 1)
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, max_bytes * max(fps, 1), 0, 0x10,  # AVIF_HASINDEX
+        len(jpegs), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        len(jpegs), max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    # BITMAPINFOHEADER with biCompression = 'MJPG'
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = [chunk(b"00dc", j) for j in jpegs]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1: offsets are relative to the start of the 'movi' form-type field
+    idx, off = [], 4
+    for mc, j in zip(movi_chunks, jpegs):
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += len(mc)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(payload: bytes):
+    """Parse an MJPEG AVI payload -> (n_frames, width, height, frames ndarray
+    (n, h, w, 3)). Walks the RIFF tree; every '00dc'/'00db' chunk in the movi
+    list is decoded with the in-repo JPEG decoder. Non-MJPEG streams (a strf
+    biCompression other than MJPG/raw JPEG frames) surface as
+    NotImplementedError; torn containers as ValueError."""
+    import numpy as np
+
+    from .jpeg import parse_jpeg
+
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames = []
+    compression = None
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal compression
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start, body_end = pos + 8, min(pos + 8 + size, end)
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_end)
+            elif cid == b"strf" and size >= 20:
+                compression = buf[body_start + 16 : body_start + 20]
+            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(buf[body_start:body_end])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if compression is not None and compression not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(
+            f"AVI stream compression {compression!r} needs an external codec"
+        )
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    decoded = [parse_jpeg(f) for f in frames]
+    h, w, _ = decoded[0].shape
+    if any(d.shape != (h, w, 3) for d in decoded):
+        raise ValueError("AVI frames disagree on dimensions")
+    return len(decoded), w, h, np.stack(decoded)
+
+
+# --------------------------------------------------------------------------------------
 # resize — pure-numpy, deterministic
 # --------------------------------------------------------------------------------------
 
@@ -333,12 +507,16 @@ def resize_image(pixels, out_h: int, out_w: int):
 
 
 def decode_media(payload: bytes, kind: str, meta=None) -> dict:
-    """Decode an opaque payload into numpy form. Real for WAV PCM audio, PPM/PNG
-    images, JPEG (baseline, progressive AND 12-bit extended sequential), and PVID
-    video; anything else (true video codecs, arithmetic-coded jpeg, mp3...) needs
-    external libs this container doesn't have and raises NotImplementedError —
-    callers fall back."""
+    """Decode an opaque payload into numpy form. Real for WAV audio (PCM and
+    G.711 A-law/mu-law), PPM/PNG images, JPEG (baseline, progressive AND 12-bit
+    extended sequential), MJPEG AVI video, and PVID video; anything else
+    (inter-frame video codecs, arithmetic-coded jpeg, mp3...) needs external
+    libs this container doesn't have and raises NotImplementedError — callers
+    fall back."""
     payload = bytes(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        n, w, h, frames = parse_avi_mjpeg(payload)
+        return {"kind": "video", "frames": frames, "n_frames": n, "width": w, "height": h}
     if payload[:4] == b"RIFF":
         samples, rate = parse_wav(payload)
         return {"kind": "audio", "samples": samples, "sample_rate": rate}
@@ -473,8 +651,10 @@ def synthesize_media(
         raise ValueError(
             f"image_format must be 'ppm', 'png' or 'jpeg', got {image_format!r}"
         )
-    if video_format not in ("raw", "pvid"):
-        raise ValueError(f"video_format must be 'raw' or 'pvid', got {video_format!r}")
+    if video_format not in ("raw", "pvid", "mjpeg"):
+        raise ValueError(
+            f"video_format must be 'raw', 'pvid' or 'mjpeg', got {video_format!r}"
+        )
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -528,6 +708,23 @@ def synthesize_media(
                     samples = (2000 * np.sin(2 * np.pi * freq * t / rate)).astype("<i2")
                     payload, kind = make_wav_bytes(samples, rate), "audio"
                     meta = ("audio/wav", None, None, rate, count * 1000 // rate)
+                elif video_format == "mjpeg":  # video: REAL MJPEG AVI keyed by doc_id
+                    w, h = n % 32 + 4, n % 24 + 4
+                    nf = 2 + doc_id % 4
+                    i, j = np.indices((h, w))
+                    frames = [
+                        np.stack(
+                            [
+                                (i * 5 + j * 3 + doc_id + fidx) % 256,
+                                (i + j * 7 + doc_id * 2 + fidx * 3) % 256,
+                                (i * 2 + j + doc_id + fidx * 5) % 256,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        for fidx in range(nf)
+                    ]
+                    payload, kind = make_avi_mjpeg_bytes(frames, fps=10), "video"
+                    meta = ("video/mjpeg-avi", w, h, None, nf * 100)
                 elif video_format == "pvid":  # video: real PVID frames keyed by doc_id
                     w, h = n % 32 + 2, n % 24 + 2
                     nf = 2 + doc_id % 4

@@ -2246,3 +2246,90 @@ def test_pagerank_fixed_point_matches_pure_python_replay(spark):
     assert rows == {v: (rank[v], outdeg[v]) for v in nodes}
     mass = sum(r for r, _ in rows.values())
     assert 0.9 * scale < mass <= scale, mass  # div truncation loses a little mass
+
+
+# --- G.711 WAV + MJPEG AVI ---------------------------------------------------------------
+
+
+def test_g711_wav_codecs_roundtrip_and_idempotence():
+    """A-law / mu-law WAV (G.711, formats 6/7): the decode tables must hit the
+    standard extrema (mu-law +-32124, A-law +-32256), encode(decode(byte)) must
+    reproduce every code's value exactly, and the container roundtrip must stay
+    within one companding quantization step."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import multimodal as M
+
+    mu, al = M._mulaw_decode_table(), M._alaw_decode_table()
+    assert int(mu.max()) == 32124 and int(mu.min()) == -32124
+    assert int(al.max()) == 32256 and int(al.min()) == -32256
+    for law, table in (("mulaw", mu), ("alaw", al)):
+        redec = table[M._g711_encode(table.astype(np.int32), law)]
+        assert np.array_equal(redec, table), law
+
+    rate = 8000
+    sig = (3000 * np.sin(2 * np.pi * 440 * np.arange(400) / rate)).astype(np.int16)
+    for enc, bound in (("pcm16", 0), ("alaw", 64), ("mulaw", 64)):
+        data = M.make_wav_bytes(sig, rate, encoding=enc)
+        s, r = M.parse_wav(data)
+        assert r == rate
+        assert int(np.abs(s.astype(int) - sig.astype(int)).max()) <= bound, enc
+        d = M.decode_media(data, "audio")
+        assert d["kind"] == "audio" and d["sample_rate"] == rate
+
+
+def test_mjpeg_avi_roundtrip_and_dispatch():
+    """MJPEG AVI: the RIFF walk must recover every '00dc' frame, each decoding
+    EXACTLY as the same JPEG bytes decode standalone; decode_media must route
+    RIFF/AVI to video (not WAV); torn containers normalize to ValueError and a
+    non-MJPEG fourcc in strf raises the honest NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_migration_assessment_tools_spark.ext import multimodal as M
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [
+        np.clip(rng.rand(24, 32, 3) * 255, 0, 255).astype(np.uint8) for _ in range(4)
+    ]
+    data = M.make_avi_mjpeg_bytes(frames, fps=5, quality=88)
+    n, w, h, dec = M.parse_avi_mjpeg(data)
+    assert (n, w, h) == (4, 32, 24)
+    for i, f in enumerate(frames):
+        assert np.array_equal(dec[i], parse_jpeg(make_jpeg_bytes(f, quality=88))), i
+
+    d = M.decode_media(data, "video")
+    assert d["kind"] == "video" and d["n_frames"] == 4
+    ok, feats = M.media_features(data, "video")
+    assert ok is True and len(feats) == 8
+
+    with _pytest.raises(ValueError):
+        M.parse_avi_mjpeg(data[:60])
+    bad = bytearray(data)
+    strf_pos = bad.find(b"strf")
+    comp_pos = strf_pos + 8 + 16  # BITMAPINFOHEADER biCompression
+    assert bad[comp_pos : comp_pos + 4] == b"MJPG"
+    bad[comp_pos : comp_pos + 4] = b"H264"
+    with _pytest.raises(NotImplementedError):
+        M.parse_avi_mjpeg(bytes(bad))
+    assert M.media_features(bytes(bad), "video")[0] is False
+
+
+def test_synthesize_media_mjpeg_pipeline(spark):
+    """The distributed pipeline with video_format='mjpeg': every video row is a
+    real AVI that decodes for real (decoded=true) through the Arrow UDF."""
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = synthesize_media(docs, video_format="mjpeg")
+    feats = extract_features(media)
+    rows = feats.filter(F.col("kind") == "video").select("decoded").collect()
+    assert rows and all(r.decoded for r in rows)
