@@ -1828,6 +1828,123 @@ ORDER BY doc_id
 """
 
 
+# --- docs_cdc_chunking -------------------------------------------------------------------
+# [EXT] Content-defined chunking (ext/cdc.py): the LBFS/rsync boundary rule with
+# an engine-portable hash (md5-prefix string compare), certified end to end —
+# chunk extents, conservation (chunk chars == text chars), AND the property CDC
+# exists for: planted twins with an inserted prefix re-synchronize, so most of
+# each original's chunk hashes reappear in its twin. The oracle replays
+# positions, boundaries, chunk reconstruction and the shared-chunk ratio.
+
+CDC_TWIN_OFFSET = 10_000_000
+CDC_TWIN_PREFIX = "PREFIX>> "
+
+
+def docs_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One certified row: corpus-wide CDC chunk stats plus the shift-resistance
+    measurement over planted prefix-perturbed twins (doc_id % 5 == 0)."""
+    from ..ext.cdc import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + CDC_TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.lit(CDC_TWIN_PREFIX), F.col("text")).alias("text"),
+    )
+    chunks = cdc_chunks(docs.unionByName(twins))
+
+    oc = chunks.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < CDC_TWIN_OFFSET)
+    ).select("doc_id", "chunk_start", "chunk_md5")
+    tc = chunks.filter(F.col("doc_id") >= CDC_TWIN_OFFSET).select(
+        (F.col("doc_id") - CDC_TWIN_OFFSET).alias("doc_id"),
+        F.col("chunk_md5").alias("twin_md5"),
+    )
+    shared = oc.join(
+        tc,
+        (oc["doc_id"] == tc["doc_id"]) & (oc["chunk_md5"] == tc["twin_md5"]),
+        "left_semi",
+    )
+    totals = chunks.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("total_chunk_chars"),
+        F.round(F.sum("chunk_len") / F.count(F.lit(1)), 4).alias("avg_chunk_len"),
+    )
+    pair_stats = oc.agg(F.count(F.lit(1)).cast("long").alias("orig_chunks")).join(
+        shared.agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+    )
+    return totals.join(pair_stats).select(
+        "n_docs",
+        "n_chunks",
+        "total_chunk_chars",
+        "avg_chunk_len",
+        "orig_chunks",
+        "shared_chunks",
+        F.round(F.col("shared_chunks") / F.col("orig_chunks"), 6).alias("shared_ratio"),
+    )
+
+
+DOCS_CDC_CHUNKING_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CDC_TWIN_OFFSET} AS doc_id, '{CDC_TWIN_PREFIX}' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+base AS (
+  SELECT doc_id, text, length(text) AS n FROM corpus
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+b AS (
+  SELECT doc_id, i
+  FROM base, unnest(generate_series(16, n)) AS t(i)
+  WHERE n >= 16
+    AND substring(md5(substring(text, i - 15, 16)), 1, 3) < '040'
+),
+mid AS (
+  SELECT doc_id,
+         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+         i AS e
+  FROM b
+),
+tail AS (
+  SELECT base.doc_id, COALESCE(MAX(b.i), 0) + 1 AS s, MAX(base.n) AS e
+  FROM base LEFT JOIN b USING (doc_id)
+  GROUP BY base.doc_id
+  HAVING MAX(base.n) >= COALESCE(MAX(b.i), 0) + 1
+),
+spans AS (SELECT * FROM mid UNION ALL SELECT * FROM tail),
+chunks AS (
+  SELECT s.doc_id, s.s, s.e - s.s + 1 AS clen,
+         md5(substring(base.text, s.s, s.e - s.s + 1)) AS h
+  FROM spans s JOIN base USING (doc_id)
+),
+oc AS (
+  SELECT doc_id, s, h FROM chunks
+  WHERE doc_id % 5 = 0 AND doc_id < {CDC_TWIN_OFFSET}
+),
+tc AS (
+  SELECT doc_id - {CDC_TWIN_OFFSET} AS doc_id, h FROM chunks
+  WHERE doc_id >= {CDC_TWIN_OFFSET}
+),
+shr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS shared_chunks
+  FROM oc
+  WHERE EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = oc.doc_id AND tc.h = oc.h)
+)
+SELECT
+  CAST(COUNT(DISTINCT chunks.doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(clen) AS BIGINT) AS total_chunk_chars,
+  ROUND(CAST(SUM(clen) AS DOUBLE) / COUNT(*), 4) AS avg_chunk_len,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM oc) AS orig_chunks,
+  (SELECT shared_chunks FROM shr) AS shared_chunks,
+  ROUND(CAST((SELECT shared_chunks FROM shr) AS DOUBLE)
+        / (SELECT COUNT(*) FROM oc), 6) AS shared_ratio
+FROM chunks
+"""
+
+
 # --- docs_hash_split -----------------------------------------------------------------
 
 

@@ -284,6 +284,9 @@ QUERIES: dict[str, Query] = {
     # r7 swap-out (second swap): rate-filter temperature mixture, still oracled;
     # the sampling family's scored row moved to docs_pps_sample
     "docs_temperature_mixture": llm.docs_temperature_mixture,
+    # r7: content-defined chunking — portable boundary hash, chunk conservation
+    # and the planted-twin shift-resistance ratio all in one certified row
+    "docs_cdc_chunking": llm.docs_cdc_chunking,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -424,6 +427,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_pack_sequences": llm.DOCS_PACK_SEQUENCES_ORACLE,
     "docs_dup_pagerank": llm.DOCS_DUP_PAGERANK_ORACLE,
     "docs_pps_sample": llm.DOCS_PPS_SAMPLE_ORACLE,
+    "docs_cdc_chunking": llm.DOCS_CDC_CHUNKING_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

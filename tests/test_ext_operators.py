@@ -2333,3 +2333,51 @@ def test_synthesize_media_mjpeg_pipeline(spark):
     feats = extract_features(media)
     rows = feats.filter(F.col("kind") == "video").select("decoded").collect()
     assert rows and all(r.decoded for r in rows)
+
+
+# --- content-defined chunking -----------------------------------------------------------
+
+
+def test_cdc_chunks_conservation_and_shift_resistance(spark):
+    """CDC chunks must tile each document exactly (contiguous, disjoint, total
+    length == text length), short docs collapse to one whole-doc chunk, and the
+    property CDC exists for must hold: after a prefix insertion the chunking
+    re-synchronizes, so well over half the original chunk hashes reappear."""
+    from hadoop_migration_assessment_tools_spark.ext.cdc import cdc_chunks
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    chunks = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect() if r.text}
+    assert set(by_doc) == {d for d, t in texts.items() if len(t) > 0}
+    for d, rows in by_doc.items():
+        pos = 1
+        for r in rows:
+            assert r.chunk_start == pos, (d, r)
+            assert r.chunk_len >= 1
+            pos += r.chunk_len
+        assert pos - 1 == len(texts[d]), d  # exact tiling
+
+    tiny = spark.createDataFrame([(1, "short"), (2, ""), (3, None)], "doc_id long, text string")
+    rows = cdc_chunks(tiny).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1 and rows[0].chunk_len == 5
+
+    twins = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("XYZ-inserted-prefix "), F.col("text")).alias("text"),
+    )
+    tchunks = cdc_chunks(twins).collect()
+    torig = {}
+    for r in tchunks:
+        torig.setdefault(r.doc_id - 10_000_000, set()).add(r.chunk_md5)
+    shared = total = 0
+    for d, rows_ in by_doc.items():
+        if len(texts[d]) < 200:  # resynchronization needs a few chunks of runway
+            continue
+        for r in rows_:
+            total += 1
+            shared += r.chunk_md5 in torig.get(d, set())
+    assert total > 50 and shared / total > 0.5, (shared, total)

@@ -313,6 +313,9 @@ BNLJ_ALLOWED = {
     # r7: fixed-point PageRank crossJoins the 1-row node-count aggregate onto
     # the node set before the first iteration
     "docs_dup_pagerank",
+    # r7: the one-row report joins three 1-row aggregates (corpus totals x
+    # orig-chunk count x shared-chunk count)
+    "docs_cdc_chunking",
 }
 
 
