@@ -660,3 +660,53 @@ def contamination_ratio(
             F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("ratio"),
         )
     )
+
+
+# --- deletion-neighborhood fuzzy matching (FastSS / SymSpell family) --------------------
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame, key_col: str = "key", id_col: str = "doc_id"
+) -> DataFrame:
+    """All pairs of rows whose keys are within edit distance 1, found via the
+    FastSS deletion-neighborhood index — NOT an all-pairs scan.
+
+    For edit distance <= 1 the single-deletion neighborhood is COMPLETE: if
+    ed(a, b) <= 1 then a and b share a variant (a itself, b itself, or both
+    with the differing position deleted), so bucketing by variant finds every
+    qualifying pair and the levenshtein verify only discards the bucket's
+    false positives (strings sharing a variant at distance 2, e.g. "ab"/"ba").
+    Index size is (len+1) variants per key — a bounded narrow expansion; the
+    bucket groupBy is one shuffle with AQE skew handling. (ed <= 2 needs the
+    O(len^2) double-deletion neighborhood — out of scope here.)
+
+    Keys must be ASCII (levenshtein is codepoint-based in Spark but BYTE-based
+    in DuckDB; the certifying query normalizes to [a-z0-9 ] first). Returns
+    (id_a, id_b, key_a, key_b, dist) with id_a < id_b, distinct pairs.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+    variants = base.select(
+        "_id",
+        "_k",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(_k)), "
+                "i -> CASE WHEN i = 0 THEN _k "
+                "ELSE concat(substring(_k, 1, i - 1), substring(_k, i + 1)) END)"
+            )
+        ).alias("_v"),
+    ).distinct()  # a key can repeat a variant (deleting either of a double letter)
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a._v") == F.col("b._v")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._k").alias("key_a"),
+            F.col("b._k").alias("key_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("key_a", "key_b").cast("long")).filter(
+        F.col("dist") <= 1
+    )

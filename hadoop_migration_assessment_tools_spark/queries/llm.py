@@ -1945,6 +1945,72 @@ FROM chunks
 """
 
 
+# --- docs_fuzzy_typo_pairs ---------------------------------------------------------------
+# [EXT] Typo-level fuzzy dedup via the FastSS deletion-neighborhood index
+# (ext/dedup.py deletion_neighborhood_pairs). The single-deletion neighborhood
+# is COMPLETE for edit distance <= 1, so the engine's index+verify result must
+# equal the DEFINITION — the oracle computes all-pairs levenshtein directly
+# (the simhash pattern: a lossless index means the indexed plan must
+# hash-equal the exact quadratic form). Keys are ASCII-normalized because
+# DuckDB's levenshtein is byte-based while Spark's is codepoint-based.
+
+FUZZY_TWIN_OFFSET = 20_000_000
+
+
+def docs_fuzzy_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All key pairs within edit distance 1 over normalized 24-char prefixes,
+    with planted single-substitution typo twins (doc_id % 6 == 0)."""
+    from ..ext.dedup import deletion_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.substring("text", 1, 24)), "[^a-z0-9 ]", "").alias(
+            "key"
+        ),
+    ).filter(F.length("key") >= 4)
+    twins = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + FUZZY_TWIN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.expr("substring(key, 1, CAST(doc_id % 8 + 1 AS INT))"),
+            F.lit("q"),
+            F.expr("substring(key, CAST(doc_id % 8 + 3 AS INT))"),
+        ).alias("key"),
+    )
+    pairs = deletion_neighborhood_pairs(docs.unionByName(twins), "key", "doc_id")
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "key_a",
+        "key_b",
+        "dist",
+    ).orderBy("id_a", "id_b")
+
+
+DOCS_FUZZY_TYPO_PAIRS_ORACLE = f"""
+WITH keys0 AS (
+  SELECT doc_id,
+         regexp_replace(lower(substring(text, 1, 24)), '[^a-z0-9 ]', '', 'g') AS key
+  FROM documents
+),
+keys AS (SELECT doc_id, key FROM keys0 WHERE length(key) >= 4),
+twins AS (
+  SELECT doc_id + {FUZZY_TWIN_OFFSET} AS doc_id,
+         substring(key, 1, CAST(doc_id % 8 + 1 AS INT)) || 'q'
+           || substring(key, CAST(doc_id % 8 + 3 AS INT)) AS key
+  FROM keys WHERE doc_id % 6 = 0
+),
+corpus AS (SELECT * FROM keys UNION ALL SELECT * FROM twins)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       a.key AS key_a,
+       b.key AS key_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 # --- docs_hash_split -----------------------------------------------------------------
 
 

@@ -287,6 +287,10 @@ QUERIES: dict[str, Query] = {
     # r7: content-defined chunking — portable boundary hash, chunk conservation
     # and the planted-twin shift-resistance ratio all in one certified row
     "docs_cdc_chunking": llm.docs_cdc_chunking,
+    # r7: FastSS deletion-neighborhood fuzzy matching — the index is complete
+    # for edit distance <= 1, so the indexed plan must hash-equal the oracle's
+    # definitional all-pairs levenshtein (the simhash lossless-index pattern)
+    "docs_fuzzy_typo_pairs": llm.docs_fuzzy_typo_pairs,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -428,6 +432,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_dup_pagerank": llm.DOCS_DUP_PAGERANK_ORACLE,
     "docs_pps_sample": llm.DOCS_PPS_SAMPLE_ORACLE,
     "docs_cdc_chunking": llm.DOCS_CDC_CHUNKING_ORACLE,
+    "docs_fuzzy_typo_pairs": llm.DOCS_FUZZY_TYPO_PAIRS_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

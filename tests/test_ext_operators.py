@@ -2381,3 +2381,52 @@ def test_cdc_chunks_conservation_and_shift_resistance(spark):
             total += 1
             shared += r.chunk_md5 in torig.get(d, set())
     assert total > 50 and shared / total > 0.5, (shared, total)
+
+
+def test_deletion_neighborhood_pairs_complete_and_verified(spark):
+    """FastSS index: every pair at edit distance <= 1 is found (the planted
+    substitution twins prove completeness), distance-2 bucket collisions like
+    'ab'/'ba' (sharing deletion variant 'a') are dropped by the verify, and
+    identical keys surface as dist=0 pairs."""
+    from hadoop_migration_assessment_tools_spark.ext.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "spark engine"),
+        (2, "spark enginz"),   # substitution           -> dist 1 with 1
+        (3, "spark engin"),    # deletion               -> dist 1 with 1 AND 2
+        (4, "ab"),
+        (5, "ba"),             # shares variant 'a' with 4 but dist 2 -> dropped
+        (6, "spark engine"),   # identical              -> dist 0 with 1
+        (7, "totally different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in deletion_neighborhood_pairs(df, "key", "doc_id").collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 6)] == 0
+    assert got[(3, 6)] == 1 and (4, 5) not in got
+    assert got[(2, 3)] == 1  # 'enginz' -> 'engin' is one trailing deletion
+    assert (1, 7) not in got and (2, 7) not in got
+    assert all(a < b for a, b in got)
+
+    # planted twins in the registry query must all be recovered
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        FUZZY_TWIN_OFFSET,
+        docs_fuzzy_typo_pairs,
+    )
+
+    pairs = docs_fuzzy_typo_pairs(spark, SF).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = {
+        r.doc_id
+        for r in docs.collect()
+        if r.doc_id % 6 == 0
+        and r.text
+        and len("".join(c for c in r.text[:24].lower() if c.isascii() and (c.isalnum() or c == " "))) >= 4
+    }
+    for d in expected:
+        assert any(a == d and b == d + FUZZY_TWIN_OFFSET for a, b in found), d
