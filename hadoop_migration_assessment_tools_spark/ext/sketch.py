@@ -529,3 +529,114 @@ def cms_lookup(
     return probes.groupBy(col, *others).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count")
     )
+
+
+#: HLL bias-correction constant per precision (Flajolet et al.: alpha_16 =
+#: 0.673, alpha_32 = 0.697, alpha_64 = 0.709, then 0.7213/(1 + 1.079/m)).
+def hll_alpha(p: int) -> float:
+    m = 1 << p
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / float(m))
+
+
+def hll_sliding_certified(
+    items: DataFrame,
+    day_col: str,
+    col: str,
+    window_days: int = 7,
+    p: int = 5,
+) -> DataFrame:
+    """Per-day TRAILING-WINDOW distinct estimates from MERGED daily registers —
+    the query shape mergeable sketches exist for: keep one tiny register set per
+    day, answer any trailing window by elementwise-MAX over the window's days,
+    never rescan history. Returns one row per day:
+    (day, n_regs_used, s_total, est_distinct, exact_distinct, rel_err).
+
+    Scale shape: the daily registers are ONE keyed shuffle (<= days * 2^p rows);
+    the merge is a window over the (day x reg) SPINE (tiny: days * 2^p rows,
+    partitioned by reg — never over the data). The exact control joins the day
+    spine to the per-day distinct level with a range predicate — broadcast of
+    the <= #days row side; it exists to CERTIFY the sketch (at 100 TB you run
+    the register path and skip the control; re-verify on samples).
+    """
+    from pyspark.sql.window import Window
+
+    day = F.col(day_col)
+    daily = hll_registers_grouped(items, [day_col], col, p)
+    days = daily.select(day_col).distinct()
+    regs = daily.select("reg").distinct()
+    spine = days.crossJoin(F.broadcast(regs))
+    dn = F.datediff(day, F.to_date(F.lit("1970-01-01"))).cast("long")
+    filled = spine.join(daily, [day_col, "reg"], "left").withColumn("_dn", dn)
+    w = (
+        Window.partitionBy("reg")
+        .orderBy("_dn")
+        .rangeBetween(-(int(window_days) - 1), 0)
+    )
+    merged = filled.withColumn("w_rank", F.max("max_rank").over(w)).filter(
+        F.col("w_rank").isNotNull()
+    )
+
+    m = 1 << p
+    sb = HLL_HASH_BITS - p + 1
+    scale = 1 << sb
+    est_rows = merged.groupBy(day_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {sb} - w_rank)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present") + (F.lit(m) - F.col("n_regs_used")) * F.lit(scale)
+    ).cast("long")
+    est = (
+        F.lit(hll_alpha(p))
+        * F.lit(float(m * m))
+        * F.lit(float(scale))
+        / s_total.cast("double")
+    )
+    sketched = est_rows.select(
+        day_col,
+        "n_regs_used",
+        s_total.alias("s_total"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+    # exact control: trailing-window COUNT(DISTINCT) per day, from the per-day
+    # distinct level (the join's left side is the <= #days spine -> broadcast)
+    lvl = items.where(F.col(col).isNotNull()).select(day, F.col(col).alias("_v")).distinct()
+    lvl = lvl.withColumn("_edn", F.datediff(day, F.to_date(F.lit("1970-01-01"))).cast("long")).drop(
+        day_col
+    )
+    dspine = days.select(day, dn.alias("_dn"))
+    ctrl = (
+        F.broadcast(dspine)
+        .join(
+            lvl,
+            (F.col("_edn") >= F.col("_dn") - (int(window_days) - 1))
+            & (F.col("_edn") <= F.col("_dn")),
+        )
+        .groupBy(day_col)
+        .agg(F.count_distinct("_v").cast("long").alias("exact_distinct"))
+    )
+    return (
+        sketched.join(ctrl, day_col)
+        .select(
+            day,
+            "n_regs_used",
+            "s_total",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy(day_col)
+    )

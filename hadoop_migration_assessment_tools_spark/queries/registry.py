@@ -291,6 +291,10 @@ QUERIES: dict[str, Query] = {
     # for edit distance <= 1, so the indexed plan must hash-equal the oracle's
     # definitional all-pairs levenshtein (the simhash lossless-index pattern)
     "docs_fuzzy_typo_pairs": llm.docs_fuzzy_typo_pairs,
+    # r7: trailing-window distinct-user estimates from MERGED daily HLL
+    # registers — the no-rescan sliding-window query mergeable sketches exist
+    # for; exact trailing COUNT(DISTINCT) rides along as the accuracy control
+    "events_sliding_hll_users": ea.events_sliding_hll_users,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -433,6 +437,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_pps_sample": llm.DOCS_PPS_SAMPLE_ORACLE,
     "docs_cdc_chunking": llm.DOCS_CDC_CHUNKING_ORACLE,
     "docs_fuzzy_typo_pairs": llm.DOCS_FUZZY_TYPO_PAIRS_ORACLE,
+    "events_sliding_hll_users": ea.EVENTS_SLIDING_HLL_USERS_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

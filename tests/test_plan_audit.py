@@ -316,6 +316,10 @@ BNLJ_ALLOWED = {
     # r7: the one-row report joins three 1-row aggregates (corpus totals x
     # orig-chunk count x shared-chunk count)
     "docs_cdc_chunking",
+    # r7: the exact control joins the <= #days broadcast spine to the per-day
+    # distinct level on a trailing-range predicate (certification-only path;
+    # the production register path has no such join)
+    "events_sliding_hll_users",
 }
 
 
