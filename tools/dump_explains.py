@@ -54,6 +54,15 @@ TRACKED = [
     "docs_split_leakage",
     "qe_assessment_summary",
     "emb_hard_negatives",
+    # round-6/7: certified sketches, join pruning, the new scored sampler, and
+    # the round-7 distributed-decomposition operators
+    "lineitem_bloom_prefilter",
+    "docs_shingle_hll",
+    "docs_shingle_cms",
+    "docs_pps_sample",
+    "docs_cdc_chunking",
+    "docs_fuzzy_typo_pairs",
+    "events_sliding_hll_users",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
