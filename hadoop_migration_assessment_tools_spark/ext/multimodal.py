@@ -640,13 +640,16 @@ def synthesize_media(
     text_col: str = "text",
     image_format: str = "ppm",
     video_format: str = "raw",
+    audio_encoding: str = "pcm16",
 ) -> DataFrame:
     """Build a deterministic media corpus from a text table: real WAV payloads for
     audio rows, real PPM or PNG payloads for image rows (``image_format``), opaque
     bytes for video rows (the honest undecodable case). Arrow-batched generation —
     payloads never touch the driver. PPM stays the default because its payload size
     is closed-form (the multimodal_manifest oracle certifies it); PNG sizes depend
-    on zlib and are pytest-verified instead."""
+    on zlib and are pytest-verified instead. ``audio_encoding``: 'pcm16' (default —
+    closed-form sizes, the manifest oracle depends on them) or 'g711mix' (cycle
+    pcm16 / A-law / mu-law so the G.711 decode paths run distributed)."""
     if image_format not in ("ppm", "png", "jpeg"):
         raise ValueError(
             f"image_format must be 'ppm', 'png' or 'jpeg', got {image_format!r}"
@@ -654,6 +657,10 @@ def synthesize_media(
     if video_format not in ("raw", "pvid", "mjpeg"):
         raise ValueError(
             f"video_format must be 'raw', 'pvid' or 'mjpeg', got {video_format!r}"
+        )
+    if audio_encoding not in ("pcm16", "g711mix"):
+        raise ValueError(
+            f"audio_encoding must be 'pcm16' or 'g711mix', got {audio_encoding!r}"
         )
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -706,7 +713,11 @@ def synthesize_media(
                     freq = 110.0 * (doc_id % 20 + 1)
                     t = np.arange(count, dtype=np.float64)
                     samples = (2000 * np.sin(2 * np.pi * freq * t / rate)).astype("<i2")
-                    payload, kind = make_wav_bytes(samples, rate), "audio"
+                    enc = "pcm16"
+                    if audio_encoding == "g711mix":
+                        enc = ("pcm16", "alaw", "mulaw")[(doc_id // 3) % 3]
+                    payload = make_wav_bytes(samples, rate, encoding=enc)
+                    kind = "audio"
                     meta = ("audio/wav", None, None, rate, count * 1000 // rate)
                 elif video_format == "mjpeg":  # video: REAL MJPEG AVI keyed by doc_id
                     w, h = n % 32 + 4, n % 24 + 4

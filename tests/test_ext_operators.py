@@ -2461,3 +2461,70 @@ def test_hll_sliding_merge_equals_union_sketch(spark):
     assert row.n_regs_used == est.n_regs_used
     assert row.s_total == est.s_total
     assert row.exact_distinct == window_rows.select("user_id").distinct().count()
+
+
+_FUZZ_AVIS: list[bytes] = []
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    op=st.sampled_from(["truncate", "flip", "trunc+flip"]),
+    frac=st.floats(0.0, 1.0),
+    bitpos=st.integers(0, 2**31),
+)
+def test_avi_fuzz_decode_or_clean_fallback(op, frac, bitpos):
+    """Same contract as the JPEG fuzz: random truncations/bit flips of a valid
+    MJPEG AVI must decode, raise the normalized ValueError/NotImplementedError,
+    or flag decoded=false — never a raw struct.error/IndexError escape."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import multimodal as M
+
+    if not _FUZZ_AVIS:
+        rng = np.random.RandomState(11)
+        frames = [
+            np.clip(rng.rand(16, 20, 3) * 255, 0, 255).astype(np.uint8)
+            for _ in range(3)
+        ]
+        _FUZZ_AVIS.append(M.make_avi_mjpeg_bytes(frames, fps=5))
+    data = bytearray(_FUZZ_AVIS[0])
+    if op in ("truncate", "trunc+flip"):
+        cut = 12 + int(frac * (len(data) - 12))
+        data = data[:cut]
+    if op in ("flip", "trunc+flip") and len(data) > 12:
+        pos = 12 + (bitpos // 8) % (len(data) - 12)
+        data[pos] ^= 1 << (bitpos % 8)
+    payload = bytes(data)
+    try:
+        n, w, h, frames = M.parse_avi_mjpeg(payload)
+        assert n >= 1 and frames.dtype.name == "uint8"
+    except (ValueError, NotImplementedError):
+        pass
+    decoded, feats = M.media_features(payload, "video")
+    assert isinstance(decoded, bool) and len(feats) == 8
+
+
+def test_synthesize_media_g711_pipeline(spark):
+    """audio_encoding='g711mix': every audio row (pcm16 / A-law / mu-law mix)
+    decodes for real through the Arrow UDF, and features stay close to the
+    pcm16 corpus on the same rows (companding error only)."""
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").limit(40)
+    mixed = extract_features(synthesize_media(docs, audio_encoding="g711mix"))
+    rows = mixed.filter(F.col("kind") == "audio").select("media_id", "decoded", "features").collect()
+    assert rows and all(r.decoded for r in rows)
+    plain = {
+        r.media_id: r.features
+        for r in extract_features(synthesize_media(docs))
+        .filter(F.col("kind") == "audio")
+        .collect()
+    }
+    for r in rows:
+        base = plain[r.media_id]
+        assert r.features[0] == base[0]  # duration exact
+        assert abs(r.features[1] - base[1]) < 0.01 * max(base[1], 1e-9)  # RMS ~equal
