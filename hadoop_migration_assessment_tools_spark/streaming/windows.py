@@ -89,3 +89,36 @@ def session_window_stats(
             "session_value",
         )
     )
+
+
+def daily_hll_registers(
+    events: DataFrame,
+    watermark: str = "2 days",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    p: int = 5,
+) -> DataFrame:
+    """Streaming + sketch composition: per-day HLL register sets maintained
+    INCREMENTALLY by the engine — state is groupBy(day window, reg).max(rank),
+    i.e. <= 2^p bounded rows per day regardless of event volume, and MAX is
+    both the streaming-safe aggregate and the sketch's merge operator, so each
+    micro-batch folds into the state exactly as a batch union would.
+
+    Batch twin: ext/sketch.hll_registers_grouped over to_date(ts) — the parity
+    test asserts register-level equality. Downstream, trailing-window distinct
+    estimates merge these rows with no history rescan
+    (events_sliding_hll_users' shape)."""
+    from ..ext.sketch import _hll_hash_and_rank
+
+    m = 1 << p
+    h, rank = _hll_hash_and_rank(value_col, p)
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, "1 day").alias("w"),
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"),
+        )
+        .agg(F.max(rank).cast("int").alias("max_rank"))
+        .select(F.col("w.start").cast("date").alias("day"), "reg", "max_rank")
+    )

@@ -841,3 +841,29 @@ def test_ingest_stream_single_batch_matches_batch_api(spark, tmp_path):
     assert {(r["doc_id"], r["reason"]) for r in spark.read.parquet(aud_p).collect()} == {
         (r["doc_id"], r["reason"]) for r in b_audit.collect()
     }
+
+
+def test_streaming_daily_hll_registers_match_batch(spark, tmp_path):
+    """Incremental sketch maintenance: the streamed per-day HLL register sets
+    (bounded MAX state) must equal the batch hll_registers_grouped output
+    register for register — merge-by-MAX is exactly what each micro-batch does
+    to the state, so streamed == batch is the mergeability property live."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import hll_registers_grouped
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_hll_registers,
+    )
+
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SF, "events")
+    events.write.parquet(src)
+
+    stream = read_events_table_stream(spark, src)
+    _run_available_now(daily_hll_registers(stream, p=5), "daily_hll", "complete")
+    got = {
+        (r["day"], r["reg"]): r["max_rank"] for r in spark.table("daily_hll").collect()
+    }
+    batch = hll_registers_grouped(
+        events.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id", p=5
+    )
+    want = {(r["day"], r["reg"]): r["max_rank"] for r in batch.collect()}
+    assert got == want and len(want) > 50
