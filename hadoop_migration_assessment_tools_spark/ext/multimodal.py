@@ -917,3 +917,35 @@ def resize_media(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------------------
+# perceptual image hashing (dHash) — the image-dedup primitive: resample to a
+# 9x8 grid, hash the 64 horizontal brightness gradients. Robust to re-encoding
+# and monotone brightness shifts (any strictly increasing pixel transform
+# preserves every > comparison, hence the hash — certified by the planted
+# twins in media_image_dhash). All-integer arithmetic: nearest-neighbor grid
+# sampling at ((k * dim) // out_dim) and integer gray (299R + 587G + 114B)//1000,
+# so a SQL oracle can replay the hash from closed-form pixel formulas while the
+# engine path goes through REAL encoded bytes.
+# --------------------------------------------------------------------------------------
+
+
+def dhash64(pixels) -> str:
+    """(h, w, 3) uint8 RGB -> 16-hex-char dHash. Needs w >= 9, h >= 8."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    h, w, _ = px.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash64 needs at least 9x8 pixels, got {w}x{h}")
+    gray = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = gray[np.ix_(rows, cols)]  # 8 x 9 sampled grid
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 8 x 8 gradients
+    weights = 1 << (np.arange(32, dtype=np.int64))
+    flat = bits.reshape(-1)
+    hi = int((flat[:32] * weights).sum())
+    lo = int((flat[32:] * weights).sum())
+    return f"{hi:08x}{lo:08x}"

@@ -2011,6 +2011,111 @@ ORDER BY id_a, id_b
 """
 
 
+# --- media_image_dhash ---------------------------------------------------------------
+# [EXT] Perceptual image hashing (dHash — the image-dedup primitive), certified
+# END TO END through real bytes: the engine builds each image from a closed-form
+# pixel formula, round-trips it through the PPM codec (encode -> parse), and
+# hashes the decoded pixels; the oracle recomputes the 9x8 sampled grid, the
+# integer gray, the 64 gradient bits and the hex hash analytically — it never
+# materializes an image. Planted brightness-shifted twins (+3 per channel; gray
+# shifts EXACTLY +3 because 299+587+114 = 1000) provably collide with their
+# originals in both engines — the robustness property perceptual hashes exist
+# for, certified rather than asserted.
+
+DHASH_TWIN_OFFSET = 30_000_000
+
+
+def media_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, w, h, dhash) for formula-keyed images plus brightness twins
+    (doc_id % 10 == 0). Engine path: numpy image -> PPM bytes -> parse -> dHash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").filter(
+        F.col("n_chars").isNotNull()
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..ext.multimodal import dhash64, make_ppm_bytes, parse_ppm
+
+        for pdf in batches:
+            out = {"media_id": [], "w": [], "h": [], "dhash": []}
+            for did, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, n = int(did), int(n)
+                w, h = n % 40 + 9, n % 30 + 8
+                i, j = np.indices((h, w), dtype=np.int64)
+                base = np.stack(
+                    [
+                        (i * 7 + j * 13 + did * 5) % 250,
+                        (i * 3 + j * 5 + did * 11) % 250,
+                        (i * 11 + j + did * 7) % 250,
+                    ],
+                    axis=-1,
+                )
+                variants = [(did, 0)]
+                if did % 10 == 0:
+                    variants.append((did + DHASH_TWIN_OFFSET, 3))
+                for mid, shift in variants:
+                    px = (base + shift).astype(np.uint8)
+                    decoded = parse_ppm(make_ppm_bytes(px))  # real byte roundtrip
+                    out["media_id"].append(mid)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["dhash"].append(dhash64(decoded))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(gen, "media_id long, w long, h long, dhash string")
+        .orderBy("media_id")
+    )
+
+
+MEDIA_IMAGE_DHASH_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, doc_id AS src, 0 AS shift,
+         n_chars % 40 + 9 AS w, n_chars % 30 + 8 AS h
+  FROM documents WHERE n_chars IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {DHASH_TWIN_OFFSET} AS id, doc_id AS src, 3 AS shift,
+         n_chars % 40 + 9 AS w, n_chars % 30 + 8 AS h
+  FROM documents WHERE n_chars IS NOT NULL AND doc_id % 10 = 0
+),
+pts AS (
+  SELECT b.id, b.src, b.shift, b.w, b.h, gr.r AS r, gc.c AS c,
+         (gr.r * b.h) // 8 AS ri, (gc.c * b.w) // 9 AS ci
+  FROM base b,
+       unnest(generate_series(0, 7)) AS gr(r),
+       unnest(generate_series(0, 8)) AS gc(c)
+),
+gray AS (
+  SELECT id, w, h, r, c,
+         (299 * ((ri * 7 + ci * 13 + src * 5) % 250 + shift)
+          + 587 * ((ri * 3 + ci * 5 + src * 11) % 250 + shift)
+          + 114 * ((ri * 11 + ci + src * 7) % 250 + shift)) // 1000 AS g
+  FROM pts
+),
+bits AS (
+  SELECT a.id, a.w, a.h, a.r, a.c,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM gray a
+  JOIN gray b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+vals AS (
+  SELECT id, MAX(w) AS w, MAX(h) AS h,
+         CAST(SUM(CASE WHEN r < 4 THEN bit << (r * 8 + c) ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN r >= 4 THEN bit << ((r - 4) * 8 + c) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h,
+       printf('%08x%08x', hi, lo) AS dhash
+FROM vals
+ORDER BY media_id
+"""
+
+
 # --- docs_hash_split -----------------------------------------------------------------
 
 

@@ -295,6 +295,11 @@ QUERIES: dict[str, Query] = {
     # registers — the no-rescan sliding-window query mergeable sketches exist
     # for; exact trailing COUNT(DISTINCT) rides along as the accuracy control
     "events_sliding_hll_users": ea.events_sliding_hll_users,
+    # r7: perceptual image hashing (dHash) certified through REAL bytes — the
+    # engine round-trips formula-built images through the PPM codec and hashes
+    # decoded pixels; the oracle replays grid/gray/gradient/hex analytically;
+    # brightness-shifted twins provably collide (gray shifts exactly +3)
+    "media_image_dhash": llm.media_image_dhash,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -438,6 +443,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_cdc_chunking": llm.DOCS_CDC_CHUNKING_ORACLE,
     "docs_fuzzy_typo_pairs": llm.DOCS_FUZZY_TYPO_PAIRS_ORACLE,
     "events_sliding_hll_users": ea.EVENTS_SLIDING_HLL_USERS_ORACLE,
+    "media_image_dhash": llm.MEDIA_IMAGE_DHASH_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

@@ -2528,3 +2528,21 @@ def test_synthesize_media_g711_pipeline(spark):
         base = plain[r.media_id]
         assert r.features[0] == base[0]  # duration exact
         assert abs(r.features[1] - base[1]) < 0.01 * max(base[1], 1e-9)  # RMS ~equal
+
+
+def test_media_image_dhash_twins_collide_and_hashes_discriminate(spark):
+    """Every brightness-shifted twin must collide with its original (monotone
+    pixel transforms preserve all gradient comparisons), and distinct source
+    images must yield overwhelmingly distinct hashes."""
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        DHASH_TWIN_OFFSET,
+        media_image_dhash,
+    )
+
+    rows = {r.media_id: r.dhash for r in media_image_dhash(spark, SF).collect()}
+    twins = [m for m in rows if m >= DHASH_TWIN_OFFSET]
+    assert twins
+    for t in twins:
+        assert rows[t] == rows[t - DHASH_TWIN_OFFSET], t
+    originals = [rows[m] for m in rows if m < DHASH_TWIN_OFFSET]
+    assert len(set(originals)) > 0.9 * len(originals)
