@@ -46,7 +46,11 @@ def main() -> None:
         yield from batches
 
     sdf = spark.range(DEFAULT_CPUS, numPartitions=DEFAULT_CPUS)
-    sdf.mapInPandas(_warm, "id long").count()
+
+    def warm_python_workers() -> None:
+        sdf.mapInPandas(_warm, "id long").count()
+
+    warm_python_workers()
     # Wide-expression codegen warmup: one aggregate with many generated sums so
     # the first wide-codegen query (e.g. simhash's 64 bit-vote sums) doesn't
     # absorb the one-time janino compile.
@@ -78,7 +82,15 @@ def main() -> None:
     # each query, record its failure, and keep the JSON line flowing regardless.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in QUERIES.items():
+    for idx, (name, q) in enumerate(QUERIES.items()):
+        if idx and idx % 25 == 0:
+            # Re-warm the Python worker pool OUTSIDE the timing (~0.4 s each):
+            # in a long mixed session the idle pool stops covering a full
+            # 32-task Arrow stage (measured: the first pandas-UDF query after
+            # ~140 queries forks 32 fresh workers, +3-5 s of fork + numpy
+            # import landing on whichever query sits there — session
+            # housekeeping, not that query's plan).
+            warm_python_workers()
         t0 = time.perf_counter()
         try:
             q(spark, sf_dir).count()
