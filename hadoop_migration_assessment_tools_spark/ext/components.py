@@ -176,7 +176,14 @@ def pagerank_fixed_point(
     per round cuts the iterative lineage exactly as connected_components does.
     The tiny n-count is crossJoin-broadcast, never collected per row.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # checkpoint the canonical edge set ONCE (connected_components discipline):
+    # e and deg sit inside every iteration's join — without the cut, the
+    # caller's full edge derivation re-executes ~2x per round plus final join
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     nodes = e.select(F.col("_s").alias("node")).distinct()
     n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))

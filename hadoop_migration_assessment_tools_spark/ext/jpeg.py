@@ -316,8 +316,15 @@ def make_jpeg_bytes(
         # scale the 8-bit-reference tables into the 12-bit coefficient range
         # (libjpeg's jcparam.c does the same x16); needs the 16-bit DQT form
         qt = [t * 16.0 for t in qt]
-    dc_codes = _ENC_DC_CODES if precision == 8 else _ENC_DC_CODES_12
-    ac_codes = _ENC_AC_CODES if precision == 8 else _ENC_AC_CODES_12
+    # one selection point: the DHT segments written below must describe the
+    # exact tables the entropy coder uses
+    if precision == 8:
+        dc_bits, dc_syms, ac_bits, ac_syms = _DC_BITS, _DC_SYMBOLS, _AC_BITS, _AC_SYMBOLS
+        dc_codes, ac_codes = _ENC_DC_CODES, _ENC_AC_CODES
+    else:
+        dc_bits, dc_syms = _DC_BITS_12, _DC_SYMBOLS_12
+        ac_bits, ac_syms = _AC_BITS_12, _AC_SYMBOLS_12
+        dc_codes, ac_codes = _ENC_DC_CODES_12, _ENC_AC_CODES_12
 
     if sub:
         y = _pad_to_blocks(ycc[..., 0], 16)
@@ -393,14 +400,10 @@ def make_jpeg_bytes(
         + dqt(0, qt[0])
         + dqt(1, qt[1])
         + sof
-        + dht(0, 0, *((_DC_BITS, _DC_SYMBOLS) if precision == 8
-                      else (_DC_BITS_12, _DC_SYMBOLS_12)))
-        + dht(1, 0, *((_AC_BITS, _AC_SYMBOLS) if precision == 8
-                      else (_AC_BITS_12, _AC_SYMBOLS_12)))
-        + dht(0, 1, *((_DC_BITS, _DC_SYMBOLS) if precision == 8
-                      else (_DC_BITS_12, _DC_SYMBOLS_12)))
-        + dht(1, 1, *((_AC_BITS, _AC_SYMBOLS) if precision == 8
-                      else (_AC_BITS_12, _AC_SYMBOLS_12)))
+        + dht(0, 0, dc_bits, dc_syms)
+        + dht(1, 0, ac_bits, ac_syms)
+        + dht(0, 1, dc_bits, dc_syms)
+        + dht(1, 1, ac_bits, ac_syms)
         + dri
         + sos
         + bytes(wr.out)

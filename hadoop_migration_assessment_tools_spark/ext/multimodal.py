@@ -69,7 +69,10 @@ FEATURES_SCHEMA = T.StructType(
 
 # G.711 companding (public ITU-T G.711 tables, derived from the segment formulas).
 # Both directions are exact table lookups over 256 byte values / a 16-bit segment
-# search, so encode(decode(byte)) == byte for every code — pinned in tests.
+# search. Idempotence holds at the VALUE level — decode(encode(decode(byte))) ==
+# decode(byte) for all 256 codes of both laws (pinned in tests); byte-level
+# identity cannot hold for mu-law, which has two zero codes (0x7F and 0xFF both
+# decode to 0, so one of them necessarily re-encodes to the other).
 
 
 def _mulaw_decode_table():
@@ -446,22 +449,32 @@ def parse_avi_mjpeg(payload: bytes):
         raise ValueError("not a RIFF/AVI payload")
     frames = []
     compression = None
+    in_video_stream = False
 
-    def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal compression
+    # iterative RIFF walk (an explicit stack, not recursion: ~3000 nested LIST
+    # headers in a 36 KB adversarial payload would blow the Python recursion
+    # limit, and RecursionError is not in media_features' normalized catch set)
+    stack = [(12, len(payload))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
-            cid = buf[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
             body_start, body_end = pos + 8, min(pos + 8 + size, end)
+            next_pos = body_start + size + (size & 1)
             if cid == b"LIST":
-                walk(buf, body_start + 4, body_end)
-            elif cid == b"strf" and size >= 20:
-                compression = buf[body_start + 16 : body_start + 20]
+                stack.append((next_pos, end))
+                pos, end = body_start + 4, body_end
+                continue
+            if cid == b"strh" and size >= 8:
+                # only the VIDEO stream's strf carries the codec we dispatch on
+                # (an audio strf >= 20 bytes would otherwise overwrite it)
+                in_video_stream = payload[body_start : body_start + 4] == b"vids"
+            elif cid == b"strf" and size >= 20 and in_video_stream:
+                compression = payload[body_start + 16 : body_start + 20]
             elif cid[2:4] in (b"dc", b"db") and size > 0:
-                frames.append(buf[body_start:body_end])
-            pos = body_start + size + (size & 1)
-
-    walk(payload, 12, len(payload))
+                frames.append(payload[body_start:body_end])
+            pos = next_pos
     if compression is not None and compression not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
         raise NotImplementedError(
             f"AVI stream compression {compression!r} needs an external codec"

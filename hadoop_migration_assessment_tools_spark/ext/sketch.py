@@ -266,8 +266,7 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         F.col("s_present") + (F.lit(m) - F.col("n_regs_used")) * F.lit(scale)
     ).cast("long")
     est = (
-        F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        F.lit(hll_alpha(p))
         * F.lit(float(m * m))
         * F.lit(float(scale))
         / s_total.cast("double")
@@ -352,8 +351,7 @@ def hll_grouped_certified(
             F.col("s_present") + (F.lit(m) - F.col("n_regs_used")) * F.lit(scale)
         ).cast("long")
         est = (
-            F.lit(0.7213)
-            / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+            F.lit(hll_alpha(p))
             * F.lit(float(m * m))
             * F.lit(float(scale))
             / s_total.cast("double")
@@ -426,8 +424,7 @@ def hll_certified(items: DataFrame, col: str, p: int = 8) -> DataFrame:
         F.col("s_present") + (F.lit(m) - F.col("n_regs_used")) * F.lit(scale)
     ).cast("long")
     est = (
-        F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        F.lit(hll_alpha(p))
         * F.lit(float(m * m))
         * F.lit(float(scale))
         / s_total.cast("double")
@@ -567,7 +564,11 @@ def hll_sliding_certified(
     from pyspark.sql.window import Window
 
     day = F.col(day_col)
-    daily = hll_registers_grouped(items, [day_col], col, p)
+    # checkpoint the tiny register aggregate (<= days * 2^p rows): three
+    # consumers (days, regs, filled) would otherwise each re-run the full
+    # corpus register pass (hll_grouped_certified discipline; the committed
+    # explain showed 10 corpus scans without the cut)
+    daily = hll_registers_grouped(items, [day_col], col, p).localCheckpoint(eager=True)
     days = daily.select(day_col).distinct()
     regs = daily.select("reg").distinct()
     spine = days.crossJoin(F.broadcast(regs))

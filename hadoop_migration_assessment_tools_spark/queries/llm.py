@@ -1850,7 +1850,10 @@ def docs_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + CDC_TWIN_OFFSET).alias("doc_id"),
         F.concat(F.lit(CDC_TWIN_PREFIX), F.col("text")).alias("text"),
     )
-    chunks = cdc_chunks(docs.unionByName(twins))
+    # materialize the chunk table once: four consumers (totals, oc, tc/shared)
+    # must not re-run the per-position md5 explode over corpus+twins (the
+    # committed explain showed 4 Generate subtrees / 48 scans without the cut)
+    chunks = cdc_chunks(docs.unionByName(twins)).localCheckpoint(eager=True)
 
     oc = chunks.filter(
         (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < CDC_TWIN_OFFSET)

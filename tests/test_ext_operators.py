@@ -2454,12 +2454,11 @@ def test_hll_sliding_merge_equals_union_sketch(spark):
 
     window_rows = ev.filter(F.datediff(F.lit(last), F.col("day")).between(0, 6))
     regs = hll_registers(window_rows, "user_id", p=5)
-    # hll_estimate hardcodes nothing but p-derived constants; alpha differs at
-    # p=5 (0.697 vs the 0.7213 formula), so compare registers + s_total exactly
-    # and the estimate via the sliding row's own rounding
+    # both paths draw alpha from hll_alpha(p), so the full estimate must agree
     est = hll_estimate(regs, p=5).collect()[0]
     assert row.n_regs_used == est.n_regs_used
     assert row.s_total == est.s_total
+    assert abs(row.est_distinct - round(est.est_distinct, 4)) < 1e-9
     assert row.exact_distinct == window_rows.select("user_id").distinct().count()
 
 
