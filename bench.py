@@ -83,7 +83,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for idx, (name, q) in enumerate(QUERIES.items()):
-        if idx and idx % 25 == 0:
+        if idx and idx % 12 == 0:
             # Re-warm the Python worker pool OUTSIDE the timing (~0.4 s each):
             # in a long mixed session the idle pool stops covering a full
             # 32-task Arrow stage (measured: the first pandas-UDF query after
