@@ -1275,6 +1275,179 @@ FROM est2, ex
 """
 
 
+# --- docs_split_hll_overlap ------------------------------------------------------------
+# [EXT] Sketch SET ALGEBRA: the distinct-shingle overlap between two hash
+# splits estimated by inclusion-exclusion over three register sets (A, B, and
+# their elementwise-MAX union merge) — the cross-corpus overlap question
+# ("how much does my new crawl share with what I already have?") answered
+# from per-corpus sketches alone, no re-scan of either side. p=12 here:
+# HLL intersection error scales with the UNION's cardinality, not the
+# intersection's (sigma ~ 1.04/sqrt(m) of each estimate; at m=256 this
+# overlap estimate goes NEGATIVE on this corpus), so set algebra needs more
+# registers than plain counting — that trade-off is part of what this query
+# documents. The exact overlap rides along as the control; the oracle replays
+# all three register sets, the three estimates and the subtraction.
+
+OVERLAP_P = 12
+
+
+def docs_split_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import token_shingles
+    from ..ext.sketch import HLL_HASH_BITS, hll_alpha
+
+    p = OVERLAP_P
+    m = 1 << p
+    sb = HLL_HASH_BITS - p + 1
+    scale = 1 << sb
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.concat(F.lit("ovl"), F.col("doc_id").cast("string"))), 1, 4)
+        < "8000",
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    sh = docs.select(
+        split.alias("split"),
+        F.explode(token_shingles(F.lower(F.col("text")), k=HLL_SHINGLE_K)).alias(
+            "shingle"
+        ),
+    )
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    # the distinct (split, hash) level feeds four consumers (regs a/b/union,
+    # exact overlap) — materialize once (review discipline)
+    lvl = sh.select("split", h.alias("h")).distinct().localCheckpoint(eager=True)
+    rest = F.shiftright(F.col("h"), p)
+    bl = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = F.when(rest == 0, F.lit(sb)).otherwise(F.lit(sb) - bl).cast("int")
+    regs = (
+        lvl.select(
+            "split",
+            F.col("h").bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"),
+            rank.alias("r"),
+        )
+        .groupBy("split", "reg")
+        .agg(F.max("r").alias("max_rank"))
+        .localCheckpoint(eager=True)  # tiny (<= 2 * 2^p rows), three consumers
+    )
+
+    def estimate(rdf: DataFrame, name: str) -> DataFrame:
+        agg = rdf.agg(
+            F.count(F.lit(1)).cast("long").alias("_nu"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {sb} - max_rank)"))
+            .cast("long")
+            .alias("_sp"),
+        )
+        s_total = (F.col("_sp") + (F.lit(m) - F.col("_nu")) * F.lit(scale)).cast(
+            "double"
+        )
+        est = (
+            F.lit(hll_alpha(p)) * F.lit(float(m * m)) * F.lit(float(scale)) / s_total
+        )
+        return agg.select(F.round(est, 4).alias(name))
+
+    est_a = estimate(regs.filter(F.col("split") == "a"), "est_a")
+    est_b = estimate(regs.filter(F.col("split") == "b"), "est_b")
+    est_u = estimate(
+        regs.groupBy("reg").agg(F.max("max_rank").alias("max_rank")), "est_union"
+    )
+    exact = (
+        lvl.groupBy("h")
+        .agg(F.count_distinct("split").alias("_ns"))
+        .filter(F.col("_ns") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    return (
+        est_a.join(est_b)
+        .join(est_u)
+        .join(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+                "est_overlap"
+            ),
+            "exact_overlap",
+            F.round(
+                F.abs(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union")
+                    - F.col("exact_overlap").cast("double")
+                )
+                / F.col("exact_overlap").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+DOCS_SPLIT_HLL_OVERLAP_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t) - {HLL_SHINGLE_K - 1}),
+                i -> array_to_string(t[i:i+{HLL_SHINGLE_K - 1}], ' ')))) AS shingle
+  FROM toks WHERE len(t) >= {HLL_SHINGLE_K}
+), lvl AS (
+  SELECT DISTINCT
+         CASE WHEN substring(md5('ovl' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+              THEN 'a' ELSE 'b' END AS split,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM shingled
+), ranked AS (
+  SELECT split, (h & {(1 << OVERLAP_P) - 1}) AS reg,
+         CASE WHEN (h >> {OVERLAP_P}) = 0 THEN {60 - OVERLAP_P + 1}
+              ELSE {60 - OVERLAP_P + 1} - length(printf('%b', h >> {OVERLAP_P})) END AS r
+  FROM lvl
+), regsab AS (SELECT split, reg, MAX(r) AS mr FROM ranked GROUP BY split, reg),
+regsu AS (SELECT reg, MAX(mr) AS mr FROM regsab GROUP BY reg),
+agg_a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(SUM(CAST(1 AS BIGINT) << ({60 - OVERLAP_P + 1} - mr)) AS BIGINT) AS sp
+  FROM regsab WHERE split = 'a'
+), agg_b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(SUM(CAST(1 AS BIGINT) << ({60 - OVERLAP_P + 1} - mr)) AS BIGINT) AS sp
+  FROM regsab WHERE split = 'b'
+), agg_u AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(SUM(CAST(1 AS BIGINT) << ({60 - OVERLAP_P + 1} - mr)) AS BIGINT) AS sp
+  FROM regsu
+), ests AS (
+  SELECT
+    (SELECT ROUND(CAST({{ALPHA}} AS DOUBLE) * CAST({{MM}} AS DOUBLE) * CAST({{SCALE}} AS DOUBLE)
+      / CAST(sp + ({{M}} - nu) * CAST({{SCALE_I}} AS BIGINT) AS DOUBLE), 4) FROM agg_a) AS est_a,
+    (SELECT ROUND(CAST({{ALPHA}} AS DOUBLE) * CAST({{MM}} AS DOUBLE) * CAST({{SCALE}} AS DOUBLE)
+      / CAST(sp + ({{M}} - nu) * CAST({{SCALE_I}} AS BIGINT) AS DOUBLE), 4) FROM agg_b) AS est_b,
+    (SELECT ROUND(CAST({{ALPHA}} AS DOUBLE) * CAST({{MM}} AS DOUBLE) * CAST({{SCALE}} AS DOUBLE)
+      / CAST(sp + ({{M}} - nu) * CAST({{SCALE_I}} AS BIGINT) AS DOUBLE), 4) FROM agg_u) AS est_union,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       SELECT h FROM lvl GROUP BY h HAVING COUNT(DISTINCT split) = 2)) AS exact_overlap
+)
+SELECT est_a, est_b, est_union,
+       ROUND(est_a + est_b - est_union, 4) AS est_overlap,
+       exact_overlap,
+       ROUND(ABS(est_a + est_b - est_union - CAST(exact_overlap AS DOUBLE))
+             / CAST(exact_overlap AS DOUBLE), 4) AS rel_err
+FROM ests
+"""
+
+def _hll_alpha_py(p: int) -> float:
+    from ..ext.sketch import hll_alpha
+
+    return hll_alpha(p)
+
+
+DOCS_SPLIT_HLL_OVERLAP_ORACLE = DOCS_SPLIT_HLL_OVERLAP_ORACLE.format(
+    ALPHA=repr(_hll_alpha_py(OVERLAP_P)),
+    MM=repr(float((1 << OVERLAP_P) ** 2)),
+    SCALE=repr(float(1 << (60 - OVERLAP_P + 1))),
+    M=1 << OVERLAP_P,
+    SCALE_I=1 << (60 - OVERLAP_P + 1),
+)
+
+
 # --- docs_shingle_hll_by_lang --------------------------------------------------------
 # [EXT] GROUPED HLL + the mergeability certification (r7). Per-language register
 # sets estimate each language's distinct-shingle cardinality in one keyed shuffle

@@ -300,6 +300,11 @@ QUERIES: dict[str, Query] = {
     # decoded pixels; the oracle replays grid/gray/gradient/hex analytically;
     # brightness-shifted twins provably collide (gray shifts exactly +3)
     "media_image_dhash": llm.media_image_dhash,
+    # r7: sketch set algebra — split-overlap estimate by inclusion-exclusion
+    # over three register sets (A, B, union merge); p=12 because intersection
+    # error scales with the UNION's cardinality (documented trade-off); exact
+    # overlap rides along as the control
+    "docs_split_hll_overlap": llm.docs_split_hll_overlap,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -444,6 +449,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_fuzzy_typo_pairs": llm.DOCS_FUZZY_TYPO_PAIRS_ORACLE,
     "events_sliding_hll_users": ea.EVENTS_SLIDING_HLL_USERS_ORACLE,
     "media_image_dhash": llm.MEDIA_IMAGE_DHASH_ORACLE,
+    "docs_split_hll_overlap": llm.DOCS_SPLIT_HLL_OVERLAP_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,

@@ -320,6 +320,9 @@ BNLJ_ALLOWED = {
     # distinct level on a trailing-range predicate (certification-only path;
     # the production register path has no such join)
     "events_sliding_hll_users",
+    # r7: the one-row report crossJoins four 1-row aggregates (est_a x est_b x
+    # est_union x exact overlap), all over the checkpointed distinct level
+    "docs_split_hll_overlap",
 }
 
 
