@@ -791,6 +791,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal_decode_rates -----------------------------------------------------------
+# [EXT] The decode-honesty certificate as an ORACLED relation (upgrades what was
+# previously a pytest-only claim): the engine runs the REAL pipeline — synthesize
+# JPEG/WAV/opaque payloads, Arrow-batched decode through ext/jpeg.py and the WAV
+# parser — and reports per-(kind, format) decode counts; the oracle derives the
+# expected counts closed-form from the corpus (kind cycles with doc_id % 3; every
+# real-format payload must decode, every opaque video row must flag
+# decoded=false). A single silent decode regression in any codec path (baseline /
+# progressive / 12-bit JPEG, PCM WAV) breaks the hash.
+
+
+def multimodal_decode_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(64, "doc_id")
+    media = synthesize_media(docs, image_format="jpeg")
+    feats = extract_features(
+        media.withColumn("format", F.col("meta.format")), passthrough=["format"]
+    )
+    return (
+        feats.groupBy("kind", "format")
+        .agg(
+            count_big("n_media"),
+            F.sum(F.when(F.col("decoded"), 1).otherwise(0)).cast("long").alias("n_decoded"),
+        )
+        .orderBy("kind", "format")
+    )
+
+
+MULTIMODAL_DECODE_RATES_ORACLE = """
+WITH base AS (SELECT doc_id FROM documents)
+SELECT * FROM (
+  SELECT 'audio' AS kind, 'audio/wav' AS format,
+         CAST(COUNT(*) AS BIGINT) AS n_media, CAST(COUNT(*) AS BIGINT) AS n_decoded
+  FROM base WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT 'image', 'image/jpeg', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'video', 'fake/raw', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+  FROM base WHERE doc_id % 3 = 2
+)
+ORDER BY kind, format
+"""
+
+
 # --- emb_topk_scaled_{bruteforce,ivf} -----------------------------------------------
 # [EXT] IVF crossover proof (VERDICT r1 next-round #7). At the raw corpus size the
 # IVF fixed cost (sample + Lloyd + bucketing UDF) dominates and bruteforce wins; these

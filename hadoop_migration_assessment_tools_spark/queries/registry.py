@@ -305,6 +305,10 @@ QUERIES: dict[str, Query] = {
     # error scales with the UNION's cardinality (documented trade-off); exact
     # overlap rides along as the control
     "docs_split_hll_overlap": llm.docs_split_hll_overlap,
+    # r7: the decode-honesty certificate, upgraded from pytest to an oracle —
+    # real synthesize+decode pipeline, closed-form expected counts; a silent
+    # decode regression in any codec path breaks the hash
+    "multimodal_decode_rates": llm.multimodal_decode_rates,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -450,6 +454,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_sliding_hll_users": ea.EVENTS_SLIDING_HLL_USERS_ORACLE,
     "media_image_dhash": llm.MEDIA_IMAGE_DHASH_ORACLE,
     "docs_split_hll_overlap": llm.DOCS_SPLIT_HLL_OVERLAP_ORACLE,
+    "multimodal_decode_rates": llm.MULTIMODAL_DECODE_RATES_ORACLE,
     "docs_repeated_spans": llm.DOCS_REPEATED_SPANS_ORACLE,
     "docs_split_leakage": llm.DOCS_SPLIT_LEAKAGE_ORACLE,
     "qe_assessment_summary": ql.QE_ASSESSMENT_SUMMARY_ORACLE,
