@@ -279,6 +279,52 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_hard_negatives": dict(
         shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
+    # round 7 (SCORED): PPS systematic sample — the STATIC plan shows the range
+    # shuffle, the pid-totals agg, the tiny offsets window and the broadcast
+    # offset/total joins (pre-AQE, reused subtrees counted per appearance);
+    # the BNLJ is the 1-row total-weight crossJoin. A second data shuffle or a
+    # lost broadcast here means the prefix-sum decomposition regressed.
+    "docs_pps_sample": dict(
+        shuffle_exchange=8, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=1
+    ),
+    # round 7: FastSS deletion-variant self-join — one equi BHJ on the variant
+    # (never a nested loop), distinct/groupBy shuffles around it.
+    "docs_fuzzy_typo_pairs": dict(
+        shuffle_exchange=4, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
+    # round 7: CDC report — post-checkpoint remainder (the per-position md5
+    # pass is materialized once and not re-shown); BNLJs are the 1-row
+    # totals x pair-stat crossJoins, the SMJ is the orig-vs-twin semi join.
+    "docs_cdc_chunking": dict(
+        shuffle_exchange=6, broadcast_exchange=2, bnlj=2, cartesian=0, smj=1, bhj=0, shj=0, window=0
+    ),
+    # round 7: fixed-point PageRank — post-checkpoint remainder (the iterative
+    # rounds each end in a checkpoint): final rank-degree join + output sort.
+    "docs_dup_pagerank": dict(
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=1, bhj=0, shj=0, window=0
+    ),
+    # round 7: sliding HLL — post-checkpoint of the daily registers: the spine
+    # window merge, the per-day estimate agg, and the exact control's
+    # broadcast range join (the 2 BNLJs: day-spine range join + 1-row joins).
+    "events_sliding_hll_users": dict(
+        shuffle_exchange=9, broadcast_exchange=4, bnlj=2, cartesian=0, smj=0, bhj=2, shj=0, window=1
+    ),
+    # round 7: dHash — ONE narrow mapInPandas + the output sort. Anything more
+    # means the byte-roundtrip pipeline grew a join or extra shuffle.
+    "media_image_dhash": dict(
+        shuffle_exchange=1, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    # round 7: HLL split overlap — post-checkpoint: three register estimates +
+    # exact control crossJoined (the 3 BNLJs are all 1-row sides).
+    "docs_split_hll_overlap": dict(
+        shuffle_exchange=7, broadcast_exchange=3, bnlj=3, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    # round 7: decode-rate certificate — synthesize + decode UDFs are narrow;
+    # the shuffles are the repartition(64) spread, the byte-budget agg and the
+    # final per-(kind, format) rollup.
+    "multimodal_decode_rates": dict(
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
