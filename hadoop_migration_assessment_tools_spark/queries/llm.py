@@ -4368,3 +4368,143 @@ SELECT doc_id, lex_score, cosine,
 FROM ranked
 ORDER BY rank
 """
+
+
+# --- emb_semantic_dedup ---------------------------------------------------------------
+# [EXT] SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
+# arXiv:2303.09540, public paper): assign every vector to its nearest centroid, then
+# look for near-duplicates ONLY within each cluster — the canonical way to avoid the
+# global all-pairs comparison at corpus scale. Pair work is bounded by sum(|cluster|^2)
+# instead of N^2, and the pair join is keyed on the cluster id, so at 100 TB it
+# shuffles each vector once to its cluster's partition and never crosses clusters.
+#
+# Certification twin discipline (same as emb_ivf_fixed_topk / emb_cluster_profile):
+# DETERMINISTIC centroids (the nlist smallest vec_ids) make the whole
+# assignment -> within-cluster pairs -> survivor-count pipeline DuckDB-replayable.
+# Production would swap in learned Lloyd centroids + BLAS assignment
+# (ext/similarity.py assign_centroids) with the identical downstream plan. Survivor
+# rule: a vector is REMOVED iff it has cosine >= tau with any LOWER-id vector in its
+# cluster (deterministic keep-lowest-id, the same survivor convention as
+# docs_exact_dedup). Planted duplicates are exact copies (cosine 1.0) and organic
+# pairs top out near 0.51 on this corpus, so the tau=0.9 decision is never within
+# rounding distance of the boundary. The assignment stage feeds three consumers
+# (both join sides + cluster sizes) -> localCheckpoint once (the r7 lesson).
+
+SEMDEDUP_NLIST = 8
+SEMDEDUP_TAU = 0.9
+SEMDEDUP_SCOPE = 500
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import (
+        _paired_cosine,
+        assign_centroids_fixed,
+        fixed_centroids,
+        l2_norm,
+    )
+
+    aug = _embeddings_with_planted_dups(spark, sf_dir).filter(
+        (F.col("vec_id") % DUP_OFFSET) < SEMDEDUP_SCOPE
+    )
+    cents = fixed_centroids(aug, SEMDEDUP_NLIST)
+    assigned = (
+        assign_centroids_fixed(aug, cents)
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("embedding").alias("_vec"),
+            l2_norm(F.col("embedding")).alias("_norm"),
+        )
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("_vec").alias("_cvec"),
+        F.col("_norm").alias("_cnorm"),
+    )
+    removed = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _paired_cosine())
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select("centroid_id", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    rem = removed.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    n_removed = F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+    return (
+        sizes.join(rem, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "cluster_size",
+            n_removed.alias("n_removed"),
+            (F.col("cluster_size") - n_removed).cast("long").alias("n_kept"),
+            F.round(n_removed.cast("double") / F.col("cluster_size"), 6).alias(
+                "removal_rate"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+EMB_SEMANTIC_DEDUP_ORACLE = f"""
+WITH emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+), scoped AS (
+  SELECT vec_id, embedding FROM emb_aug WHERE (vec_id % {DUP_OFFSET}) < {SEMDEDUP_SCOPE}
+), cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+  FROM scoped
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {SEMDEDUP_NLIST}
+), cdist AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         list_sum(list_transform(list_zip(e.embedding, c.cv),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                     * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM scoped e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, CAST(cidx AS INTEGER) AS centroid_id,
+         sqrt(list_sum(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
+        FROM cdist)
+  WHERE rn = 1
+), pairs AS (
+  SELECT a.centroid_id, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_ab,
+         a.nrm AS na, b.nrm AS nb
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+), dups AS (
+  SELECT DISTINCT centroid_id, id_b
+  FROM pairs
+  WHERE ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot_ab / (na * nb) ELSE 0.0 END, 6)
+        >= {SEMDEDUP_TAU}
+), sizes AS (
+  SELECT centroid_id, COUNT(*) AS cluster_size FROM assigned GROUP BY centroid_id
+), rem AS (
+  SELECT centroid_id, COUNT(*) AS n_removed FROM dups GROUP BY centroid_id
+)
+SELECT s.centroid_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(s.cluster_size - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept,
+       ROUND(CAST(COALESCE(r.n_removed, 0) AS DOUBLE) / s.cluster_size, 6) AS removal_rate
+FROM sizes s LEFT JOIN rem r ON s.centroid_id = r.centroid_id
+ORDER BY s.centroid_id
+"""

@@ -309,6 +309,12 @@ QUERIES: dict[str, Query] = {
     # real synthesize+decode pipeline, closed-form expected counts; a silent
     # decode regression in any codec path breaks the hash
     "multimodal_decode_rates": llm.multimodal_decode_rates,
+    # r7: SemDeDup-style cluster-scoped embedding dedup (public paper,
+    # arXiv:2303.09540) — near-dup search confined to nearest-centroid clusters
+    # (pair work sum(|c|^2), join keyed on cluster id, never global all-pairs);
+    # deterministic centroids make assignment -> pairs -> survivor counts fully
+    # DuckDB-replayable, keep-lowest-id survivor rule
+    "emb_semantic_dedup": llm.emb_semantic_dedup,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -461,4 +467,5 @@ ORACLE_SQL: dict[str, str] = {
     "emb_hard_negatives": llm.EMB_HARD_NEGATIVES_ORACLE,
     "emb_ivf_fixed_topk": llm.EMB_IVF_FIXED_TOPK_ORACLE,
     "emb_cluster_profile": llm.EMB_CLUSTER_PROFILE_ORACLE,
+    "emb_semantic_dedup": llm.EMB_SEMANTIC_DEDUP_ORACLE,
 }

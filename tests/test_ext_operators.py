@@ -2545,3 +2545,34 @@ def test_media_image_dhash_twins_collide_and_hashes_discriminate(spark):
         assert rows[t] == rows[t - DHASH_TWIN_OFFSET], t
     originals = [rows[m] for m in rows if m < DHASH_TWIN_OFFSET]
     assert len(set(originals)) > 0.9 * len(originals)
+
+
+def test_semantic_dedup_removes_all_planted_keeps_originals(spark):
+    """SemDeDup cluster-scoped dedup: every planted exact duplicate (higher id,
+    cosine 1.0 with its original) is removed, no original is — identical vectors
+    always land in the same nearest-centroid cluster, so cluster scoping loses
+    none of them; and organic pairs (max cosine ~0.51 on this corpus) never
+    cross the 0.9 threshold, so n_removed == the planted-dup count exactly."""
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        SEMDEDUP_SCOPE,
+        emb_semantic_dedup,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    rows = emb_semantic_dedup(spark, SF).collect()
+    n_orig = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < SEMDEDUP_SCOPE)
+        .count()
+    )
+    n_planted = (
+        load_table(spark, SF, "embeddings")
+        .filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < SEMDEDUP_SCOPE))
+        .count()
+    )
+    assert sum(r["n_removed"] for r in rows) == n_planted
+    assert sum(r["n_kept"] for r in rows) == n_orig
+    assert sum(r["cluster_size"] for r in rows) == n_orig + n_planted
+    for r in rows:  # per-row arithmetic consistency
+        assert r["n_kept"] == r["cluster_size"] - r["n_removed"]

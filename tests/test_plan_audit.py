@@ -325,6 +325,14 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "multimodal_decode_rates": dict(
         shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
+    # round 7: SemDeDup cluster-scoped dedup — post-checkpoint remainder: the
+    # within-cluster pair join (BHJ at test size; equi on centroid_id, so the
+    # at-scale SMJ flip is covered by the size-dependent tolerance test), the
+    # removed-distinct + two cluster aggs + output sort shuffles, and the
+    # sizes-vs-removed left SMJ. No window, never a nested loop.
+    "emb_semantic_dedup": dict(
+        shuffle_exchange=4, broadcast_exchange=1, bnlj=0, cartesian=0, smj=1, bhj=1, shj=0, window=0
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -391,6 +399,7 @@ SIZE_DEPENDENT_BROADCAST = [
     "q7_volume_shipping",
     "q21_waiting_suppliers",
     "qe_table_read_frequency",
+    "emb_semantic_dedup",
 ]
 
 

@@ -30,6 +30,9 @@ TRACKED = [
     "docs_simhash_near_dup",
     "emb_near_dup_lsh",
     "emb_near_dup_pairs",
+    # round-7: SemDeDup cluster-scoped dedup — watch the within-cluster equi
+    # join (must stay keyed on centroid_id) and the single checkpoint boundary
+    "emb_semantic_dedup",
     "qe_table_read_frequency",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
