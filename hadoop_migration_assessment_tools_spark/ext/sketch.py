@@ -641,3 +641,38 @@ def hll_sliding_certified(
         )
         .orderBy(day_col)
     )
+
+
+# --- KMV (k-minimum values) distinct sketch -------------------------------------------
+# The fourth mergeable-sketch family member (after Bloom / HLL / CMS / Misra-Gries):
+# keep the k smallest DISTINCT hash values of a key stream; the k-th smallest hash
+# h_k estimates cardinality as (k-1) * U / h_k (Bar-Yossef et al. 2002, public
+# literature; U = the hash space size). Unlike HLL the sketch IS a set of plain
+# integers, so union-merge is just "k smallest of the concatenation" — a property an
+# external engine can replay row for row, which is what docs_shingle_kmv certifies.
+#
+# 100 TB shape: hash -> distinct (one shuffle of 8-byte keys, map-side partial
+# distinct) -> global bottom-k, which Spark compiles to TakeOrderedAndProject:
+# per-partition top-k then a k-row driver merge — no single-task global sort. The
+# per-corpus sketches a production pipeline would store are k rows each; merging S
+# sketches touches S*k rows, never the corpora.
+
+
+def kmv_hash(col) -> Column:
+    """The 60-bit md5-prefix hash KMV orders by — the repo-wide portable hash
+    (same construction as the HLL/Bloom hash: 15 hex chars < 2^63, identical
+    in Spark, DuckDB, and Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_bottom_k(items: DataFrame, col: str, k: int) -> DataFrame:
+    """The KMV sketch of ``col``: the ``k`` smallest distinct 60-bit hashes,
+    one column ``h``, ascending. NULLs are excluded (a NULL md5's to NULL)."""
+    return (
+        items.where(F.col(col).isNotNull())
+        .select(kmv_hash(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )

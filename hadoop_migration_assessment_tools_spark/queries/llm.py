@@ -4508,3 +4508,137 @@ SELECT s.centroid_id,
 FROM sizes s LEFT JOIN rem r ON s.centroid_id = r.centroid_id
 ORDER BY s.centroid_id
 """
+
+
+# --- docs_shingle_kmv -----------------------------------------------------------------
+# [EXT] KMV (k-minimum values) distinct sketch with its MERGE certified relationally.
+# KMV is the sketch a pipeline reaches for when it needs cardinality AND a mergeable,
+# inspectable summary: the sketch is literally the k smallest distinct hashes, so
+# union-merge is "k smallest of the concatenated sketches" — a theorem (any of the k
+# smallest of A union B is among the k smallest of its own side) this query turns
+# into a checked output instead of a comment. The corpus is split two ways; the
+# engine builds the global sketch AND the two per-split sketches from ONE
+# materialized (split, hash) distinct level, merges the split sketches, and emits:
+# the global and merged k-th hashes (equal iff merge is lossless), the sketch
+# overlap count (== k), the KMV estimate (k-1) * 2^60 / h_k, the exact distinct
+# control, and rel_err. The oracle replays every stage — bottom-k sets, the merge,
+# the estimate arithmetic — so a wrong merge OR a wrong estimator breaks the hash.
+# Estimator accuracy at k=256 is ~1/sqrt(k-2) ~ 6%, same regime as the p=8 HLL row
+# (the two sketches answer the same question; KMV buys replayable merges and
+# quantile-like inspectability for k * 8 bytes instead of 2^p registers).
+
+KMV_K = 256
+
+
+def docs_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import token_shingles
+    from ..ext.sketch import HLL_HASH_BITS, kmv_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one corpus scan: tokenize/shingle/hash once into the distinct (split, h)
+    # level; everything downstream (global sketch, split sketches, exact
+    # control) reads the checkpoint, never the corpus
+    base = (
+        docs.select(
+            F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("split"),
+            F.explode(
+                token_shingles(F.lower(F.col("text")), k=HLL_SHINGLE_K)
+            ).alias("shingle"),
+        )
+        .select("split", kmv_hash("shingle").alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sketch_g = base.select("h").distinct().orderBy("h").limit(KMV_K).localCheckpoint()
+    from pyspark.sql.window import Window as W
+
+    split_rn = F.row_number().over(W.partitionBy("split").orderBy("h"))
+    merged = (
+        base.withColumn("_rn", split_rn)
+        .filter(F.col("_rn") <= KMV_K)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .localCheckpoint()
+    )
+    kg = sketch_g.agg(F.max("h").alias("kth_hash"))
+    km = merged.agg(F.max("h").alias("merged_kth_hash"))
+    ov = sketch_g.join(merged, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("merge_overlap")
+    )
+    ex = base.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    out = (
+        kg.crossJoin(km)
+        .crossJoin(ov)
+        .crossJoin(ex)
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            "kth_hash",
+            "merged_kth_hash",
+            "merge_overlap",
+            F.round(
+                F.lit(float(KMV_K - 1))
+                * F.lit(float(1 << HLL_HASH_BITS))
+                / F.col("kth_hash").cast("double"),
+                4,
+            ).alias("est_distinct"),
+            "exact_distinct",
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ),
+        )
+    )
+    return out
+
+
+DOCS_SHINGLE_KMV_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id % 2 AS split, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), shingled AS (
+  SELECT split,
+         list_distinct(list_transform(generate_series(1, len(t) - {HLL_SHINGLE_K - 1}),
+                                      i -> array_to_string(t[i:i+{HLL_SHINGLE_K - 1}], ' '))) AS shingles
+  FROM toks WHERE len(t) >= {HLL_SHINGLE_K}
+), sh AS (
+  SELECT split, unnest(shingles) AS shingle FROM shingled
+), base AS (
+  SELECT DISTINCT split, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+), g AS (
+  SELECT DISTINCT h FROM base
+), sk_g AS (
+  SELECT h FROM g ORDER BY h LIMIT {KMV_K}
+), split_sk AS (
+  SELECT split, h
+  FROM (SELECT split, h, ROW_NUMBER() OVER (PARTITION BY split ORDER BY h) AS rn FROM base)
+  WHERE rn <= {KMV_K}
+), merged AS (
+  SELECT DISTINCT h FROM split_sk ORDER BY h LIMIT {KMV_K}
+), kg AS (
+  SELECT MAX(h) AS kth_hash FROM sk_g
+), km AS (
+  SELECT MAX(h) AS merged_kth_hash FROM merged
+), ov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS merge_overlap FROM sk_g JOIN merged USING (h)
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM g
+), est AS (
+  SELECT CAST({KMV_K} AS BIGINT) AS k, kth_hash, merged_kth_hash, merge_overlap,
+         ROUND(CAST({KMV_K - 1} AS DOUBLE) * CAST({1 << 60} AS DOUBLE)
+               / CAST(kth_hash AS DOUBLE), 4) AS est_distinct,
+         exact_distinct
+  FROM kg, km, ov, ex
+)
+SELECT k, kth_hash, merged_kth_hash, merge_overlap, est_distinct, exact_distinct,
+       ROUND(ABS(est_distinct - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+FROM est
+"""

@@ -315,6 +315,10 @@ QUERIES: dict[str, Query] = {
     # deterministic centroids make assignment -> pairs -> survivor counts fully
     # DuckDB-replayable, keep-lowest-id survivor rule
     "emb_semantic_dedup": llm.emb_semantic_dedup,
+    # r7: KMV bottom-k distinct sketch — the merge theorem (k smallest of a
+    # union == k smallest of the per-split sketches' union) certified as a
+    # checked output; oracle replays bottom-k sets, merge, estimate, control
+    "docs_shingle_kmv": llm.docs_shingle_kmv,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -468,4 +472,5 @@ ORACLE_SQL: dict[str, str] = {
     "emb_ivf_fixed_topk": llm.EMB_IVF_FIXED_TOPK_ORACLE,
     "emb_cluster_profile": llm.EMB_CLUSTER_PROFILE_ORACLE,
     "emb_semantic_dedup": llm.EMB_SEMANTIC_DEDUP_ORACLE,
+    "docs_shingle_kmv": llm.DOCS_SHINGLE_KMV_ORACLE,
 }

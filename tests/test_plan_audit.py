@@ -333,6 +333,14 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_semantic_dedup": dict(
         shuffle_exchange=4, broadcast_exchange=1, bnlj=0, cartesian=0, smj=1, bhj=1, shj=0, window=0
     ),
+    # round 7: KMV sketch — post-checkpoint remainder (base/global/merged
+    # bottom-k sets are materialized): the exact-control distinct + the three
+    # 1-row-agg crossJoins (BNLJ) + the k-row sketch-overlap equi join (BHJ).
+    # window=0 because the per-split ROW_NUMBER runs before the `merged`
+    # checkpoint and so is not part of this remainder.
+    "docs_shingle_kmv": dict(
+        shuffle_exchange=5, broadcast_exchange=4, bnlj=3, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -367,6 +375,9 @@ BNLJ_ALLOWED = {
     # r7: fixed-point PageRank crossJoins the 1-row node-count aggregate onto
     # the node set before the first iteration
     "docs_dup_pagerank",
+    # r7: KMV — the one-row report crossJoins four 1-row aggregates (global
+    # kth hash x merged kth hash x overlap count x exact control)
+    "docs_shingle_kmv",
     # r7: the one-row report joins three 1-row aggregates (corpus totals x
     # orig-chunk count x shared-chunk count)
     "docs_cdc_chunking",

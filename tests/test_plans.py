@@ -527,3 +527,16 @@ def test_bloom_prefilter_no_false_negatives_and_runtime_reuse(spark):
     # runtime exchange reuse (one bitmap build for all three probes)
     plan = passed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2, plan[:500]
+
+
+def test_kmv_bottom_k_uses_take_ordered(spark):
+    """The KMV bottom-k must compile to TakeOrderedAndProject — per-partition
+    top-k then a k-row driver merge. A plan that splits into a global
+    Sort + GlobalLimit ships whole partitions to one task at 100 TB."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import kmv_bottom_k
+    from hadoop_migration_assessment_tools_spark.plans.audit import formatted_plan
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    plan = formatted_plan(kmv_bottom_k(df, "v", 16))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan

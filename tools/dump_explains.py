@@ -33,6 +33,9 @@ TRACKED = [
     # round-7: SemDeDup cluster-scoped dedup — watch the within-cluster equi
     # join (must stay keyed on centroid_id) and the single checkpoint boundary
     "emb_semantic_dedup",
+    # round-7: KMV sketch (post-checkpoint remainder: control + report joins;
+    # the bottom-k TakeOrderedAndProject strategy is pinned in test_plans.py)
+    "docs_shingle_kmv",
     "qe_table_read_frequency",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
