@@ -229,9 +229,7 @@ def hll_registers(items: DataFrame, col: str, p: int = 8) -> DataFrame:
 def _hll_hash_and_rank(col: str, p: int):
     """(60-bit md5-prefix hash, HLL rank) column pair shared by the register builders."""
     rest_bits = HLL_HASH_BITS - p
-    h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = portable_hash60(col)
     rest = F.shiftright(h, p)
     bl = F.length(F.conv(rest.cast("string"), 10, 2))
     rank = (
@@ -658,21 +656,28 @@ def hll_sliding_certified(
 # sketches touches S*k rows, never the corpora.
 
 
-def kmv_hash(col) -> Column:
-    """The 60-bit md5-prefix hash KMV orders by — the repo-wide portable hash
-    (same construction as the HLL/Bloom hash: 15 hex chars < 2^63, identical
-    in Spark, DuckDB, and Python)."""
+def portable_hash60(col) -> Column:
+    """THE repo-wide portable 60-bit hash (15 md5 hex chars < 2^63, identical
+    in Spark, DuckDB, and Python) — single definition shared by the HLL, KMV
+    and split-overlap sketches so the families can never silently diverge."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+#: KMV orders by the same portable hash; alias kept for sketch-API clarity.
+kmv_hash = portable_hash60
+
+
+def kmv_bottom_k_hashes(hashes: DataFrame, k: int) -> DataFrame:
+    """Bottom-k over an already-hashed single-column ``h`` DataFrame: the k
+    smallest distinct hashes, ascending. This IS the KMV merge operator too —
+    feed it the union of per-corpus sketches (sketches are hash sets)."""
+    return hashes.select("h").distinct().orderBy("h").limit(k)
 
 
 def kmv_bottom_k(items: DataFrame, col: str, k: int) -> DataFrame:
     """The KMV sketch of ``col``: the ``k`` smallest distinct 60-bit hashes,
     one column ``h``, ascending. NULLs are excluded (a NULL md5's to NULL)."""
-    return (
-        items.where(F.col(col).isNotNull())
-        .select(kmv_hash(col).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(k)
+    return kmv_bottom_k_hashes(
+        items.where(F.col(col).isNotNull()).select(kmv_hash(col).alias("h")), k
     )

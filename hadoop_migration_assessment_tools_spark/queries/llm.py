@@ -1356,7 +1356,9 @@ def docs_split_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    from ..ext.sketch import portable_hash60
+
+    h = portable_hash60("shingle")
     # the distinct (split, hash) level feeds four consumers (regs a/b/union,
     # exact overlap) — materialize once (review discipline)
     lvl = sh.select("split", h.alias("h")).distinct().localCheckpoint(eager=True)
@@ -4532,7 +4534,7 @@ KMV_K = 256
 
 def docs_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import token_shingles
-    from ..ext.sketch import HLL_HASH_BITS, kmv_hash
+    from ..ext.sketch import HLL_HASH_BITS, kmv_bottom_k_hashes, kmv_hash
 
     docs = load_table(spark, sf_dir, "documents")
     # one corpus scan: tokenize/shingle/hash once into the distinct (split, h)
@@ -4549,19 +4551,13 @@ def docs_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    sketch_g = base.select("h").distinct().orderBy("h").limit(KMV_K).localCheckpoint()
+    sketch_g = kmv_bottom_k_hashes(base, KMV_K).localCheckpoint()
     from pyspark.sql.window import Window as W
 
     split_rn = F.row_number().over(W.partitionBy("split").orderBy("h"))
-    merged = (
-        base.withColumn("_rn", split_rn)
-        .filter(F.col("_rn") <= KMV_K)
-        .select("h")
-        .distinct()
-        .orderBy("h")
-        .limit(KMV_K)
-        .localCheckpoint()
-    )
+    merged = kmv_bottom_k_hashes(
+        base.withColumn("_rn", split_rn).filter(F.col("_rn") <= KMV_K), KMV_K
+    ).localCheckpoint()
     kg = sketch_g.agg(F.max("h").alias("kth_hash"))
     km = merged.agg(F.max("h").alias("merged_kth_hash"))
     ov = sketch_g.join(merged, "h").agg(

@@ -2583,7 +2583,10 @@ def test_kmv_bottom_k_merge_theorem(spark):
     hashes concentrated in ONE side's stream plus heavy cross-side duplication —
     the merged per-side sketches must still equal the whole-stream sketch, and
     the sketch must be distinct (duplicated values appear once)."""
-    from hadoop_migration_assessment_tools_spark.ext.sketch import kmv_bottom_k
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        kmv_bottom_k,
+        kmv_bottom_k_hashes,
+    )
 
     k = 16
     # side A: values 0..99; side B: values 50..199 (heavy overlap). Hashes of
@@ -2594,9 +2597,6 @@ def test_kmv_bottom_k_merge_theorem(spark):
     sk_a = kmv_bottom_k(a, "v", k)
     sk_b = kmv_bottom_k(b, "v", k)
     # merge operates on the hash sets directly (sketches ARE hash sets):
-    merged = [
-        r["h"]
-        for r in sk_a.unionAll(sk_b).distinct().orderBy("h").limit(k).collect()
-    ]
+    merged = [r["h"] for r in kmv_bottom_k_hashes(sk_a.unionAll(sk_b), k).collect()]
     assert merged == whole
     assert len(set(whole)) == k  # distinctness: no duplicated hash survives
