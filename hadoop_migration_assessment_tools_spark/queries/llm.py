@@ -4638,3 +4638,138 @@ SELECT k, kth_hash, merged_kth_hash, merge_overlap, est_distinct, exact_distinct
              / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
 FROM est
 """
+
+
+# --- docs_split_kmv_jaccard -----------------------------------------------------------
+# [EXT] Sketch set algebra, the KMV way: Jaccard similarity and intersection size of
+# two corpus splits estimated from their bottom-k sketches ALONE (Broder/Cohen bottom-k
+# similarity estimation, public literature). The estimator rides on a small lemma the
+# docstring is the proof of: for any h in bottomk(A u B), h in A  <=>  h in bottomk(A)
+# (h <= h_k(A u B) <= h_k(A), since the union has at least as many elements below any
+# threshold) — so membership tests against the SKETCHES are exact for union-sketch
+# elements, and J_hat = |{h in sk_u : h in sk_a and h in sk_b}| / k needs no access to
+# the full sets. Contrast with docs_split_hll_overlap: HLL gets intersections by
+# inclusion-exclusion, whose error scales with the UNION's cardinality (it needed
+# p=12 to keep the estimate positive); the KMV estimator samples the union uniformly,
+# so its error scales with sqrt(J(1-J)/k) — structurally better for small overlaps,
+# and the pair of queries documents that trade-off. Exact Jaccard and overlap ride
+# along as controls; the oracle replays the three sketch sets, the membership counts
+# and every arithmetic step.
+
+KMV_J_K = 256
+
+
+def docs_split_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import token_shingles
+    from ..ext.sketch import HLL_HASH_BITS, kmv_bottom_k_hashes, kmv_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("split"),
+            F.explode(
+                token_shingles(F.lower(F.col("text")), k=HLL_SHINGLE_K)
+            ).alias("shingle"),
+        )
+        .select("split", kmv_hash("shingle").alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sk_a = kmv_bottom_k_hashes(base.filter(F.col("split") == 0), KMV_J_K).localCheckpoint()
+    sk_b = kmv_bottom_k_hashes(base.filter(F.col("split") == 1), KMV_J_K).localCheckpoint()
+    sk_u = kmv_bottom_k_hashes(sk_a.unionAll(sk_b), KMV_J_K).localCheckpoint()
+
+    common = sk_u.join(sk_a, "h").join(sk_b, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    kth_u = sk_u.agg(F.max("h").alias("kth_union_hash"))
+    # exact controls from the same distinct (split, hash) level
+    ex = base.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_sides")  # distinct level: 1 or 2
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("exact_overlap"),
+    )
+    u_est = (
+        F.lit(float(KMV_J_K - 1))
+        * F.lit(float(1 << HLL_HASH_BITS))
+        / F.col("kth_union_hash").cast("double")
+    )
+    j_est = F.col("n_common").cast("double") / F.lit(float(KMV_J_K))
+    return (
+        common.crossJoin(kth_u)
+        .crossJoin(ex)
+        .select(
+            F.lit(KMV_J_K).cast("long").alias("k"),
+            "n_common",
+            F.round(j_est, 4).alias("jaccard_est"),
+            F.round(u_est, 4).alias("union_est"),
+            F.round(j_est * u_est, 4).alias("overlap_est"),
+            "exact_union",
+            "exact_overlap",
+            F.round(
+                F.col("exact_overlap").cast("double")
+                / F.col("exact_union").cast("double"),
+                4,
+            ).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "overlap_rel_err",
+            F.round(
+                F.abs(F.col("overlap_est") - F.col("exact_overlap").cast("double"))
+                / F.col("exact_overlap").cast("double"),
+                4,
+            ),
+        )
+    )
+
+
+DOCS_SPLIT_KMV_JACCARD_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id % 2 AS split, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), shingled AS (
+  SELECT split,
+         list_distinct(list_transform(generate_series(1, len(t) - {HLL_SHINGLE_K - 1}),
+                                      i -> array_to_string(t[i:i+{HLL_SHINGLE_K - 1}], ' '))) AS shingles
+  FROM toks WHERE len(t) >= {HLL_SHINGLE_K}
+), sh AS (
+  SELECT split, unnest(shingles) AS shingle FROM shingled
+), base AS (
+  SELECT DISTINCT split, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+), sk_a AS (
+  SELECT h FROM base WHERE split = 0 ORDER BY h LIMIT {KMV_J_K}
+), sk_b AS (
+  SELECT h FROM base WHERE split = 1 ORDER BY h LIMIT {KMV_J_K}
+), sk_u AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b)
+  ORDER BY h LIMIT {KMV_J_K}
+), common AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sk_u JOIN sk_a USING (h) JOIN sk_b USING (h)
+), kth AS (
+  SELECT MAX(h) AS kth_union_hash FROM sk_u
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_overlap
+  FROM (SELECT h, COUNT(*) AS sides FROM base GROUP BY h)
+), est AS (
+  SELECT CAST({KMV_J_K} AS BIGINT) AS k, n_common,
+         ROUND(CAST(n_common AS DOUBLE) / CAST({KMV_J_K} AS DOUBLE), 4) AS jaccard_est,
+         ROUND(CAST({KMV_J_K - 1} AS DOUBLE) * CAST({1 << 60} AS DOUBLE)
+               / CAST(kth_union_hash AS DOUBLE), 4) AS union_est,
+         ROUND((CAST(n_common AS DOUBLE) / CAST({KMV_J_K} AS DOUBLE))
+               * (CAST({KMV_J_K - 1} AS DOUBLE) * CAST({1 << 60} AS DOUBLE)
+                  / CAST(kth_union_hash AS DOUBLE)), 4) AS overlap_est,
+         exact_union, exact_overlap,
+         ROUND(CAST(exact_overlap AS DOUBLE) / CAST(exact_union AS DOUBLE), 4) AS exact_jaccard
+  FROM common, kth, ex
+)
+SELECT k, n_common, jaccard_est, union_est, overlap_est, exact_union, exact_overlap,
+       exact_jaccard,
+       ROUND(ABS(overlap_est - CAST(exact_overlap AS DOUBLE))
+             / CAST(exact_overlap AS DOUBLE), 4) AS overlap_rel_err
+FROM est
+"""

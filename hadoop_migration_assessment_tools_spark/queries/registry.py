@@ -319,6 +319,10 @@ QUERIES: dict[str, Query] = {
     # union == k smallest of the per-split sketches' union) certified as a
     # checked output; oracle replays bottom-k sets, merge, estimate, control
     "docs_shingle_kmv": llm.docs_shingle_kmv,
+    # r7: KMV set algebra — split Jaccard/overlap from bottom-k sketches alone
+    # (the membership lemma makes sketch-only tests exact for union-sketch
+    # elements); the structural contrast to HLL inclusion-exclusion above
+    "docs_split_kmv_jaccard": llm.docs_split_kmv_jaccard,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -473,4 +477,5 @@ ORACLE_SQL: dict[str, str] = {
     "emb_cluster_profile": llm.EMB_CLUSTER_PROFILE_ORACLE,
     "emb_semantic_dedup": llm.EMB_SEMANTIC_DEDUP_ORACLE,
     "docs_shingle_kmv": llm.DOCS_SHINGLE_KMV_ORACLE,
+    "docs_split_kmv_jaccard": llm.DOCS_SPLIT_KMV_JACCARD_ORACLE,
 }

@@ -2600,3 +2600,30 @@ def test_kmv_bottom_k_merge_theorem(spark):
     merged = [r["h"] for r in kmv_bottom_k_hashes(sk_a.unionAll(sk_b), k).collect()]
     assert merged == whole
     assert len(set(whole)) == k  # distinctness: no duplicated hash survives
+
+
+def test_kmv_union_sketch_membership_lemma(spark):
+    """The lemma docs_split_kmv_jaccard stands on: for every h in bottomk(A u B),
+    h is in the FULL set A iff h is in bottomk(A) — so sketch-only membership
+    tests are exact for union-sketch elements. Checked exhaustively on real
+    md5 hash order over two overlapping value sets."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        kmv_bottom_k,
+        kmv_bottom_k_hashes,
+        kmv_hash,
+    )
+
+    k = 32
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(200, 500).select(F.col("id").cast("string").alias("v"))
+    full_a = {r["h"] for r in a.select(kmv_hash("v").alias("h")).collect()}
+    sk_a = {r["h"] for r in kmv_bottom_k(a, "v", k).collect()}
+    sk_b = kmv_bottom_k(b, "v", k)
+    sk_u = {
+        r["h"]
+        for r in kmv_bottom_k_hashes(
+            kmv_bottom_k(a, "v", k).unionAll(sk_b), k
+        ).collect()
+    }
+    for h in sk_u:
+        assert (h in full_a) == (h in sk_a), h

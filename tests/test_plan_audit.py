@@ -341,6 +341,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_shingle_kmv": dict(
         shuffle_exchange=5, broadcast_exchange=4, bnlj=3, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
+    # round 7: KMV Jaccard — post-checkpoint remainder: the two k-row
+    # membership equi joins (BHJ), the exact-control groupBys, and the two
+    # 1-row report crossJoins (BNLJ).
+    "docs_split_kmv_jaccard": dict(
+        shuffle_exchange=4, broadcast_exchange=4, bnlj=2, cartesian=0, smj=0, bhj=2, shj=0, window=0
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -378,6 +384,9 @@ BNLJ_ALLOWED = {
     # r7: KMV — the one-row report crossJoins four 1-row aggregates (global
     # kth hash x merged kth hash x overlap count x exact control)
     "docs_shingle_kmv",
+    # r7: KMV Jaccard — the one-row report crossJoins the membership count,
+    # the union kth hash and the exact-control aggregate
+    "docs_split_kmv_jaccard",
     # r7: the one-row report joins three 1-row aggregates (corpus totals x
     # orig-chunk count x shared-chunk count)
     "docs_cdc_chunking",
