@@ -115,10 +115,19 @@ QUERIES: dict[str, Query] = {
     #    lang-id/tokens, shingle-Jaccard near-dup, corpus filters, PII scrub,
     #    splits/sampling, dup clustering, embedding similarity/centroids) --
     "docs_exact_dedup": llm.docs_exact_dedup,
-    "docs_token_stats": llm.docs_token_stats,
+    # Round-7 reviewed swap (fourth this round, VERDICT r6 #5 practice):
+    # emb_semantic_dedup in for docs_token_stats — SemDeDup cluster-scoped
+    # embedding dedup (arXiv:2303.09540) gains the scored row: nearest-centroid
+    # assignment + within-cluster near-dup search keyed on centroid_id, the
+    # canonical avoid-all-pairs shape at corpus scale, certified end to end via
+    # deterministic centroids. token_stats stays oracled below the line; the
+    # narrow per-doc text-map shape keeps scored presence via docs_pii_scrub
+    # and the quality stage inside docs_training_prep_pipeline.
+    "emb_semantic_dedup": llm.emb_semantic_dedup,
     # Round-6 swaps (VERDICT r5 #1): the narrow-map+rollup text-stat family held
-    # three scored rows (token_stats/quality/tfidf); token_stats keeps that
-    # shape's scored row and two make room for round-5 flagship certifications
+    # three scored rows (token_stats/quality/tfidf); token_stats kept that
+    # shape's scored row until the r7 fourth swap above, and two made room for
+    # round-5 flagship certifications
     # with no scored presence. docs_repeated_spans in for docs_tfidf_top_terms —
     # substring-level dedup (k-gram spans, cross-doc duplication, interval
     # union), a whole operator family document-level dedup can't evidence.
@@ -138,9 +147,10 @@ QUERIES: dict[str, Query] = {
     # docs_split_leakage in for docs_gopher_filters — the cross-split
     # contamination audit composes MinHash+verify with expression-applied hash
     # splits (two certified operators in one hash). lang_scores and
-    # gopher_filters stay oracled below the line; their operator shapes (narrow
-    # scoring maps + rollups) remain scored via docs_quality, docs_token_stats
-    # and docs_tfidf_top_terms.
+    # gopher_filters stay oracled below the line; their operator shape (narrow
+    # scoring maps + rollups) keeps scored presence via docs_pii_scrub and the
+    # quality stage of docs_training_prep_pipeline (token_stats/quality/tfidf
+    # all moved below the line across the r6-r7 swaps).
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
     # Round-6 fourth swap (VERDICT r5 #5 flagship): emb_ivf_fixed_topk in for
     # docs_shingle_jaccard — the IVF centroid-probe ANN family gains its scored
@@ -309,12 +319,9 @@ QUERIES: dict[str, Query] = {
     # real synthesize+decode pipeline, closed-form expected counts; a silent
     # decode regression in any codec path breaks the hash
     "multimodal_decode_rates": llm.multimodal_decode_rates,
-    # r7: SemDeDup-style cluster-scoped embedding dedup (public paper,
-    # arXiv:2303.09540) — near-dup search confined to nearest-centroid clusters
-    # (pair work sum(|c|^2), join keyed on cluster id, never global all-pairs);
-    # deterministic centroids make assignment -> pairs -> survivor counts fully
-    # DuckDB-replayable, keep-lowest-id survivor rule
-    "emb_semantic_dedup": llm.emb_semantic_dedup,
+    # r7 swap-out (fourth swap): per-doc token counting, still oracled; the
+    # scored row moved to emb_semantic_dedup (see the window comment above)
+    "docs_token_stats": llm.docs_token_stats,
     # r7: KMV bottom-k distinct sketch — the merge theorem (k smallest of a
     # union == k smallest of the per-split sketches' union) certified as a
     # checked output; oracle replays bottom-k sets, merge, estimate, control

@@ -67,11 +67,14 @@ SCORED_WINDOW = [
     "qe_yarn_enrichment",
     "qe_assessment_summary",
     "docs_exact_dedup",
-    "docs_token_stats",
+    # round-7 reviewed swap (fourth this round): SemDeDup cluster-scoped
+    # embedding dedup in for docs_token_stats (still oracled below the line;
+    # the narrow text-map shape keeps scored presence via docs_pii_scrub and
+    # the capstone's quality stage)
+    "emb_semantic_dedup",
     # round-6 reviewed swaps (VERDICT r5 #1): substring-level span dedup and the
     # production indexed-ingest parity replace two of the three narrow-map
-    # text-stat rows (quality/tfidf — still oracled below the line;
-    # token_stats keeps that shape's scored row)
+    # text-stat rows (quality/tfidf — still oracled below the line)
     "docs_repeated_spans",
     "docs_ingest_indexed_parity",
     # round-5 reviewed swaps: hamming-banding LSH and the cross-split
