@@ -122,3 +122,59 @@ def daily_hll_registers(
         .agg(F.max(rank).cast("int").alias("max_rank"))
         .select(F.col("w.start").cast("date").alias("day"), "reg", "max_rank")
     )
+
+
+def daily_kmv_sketches(
+    events: DataFrame,
+    k: int = 32,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+) -> DataFrame:
+    """Streaming KMV maintainer: per-day bottom-k distinct-hash sketches held as
+    explicit state — the streaming twin of ``ext/sketch.kmv_bottom_k`` grouped
+    by day, completing the mergeable-sketch/streaming symmetry the HLL
+    maintainer above established.
+
+    State per day is at most ``k`` longs plus a fold counter (bounded
+    regardless of event volume), and each micro-batch folds in via the
+    sketch's own merge operator — k smallest of (state ∪ batch hashes) — so
+    the final state equals the batch sketch for ANY micro-batch partitioning
+    of the input: incremental maintenance IS the merge theorem, live. Every
+    update emits ``(day, n_seen, hashes)`` with ``n_seen`` monotone; a
+    consumer (and the parity test) keeps the row with the max ``n_seen`` per
+    day. MAX-register HLL gets to be a plain streaming aggregate; bottom-k
+    needs a set, hence applyInPandasWithState with a flat array state."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..ext.sketch import kmv_hash
+
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        hashes, n_seen = state.get if state.exists else ((), 0)
+        cur = set(hashes)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            cur.update(int(h) for h in pdf["h"])
+        top = sorted(cur)[:k]
+        state.update((top, n_seen))
+        yield pd.DataFrame({"day": [key[0]], "n_seen": [n_seen], "hashes": [top]})
+
+    hashed = events.where(F.col(value_col).isNotNull()).select(
+        F.to_date(ts_col).alias("day"), kmv_hash(value_col).alias("h")
+    )
+    return hashed.groupBy("day").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="hashes array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -867,3 +867,45 @@ def test_streaming_daily_hll_registers_match_batch(spark, tmp_path):
     )
     want = {(r["day"], r["reg"]): r["max_rank"] for r in batch.collect()}
     assert got == want and len(want) > 50
+
+
+def test_streaming_daily_kmv_sketches_match_batch(spark, tmp_path):
+    """Incremental KMV maintenance: the streamed per-day bottom-k hash sketches
+    (bounded array state, folded across multiple micro-batches) must equal the
+    batch per-day bottom-k — incremental folding is exactly the sketch's merge
+    operator, so streamed == batch is the merge theorem live. Source is split
+    into 4 files with maxFilesPerTrigger=1 to force a genuinely multi-batch
+    fold."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import kmv_hash
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_kmv_sketches,
+    )
+    from pyspark.sql.window import Window as W
+
+    k = 32
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_events_table_stream(spark, src, max_files_per_trigger=1)
+    _run_available_now(daily_kmv_sketches(stream, k=k), "daily_kmv", "update")
+    emitted = spark.table("daily_kmv").collect()
+    # final emission per day = the row with the max fold counter
+    final: dict = {}
+    for r in emitted:
+        if r["day"] not in final or r["n_seen"] > final[r["day"]]["n_seen"]:
+            final[r["day"]] = r
+    got = {d: list(r["hashes"]) for d, r in final.items()}
+
+    batch = (
+        events.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), kmv_hash("user_id").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.partitionBy("day").orderBy("h")))
+        .filter(F.col("rn") <= k)
+    )
+    want: dict = {}
+    for r in batch.collect():
+        want.setdefault(r["day"], []).append(r["h"])
+    want = {d: sorted(v) for d, v in want.items()}
+    assert got == want and len(want) >= 2
