@@ -504,3 +504,41 @@ def test_ingest_stream_null_and_edge_routing_fuzz(spark, tmp_path_factory, corpu
                 newly_admitted.add(t)
             seen_in_batch.add(t)
         reference |= newly_admitted
+
+
+# --- KMV fold partition-invariance ---------------------------------------------------
+
+_kmv_values = st.lists(
+    st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=6),
+    min_size=1,
+    max_size=40,
+)
+_kmv_parts = st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(_kmv_values, _kmv_parts)
+def test_kmv_fold_partition_invariance(spark, values, parts):
+    """The property the streaming maintainer and docs_shingle_kmv both stand
+    on: folding per-partition bottom-k sketches (any assignment of rows to
+    partitions, duplicates welcome) through the merge operator yields exactly
+    the global bottom-k. Hypothesis drives random multisets and random
+    partition assignments against real md5 hash order."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        kmv_bottom_k,
+        kmv_bottom_k_hashes,
+    )
+
+    k = 8
+    rows = [(v, parts[i % len(parts)]) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["v", "part"])
+    whole = [r["h"] for r in kmv_bottom_k(df, "v", k).collect()]
+    per_part = [
+        kmv_bottom_k(df.filter(F.col("part") == p), "v", k)
+        for p in sorted({p for _, p in rows})
+    ]
+    merged_in = per_part[0]
+    for nxt in per_part[1:]:
+        merged_in = merged_in.unionAll(nxt)
+    merged = [r["h"] for r in kmv_bottom_k_hashes(merged_in, k).collect()]
+    assert merged == whole
