@@ -7,10 +7,11 @@ inflate + full scanline unfiltering), JPEG baseline (SOF0 sequential-DCT:
 Huffman entropy decode, dequant, IDCT, chroma upsampling), progressive
 (SOF2 spectral selection + successive approximation) and 12-bit extended
 sequential (SOF1, 16-bit DQT) — ext/jpeg.py — and MJPEG AVI video (RIFF
-'AVI ' container walk + per-frame JPEG decode), all implemented from their
-public format specs, with no media libraries. Formats that genuinely require
-external codecs (arithmetic-coded jpeg, mp3, mp4/H.264
-video) raise ``NotImplementedError`` from ``decode_media`` and
+'AVI ' container walk + per-frame JPEG decode) and MJPEG-in-MP4 video
+(ISO-BMFF box walk + sample-table reconstruction, ext/mp4.py), all implemented
+from their public format specs, with no media libraries. Formats that genuinely
+require external codecs (arithmetic-coded jpeg, mp3, H.264/HEVC
+video essence inside MP4) raise ``NotImplementedError`` from ``decode_media`` and
 ``extract_features`` falls back to a clearly-marked deterministic digest feature,
 so the distributed pipeline shape stays exercised end to end either way.
 
@@ -522,14 +523,22 @@ def resize_image(pixels, out_h: int, out_w: int):
 def decode_media(payload: bytes, kind: str, meta=None) -> dict:
     """Decode an opaque payload into numpy form. Real for WAV audio (PCM and
     G.711 A-law/mu-law), PPM/PNG images, JPEG (baseline, progressive AND 12-bit
-    extended sequential), MJPEG AVI video, and PVID video; anything else
-    (inter-frame video codecs, arithmetic-coded jpeg, mp3...) needs external
-    libs this container doesn't have and raises NotImplementedError — callers
-    fall back."""
+    extended sequential), MJPEG video in AVI or MP4 (ISO-BMFF) containers, and
+    PVID video; anything else (inter-frame video codecs like H.264 inside MP4,
+    arithmetic-coded jpeg, mp3...) needs external libs this container doesn't
+    have and raises NotImplementedError — callers fall back."""
     payload = bytes(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         n, w, h, frames = parse_avi_mjpeg(payload)
         return {"kind": "video", "frames": frames, "n_frames": n, "width": w, "height": h}
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":  # ISO-BMFF (MP4)
+        from .mp4 import parse_mp4_mjpeg
+
+        n, w, h, frames, dur = parse_mp4_mjpeg(payload)
+        return {
+            "kind": "video", "frames": frames, "n_frames": n,
+            "width": w, "height": h, "duration_ms": dur,
+        }
     if payload[:4] == b"RIFF":
         samples, rate = parse_wav(payload)
         return {"kind": "audio", "samples": samples, "sample_rate": rate}
@@ -546,7 +555,7 @@ def decode_media(payload: bytes, kind: str, meta=None) -> dict:
         return {"kind": "video", "frames": frames, "n_frames": n, "width": w, "height": h}
     raise NotImplementedError(
         f"no pure-python decoder for this payload (kind={kind!r}); "
-        "mp3/mp4/arithmetic-jpeg require librosa/av/PIL"
+        "mp3/H.264/arithmetic-jpeg require librosa/av/PIL"
     )
 
 
@@ -667,9 +676,9 @@ def synthesize_media(
         raise ValueError(
             f"image_format must be 'ppm', 'png' or 'jpeg', got {image_format!r}"
         )
-    if video_format not in ("raw", "pvid", "mjpeg"):
+    if video_format not in ("raw", "pvid", "mjpeg", "mp4"):
         raise ValueError(
-            f"video_format must be 'raw', 'pvid' or 'mjpeg', got {video_format!r}"
+            f"video_format must be 'raw', 'pvid', 'mjpeg' or 'mp4', got {video_format!r}"
         )
     if audio_encoding not in ("pcm16", "g711mix"):
         raise ValueError(
@@ -732,7 +741,7 @@ def synthesize_media(
                     payload = make_wav_bytes(samples, rate, encoding=enc)
                     kind = "audio"
                     meta = ("audio/wav", None, None, rate, count * 1000 // rate)
-                elif video_format == "mjpeg":  # video: REAL MJPEG AVI keyed by doc_id
+                elif video_format in ("mjpeg", "mp4"):  # video: REAL MJPEG container
                     w, h = n % 32 + 4, n % 24 + 4
                     nf = 2 + doc_id % 4
                     i, j = np.indices((h, w))
@@ -747,8 +756,14 @@ def synthesize_media(
                         ).astype(np.uint8)
                         for fidx in range(nf)
                     ]
-                    payload, kind = make_avi_mjpeg_bytes(frames, fps=10), "video"
-                    meta = ("video/mjpeg-avi", w, h, None, nf * 100)
+                    if video_format == "mp4":
+                        from .mp4 import make_mp4_mjpeg_bytes
+
+                        payload, kind = make_mp4_mjpeg_bytes(frames, fps=10), "video"
+                        meta = ("video/mp4", w, h, None, nf * 100)
+                    else:
+                        payload, kind = make_avi_mjpeg_bytes(frames, fps=10), "video"
+                        meta = ("video/mjpeg-avi", w, h, None, nf * 100)
                 elif video_format == "pvid":  # video: real PVID frames keyed by doc_id
                     w, h = n % 32 + 2, n % 24 + 2
                     nf = 2 + doc_id % 4

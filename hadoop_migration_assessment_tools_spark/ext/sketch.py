@@ -681,3 +681,18 @@ def kmv_bottom_k(items: DataFrame, col: str, k: int) -> DataFrame:
     return kmv_bottom_k_hashes(
         items.where(F.col(col).isNotNull()).select(kmv_hash(col).alias("h")), k
     )
+
+
+def bottom_k_rows(df: DataFrame, key_col: str, k: int, *carry: str) -> DataFrame:
+    """Fixed-size deterministic uniform ROW sample: the k smallest rows by the
+    portable 60-bit hash of ``key_col`` (a unique row key), carrying ``carry``
+    columns. Compiles to TakeOrderedAndProject — per-partition top-k partials,
+    k rows to the driver-side merge, the data never shuffles. Mergeable the
+    KMV way: bottom-k of a union == bottom-k of concatenated per-split
+    samples. Ties on the hash are broken by the carried columns so the
+    sampled SET is total-ordered and engine-portable."""
+    return (
+        df.select(portable_hash60(key_col).alias("h"), *carry)
+        .orderBy("h", *carry)
+        .limit(k)
+    )

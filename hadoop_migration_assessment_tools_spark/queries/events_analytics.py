@@ -1574,3 +1574,243 @@ SELECT est2.d AS day, n_regs_used, s_total, est_distinct, exact_distinct,
 FROM est2 JOIN ex ON ex.d = est2.d
 ORDER BY day
 """
+
+
+# --- events_sampled_quantiles ---------------------------------------------------------
+# [EXT] Quantiles at 100 TB without a global sort: a FIXED-SIZE deterministic uniform
+# sample — the bottom-k rows by a portable hash of the unique row key (the KMV idea
+# applied to ROWS instead of set elements; Broder-style bottom-k sampling, public
+# literature). TakeOrderedAndProject computes it with map-side top-k partials: k rows
+# travel, the data never shuffles, and the sketch is mergeable (bottom-k of a union ==
+# bottom-k of the concatenated per-split bottom-k sketches — the merge theorem
+# docs_shingle_kmv certifies relationally). Quantiles read off the k-row sample; the
+# certified outputs are the OBSERVED rank errors: one single-scan conditional count per
+# threshold gives rank_le, and |rank_le/n - q| is a deterministic number the oracle
+# replays exactly (no probabilistic assertion needed — the sample is a pure function of
+# the data). The exact lower quantile (plans/median.py two-phase histogram selection,
+# no global sort either) rides along as the control a 100 TB run would drop.
+# Contrast with events_value_percentiles (exact per-group sort, the small-data form)
+# and the sketch family (HLL/KMV/CMS/MG count things; this sketches the CDF).
+
+SQ_K = 1024
+SQ_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import bottom_k_rows
+    from ..plans.median import distributed_quantiles
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+
+    # the sketch: k smallest (hash, value) rows — deterministic, partitioning-invariant
+    sample = bottom_k_rows(ev, "event_id", SQ_K, "value")
+    w_all = Window.partitionBy()
+    ranked = sample.select(
+        "h",
+        "value",
+        F.row_number().over(Window.orderBy("value", "h")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("sample_k"),
+    )
+    qs_df = spark.createDataFrame(list(SQ_QS), "qname string, q double")
+    sq = (
+        ranked.crossJoin(F.broadcast(qs_df))
+        .where(F.col("rn") == F.ceil(F.col("q") * F.col("sample_k")).cast("int"))
+        .select("qname", "q", F.col("value").alias("sample_quantile"), "sample_k")
+    )
+    # bounded driver rows (3): the thresholds, so the rank check is ONE conditional
+    # scan with literal predicates — exactly what a production pipeline would do.
+    # The collected rows also re-enter the final plan as a LocalTableScan so the
+    # sample job runs once (median.py targets pattern).
+    srows = sq.collect()
+    thresholds = {r["qname"]: float(r["sample_quantile"]) for r in srows}
+    sq = spark.createDataFrame(
+        [
+            (r["qname"], float(r["q"]), float(r["sample_quantile"]), int(r["sample_k"]))
+            for r in srows
+        ],
+        "qname string, q double, sample_quantile double, sample_k long",
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for qn, _q in SQ_QS:
+        aggs.append(
+            F.sum((F.col("value") <= F.lit(thresholds[qn])).cast("long"))
+            .cast("long")
+            .alias(f"le_{qn}")
+        )
+    counts = ev.agg(*aggs)
+    le_long = counts.select(
+        F.expr(
+            "stack(3, 'p50', le_p50, 'p90', le_p90, 'p99', le_p99) AS (qname, rank_le)"
+        ),
+        "n_rows",
+    )
+
+    # exact lower-quantile control (k = max(1, ceil(q*n)); scale-safe two-phase)
+    exact = distributed_quantiles(
+        ev.withColumn("_g", F.lit(1)), "value", ["_g"], dict(SQ_QS)
+    )
+    exact_long = exact.select(
+        F.expr(
+            "stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (qname, exact_quantile)"
+        )
+    )
+
+    return (
+        sq.join(exact_long, "qname")
+        .join(le_long, "qname")
+        .select(
+            "qname",
+            "q",
+            "sample_k",
+            F.round("sample_quantile", 6).alias("sample_quantile"),
+            F.round("exact_quantile", 6).alias("exact_quantile"),
+            "rank_le",
+            "n_rows",
+            F.round(
+                F.abs(F.col("rank_le") / F.col("n_rows") - F.col("q")), 4
+            ).alias("rank_err"),
+        )
+        .orderBy("qname")
+    )
+
+
+EVENTS_SAMPLED_QUANTILES_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         value
+  FROM events WHERE value IS NOT NULL
+), sk AS (
+  SELECT h, value FROM base ORDER BY h, value LIMIT {SQ_K}
+), ks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sample_k FROM sk
+), ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value, h) AS rn FROM sk
+), qs(qname, q) AS (
+  VALUES ('p50', CAST(0.5 AS DOUBLE)), ('p90', CAST(0.9 AS DOUBLE)),
+         ('p99', CAST(0.99 AS DOUBLE))
+), sq AS (
+  SELECT qname, q, ranked.value AS sample_quantile, sample_k
+  FROM qs, ks, ranked
+  WHERE ranked.rn = CAST(CEIL(q * sample_k) AS BIGINT)
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM base
+), exr AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM base
+), ex AS (
+  SELECT qname, exr.value AS exact_quantile
+  FROM qs, n, exr
+  WHERE exr.rn = GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * n_rows) AS BIGINT))
+), le AS (
+  SELECT qname, CAST(COUNT(*) AS BIGINT) AS rank_le
+  FROM sq, base WHERE base.value <= sq.sample_quantile GROUP BY qname
+)
+SELECT sq.qname, sq.q, sq.sample_k,
+       ROUND(sq.sample_quantile, 6) AS sample_quantile,
+       ROUND(ex.exact_quantile, 6) AS exact_quantile,
+       le.rank_le, n.n_rows,
+       ROUND(ABS(CAST(le.rank_le AS DOUBLE) / CAST(n.n_rows AS DOUBLE) - sq.q), 4)
+         AS rank_err
+FROM sq JOIN ex USING (qname) JOIN le USING (qname), n
+ORDER BY qname
+"""
+
+
+# --- events_session_concurrency --------------------------------------------------------
+# [EXT] Big-big point-in-interval join, the bucketed way (plans/interval_join.py):
+# "incident blast radius" — for every error-containing session, how many OTHER
+# users were active inside the session's +/-15 min window. Both join sides derive
+# from the full events table, so the naive plan is a range-predicate BNLJ that
+# dies at scale; the bucketed form replicates each interval into its ~2 half-hour
+# buckets (narrow map), points land in exactly one bucket, and the join is a
+# plain equi shuffle on the bucket key with an exact range refine — each (point,
+# interval) pair meets exactly once, no dedup. The right join preserves
+# zero-concurrency incidents (the rows a monitoring pipeline most wants).
+# Oracle: DuckDB replays sessionization, padding, and the range join literally.
+
+INCIDENT_PAD = "INTERVAL 15 MINUTES"
+INCIDENT_BUCKET_SECONDS = 1800
+
+
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.interval_join import point_in_interval_join
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0)
+    numbered = ev.withColumn(
+        "session_id", F.sum(new_session).over(w).cast("long")
+    )
+    sessions = (
+        numbered.groupBy(F.col("user_id").alias("s_user"), "session_id")
+        .agg(
+            F.min("ts").alias("_s_start"),
+            F.max("ts").alias("_s_end"),
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("_err"),
+            count_big("session_events"),
+        )
+        .where(F.col("_err") == 1)
+        .select(
+            "s_user",
+            "session_id",
+            (F.col("_s_start") - F.expr(INCIDENT_PAD)).alias("window_start"),
+            (F.col("_s_end") + F.expr(INCIDENT_PAD)).alias("window_end"),
+            "session_events",
+        )
+    )
+    points = ev.select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    joined = point_in_interval_join(
+        points, "p_ts", sessions, "window_start", "window_end",
+        bucket_seconds=INCIDENT_BUCKET_SECONDS, how="right",
+    )
+    other = F.col("p_user") != F.col("s_user")
+    return (
+        joined.groupBy(
+            F.col("s_user").alias("user_id"),
+            "session_id",
+            "window_start",
+            "window_end",
+            "session_events",
+        )
+        .agg(
+            F.count_distinct(F.when(other, F.col("p_user")))
+            .cast("long")
+            .alias("other_users"),
+            F.count(F.when(other, 1)).cast("long").alias("other_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSION_CONCURRENCY_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_SECONDS}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         MIN(ts) - INTERVAL 15 MINUTE AS window_start,
+         MAX(ts) + INTERVAL 15 MINUTE AS window_end,
+         CAST(COUNT(*) AS BIGINT) AS session_events
+  FROM numbered
+  GROUP BY user_id, session_id
+  HAVING MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+)
+SELECT s.user_id, s.session_id, s.window_start, s.window_end, s.session_events,
+       CAST(COUNT(DISTINCT CASE WHEN e.user_id <> s.user_id THEN e.user_id END)
+            AS BIGINT) AS other_users,
+       CAST(COUNT(CASE WHEN e.user_id <> s.user_id THEN 1 END) AS BIGINT)
+         AS other_events
+FROM sess s LEFT JOIN events e
+  ON e.ts >= s.window_start AND e.ts <= s.window_end
+GROUP BY s.user_id, s.session_id, s.window_start, s.window_end, s.session_events
+ORDER BY s.user_id, s.session_id
+"""

@@ -3678,7 +3678,8 @@ EMB_RANDOM_PROJECTION_ORACLE = _rp_oracle()
 
 # --- multimodal_frame_sample ---------------------------------------------------------
 # Video frame-sampling certification: synthesize real PVID payloads (raw RGB24
-# container — the sandbox stand-in for mp4; ext/multimodal.py header), sample every
+# container — the minimal in-repo video container; the ISO-BMFF path is certified
+# separately by media_mp4_container_stats below), sample every
 # 2nd frame via the Arrow-batched mapInPandas extractor, re-encode each frame as PPM,
 # and roll up per lang. Every output quantity is closed-form from (doc_id, length
 # (text)), so DuckDB certifies the container generation, the parse, the sampling
@@ -3727,6 +3728,95 @@ SELECT lang,
 FROM s
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+# --- media_mp4_container_stats ---------------------------------------------------------
+# [EXT] The ISO-BMFF (MP4) container path certified end to end: the engine
+# synthesizes REAL MJPEG-in-MP4 files (ext/mp4.py writer: ftyp|mdat|moov, full
+# stsd/stts/stsc/stsz/stco sample table), then — in a separate Arrow-batched
+# pass that sees only bytes — walks the box tree, reconstructs every sample's
+# exact byte range from the chunk runs, decodes each sample with the in-repo
+# JPEG decoder, and replays the duration from mdhd/stts. Every reported
+# quantity (frame counts, stsd dimensions, durations) is closed-form from
+# (doc_id, length(text)), so DuckDB certifies the writer, the box walk, the
+# sample-table reconstruction AND the per-sample decode in one hash; dims_ok
+# additionally pins stsd metadata == decoded pixels == synthesis meta. A torn
+# stco/stsz offset would surface as a JPEG decode failure or dimension
+# mismatch and break the hash. 100 TB shape: payloads are opaque binary cells
+# in Arrow batches; the walk+decode is mapInPandas executor-side, grouped
+# output is bounded by the (n_frames x width x height) key space, never rows.
+
+
+def media_mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import synthesize_media
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.pmod(F.col("doc_id"), F.lit(3)) == 2)  # the video slice
+        .repartition(32, "doc_id")
+    )
+    media = synthesize_media(docs, video_format="mp4")
+
+    stats_schema = (
+        "media_id long, n_frames long, width long, height long, "
+        "duration_ms long, dims_ok boolean"
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from ..ext.mp4 import parse_mp4, parse_mp4_mjpeg
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "n_frames", "width", "height", "duration_ms", "dims_ok")}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                info = parse_mp4(bytes(payload))
+                n, w, h, _frames, dur = parse_mp4_mjpeg(bytes(payload))
+                ok = (
+                    (info["width"], info["height"]) == (w, h)
+                    and len(info["samples"]) == n
+                    and int(meta["width"]) == w
+                    and int(meta["height"]) == h
+                    and dur == n * 100  # stts/mdhd replay at fps=10
+                )
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(int(dur))
+                out["dims_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    stats = media.mapInPandas(walk, stats_schema)
+    return (
+        stats.groupBy("n_frames", "width", "height")
+        .agg(
+            count_big("n_containers"),
+            F.sum("n_frames").cast("long").alias("frames_decoded"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+            F.expr("bool_and(dims_ok)").alias("all_dims_ok"),
+        )
+        .orderBy("n_frames", "width", "height")
+    )
+
+
+MEDIA_MP4_CONTAINER_STATS_ORACLE = """
+WITH vids AS (
+  SELECT CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+         CAST(length(text) % 32 + 4 AS BIGINT) AS width,
+         CAST(length(text) % 24 + 4 AS BIGINT) AS height
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT n_frames, width, height,
+       CAST(COUNT(*) AS BIGINT) AS n_containers,
+       CAST(SUM(n_frames) AS BIGINT) AS frames_decoded,
+       CAST(SUM(n_frames) * 100 AS BIGINT) AS total_duration_ms,
+       TRUE AS all_dims_ok
+FROM vids
+GROUP BY n_frames, width, height
+ORDER BY n_frames, width, height
 """
 
 

@@ -330,6 +330,19 @@ QUERIES: dict[str, Query] = {
     # (the membership lemma makes sketch-only tests exact for union-sketch
     # elements); the structural contrast to HLL inclusion-exclusion above
     "docs_split_kmv_jaccard": llm.docs_split_kmv_jaccard,
+    # r8: quantile sketch — fixed-size bottom-k-by-row-hash sample (mergeable,
+    # deterministic), quantiles off the sketch with OBSERVED rank error as a
+    # certified output; exact two-phase lower quantile rides along as control
+    "events_sampled_quantiles": ea.events_sampled_quantiles,
+    # r8: the ISO-BMFF (MP4) container path — real MJPEG-in-MP4 writer + box
+    # walk + sample-table reconstruction + per-sample JPEG decode, certified
+    # closed-form (see ext/mp4.py); torn offsets break the hash
+    "media_mp4_container_stats": llm.media_mp4_container_stats,
+    # r8: big-big point-in-interval join via time-bucket replication
+    # (plans/interval_join.py) — incident blast-radius over error sessions;
+    # structurally equi-join (BNLJ impossible), oracled against a literal
+    # DuckDB range join
+    "events_session_concurrency": ea.events_session_concurrency,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
@@ -485,4 +498,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_semantic_dedup": llm.EMB_SEMANTIC_DEDUP_ORACLE,
     "docs_shingle_kmv": llm.DOCS_SHINGLE_KMV_ORACLE,
     "docs_split_kmv_jaccard": llm.DOCS_SPLIT_KMV_JACCARD_ORACLE,
+    "events_sampled_quantiles": ea.EVENTS_SAMPLED_QUANTILES_ORACLE,
+    "media_mp4_container_stats": llm.MEDIA_MP4_CONTAINER_STATS_ORACLE,
+    "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
 }

@@ -2627,3 +2627,121 @@ def test_kmv_union_sketch_membership_lemma(spark):
     }
     for h in sk_u:
         assert (h in full_a) == (h in sk_a), h
+
+
+# --- ISO-BMFF (MP4) container --------------------------------------------------------
+
+
+def test_mp4_roundtrip_and_sample_table():
+    """MJPEG-in-MP4: the box walk must reconstruct every sample's byte range
+    from stsc/stsz/stco and decode pixel-identical frames (JPEG quantization is
+    the only lossy step, and encode params match make_avi_mjpeg_bytes'); the
+    duration must replay from mdhd/stts. Non-JPEG codec fourccs surface as
+    NotImplementedError; torn containers as ValueError."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import mp4 as MP4
+    from hadoop_migration_assessment_tools_spark.ext import multimodal as M
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import parse_jpeg
+
+    rng = np.random.RandomState(5)
+    frames = [
+        np.clip(rng.rand(12, 18, 3) * 255, 0, 255).astype(np.uint8) for _ in range(4)
+    ]
+    data = MP4.make_mp4_mjpeg_bytes(frames, fps=10, quality=88)
+    n, w, h, dec, dur = MP4.parse_mp4_mjpeg(data)
+    assert (n, w, h, dur) == (4, 18, 12, 400)
+    # frame bytes equal a direct single-image JPEG roundtrip (same encoder path)
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import make_jpeg_bytes
+
+    expect0 = parse_jpeg(make_jpeg_bytes(frames[0], quality=88))
+    assert np.array_equal(dec[0], expect0)
+    # decode_media dispatches ISO-BMFF to the video branch with duration
+    out = M.decode_media(data, "video")
+    assert out["kind"] == "video" and out["n_frames"] == 4
+    assert out["duration_ms"] == 400
+    # info-level parse: sample sizes must tile the mdat payload exactly
+    info = MP4.parse_mp4(data)
+    assert info["codec"] == b"jpeg" and len(info["samples"]) == 4
+    total = sum(s for _, s in info["samples"])
+    mdat_at = data.index(b"mdat")
+    (mdat_size,) = __import__("struct").unpack_from(">I", data, mdat_at - 4)
+    assert total == mdat_size - 8
+    # torn container
+    with pytest.raises(ValueError):
+        MP4.parse_mp4(data[: len(data) // 3])
+    # foreign codec: flip the stsd fourcc to avc1 -> honest NotImplementedError
+    bad = bytearray(data)
+    i = bytes(bad).index(b"jpeg")
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError):
+        MP4.parse_mp4_mjpeg(bytes(bad))
+    # audio-only (no video track) is a ValueError, not a crash
+    with pytest.raises(ValueError):
+        MP4.parse_mp4(data[:8] + b"\x00" * 4)
+
+
+_FUZZ_MP4S: list[bytes] = []
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    op=st.sampled_from(["truncate", "flip", "trunc+flip"]),
+    frac=st.floats(0.0, 1.0),
+    bitpos=st.integers(0, 2**31),
+)
+def test_mp4_fuzz_decode_or_clean_fallback(op, frac, bitpos):
+    """Same contract as the JPEG/AVI fuzz: random truncations/bit flips of a
+    valid MJPEG-in-MP4 must decode, raise the normalized ValueError/
+    NotImplementedError, or flag decoded=false — never a raw struct.error/
+    IndexError/MemoryError escape (the stsz plausibility guard covers the
+    flipped-count memory bomb)."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import mp4 as MP4
+    from hadoop_migration_assessment_tools_spark.ext import multimodal as M
+
+    if not _FUZZ_MP4S:
+        rng = np.random.RandomState(13)
+        frames = [
+            np.clip(rng.rand(16, 20, 3) * 255, 0, 255).astype(np.uint8)
+            for _ in range(3)
+        ]
+        _FUZZ_MP4S.append(MP4.make_mp4_mjpeg_bytes(frames, fps=5))
+    data = bytearray(_FUZZ_MP4S[0])
+    if op in ("truncate", "trunc+flip"):
+        cut = 12 + int(frac * (len(data) - 12))
+        data = data[:cut]
+    if op in ("flip", "trunc+flip") and len(data) > 12:
+        pos = 12 + (bitpos // 8) % (len(data) - 12)
+        data[pos] ^= 1 << (bitpos % 8)
+    payload = bytes(data)
+    try:
+        n, w, h, frames, dur = MP4.parse_mp4_mjpeg(payload)
+        assert n >= 1 and frames.dtype.name == "uint8"
+    except (ValueError, NotImplementedError):
+        pass
+    decoded, feats = M.media_features(payload, "video")
+    assert isinstance(decoded, bool) and len(feats) == 8
+
+
+def test_synthesize_media_mp4_pipeline(spark):
+    """video_format='mp4': every video row is a REAL ISO-BMFF file that decodes
+    for real (decoded=true) through the Arrow UDF, frame counts matching the
+    closed-form corpus formula."""
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.pmod("doc_id", F.lit(3)) == 2
+    )
+    media = synthesize_media(docs, video_format="mp4")
+    feats = extract_features(media).filter(F.col("kind") == "video")
+    rows = feats.select("decoded").collect()
+    assert rows and all(r["decoded"] for r in rows)
+    # payload magic: ISO-BMFF ftyp at offset 4
+    one = media.limit(1).collect()[0]
+    assert bytes(one["payload"])[4:8] == b"ftyp"

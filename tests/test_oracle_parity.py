@@ -26,6 +26,7 @@ PARTITIONING_SENSITIVE = [
     # iterative clustering, packing invariants, stage-materialized pipelines —
     # the families where a partitioning-dependent bug would hide at a fixed config
     "qe_table_read_frequency",
+    "events_sampled_quantiles",
     "events_global_rank_sample",
     "events_top_users_by_value",
     "docs_temperature_mixture",

@@ -347,6 +347,28 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_split_kmv_jaccard": dict(
         shuffle_exchange=4, broadcast_exchange=4, bnlj=2, cartesian=0, smj=0, bhj=2, shj=0, window=0
     ),
+    # round 8: quantile sketch — the exact-control machinery dominates the
+    # final plan (the sketch itself resolved to a LocalTableScan of the 3
+    # collected thresholds): bounds/candidate joins of the two-phase exact
+    # quantile (the two 1-row-broadcast BNLJ, see BNLJ_ALLOWED), one candidate
+    # ranking window, the single-scan conditional count, and the 3-row report
+    # equi joins (BHJ).
+    "events_sampled_quantiles": dict(
+        shuffle_exchange=10, broadcast_exchange=5, bnlj=2, cartesian=0, smj=1, bhj=3, shj=0, window=1
+    ),
+    # round 8: MP4 container certification — synthesize + box-walk + decode are
+    # all narrow mapInPandas stages; the only exchanges are the deliberate
+    # pre-UDF repartition, the grouped rollup, and the output sort.
+    "media_mp4_container_stats": dict(
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+    ),
+    # round 8: bucketed interval join — sessionize window + session rollup,
+    # then the point-in-interval join plans as a size-dependent equi BHJ on
+    # the bucket key with the range refine as residual condition (flips to
+    # SMJ at scale; never a nested loop). One count-distinct window on top.
+    "events_session_concurrency": dict(
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
+    ),
 }
 
 # Queries whose BNLJ is the deliberate tiny-broadcast crossJoin pattern
@@ -390,6 +412,10 @@ BNLJ_ALLOWED = {
     # r7: the one-row report joins three 1-row aggregates (corpus totals x
     # orig-chunk count x shared-chunk count)
     "docs_cdc_chunking",
+    # r8: the exact-control joins tag rows with the 1-row global bounds
+    # aggregate (constant group key folds the equi condition away, so the
+    # 1-row broadcast plans as BNLJ); the 3-row threshold table joins are BHJ
+    "events_sampled_quantiles",
     # r7: the exact control joins the <= #days broadcast spine to the per-day
     # distinct level on a trailing-range predicate (certification-only path;
     # the production register path has no such join)
@@ -420,6 +446,7 @@ SIZE_DEPENDENT_BROADCAST = [
     "q21_waiting_suppliers",
     "qe_table_read_frequency",
     "emb_semantic_dedup",
+    "events_session_concurrency",
 ]
 
 

@@ -540,3 +540,37 @@ def test_kmv_bottom_k_uses_take_ordered(spark):
     plan = formatted_plan(kmv_bottom_k(df, "v", 16))
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan
+
+
+def test_bottom_k_rows_uses_take_ordered(spark):
+    """The quantile-sketch row sample (events_sampled_quantiles' hot stage) must
+    compile to TakeOrderedAndProject, same contract as the KMV sketch: a global
+    Sort + GlobalLimit would ship whole partitions to one task at 100 TB."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import bottom_k_rows
+    from hadoop_migration_assessment_tools_spark.plans.audit import formatted_plan
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    plan = formatted_plan(bottom_k_rows(df, "k", 16, "v"))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_bottom_k_rows_partition_invariant(spark):
+    """The sampled SET is a pure function of the data: identical under 1, 7 and
+    32 input partitions (the property the quantile estimates stand on)."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import bottom_k_rows
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), F.pmod(F.col("id") * 37, F.lit(991)).cast("double").alias("v")
+    )
+    expect = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r["h"], r["v"]) for r in bottom_k_rows(df.repartition(parts), "k", 64, "v").collect()
+        )
+        assert len(got) == 64
+        if expect is None:
+            expect = got
+        assert got == expect
