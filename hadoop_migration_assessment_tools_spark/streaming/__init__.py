@@ -4,6 +4,9 @@ from .source import (  # noqa: F401
     read_events_table_stream,
 )
 from .windows import (  # noqa: F401
+    daily_hll_registers,
+    daily_kmv_sketches,
+    daily_sample_quantiles,
     session_window_stats,
     sliding_window_value,
     tumbling_window_counts,

@@ -178,3 +178,74 @@ def daily_kmv_sketches(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def daily_sample_quantiles(
+    events: DataFrame,
+    k: int = 64,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_id",
+) -> DataFrame:
+    """Streaming quantile-sketch maintainer: per-day bottom-k ROW samples
+    ((hash, value) pairs, the streaming twin of ``ext/sketch.bottom_k_rows``
+    grouped by day) held as bounded state — quantile estimates over an
+    unbounded stream with <= k rows of state per day and no history rescan.
+
+    Each micro-batch folds in via the sample's own merge operator — k smallest
+    (hash, value) pairs of (state ∪ batch) — so the final state equals the
+    batch sample for ANY micro-batch partitioning (the same merge-theorem-live
+    property daily_kmv_sketches certifies for distinct counting; this carries a
+    payload column, which is what turns the sketch from set-size into CDF).
+    Every update emits ``(day, n_seen, p50, hashes, vals)``; consumers keep the
+    max-``n_seen`` row per day. p50 is the ceil(k'/2)-th smallest sampled value
+    — events_sampled_quantiles certifies the identical estimator relationally
+    in batch."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..ext.sketch import kmv_hash
+
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("p50", T.DoubleType()),
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        hashes, vals, n_seen = state.get if state.exists else ((), (), 0)
+        pairs = set(zip(hashes, vals))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            pairs.update(zip((int(h) for h in pdf["h"]), (float(v) for v in pdf["v"])))
+        top = sorted(pairs)[:k]
+        hs, vs = [p[0] for p in top], [p[1] for p in top]
+        state.update((hs, vs, n_seen))
+        p50 = sorted(vs)[max(1, math.ceil(0.5 * len(vs))) - 1] if vs else None
+        yield pd.DataFrame(
+            {"day": [key[0]], "n_seen": [n_seen], "p50": [p50],
+             "hashes": [hs], "vals": [vs]}
+        )
+
+    hashed = (
+        events.where(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.to_date(ts_col).alias("day"),
+            kmv_hash(key_col).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+    )
+    return hashed.groupBy("day").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="hashes array<long>, vals array<double>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -909,3 +909,51 @@ def test_streaming_daily_kmv_sketches_match_batch(spark, tmp_path):
         want.setdefault(r["day"], []).append(r["h"])
     want = {d: sorted(v) for d, v in want.items()}
     assert got == want and len(want) >= 2
+
+
+def test_streaming_daily_sample_quantiles_match_batch(spark, tmp_path):
+    """Incremental quantile-sketch maintenance: the streamed per-day bottom-k
+    (hash, value) ROW samples — and the p50 read off them — must equal the
+    batch per-day bottom-k sample, folded across 4 forced micro-batches.
+    Same merge-theorem-live contract as the KMV test, with a payload column."""
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import kmv_hash
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_sample_quantiles,
+    )
+
+    k = 32
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_events_table_stream(spark, src, max_files_per_trigger=1)
+    _run_available_now(daily_sample_quantiles(stream, k=k), "daily_sq", "update")
+    final: dict = {}
+    for r in spark.table("daily_sq").collect():
+        if r["day"] not in final or r["n_seen"] > final[r["day"]]["n_seen"]:
+            final[r["day"]] = r
+    got = {d: sorted(zip(r["hashes"], r["vals"])) for d, r in final.items()}
+
+    batch = (
+        events.where(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            kmv_hash("event_id").alias("h"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(W.partitionBy("day").orderBy("h", "v")))
+        .filter(F.col("rn") <= k)
+    )
+    want: dict = {}
+    for r in batch.collect():
+        want.setdefault(r["day"], []).append((r["h"], r["v"]))
+    want = {d: sorted(v) for d, v in want.items()}
+    assert got == want and len(want) >= 2
+    # the emitted p50 is the ceil(k'/2)-th smallest sampled value
+    for d, r in final.items():
+        vs = sorted(r["vals"])
+        assert r["p50"] == vs[max(1, math.ceil(0.5 * len(vs))) - 1]
