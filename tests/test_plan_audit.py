@@ -60,8 +60,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_minhash_near_dup": dict(
         shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
+    # r8: post-checkpoint remainder (the tokenize+distinct+window index is
+    # localCheckpointed so the self-join's two consumers share ONE pipeline
+    # run); the remainder is the shingle-equality BHJ + the pair groupBy.
     "docs_shingle_jaccard": dict(
-        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=2
+        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     "docs_simhash_near_dup": dict(
         shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0

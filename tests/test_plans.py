@@ -574,3 +574,28 @@ def test_bottom_k_rows_partition_invariant(spark):
         if expect is None:
             expect = got
         assert got == expect
+
+
+def test_shingle_jaccard_prestage_pinned(spark):
+    """docs_shingle_jaccard's checkpointed index stage (memory rule: pin the
+    pre-checkpoint strategy separately when a query localCheckpoints its hot
+    subtree): tokenize+shingle stays NARROW (zip_with chain, no pre-shuffle),
+    so the stage is exactly the distinct shuffle + the per-doc count window."""
+    from hadoop_migration_assessment_tools_spark.ext.dedup import shingle_index
+    from hadoop_migration_assessment_tools_spark.plans.audit import plan_signature
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        SHINGLE_K,
+        _docs_with_planted_dups,
+    )
+    from pyspark.sql.window import Window as W
+
+    aug = _docs_with_planted_dups(spark, "/root/testdata/sf0.001")
+    idx = shingle_index(aug, "text", "doc_id", SHINGLE_K)
+    inv = idx.select(
+        F.col("_id").alias("doc_id"),
+        F.count(F.lit(1)).over(W.partitionBy("_id")).alias("n_sh"),
+        F.col("_sh").alias("sh"),
+    )
+    sig = plan_signature(inv)
+    assert sig["window"] == 1 and sig["shuffle_exchange"] == 2, sig
+    assert sig["smj"] + sig["bhj"] + sig["shj"] + sig["bnlj"] + sig["cartesian"] == 0, sig
