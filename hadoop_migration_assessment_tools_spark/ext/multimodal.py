@@ -116,6 +116,103 @@ def _g711_encode(samples, law: str):
     return order[pick].astype(np.uint8)
 
 
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+    253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+    1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+    32767,
+)
+_ADPCM_BLOCK_ALIGN = 256  # mono: 4-byte header + 252 nibble bytes = 505 samples
+
+
+def _ima_step(pred: int, index: int, code: int):
+    """One IMA ADPCM reconstruction step (shared by encode and decode — the
+    encoder embeds the decoder, which is what makes re-encoding a decoded
+    stream reproduce identical bytes)."""
+    step = _IMA_STEP_TABLE[index]
+    vpdiff = step >> 3
+    if code & 4:
+        vpdiff += step
+    if code & 2:
+        vpdiff += step >> 1
+    if code & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if code & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[code & 7]))
+    return pred, index
+
+
+def _ima_adpcm_encode(samples) -> bytes:
+    """Mono IMA ADPCM (WAV format 0x11): 256-byte blocks, 505 samples each
+    (header sample + 504 packed nibbles, low nibble first). Sequential by
+    nature (each step feeds the predictor); payloads here are corpus-synthesis
+    sized, and at scale this runs inside Arrow batches executor-side."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size == 0:
+        raise ValueError("ADPCM needs at least one sample")
+    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+    out = bytearray()
+    for b0 in range(0, len(x), spb):
+        blk = x[b0 : b0 + spb]
+        pred, index = int(max(-32768, min(32767, blk[0]))), 0
+        # the step index restarts at 0 per block and travels in the block
+        # header, so every block decodes independently (seekable at scale)
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in blk[1:]:
+            diff = int(s) - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            step = _IMA_STEP_TABLE[index]
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, index = _ima_step(pred, index, code)
+            nibbles.append(code)
+        if len(nibbles) & 1:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        # pad the final partial block to block alignment (decoder trims via fact)
+        pad = _ADPCM_BLOCK_ALIGN - (4 + len(nibbles) // 2)
+        out += b"\x00" * pad
+    return bytes(out)
+
+
+def _ima_adpcm_decode(pcm: bytes, n_samples: int):
+    """Decode mono IMA ADPCM blocks -> int16 ndarray of ``n_samples``."""
+    import numpy as np
+
+    out = []
+    for b0 in range(0, len(pcm), _ADPCM_BLOCK_ALIGN):
+        blk = pcm[b0 : b0 + _ADPCM_BLOCK_ALIGN]
+        if len(blk) < 4:
+            raise ValueError("torn ADPCM block header")
+        pred, index, _res = struct.unpack_from("<hBB", blk, 0)
+        if index > 88:
+            raise ValueError("ADPCM step index out of range")
+        out.append(pred)
+        for byte in blk[4:]:
+            for code in (byte & 0xF, byte >> 4):
+                pred, index = _ima_step(pred, index, code)
+                out.append(pred)
+    if n_samples > len(out):
+        raise ValueError("ADPCM data shorter than fact sample count")
+    return np.asarray(out[:n_samples], dtype="<i2")
+
+
 def make_wav_bytes(samples, sample_rate: int = 16000, encoding: str = "pcm16") -> bytes:
     """Encode mono samples as a canonical WAV file.
 
@@ -130,8 +227,22 @@ def make_wav_bytes(samples, sample_rate: int = 16000, encoding: str = "pcm16") -
     elif encoding in ("alaw", "mulaw"):
         fmt_code, bits = (6, 8) if encoding == "alaw" else (7, 8)
         pcm = _g711_encode(samples, encoding).tobytes()
+    elif encoding == "adpcm":
+        # IMA/DVI ADPCM (format 0x11): extended fmt chunk (wSamplesPerBlock)
+        # plus the mandatory fact chunk carrying the true sample count
+        n = len(np.asarray(samples))
+        pcm = _ima_adpcm_encode(samples)
+        spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHHHH", 20, 0x11, 1, sample_rate,
+            sample_rate * _ADPCM_BLOCK_ALIGN // spb, _ADPCM_BLOCK_ALIGN, 4, 2, spb,
+        )
+        fact = b"fact" + struct.pack("<II", 4, n)
+        data = b"data" + struct.pack("<I", len(pcm))
+        body = b"WAVE" + fmt + fact + data + pcm
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     else:
-        raise ValueError(f"encoding must be pcm16/alaw/mulaw, got {encoding!r}")
+        raise ValueError(f"encoding must be pcm16/alaw/mulaw/adpcm, got {encoding!r}")
     block = bits // 8
     hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
     fmt = b"fmt " + struct.pack(
@@ -149,20 +260,32 @@ def parse_wav(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, sample_rate, bits, channels, pcm = 12, None, None, None, None
+    fact_samples = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("torn fmt chunk")
             audio_format, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if audio_format not in (1, 6, 7):  # PCM, G.711 A-law, G.711 mu-law
+            # PCM, G.711 A-law/mu-law, IMA/DVI ADPCM
+            if audio_format not in (1, 6, 7, 0x11):
                 raise NotImplementedError(f"unsupported WAV format {audio_format}")
+        elif cid == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if audio_format == 0x11:
+        if bits != 4 or (channels and channels != 1):
+            raise NotImplementedError("only 4-bit mono IMA ADPCM supported")
+        if fact_samples is None:
+            raise ValueError("ADPCM WAV missing fact chunk")
+        return _ima_adpcm_decode(pcm, fact_samples), sample_rate
     if audio_format in (6, 7):
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
@@ -680,9 +803,10 @@ def synthesize_media(
         raise ValueError(
             f"video_format must be 'raw', 'pvid', 'mjpeg' or 'mp4', got {video_format!r}"
         )
-    if audio_encoding not in ("pcm16", "g711mix"):
+    if audio_encoding not in ("pcm16", "g711mix", "adpcm"):
         raise ValueError(
-            f"audio_encoding must be 'pcm16' or 'g711mix', got {audio_encoding!r}"
+            "audio_encoding must be 'pcm16', 'g711mix' or 'adpcm', "
+            f"got {audio_encoding!r}"
         )
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -738,6 +862,8 @@ def synthesize_media(
                     enc = "pcm16"
                     if audio_encoding == "g711mix":
                         enc = ("pcm16", "alaw", "mulaw")[(doc_id // 3) % 3]
+                    elif audio_encoding == "adpcm":
+                        enc = "adpcm"
                     payload = make_wav_bytes(samples, rate, encoding=enc)
                     kind = "audio"
                     meta = ("audio/wav", None, None, rate, count * 1000 // rate)

@@ -2745,3 +2745,61 @@ def test_synthesize_media_mp4_pipeline(spark):
     # payload magic: ISO-BMFF ftyp at offset 4
     one = media.limit(1).collect()[0]
     assert bytes(one["payload"])[4:8] == b"ftyp"
+
+
+# --- IMA ADPCM WAV -----------------------------------------------------------------
+
+
+def test_ima_adpcm_roundtrip_and_idempotence():
+    """IMA/DVI ADPCM (WAV format 0x11): lossy 4:1 compression whose encoder
+    embeds the decoder — so (a) re-encoding a decoded stream reproduces the
+    byte-identical file (the certifiable fixed point of a lossy codec), (b)
+    each 256-byte block decodes independently (header carries predictor +
+    step index), and (c) steady-state error is bounded by the step table."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import multimodal as M
+
+    t = np.arange(1200)
+    x = (3000 * np.sin(2 * np.pi * 220 * t / 16000)).astype("<i2")
+    wav = M.make_wav_bytes(x, 16000, encoding="adpcm")
+    dec, rate = M.parse_wav(wav)
+    assert rate == 16000 and len(dec) == 1200
+    # first sample of every block is exact (it IS the block header)
+    assert dec[0] == x[0] and dec[505] == x[505] and dec[1010] == x[1010]
+    # steady-state tracking: after the attack transient the error is small
+    err = np.abs(dec[100:].astype(int) - x[100:].astype(int))
+    assert err.max() < 1200 and float(np.sqrt((err.astype(float) ** 2).mean())) < 200
+    # the lossy fixed point: encode(decode(encode(x))) == encode(x)
+    assert M.make_wav_bytes(dec, 16000, encoding="adpcm") == wav
+    # decode_media dispatch + feature path
+    out = M.decode_media(wav, "audio")
+    assert out["kind"] == "audio" and len(out["samples"]) == 1200
+    decoded, feats = M.media_features(wav, "audio")
+    assert decoded and len(feats) == 8
+    # torn payloads normalize: truncated data, missing fact
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        M.parse_wav(wav[:60])
+    nofact = wav.replace(b"fact", b"junk")
+    with _pt.raises(ValueError):
+        M.parse_wav(nofact)
+
+
+def test_synthesize_media_adpcm_pipeline(spark):
+    """audio_encoding='adpcm': every audio row decodes for real through the
+    Arrow UDF and features stay close to the pcm16 corpus on the same rows
+    (quantization error only)."""
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.pmod("doc_id", F.lit(3)) == 1
+    )
+    adpcm = extract_features(synthesize_media(docs, audio_encoding="adpcm"))
+    rows = adpcm.filter(F.col("kind") == "audio").select("decoded").collect()
+    assert rows and all(r["decoded"] for r in rows)
