@@ -74,7 +74,14 @@ QUERIES: dict[str, Query] = {
     # correlated log, certified by one oracle hash) is the reference's flagship
     # user deliverable; the daily-type cube shape stays covered by
     # events_hourly_rollup (scored) and remains oracled below the line.
-    "events_value_percentiles": ea.events_value_percentiles,
+    # Round-8 reviewed swap (within the percentile family): the sampled-quantile
+    # SKETCH — deterministic bottom-k-by-row-hash sample, quantiles off the
+    # sketch, OBSERVED rank error certified, exact two-phase control riding
+    # along — replaces the exact interpolated percentiles (which need a
+    # per-group sort a 100 TB run can't afford; that form stays oracled below
+    # the line). Strictly stronger evidence: estimator + error + control in one
+    # hash instead of the small-data exact form alone.
+    "events_sampled_quantiles": ea.events_sampled_quantiles,
     # -- round-4 swap-ins (strongest [EXT] certifications; the displaced events
     #    variants stay oracled just below the line): verified MinHash output ==
     #    exact all-pairs Jaccard, SQL-reproducible ANN recall@k, packing
@@ -83,7 +90,12 @@ QUERIES: dict[str, Query] = {
     "emb_ann_recall": llm.emb_ann_recall,
     "docs_pack_invariants": llm.docs_pack_invariants,
     "events_session_windows": ea.events_session_windows,
-    "events_props_roundtrip": ea.events_props_roundtrip,
+    # Round-8 reviewed swap: the bucketed big-big point-in-interval join
+    # (incident blast-radius; plans/interval_join.py — the join family's time
+    # flavor, structurally BNLJ-proof) replaces the props JSON roundtrip,
+    # whose map-roundtrip shape stays scored twice via qe_counters_roundtrip /
+    # qe_perf_roundtrip (props_roundtrip itself stays oracled below the line).
+    "events_session_concurrency": ea.events_session_concurrency,
     # Round-7 second swap (VERDICT r6 #5 pattern): docs_pps_sample in for
     # docs_temperature_mixture — the sampling family's scored row upgrades to
     # the PPS systematic sample (distributed two-phase prefix sum certified
@@ -164,7 +176,12 @@ QUERIES: dict[str, Query] = {
     "docs_pii_scrub": llm.docs_pii_scrub,
     "multimodal_manifest": llm.multimodal_manifest,
     "docs_dup_clusters": llm.docs_dup_clusters,
-    "multimodal_frame_sample": llm.multimodal_frame_sample,
+    # Round-8 reviewed swap: the ISO-BMFF (MP4) container certification — real
+    # writer + box walk + sample-table reconstruction + per-sample JPEG decode,
+    # all closed-form oracled — replaces the PVID frame-sample row (a toy
+    # container; the stronger real-container evidence subsumes it, and the
+    # frame-sampling shape itself stays oracled below the line).
+    "media_mp4_container_stats": llm.media_mp4_container_stats,
     "emb_label_centroids": llm.emb_label_centroids,
     # Round-7 swap (VERDICT r6 #5): lineitem_bloom_prefilter in for
     # emb_near_dup_pairs — the engine-portable Bloom semi-join reduction (the
@@ -330,19 +347,14 @@ QUERIES: dict[str, Query] = {
     # (the membership lemma makes sketch-only tests exact for union-sketch
     # elements); the structural contrast to HLL inclusion-exclusion above
     "docs_split_kmv_jaccard": llm.docs_split_kmv_jaccard,
-    # r8: quantile sketch — fixed-size bottom-k-by-row-hash sample (mergeable,
-    # deterministic), quantiles off the sketch with OBSERVED rank error as a
-    # certified output; exact two-phase lower quantile rides along as control
-    "events_sampled_quantiles": ea.events_sampled_quantiles,
-    # r8: the ISO-BMFF (MP4) container path — real MJPEG-in-MP4 writer + box
-    # walk + sample-table reconstruction + per-sample JPEG decode, certified
-    # closed-form (see ext/mp4.py); torn offsets break the hash
-    "media_mp4_container_stats": llm.media_mp4_container_stats,
-    # r8: big-big point-in-interval join via time-bucket replication
-    # (plans/interval_join.py) — incident blast-radius over error sessions;
-    # structurally equi-join (BNLJ impossible), oracled against a literal
-    # DuckDB range join
-    "events_session_concurrency": ea.events_session_concurrency,
+    # r8 swap-outs (all still oracled): exact interpolated percentiles (the
+    # small-data form; the scored row moved to events_sampled_quantiles), the
+    # props JSON roundtrip (map-roundtrip shape scored via qe_counters/
+    # qe_perf), and the PVID frame sample (scored row moved to the real
+    # ISO-BMFF container certification)
+    "events_value_percentiles": ea.events_value_percentiles,
+    "events_props_roundtrip": ea.events_props_roundtrip,
+    "multimodal_frame_sample": llm.multimodal_frame_sample,
     # rows-only (engine-specific hashes / pandas-UDF paths; pytest-verified instead)
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,

@@ -53,7 +53,9 @@ def test_scored_window_contract():
     # composed report; the nine remaining events rows still cover AGG5-6,
     # WIN1-3, JN6 as-of, SET2, DDP1 and percentiles.
     assert count(("qe_",)) >= 12, "reference-chain family underrepresented"
-    assert count(("docs_", "emb_", "multimodal")) >= 14, "LLM-pipeline family underrepresented"
+    assert count(("docs_", "emb_", "multimodal", "media_")) >= 14, (
+        "LLM-pipeline family underrepresented"
+    )
     assert count(("events_", "signup_", "users_")) >= 9, "events-analytics family underrepresented"
     relational = 50 - count(("qe_", "docs_", "emb_", "multimodal", "events_", "signup_", "users_"))
     assert relational >= 8, "relational family underrepresented"

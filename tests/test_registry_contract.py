@@ -36,12 +36,20 @@ SCORED_WINDOW = [
     # reference's flagship deliverable) replaces the daily-type cube, whose
     # rollup shape events_hourly_rollup already scores (matrix stays oracled
     # below the line; qe_assessment_summary sits in the qe_* block below)
-    "events_value_percentiles",
+    # round-8 reviewed swap (within the percentile family): the sampled-quantile
+    # sketch (bottom-k row sample + observed rank error + exact two-phase
+    # control, all in one hash) replaces the exact interpolated percentiles,
+    # which stay oracled below the line
+    "events_sampled_quantiles",
     "docs_minhash_near_dup",
     "emb_ann_recall",
     "docs_pack_invariants",
     "events_session_windows",
-    "events_props_roundtrip",
+    # round-8 reviewed swap: the bucketed big-big interval join (incident
+    # blast-radius) replaces the props JSON roundtrip; the map-roundtrip shape
+    # keeps two scored rows (qe_counters_roundtrip, qe_perf_roundtrip) and
+    # props_roundtrip stays oracled below the line
+    "events_session_concurrency",
     # round-7 reviewed swap (VERDICT r6 #5 pattern): the PPS systematic sample —
     # distributed two-phase prefix sum certified against the naive global
     # window, integer-only selection, exact k — replaces the temperature
@@ -90,7 +98,9 @@ SCORED_WINDOW = [
     "docs_pii_scrub",
     "multimodal_manifest",
     "docs_dup_clusters",
-    "multimodal_frame_sample",
+    # round-8 reviewed swap: the real ISO-BMFF container certification replaces
+    # the toy-PVID frame sample (which stays oracled below the line)
+    "media_mp4_container_stats",
     "emb_label_centroids",
     # round-7 reviewed swap (VERDICT r6 #5): the engine-portable Bloom semi-join
     # reduction (join pruning certified via SQL bitmap replay + exact control)

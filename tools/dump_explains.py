@@ -69,6 +69,13 @@ TRACKED = [
     "docs_cdc_chunking",
     "docs_fuzzy_typo_pairs",
     "events_sliding_hll_users",
+    # round-8: quantile sketch (post-collect remainder: exact control + report
+    # joins; the bottom-k TakeOrderedAndProject strategy is pinned in
+    # test_plans.py), the ISO-BMFF container pipeline, the bucketed interval
+    # join, and the checkpointed-index Jaccard remainder
+    "events_sampled_quantiles",
+    "media_mp4_container_stats",
+    "events_session_concurrency",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
