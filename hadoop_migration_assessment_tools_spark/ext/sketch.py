@@ -696,3 +696,25 @@ def bottom_k_rows(df: DataFrame, key_col: str, k: int, *carry: str) -> DataFrame
         .orderBy("h", *carry)
         .limit(k)
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min counter tables (the
+    classic Cormode-Muthukrishnan inner-product estimator): the inner-join
+    size on the sketched key is EXACTLY sum_key nA(key)*nB(key), each CMS row's
+    inner product sum_j cA[i][j]*cB[i][j] is an upper bound on it (collisions
+    only ever add mass), and min over the d rows is the estimate. This is the
+    optimizer primitive — size a 100 TB join from two d*w-row artifacts built
+    in one map-side-combined pass each, BEFORE committing to a join strategy
+    (compare plans/skew.py diagnose_join_skew, which answers the skew
+    question; this answers the volume question). Mergeable: counter tables
+    SUM-merge, and the estimate only improves as w grows (E[overcount] =
+    ||A||_1 * ||B||_1 / w per row).
+
+    Inputs are ``cms_counters`` outputs with IDENTICAL (d, w); returns one row
+    ``est_join_size``."""
+    j = a.alias("a").join(b.alias("b"), ["row", "pos"])
+    per_row = j.groupBy("row").agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("ip")
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))

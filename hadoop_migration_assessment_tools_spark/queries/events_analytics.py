@@ -1814,3 +1814,107 @@ FROM sess s LEFT JOIN events e
 GROUP BY s.user_id, s.session_id, s.window_start, s.window_end, s.session_events
 ORDER BY s.user_id, s.session_id
 """
+
+
+# --- events_cms_join_size ---------------------------------------------------------------
+# [EXT] Join-size estimation from sketches — the optimizer primitive, certified:
+# how many (purchase, error) same-user pairs would an equi join produce? The
+# exact answer is sum_u n_purchase(u) * n_error(u); the engine estimates it from
+# two Count-Min counter tables via the Cormode-Muthukrishnan inner product
+# (min over d rows of sum_j cP[i][j]*cE[i][j] — an upper bound, since collisions
+# only add mass) WITHOUT joining the fact rows, then certifies est >= exact
+# IN-PLAN (assert_true fails the query loudly on an undercount, the impossible
+# direction) with the exact control computed from per-user counts. At 100 TB the
+# counter tables are d*w-row artifacts built in one map-side-combined pass each
+# — you size the join before paying for it. The oracle replays both sketch
+# builds, the inner products, the min, and the exact sum.
+
+CMS_JOIN_A = "purchase"
+CMS_JOIN_B = "error"
+CMS_JOIN_W = 8192  # wider than the shared CMS_W: E[overcount] = |A||B|/w, and the
+# observed overcount tracks that formula (~0.4M at w=1024, sf0.1 — exactly
+# 20k*20k/1024); w=8192 keeps the artifact tiny (d*w rows) and the bound tight
+
+
+def events_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import CMS_D, cms_counters, cms_inner_product
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    p = ev.where(F.col("event_type") == CMS_JOIN_A).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    e = ev.where(F.col("event_type") == CMS_JOIN_B).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    est = cms_inner_product(
+        cms_counters(p, "k", w=CMS_JOIN_W), cms_counters(e, "k", w=CMS_JOIN_W)
+    )
+    pc = p.groupBy("k").agg(F.count(F.lit(1)).alias("np"))
+    ec = e.groupBy("k").agg(F.count(F.lit(1)).alias("ne"))
+    exact = pc.join(ec, "k").agg(
+        F.sum(F.col("np") * F.col("ne")).cast("long").alias("exact_join_size")
+    )
+    out = est.crossJoin(exact).select(
+        F.lit(CMS_D).cast("long").alias("d"),
+        F.lit(CMS_JOIN_W).cast("long").alias("w"),
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size"))
+        .cast("long")
+        .alias("overcount"),
+        F.round(
+            (F.col("est_join_size") - F.col("exact_join_size")).cast("double")
+            / F.col("exact_join_size").cast("double"),
+            6,
+        ).alias("rel_overcount"),
+    )
+    return out.withColumn(
+        "_g",
+        F.assert_true(
+            F.col("est_join_size") >= F.col("exact_join_size"),
+            F.lit("CMS inner product undercounted the join size"),
+        ),
+    ).filter(F.col("_g").isNull()).drop("_g")
+
+
+EVENTS_CMS_JOIN_SIZE_ORACLE = f"""
+WITH pk AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE event_type = '{CMS_JOIN_A}' AND user_id IS NOT NULL
+), ek AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE event_type = '{CMS_JOIN_B}' AND user_id IS NOT NULL
+), pc AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM pk GROUP BY k
+), ec AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM ek GROUP BY k
+), pch AS (
+  SELECT c, CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT) AS h2
+  FROM pc
+), ech AS (
+  SELECT c, CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT) AS h2
+  FROM ec
+), pcnt AS (
+  SELECT i.i AS r, (h1 + i.i * h2) % {CMS_JOIN_W} AS p, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM pch, generate_series(0, 3) AS i(i) GROUP BY r, p
+), ecnt AS (
+  SELECT i.i AS r, (h1 + i.i * h2) % {CMS_JOIN_W} AS p, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM ech, generate_series(0, 3) AS i(i) GROUP BY r, p
+), ip AS (
+  SELECT a.r, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+  FROM pcnt a JOIN ecnt b ON a.r = b.r AND a.p = b.p GROUP BY a.r
+), est AS (
+  SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip
+), ex AS (
+  SELECT CAST(SUM(pc.c * ec.c) AS BIGINT) AS exact_join_size
+  FROM pc JOIN ec USING (k)
+)
+SELECT CAST(4 AS BIGINT) AS d, CAST({CMS_JOIN_W} AS BIGINT) AS w,
+       est_join_size, exact_join_size,
+       CAST(est_join_size - exact_join_size AS BIGINT) AS overcount,
+       ROUND(CAST(est_join_size - exact_join_size AS DOUBLE)
+             / CAST(exact_join_size AS DOUBLE), 6) AS rel_overcount
+FROM est, ex
+"""

@@ -347,6 +347,10 @@ QUERIES: dict[str, Query] = {
     # (the membership lemma makes sketch-only tests exact for union-sketch
     # elements); the structural contrast to HLL inclusion-exclusion above
     "docs_split_kmv_jaccard": llm.docs_split_kmv_jaccard,
+    # r8: join-size estimation from two CMS sketches (Cormode-Muthukrishnan
+    # inner product, min over d rows) — the optimizer primitive certified:
+    # est >= exact enforced in-plan, oracle replays sketches + estimate + exact
+    "events_cms_join_size": ea.events_cms_join_size,
     # r8 swap-outs (all still oracled): exact interpolated percentiles (the
     # small-data form; the scored row moved to events_sampled_quantiles), the
     # props JSON roundtrip (map-roundtrip shape scored via qe_counters/
@@ -513,4 +517,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_sampled_quantiles": ea.EVENTS_SAMPLED_QUANTILES_ORACLE,
     "media_mp4_container_stats": llm.MEDIA_MP4_CONTAINER_STATS_ORACLE,
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
+    "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
 }

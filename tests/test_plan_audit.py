@@ -415,6 +415,9 @@ BNLJ_ALLOWED = {
     # r7: the one-row report joins three 1-row aggregates (corpus totals x
     # orig-chunk count x shared-chunk count)
     "docs_cdc_chunking",
+    # r8: the one-row report crossJoins the 1-row CMS estimate with the 1-row
+    # exact-control aggregate (both broadcast scalars)
+    "events_cms_join_size",
     # r8: the exact-control joins tag rows with the 1-row global bounds
     # aggregate (constant group key folds the equi condition away, so the
     # 1-row broadcast plans as BNLJ); the 3-row threshold table joins are BHJ
