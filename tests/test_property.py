@@ -542,3 +542,54 @@ def test_kmv_fold_partition_invariance(spark, values, parts):
         merged_in = merged_in.unionAll(nxt)
     merged = [r["h"] for r in kmv_bottom_k_hashes(merged_in, k).collect()]
     assert merged == whole
+
+
+# --- bucketed interval join == naive range join ---------------------------------------
+
+_ij_points = st.lists(st.integers(0, 50_000), min_size=1, max_size=60)
+_ij_intervals = st.lists(
+    st.tuples(st.integers(0, 50_000), st.integers(0, 20_000)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(points=_ij_points, intervals=_ij_intervals, bucket=st.sampled_from([60, 1800, 7200]))
+def test_interval_join_equals_naive_range_join(spark, points, intervals, bucket):
+    """plans/interval_join.py's bucket-replication join must produce EXACTLY the
+    naive range-join pair set — each (point, interval) pair once, boundary
+    timestamps inclusive — for arbitrary point/interval layouts and bucket
+    widths (intervals spanning 0, 1 and many buckets; zero-length intervals;
+    points exactly on bucket edges)."""
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.plans.interval_join import (
+        point_in_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(points)],
+        "pid long, p_ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + l))
+            for j, (s, l) in enumerate(intervals)
+        ],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            pts, "p_ts", ivs, "w_start", "w_end", bucket_seconds=bucket
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (st_, l) in enumerate(intervals)
+        if st_ <= s <= st_ + l
+    }
+    assert got == want
