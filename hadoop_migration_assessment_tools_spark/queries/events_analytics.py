@@ -1918,3 +1918,141 @@ SELECT CAST(4 AS BIGINT) AS d, CAST({CMS_JOIN_W} AS BIGINT) AS w,
              / CAST(exact_join_size AS DOUBLE), 6) AS rel_overcount
 FROM est, ex
 """
+
+
+# --- events_grouped_sampled_quantiles ---------------------------------------------------
+# [EXT] The GROUPED form of the sampled-quantile sketch — per-event_type CDF
+# estimates, fully declarative (zero driver actions, unlike the global form's
+# bounded collect): per-group bottom-k by row hash via one window (the grouped
+# bottom-k shuffles (hash, value, group) once — the KMV-by-split shape), sample
+# quantiles via a second window over the <= G*k sampled rows, rank_le via ONE
+# conditional-count aggregation after broadcasting the G*|Q|-row threshold
+# table, exact lower quantiles from the same two-phase histogram machinery
+# (plans/median.py) as the control. At 100 TB: the only full-data operations
+# are the sample window's one shuffle and the conditional-count scan; the
+# per-group state is k rows regardless of group size.
+
+GSQ_K = 256
+GSQ_QS = (("p50", 0.5), ("p90", 0.9))
+
+
+def events_grouped_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import portable_hash60
+    from ..plans.median import distributed_quantiles
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    hashed = ev.select(
+        "event_type", portable_hash60("event_id").alias("h"), "value"
+    )
+    wk = Window.partitionBy("event_type").orderBy("h", "value")
+    sample = (
+        hashed.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= GSQ_K)
+        .drop("_rn")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "h")
+    wall = Window.partitionBy("event_type")
+    ranked = sample.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("sample_k"),
+    )
+    qs_df = spark.createDataFrame(list(GSQ_QS), "qname string, q double")
+    sq = (
+        ranked.crossJoin(F.broadcast(qs_df))
+        .where(F.col("rn") == F.ceil(F.col("q") * F.col("sample_k")).cast("int"))
+        .select("event_type", "qname", "q", F.col("value").alias("sample_quantile"),
+                "sample_k")
+    )
+    # ONE conditional-count scan: every (group, threshold) in a single pass
+    le = (
+        ev.join(F.broadcast(sq.select("event_type", "qname", "q", "sample_quantile")),
+                "event_type")
+        .groupBy("event_type", "qname")
+        .agg(
+            F.sum((F.col("value") <= F.col("sample_quantile")).cast("long"))
+            .cast("long")
+            .alias("rank_le"),
+            F.count(F.lit(1)).cast("long").alias("n_rows_x_q"),
+        )
+        .withColumn("n_rows", F.col("n_rows_x_q"))
+        .drop("n_rows_x_q")
+    )
+    exact = distributed_quantiles(ev, "value", ["event_type"], dict(GSQ_QS))
+    exact_long = exact.select(
+        "event_type",
+        F.expr("stack(2, 'p50', p50, 'p90', p90) AS (qname, exact_quantile)"),
+    )
+    return (
+        sq.join(exact_long, ["event_type", "qname"])
+        .join(le, ["event_type", "qname"])
+        .select(
+            "event_type",
+            "qname",
+            "q",
+            "sample_k",
+            F.round("sample_quantile", 6).alias("sample_quantile"),
+            F.round("exact_quantile", 6).alias("exact_quantile"),
+            "rank_le",
+            "n_rows",
+            F.round(
+                F.abs(F.col("rank_le") / F.col("n_rows") - F.col("q")), 4
+            ).alias("rank_err"),
+        )
+        .orderBy("event_type", "qname")
+    )
+
+
+EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         value
+  FROM events WHERE value IS NOT NULL
+), sk AS (
+  SELECT event_type, h, value
+  FROM (SELECT event_type, h, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, value) AS rn
+        FROM base)
+  WHERE rn <= {GSQ_K}
+), ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, h) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS sample_k
+  FROM sk
+), qs(qname, q) AS (
+  VALUES ('p50', CAST(0.5 AS DOUBLE)), ('p90', CAST(0.9 AS DOUBLE))
+), sq AS (
+  SELECT event_type, qname, q, ranked.value AS sample_quantile, sample_k
+  FROM qs, ranked
+  WHERE ranked.rn = CAST(CEIL(q * sample_k) AS BIGINT)
+), n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM base GROUP BY event_type
+), exr AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM base
+), ex AS (
+  SELECT exr.event_type, qname, exr.value AS exact_quantile
+  FROM qs, n, exr
+  WHERE exr.event_type = n.event_type
+    AND exr.rn = GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * n_rows) AS BIGINT))
+), le AS (
+  SELECT sq.event_type, sq.qname, CAST(COUNT(*) AS BIGINT) AS rank_le
+  FROM sq JOIN base ON base.event_type = sq.event_type
+                   AND base.value <= sq.sample_quantile
+  GROUP BY sq.event_type, sq.qname
+)
+SELECT sq.event_type, sq.qname, sq.q, sq.sample_k,
+       ROUND(sq.sample_quantile, 6) AS sample_quantile,
+       ROUND(ex.exact_quantile, 6) AS exact_quantile,
+       le.rank_le, n.n_rows,
+       ROUND(ABS(CAST(le.rank_le AS DOUBLE) / CAST(n.n_rows AS DOUBLE) - sq.q), 4)
+         AS rank_err
+FROM sq
+JOIN ex USING (event_type, qname)
+JOIN le USING (event_type, qname)
+JOIN n ON n.event_type = sq.event_type
+ORDER BY sq.event_type, sq.qname
+"""

@@ -351,6 +351,10 @@ QUERIES: dict[str, Query] = {
     # inner product, min over d rows) — the optimizer primitive certified:
     # est >= exact enforced in-plan, oracle replays sketches + estimate + exact
     "events_cms_join_size": ea.events_cms_join_size,
+    # r8: the GROUPED sampled-quantile sketch — per-group bottom-k via one
+    # window shuffle, fully declarative (zero driver actions; contrast the
+    # scored global form's bounded collect); same certified rank-error shape
+    "events_grouped_sampled_quantiles": ea.events_grouped_sampled_quantiles,
     # r8 swap-outs (all still oracled): exact interpolated percentiles (the
     # small-data form; the scored row moved to events_sampled_quantiles), the
     # props JSON roundtrip (map-roundtrip shape scored via qe_counters/
@@ -518,4 +522,5 @@ ORACLE_SQL: dict[str, str] = {
     "media_mp4_container_stats": llm.MEDIA_MP4_CONTAINER_STATS_ORACLE,
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
+    "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,
 }

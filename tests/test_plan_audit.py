@@ -418,6 +418,9 @@ BNLJ_ALLOWED = {
     # r8: the one-row report crossJoins the 1-row CMS estimate with the 1-row
     # exact-control aggregate (both broadcast scalars)
     "events_cms_join_size",
+    # r8: the grouped quantile sketch crossJoins the 2-row (qname, q) constant
+    # table onto the <= G*k-row sample (broadcast side literally two rows)
+    "events_grouped_sampled_quantiles",
     # r8: the exact-control joins tag rows with the 1-row global bounds
     # aggregate (constant group key folds the equi condition away, so the
     # 1-row broadcast plans as BNLJ); the 3-row threshold table joins are BHJ
