@@ -2056,3 +2056,165 @@ JOIN le USING (event_type, qname)
 JOIN n ON n.event_type = sq.event_type
 ORDER BY sq.event_type, sq.qname
 """
+
+
+# --- events_sliding_sample_quantiles -----------------------------------------------------
+# [EXT] Sliding-window QUANTILES from merged daily sketches — the CDF analog of
+# events_sliding_hll_users: per-day bottom-k row samples (the mergeable quantile
+# sketch, stored once per day), trailing 7-day estimates built by MERGING the
+# seven daily sketches (bottom-k of their union — the merge theorem
+# docs_shingle_kmv certifies, applied as the no-rescan sliding-window move: the
+# window NEVER re-reads history, only 7 sketch rows x k). Daily sketches
+# replicate to their 7 target days via explode(sequence) — a narrow map + one
+# groupless window per target, never a range join. The exact trailing-window
+# p50 and the sampled p50's OBSERVED rank error ride along as controls computed
+# from the raw 7x-replicated window (the part a 100 TB run drops). Streaming:
+# daily_sample_quantiles maintains the identical daily sketches live.
+
+SLIDING_SQ_DAYS = 7
+SLIDING_SQ_K = 128
+
+
+def events_sliding_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import portable_hash60
+
+    k = SLIDING_SQ_K
+    ev = _events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        F.to_date("ts").alias("d"),
+        portable_hash60("event_id").alias("h"),
+        "value",
+    ).localCheckpoint(eager=False)
+    days = base.select(F.col("d").alias("day")).distinct()
+
+    wk = Window.partitionBy("d").orderBy("h", "value")
+    daily = (
+        base.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    spread = F.explode(F.sequence(F.lit(0), F.lit(SLIDING_SQ_DAYS - 1))).alias("_i")
+    cand = daily.select("*", spread).select(
+        F.date_add("d", F.col("_i")).alias("day"), "h", "value"
+    ).join(F.broadcast(days), "day")  # drop targets past the observed range
+    wday = Window.partitionBy("day").orderBy("h", "value")
+    sk = (
+        cand.withColumn("_rn", F.row_number().over(wday))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    wv = Window.partitionBy("day").orderBy("value", "h")
+    wall = Window.partitionBy("day")
+    thr = (
+        sk.select(
+            "day",
+            "value",
+            "h",
+            F.row_number().over(wv).alias("rn"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("sample_k"),
+        )
+        .where(F.col("rn") == F.ceil(F.lit(0.5) * F.col("sample_k")).cast("int"))
+        .select("day", F.col("value").alias("sample_p50"), "sample_k")
+    )
+
+    # exact control over the raw 7x-replicated window
+    win = base.select("*", spread).select(
+        F.date_add("d", F.col("_i")).alias("day"), "h", "value"
+    ).join(F.broadcast(days), "day").localCheckpoint(eager=False)
+    ex = (
+        win.select(
+            "day",
+            "value",
+            F.row_number().over(wv).alias("rn"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n_window"),
+        )
+        .where(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1), F.ceil(F.lit(0.5) * F.col("n_window")).cast("int")
+            )
+        )
+        .select("day", F.col("value").alias("exact_p50"), "n_window")
+    )
+    le = (
+        win.join(F.broadcast(thr), "day")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("value") <= F.col("sample_p50")).cast("long"))
+            .cast("long")
+            .alias("rank_le")
+        )
+    )
+    return (
+        thr.join(ex, "day")
+        .join(le, "day")
+        .select(
+            "day",
+            "n_window",
+            "sample_k",
+            F.round("sample_p50", 6).alias("sample_p50"),
+            F.round("exact_p50", 6).alias("exact_p50"),
+            "rank_le",
+            F.round(
+                F.abs(F.col("rank_le") / F.col("n_window") - F.lit(0.5)), 4
+            ).alias("rank_err"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_SLIDING_SAMPLE_QUANTILES_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         value
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+), days AS (
+  SELECT DISTINCT d AS day FROM base
+), daily AS (
+  SELECT d, h, value
+  FROM (SELECT d, h, value, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h, value) AS rn
+        FROM base)
+  WHERE rn <= {SLIDING_SQ_K}
+), cand AS (
+  SELECT dy.day, dl.h, dl.value
+  FROM days dy JOIN daily dl ON dl.d BETWEEN dy.day - 6 AND dy.day
+), sk AS (
+  SELECT day, h, value
+  FROM (SELECT day, h, value,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h, value) AS rn
+        FROM cand)
+  WHERE rn <= {SLIDING_SQ_K}
+), thr AS (
+  SELECT day, value AS sample_p50, sample_k
+  FROM (SELECT day, value,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY value, h) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS sample_k
+        FROM sk)
+  WHERE rn = CAST(CEIL(0.5 * sample_k) AS BIGINT)
+), win AS (
+  SELECT dy.day, b.h, b.value
+  FROM days dy JOIN base b ON b.d BETWEEN dy.day - 6 AND dy.day
+), ex AS (
+  SELECT day, value AS exact_p50, n_window
+  FROM (SELECT day, value,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY value, h) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS n_window
+        FROM win)
+  WHERE rn = GREATEST(CAST(1 AS BIGINT), CAST(CEIL(0.5 * n_window) AS BIGINT))
+), le AS (
+  SELECT w.day, CAST(SUM(CASE WHEN w.value <= t.sample_p50 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS rank_le
+  FROM win w JOIN thr t USING (day) GROUP BY w.day
+)
+SELECT thr.day, ex.n_window, thr.sample_k,
+       ROUND(thr.sample_p50, 6) AS sample_p50,
+       ROUND(ex.exact_p50, 6) AS exact_p50,
+       le.rank_le,
+       ROUND(ABS(CAST(le.rank_le AS DOUBLE) / CAST(ex.n_window AS DOUBLE) - 0.5), 4)
+         AS rank_err
+FROM thr JOIN ex USING (day) JOIN le USING (day)
+ORDER BY day
+"""

@@ -355,6 +355,10 @@ QUERIES: dict[str, Query] = {
     # window shuffle, fully declarative (zero driver actions; contrast the
     # scored global form's bounded collect); same certified rank-error shape
     "events_grouped_sampled_quantiles": ea.events_grouped_sampled_quantiles,
+    # r8: sliding-window quantiles from MERGED daily bottom-k samples — the
+    # CDF analog of events_sliding_hll_users (no history rescans; exact
+    # trailing p50 + observed rank error as controls)
+    "events_sliding_sample_quantiles": ea.events_sliding_sample_quantiles,
     # r8 swap-outs (all still oracled): exact interpolated percentiles (the
     # small-data form; the scored row moved to events_sampled_quantiles), the
     # props JSON roundtrip (map-roundtrip shape scored via qe_counters/
@@ -523,4 +527,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,
+    "events_sliding_sample_quantiles": ea.EVENTS_SLIDING_SAMPLE_QUANTILES_ORACLE,
 }
