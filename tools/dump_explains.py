@@ -76,6 +76,9 @@ TRACKED = [
     "events_sampled_quantiles",
     "media_mp4_container_stats",
     "events_session_concurrency",
+    "events_cms_join_size",
+    "events_grouped_sampled_quantiles",
+    "events_sliding_sample_quantiles",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
