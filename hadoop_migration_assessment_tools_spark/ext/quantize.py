@@ -53,3 +53,122 @@ def reconstruction_error(
         F.lit(0.0),
         lambda acc, v: F.greatest(acc, v),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Product quantization (PQ) — the production ANN compression standard (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", public literature). Vectors split
+# into M subspaces; each subspace quantized to one of ksub codewords; a vector becomes
+# M small codes (here 4 bytes vs 256 — 64x). Queries scan CODES with a per-query
+# distance table (ADC), never the raw floats. The codebooks here are DETERMINISTIC —
+# the subvectors of the ksub smallest-id corpus vectors (the fixed_centroids idea from
+# ext/similarity.py applied per subspace) — so encoding, ADC tables and rankings are
+# exactly reproducible in SQL; a k-means-trained codebook drops in via the same seam
+# at the cost of oracle-ability (the IVF learned/fixed twin precedent).
+# --------------------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_KSUB = 16  # codewords per subspace
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """codebooks[s][c] = the c-th codeword (sub-vector) of subspace s: slices of
+    the ``ksub`` smallest-id vectors. Bounded driver materialization (ksub
+    rows); an external engine recomputes the identical set relationally."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    vecs = [[float(v) for v in r[vec_col]] for r in rows]
+    dim = len(vecs[0])
+    sub = dim // m
+    return [[vec[s * sub : (s + 1) * sub] for vec in vecs] for s in range(m)]
+
+
+def _sub_sq_l2(vec: Column, start_1based: int, sub: int, codeword: list[float]) -> Column:
+    """Squared L2 between a vector slice and a literal codeword, folded in
+    array order (bit-identical to a SQL engine's in-order list fold)."""
+    cw = F.array(*[F.lit(v) for v in codeword])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, start_1based, sub),
+            cw,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    prefix: str = "pq",
+) -> DataFrame:
+    """Add one ``{prefix}_{s}`` int code column per subspace: argmin squared-L2
+    to the subspace's codewords, ties to the lowest code (array_position).
+    Scan-local (no join, no shuffle, no UDF); each subspace's distance array is
+    materialized once as a named column so literal trees don't duplicate."""
+    sub = len(codebooks[0][0])
+    out = df
+    for s, cb in enumerate(codebooks):
+        dists = F.array(
+            *[_sub_sq_l2(F.col(vec_col), s * sub + 1, sub, cw) for cw in cb]
+        )
+        out = (
+            out.withColumn("_pqd", dists)
+            .withColumn(
+                f"{prefix}_{s}",
+                (F.array_position(F.col("_pqd"), F.array_min(F.col("_pqd"))) - 1).cast(
+                    "int"
+                ),
+            )
+            .drop("_pqd")
+        )
+    return out
+
+
+def pq_adc_dist(
+    codebooks: list[list[list[float]]],
+    q_vec: Column,
+    code_cols: list[Column],
+) -> Column:
+    """ADC (asymmetric distance computation): sum over subspaces of the squared
+    L2 between the QUERY's sub-vector and the CODEWORD the corpus code names —
+    the corpus side contributes only its M codes. Terms are added in subspace
+    order (deterministic, SQL-identical)."""
+    sub = len(codebooks[0][0])
+    total = F.lit(0.0)
+    for s, cb in enumerate(codebooks):
+        table = F.array(
+            *[
+                _sub_sq_l2(q_vec, s * sub + 1, sub, cw)
+                for cw in cb
+            ]
+        )
+        total = total + F.element_at(table, code_cols[s] + F.lit(1))
+    return total
+
+
+def with_pq_adc_tables(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "qv",
+    prefix: str = "_pqt",
+) -> DataFrame:
+    """Per-QUERY ADC tables: ``{prefix}_{s}`` = array of squared-L2 distances
+    from the query's subspace-s slice to every codeword. Computed ONCE per
+    query row (the query side is tiny and broadcast); the corpus-side distance
+    is then M array lookups per pair instead of M*ksub interpreted folds."""
+    sub = len(codebooks[0][0])
+    out = queries
+    for s, cb in enumerate(codebooks):
+        out = out.withColumn(
+            f"{prefix}_{s}",
+            F.array(*[_sub_sq_l2(F.col(vec_col), s * sub + 1, sub, cw) for cw in cb]),
+        )
+    return out

@@ -4866,3 +4866,129 @@ SELECT k, n_common, jaccard_est, union_est, overlap_est, exact_union, exact_over
              / CAST(exact_overlap AS DOUBLE), 4) AS overlap_rel_err
 FROM est
 """
+
+
+# --- emb_pq_topk ------------------------------------------------------------------------
+# [EXT] Product quantization (Jégou et al., public literature) — the production
+# ANN compression standard, certified end to end with DETERMINISTIC codebooks
+# (subvectors of the ksub smallest-id vectors — the fixed_centroids idea per
+# subspace): encode the corpus to M=4 codes per vector (4 bytes vs 256 — the
+# 64x storage cut a 100 TB embedding store runs on), build each query's ADC
+# distance table ONCE on the broadcast query side, scan CODES (M array lookups
+# per pair, never raw floats), rank by ADC distance. True squared-L2 rides
+# along per emitted row, so the hash certifies codebooks, encoding argmins,
+# ADC tables, ranking AND the approximation itself. The k-means-trained
+# codebook drops in via the same seam at the cost of oracle-ability (the IVF
+# learned/fixed twin precedent); pytest pins recall vs exact top-k.
+
+PQ_TOPK_K = 5
+
+
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.quantize import (
+        PQ_M,
+        pq_codebooks,
+        with_pq_adc_tables,
+        with_pq_codes,
+    )
+    from ..ext.similarity import sq_l2
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cbs = pq_codebooks(emb)  # bounded driver rows: ksub vectors
+    corpus = with_pq_codes(emb.select("vec_id", "embedding"), cbs).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        *[F.col(f"pq_{s}") for s in range(PQ_M)],
+    )
+    queries = with_pq_adc_tables(
+        emb.where(F.col("vec_id") < TOPK_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        cbs,
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        adc = adc + F.element_at(F.col(f"_pqt_{s}"), F.col(f"pq_{s}") + F.lit(1))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("adc_d", adc)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= PQ_TOPK_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("adc_d", 6).alias("adc_dist"),
+            F.round(sq_l2(F.col("qv"), F.col("cvec")), 6).alias("exact_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+EMB_PQ_TOPK_ORACLE = f"""
+WITH cw AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16
+), enc AS (
+  SELECT e.vec_id, e.embedding, s.s, c.c,
+         list_sum(list_transform(
+           list_zip(e.embedding[s.s*16+1 : s.s*16+16], c.v[s.s*16+1 : s.s*16+16]),
+           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM embeddings e, generate_series(0, 3) s(s), cw c
+  WHERE e.embedding IS NOT NULL
+), codes AS (
+  SELECT vec_id, embedding, s, c AS code
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+        FROM enc)
+  WHERE rn = 1
+), codesp AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec,
+         MAX(CASE WHEN s = 0 THEN code END) AS c0,
+         MAX(CASE WHEN s = 1 THEN code END) AS c1,
+         MAX(CASE WHEN s = 2 THEN code END) AS c2,
+         MAX(CASE WHEN s = 3 THEN code END) AS c3
+  FROM codes GROUP BY vec_id, embedding
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {TOPK_QUERIES} AND embedding IS NOT NULL
+), pair AS (
+  SELECT q.query_id, p.neighbor_id, q.qv, p.cvec,
+    list_sum(list_transform(list_zip(q.qv[1:16],   w0.v[1:16]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+  + list_sum(list_transform(list_zip(q.qv[17:32],  w1.v[17:32]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+  + list_sum(list_transform(list_zip(q.qv[33:48],  w2.v[33:48]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+  + list_sum(list_transform(list_zip(q.qv[49:64],  w3.v[49:64]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+    AS adc_d
+  FROM q, codesp p
+  JOIN cw w0 ON w0.c = p.c0
+  JOIN cw w1 ON w1.c = p.c1
+  JOIN cw w2 ON w2.c = p.c2
+  JOIN cw w3 ON w3.c = p.c3
+  WHERE p.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_d, qv, cvec,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d ASC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM pair
+)
+SELECT query_id, rank, neighbor_id,
+       ROUND(adc_d, 6) AS adc_dist,
+       ROUND(list_sum(list_transform(list_zip(qv, cvec),
+             x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS exact_dist
+FROM ranked
+WHERE rank <= {PQ_TOPK_K}
+ORDER BY query_id, rank
+"""

@@ -359,6 +359,10 @@ QUERIES: dict[str, Query] = {
     # CDF analog of events_sliding_hll_users (no history rescans; exact
     # trailing p50 + observed rank error as controls)
     "events_sliding_sample_quantiles": ea.events_sliding_sample_quantiles,
+    # r8: product quantization — deterministic per-subspace codebooks, corpus
+    # encoded to M=4 codes (64x storage cut), per-query ADC tables, rank by
+    # code lookups; true L2 rides along per row (approximation certified)
+    "emb_pq_topk": llm.emb_pq_topk,
     # r8 swap-outs (all still oracled): exact interpolated percentiles (the
     # small-data form; the scored row moved to events_sampled_quantiles), the
     # props JSON roundtrip (map-roundtrip shape scored via qe_counters/
@@ -528,4 +532,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,
     "events_sliding_sample_quantiles": ea.EVENTS_SLIDING_SAMPLE_QUANTILES_ORACLE,
+    "emb_pq_topk": llm.EMB_PQ_TOPK_ORACLE,
 }

@@ -2803,3 +2803,74 @@ def test_synthesize_media_adpcm_pipeline(spark):
     adpcm = extract_features(synthesize_media(docs, audio_encoding="adpcm"))
     rows = adpcm.filter(F.col("kind") == "audio").select("decoded").collect()
     assert rows and all(r["decoded"] for r in rows)
+
+
+# --- product quantization --------------------------------------------------------------
+
+
+def test_pq_recall_and_reconstruction(spark):
+    """PQ with deterministic codebooks: (a) ADC top-5 recall vs exact L2 top-5
+    beats chance by >= 30x (floor 0.15; chance is k/n = 0.005). The synthetic
+    corpus is ISOTROPIC random — PQ's worst case, and measured recall is flat
+    ~0.15-0.26 across (M, ksub) in {4,8}x{16,64}, so a higher floor would pin
+    noise; real clustered embeddings do far better, and the certified query
+    carries exact distances per row so the approximation quality is
+    inspectable. (b) codes are in range, (c) reconstruction MSE from codes is
+    strictly below 2x the corpus variance: on isotropic data E||x - y||^2 for a
+    RANDOM codeword y is 2*sigma^2 while the unbeatable mean-codebook floor is
+    sigma^2 — data-sampled codewords must land strictly inside that band
+    (argmin over ksub choices buys the gap; measured ~1.06*sigma^2 here)."""
+    from hadoop_migration_assessment_tools_spark.ext.quantize import (
+        PQ_M,
+        PQ_KSUB,
+        pq_codebooks,
+        with_pq_codes,
+    )
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        PQ_TOPK_K,
+        TOPK_QUERIES,
+        emb_pq_topk,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    cbs = pq_codebooks(emb)
+    assert len(cbs) == PQ_M and all(len(cb) == PQ_KSUB for cb in cbs)
+
+    coded = with_pq_codes(emb.select("vec_id", "embedding"), cbs)
+    rows = coded.collect()
+    for r in rows:
+        for s in range(PQ_M):
+            assert 0 <= r[f"pq_{s}"] < PQ_KSUB
+
+    # exact top-k per query (numpy reference)
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    adc_top = {}
+    for r in emb_pq_topk(spark, sf).collect():
+        adc_top.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(adc_top) == TOPK_QUERIES
+    recalls = []
+    for qid, got in adc_top.items():
+        q = vecs[qid]
+        exact = sorted(
+            ((np.sum((q - v) ** 2), nid) for nid, v in vecs.items() if nid != qid)
+        )[:PQ_TOPK_K]
+        want = {nid for _, nid in exact}
+        recalls.append(len(want & set(got)) / PQ_TOPK_K)
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+    # reconstruction MSE < corpus variance (per-component, around the mean)
+    sub = 64 // PQ_M
+    errs, var_terms = [], []
+    mean = np.mean(np.stack(list(vecs.values())), axis=0)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        rec = np.concatenate(
+            [np.array(cbs[s][r[f"pq_{s}"]]) for s in range(PQ_M)]
+        )
+        errs.append(np.mean((v - rec) ** 2))
+        var_terms.append(np.mean((v - mean) ** 2))
+    assert np.mean(errs) < 2 * np.mean(var_terms)

@@ -418,6 +418,9 @@ BNLJ_ALLOWED = {
     # r8: the one-row report crossJoins the 1-row CMS estimate with the 1-row
     # exact-control aggregate (both broadcast scalars)
     "events_cms_join_size",
+    # r8: PQ ADC scan crossJoins the TOPK_QUERIES-row broadcast query set onto
+    # the coded corpus (same deliberate pattern as emb_cosine_topk)
+    "emb_pq_topk",
     # r8: the grouped quantile sketch crossJoins the 2-row (qname, q) constant
     # table onto the <= G*k-row sample (broadcast side literally two rows)
     "events_grouped_sampled_quantiles",
