@@ -363,6 +363,10 @@ QUERIES: dict[str, Query] = {
     # encoded to M=4 codes (64x storage cut), per-query ADC tables, rank by
     # code lookups; true L2 rides along per row (approximation certified)
     "emb_pq_topk": llm.emb_pq_topk,
+    # r8: IVFADC — the production ANN composition (IVF prunes to nprobe lists,
+    # PQ/ADC ranks survivors from codes alone); one hash certifies centroids,
+    # probes, codebooks, codes, ADC and ranking together
+    "emb_ivfpq_topk": llm.emb_ivfpq_topk,
     # r8 swap-outs (all still oracled): exact interpolated percentiles (the
     # small-data form; the scored row moved to events_sampled_quantiles), the
     # props JSON roundtrip (map-roundtrip shape scored via qe_counters/
@@ -533,4 +537,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,
     "events_sliding_sample_quantiles": ea.EVENTS_SLIDING_SAMPLE_QUANTILES_ORACLE,
     "emb_pq_topk": llm.EMB_PQ_TOPK_ORACLE,
+    "emb_ivfpq_topk": llm.EMB_IVFPQ_TOPK_ORACLE,
 }
