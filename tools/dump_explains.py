@@ -79,6 +79,8 @@ TRACKED = [
     "events_cms_join_size",
     "events_grouped_sampled_quantiles",
     "events_sliding_sample_quantiles",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
