@@ -164,14 +164,13 @@ QUERIES: dict[str, Query] = {
     # quality stage of docs_training_prep_pipeline (token_stats/quality/tfidf
     # all moved below the line across the r6-r7 swaps).
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
-    # Round-6 fourth swap (VERDICT r5 #5 flagship): emb_ivf_fixed_topk in for
-    # docs_shingle_jaccard — the IVF centroid-probe ANN family gains its scored
-    # row (deterministic centroids make the full assign->probe->rank pipeline
-    # one certified hash; distinct index structure from emb_ann_recall's
-    # sign-bucket LSH). Exact all-pairs shingle-Jaccard evidence stays scored
-    # inside docs_minhash_near_dup's verify stage, and docs_shingle_jaccard
-    # remains oracled below the line.
-    "emb_ivf_fixed_topk": llm.emb_ivf_fixed_topk,
+    # Round-8 fourth swap (supersession within the IVF family): emb_ivfpq_topk
+    # in for emb_ivf_fixed_topk — IVFADC CONTAINS the IVF-fixed probe pipeline
+    # (same deterministic centroids, same probe lists) and adds the PQ layer
+    # (codebooks, encoding argmins, per-query ADC tables, codes-only ranking),
+    # so the scored hash certifies strictly more. emb_ivf_fixed_topk stays
+    # oracled below the line (it remains the pure-IVF shape's regression row).
+    "emb_ivfpq_topk": llm.emb_ivfpq_topk,
     "docs_split_leakage": llm.docs_split_leakage,
     "docs_pii_scrub": llm.docs_pii_scrub,
     "multimodal_manifest": llm.multimodal_manifest,
@@ -363,10 +362,9 @@ QUERIES: dict[str, Query] = {
     # encoded to M=4 codes (64x storage cut), per-query ADC tables, rank by
     # code lookups; true L2 rides along per row (approximation certified)
     "emb_pq_topk": llm.emb_pq_topk,
-    # r8: IVFADC — the production ANN composition (IVF prunes to nprobe lists,
-    # PQ/ADC ranks survivors from codes alone); one hash certifies centroids,
-    # probes, codebooks, codes, ADC and ranking together
-    "emb_ivfpq_topk": llm.emb_ivfpq_topk,
+    # r8 fourth-swap displaced row: the pure-IVF probe pipeline (the scored
+    # row moved to the IVFADC composition, which contains it)
+    "emb_ivf_fixed_topk": llm.emb_ivf_fixed_topk,
     # r8 swap-outs (all still oracled): exact interpolated percentiles (the
     # small-data form; the scored row moved to events_sampled_quantiles), the
     # props JSON roundtrip (map-roundtrip shape scored via qe_counters/

@@ -93,7 +93,10 @@ SCORED_WINDOW = [
     # certification replaces docs_shingle_jaccard (whose exact all-pairs
     # Jaccard shape stays scored inside docs_minhash_near_dup's verify stage
     # and remains oracled below the line)
-    "emb_ivf_fixed_topk",
+    # round-8 fourth reviewed swap: IVFADC (which CONTAINS the IVF-fixed probe
+    # pipeline and adds the PQ layer) takes the scored row; emb_ivf_fixed_topk
+    # stays oracled below the line
+    "emb_ivfpq_topk",
     "docs_split_leakage",
     "docs_pii_scrub",
     "multimodal_manifest",
