@@ -4,6 +4,7 @@ from .source import (  # noqa: F401
     read_events_table_stream,
 )
 from .windows import (  # noqa: F401
+    daily_cms_counters,
     daily_hll_registers,
     daily_kmv_sketches,
     daily_sample_quantiles,

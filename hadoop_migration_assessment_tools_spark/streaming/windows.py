@@ -249,3 +249,35 @@ def daily_sample_quantiles(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def daily_cms_counters(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    watermark: str = "1 day",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Streaming Count-Min maintainer: per-day CMS counter tables as a PLAIN
+    watermarked streaming aggregate — no custom state at all, because the CMS
+    merge operator IS elementwise SUM, which Spark's incremental aggregation
+    already is. This completes the streaming-maintainer symmetry across the
+    mergeable-sketch family: MAX-mergeable HLL (daily_hll_registers) and
+    SUM-mergeable CMS ride the engine's own aggregates; set-shaped KMV and
+    bottom-k samples need applyInPandasWithState (daily_kmv_sketches /
+    daily_sample_quantiles). State per day is <= d*w counters regardless of
+    event volume; batch twin: ext/sketch.cms_counters grouped by to_date(ts)."""
+    from ..ext.sketch import _cms_positions
+
+    pos = F.posexplode(_cms_positions(F.col(value_col), d, w))
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), pos.alias("row", "pos"))
+        .groupBy(
+            F.window(ts_col, "1 day").alias("wnd"), F.col("row"), F.col("pos")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.col("wnd.start").cast("date").alias("day"), "row", "pos", "cnt")
+    )

@@ -957,3 +957,37 @@ def test_streaming_daily_sample_quantiles_match_batch(spark, tmp_path):
     for d, r in final.items():
         vs = sorted(r["vals"])
         assert r["p50"] == vs[max(1, math.ceil(0.5 * len(vs))) - 1]
+
+
+def test_streaming_daily_cms_counters_match_batch(spark, tmp_path):
+    """SUM-mergeable CMS as a plain streaming aggregate: the streamed per-day
+    counter tables (folded across 4 forced micro-batches) must equal the batch
+    per-day CMS exactly — incremental aggregation IS the sketch's merge."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import cms_counters
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_cms_counters,
+    )
+
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_events_table_stream(spark, src, max_files_per_trigger=1)
+    _run_available_now(daily_cms_counters(stream), "daily_cms", "complete")
+    got = {
+        (r["day"], r["row"], r["pos"]): r["cnt"]
+        for r in spark.table("daily_cms").collect()
+    }
+    want = {}
+    for day_row in (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .agg(F.collect_list("event_type").alias("types"))
+        .collect()
+    ):
+        day_df = spark.createDataFrame(
+            [(t,) for t in day_row["types"]], "event_type string"
+        )
+        for r in cms_counters(day_df, "event_type").collect():
+            want[(day_row["day"], r["row"], r["pos"])] = r["cnt"]
+    assert got == want and len(want) > 20
