@@ -599,3 +599,20 @@ def test_shingle_jaccard_prestage_pinned(spark):
     sig = plan_signature(inv)
     assert sig["window"] == 1 and sig["shuffle_exchange"] == 2, sig
     assert sig["smj"] + sig["bhj"] + sig["shj"] + sig["bnlj"] + sig["cartesian"] == 0, sig
+
+
+def test_grouped_sample_window_group_limit(spark):
+    """The grouped/sliding quantile sketches' per-group bottom-k (row_number
+    <= k filter over a window) must compile to WindowGroupLimit — Spark pushes
+    the rank filter below the shuffle so each map task keeps only k rows per
+    group before exchanging. Without it, the full corpus shuffles to compute a
+    k-row sample — the difference between a sketch build and a sort at 100 TB."""
+    from hadoop_migration_assessment_tools_spark.plans.audit import formatted_plan
+    from hadoop_migration_assessment_tools_spark.queries.events_analytics import (
+        events_grouped_sampled_quantiles,
+        events_sliding_sample_quantiles,
+    )
+
+    for q in (events_grouped_sampled_quantiles, events_sliding_sample_quantiles):
+        plan = formatted_plan(q(spark, "/root/testdata/sf0.001"))
+        assert "WindowGroupLimit" in plan, q.__name__
