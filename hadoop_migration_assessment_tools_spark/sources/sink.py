@@ -407,3 +407,46 @@ def _compact_avro_tree(spark, path: str, max_records: int = 1_000_000) -> dict:
         "files_after": len(glob.glob(os.path.join(path, "*", "dwhassessment_*.avro"))),
         "rows": rows,
     }
+
+
+def prune_log_tree(path: str, keep_from: str, fmt: str = "parquet") -> dict:
+    """Retention pruning for a date-partitioned log tree — the other half of
+    the maintenance pair with ``compact_log_tree``: drop whole day partitions
+    older than ``keep_from`` (ISO date, inclusive lower bound of what SURVIVES).
+
+    Partition-level deletes are the point: retention by date never touches a
+    row (no scan, no rewrite — at 100 TB a row-level DELETE of expired data is
+    a full-table shuffle; dropping ``EventDate=...`` dirs is a metadata
+    operation). Crash-safe: each expired day dir is renamed into a
+    ``.pruned-<date>`` staging sibling first (rename is atomic on a POSIX dir),
+    then deleted — a crash between the two leaves recoverable data, never a
+    half-deleted partition. Returns {dates_pruned, files_pruned, dates_kept}.
+
+    fmt='parquet' expects hive-style ``EventDate=YYYY-MM-DD`` dirs;
+    fmt='avro' the reference layout's plain ``YYYY-MM-DD`` day dirs
+    (DatePartitionedRecordsWriterFactory day-dir naming)."""
+    import shutil
+
+    if fmt not in ("parquet", "avro"):
+        raise ValueError(f"fmt must be parquet/avro, got {fmt!r}")
+    prefix = "EventDate=" if fmt == "parquet" else ""
+    pruned, kept, files = [], [], 0
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not os.path.isdir(full) or name.startswith("."):
+            continue
+        if prefix and not name.startswith(prefix):
+            continue
+        day = name[len(prefix):]
+        if len(day) != 10 or day[4] != "-" or day[7] != "-":
+            continue
+        if day >= keep_from:
+            kept.append(day)
+            continue
+        n_files = sum(len(fs) for _, _, fs in os.walk(full))
+        staging = os.path.join(path, f".pruned-{day}")
+        os.rename(full, staging)
+        shutil.rmtree(staging)
+        pruned.append(day)
+        files += n_files
+    return {"dates_pruned": len(pruned), "files_pruned": files, "dates_kept": len(kept)}

@@ -338,3 +338,50 @@ def test_schema_evolution_across_file_generations(spark, tmp_path):
         ).collect()
     }
     assert rows == {1: "unknown", 2: "unknown", 3: "tez", 4: "mr"}
+
+
+def test_prune_log_tree_retention(spark, tmp_path):
+    """Retention pruning: day partitions before the cutoff vanish (whole-dir
+    metadata deletes — no scan, no rewrite), survivors are byte-untouched, and
+    a leftover .pruned- staging dir from a simulated crash is ignored by
+    readers (dot-prefixed)."""
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.sink import (
+        DatePartitionedSink,
+        prune_log_tree,
+    )
+
+    base = str(tmp_path / "log")
+    rows = []
+    for i in range(30):
+        row = {f.name: None for f in QUERY_EVENTS_SCHEMA.fields}
+        for c in ("TablesRead", "TablesWritten", "PartitionsRead", "PartitionsWritten",
+                  "DatabasesRead", "DatabasesWritten"):
+            row[c] = []
+        row.update(QueryId=f"q{i}", EventType="QUERY_SUBMITTED",
+                   StartTime=dt.datetime(2024, 1, 1 + i % 5, 12, 0))
+        rows.append(row)
+    DatePartitionedSink(base).write_batch(
+        spark.createDataFrame(rows, schema=QUERY_EVENTS_SCHEMA)
+    )
+
+    stats = prune_log_tree(base, keep_from="2024-01-03")
+    assert stats == {"dates_pruned": 2, "files_pruned": stats["files_pruned"],
+                     "dates_kept": 3}
+    assert stats["files_pruned"] >= 2
+    kept = spark.read.parquet(base)
+    days = {str(r["EventDate"]) for r in kept.select("EventDate").distinct().collect()}
+    assert days == {"2024-01-03", "2024-01-04", "2024-01-05"}
+    assert kept.count() == 18  # 30 rows over 5 days: i%5 in {2,3,4} -> 18
+
+    # idempotence + nothing-to-do
+    again = prune_log_tree(base, keep_from="2024-01-03")
+    assert again["dates_pruned"] == 0 and again["dates_kept"] == 3
+
+    # a crash-leftover staging dir must not confuse the reader or the pruner
+    import os
+    os.makedirs(os.path.join(base, ".pruned-2024-01-02"), exist_ok=True)
+    assert spark.read.parquet(base).count() == 18
+    assert prune_log_tree(base, keep_from="2024-01-03")["dates_pruned"] == 0
