@@ -690,9 +690,14 @@ def bottom_k_rows(df: DataFrame, key_col: str, k: int, *carry: str) -> DataFrame
     k rows to the driver-side merge, the data never shuffles. Mergeable the
     KMV way: bottom-k of a union == bottom-k of concatenated per-split
     samples. Ties on the hash are broken by the carried columns so the
-    sampled SET is total-ordered and engine-portable."""
+    sampled SET is total-ordered and engine-portable.
+
+    NULL keys are excluded (kmv_bottom_k's discipline, ADVICE r8): a NULL key
+    hashes to NULL, which Spark's ascending orderBy puts FIRST but a SQL
+    oracle's puts LAST — a latent cross-engine sample-set divergence."""
     return (
-        df.select(portable_hash60(key_col).alias("h"), *carry)
+        df.where(F.col(key_col).isNotNull())
+        .select(portable_hash60(key_col).alias("h"), *carry)
         .orderBy("h", *carry)
         .limit(k)
     )
@@ -712,9 +717,20 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     ||A||_1 * ||B||_1 / w per row).
 
     Inputs are ``cms_counters`` outputs with IDENTICAL (d, w); returns one row
-    ``est_join_size``."""
+    ``est_join_size``.
+
+    The per-row inner products are DENSIFIED over every row either sketch
+    knows (ADVICE r8): the counter tables are sparse (nonzero cells only), so
+    a row whose nonzero cells never collide across the two sketches has a true
+    inner product of 0 — it must participate in the min as 0, not silently
+    drop out (and with NO overlapping cells anywhere the estimate is 0, not
+    NULL; disjoint inputs genuinely produce an empty join)."""
     j = a.alias("a").join(b.alias("b"), ["row", "pos"])
     per_row = j.groupBy("row").agg(
         F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("ip")
     )
-    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+    spine = a.select("row").union(b.select("row")).distinct()
+    dense = spine.join(per_row, "row", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
+    )
+    return dense.agg(F.min("ip").cast("long").alias("est_join_size"))

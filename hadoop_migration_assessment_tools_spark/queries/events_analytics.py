@@ -1680,7 +1680,9 @@ WITH base AS (
          value
   FROM events WHERE value IS NOT NULL
 ), sk AS (
-  SELECT h, value FROM base ORDER BY h, value LIMIT {SQ_K}
+  -- h IS NOT NULL == event_id IS NOT NULL: NULL keys never enter the sample
+  -- (the exact control below deliberately keeps them — it quantiles VALUES)
+  SELECT h, value FROM base WHERE h IS NOT NULL ORDER BY h, value LIMIT {SQ_K}
 ), ks AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS sample_k FROM sk
 ), ranked AS (
@@ -1902,9 +1904,14 @@ WITH pk AS (
 ), ecnt AS (
   SELECT i.i AS r, (h1 + i.i * h2) % {CMS_JOIN_W} AS p, CAST(SUM(c) AS BIGINT) AS cnt
   FROM ech, generate_series(0, 3) AS i(i) GROUP BY r, p
-), ip AS (
+), ip0 AS (
   SELECT a.r, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
   FROM pcnt a JOIN ecnt b ON a.r = b.r AND a.p = b.p GROUP BY a.r
+), ip AS (
+  -- densified over all d rows (a row with zero overlapping cells contributes
+  -- a true inner product of 0 to the min, matching ext/sketch.py)
+  SELECT s.i AS r, COALESCE(ip0.ip, 0) AS ip
+  FROM generate_series(0, 3) AS s(i) LEFT JOIN ip0 ON ip0.r = s.i
 ), est AS (
   SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip
 ), ex AS (
@@ -1941,7 +1948,9 @@ def events_grouped_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
     from ..plans.median import distributed_quantiles
 
     ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
-    hashed = ev.select(
+    # event_id IS NOT NULL: the sample key must never hash to NULL (a NULL hash
+    # sorts first in Spark but last in the oracle — bottom_k_rows' discipline)
+    hashed = ev.where(F.col("event_id").isNotNull()).select(
         "event_type", portable_hash60("event_id").alias("h"), "value"
     )
     wk = Window.partitionBy("event_type").orderBy("h", "value")
@@ -2011,10 +2020,11 @@ WITH base AS (
          value
   FROM events WHERE value IS NOT NULL
 ), sk AS (
+  -- h IS NOT NULL == event_id IS NOT NULL: NULL keys never enter the sample
   SELECT event_type, h, value
   FROM (SELECT event_type, h, value,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, value) AS rn
-        FROM base)
+        FROM base WHERE h IS NOT NULL)
   WHERE rn <= {GSQ_K}
 ), ranked AS (
   SELECT event_type, value,

@@ -430,6 +430,12 @@ def prune_log_tree(path: str, keep_from: str, fmt: str = "parquet") -> dict:
     if fmt not in ("parquet", "avro"):
         raise ValueError(f"fmt must be parquet/avro, got {fmt!r}")
     prefix = "EventDate=" if fmt == "parquet" else ""
+    # Crash-recovery sweep (ADVICE r8): a .pruned-<date> staging dir left by a
+    # crash between rename and rmtree holds data that was already decided
+    # deleted — finish the delete now, and never rename onto a stale one.
+    for name in sorted(os.listdir(path)):
+        if name.startswith(".pruned-"):
+            shutil.rmtree(os.path.join(path, name))
     pruned, kept, files = [], [], 0
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)

@@ -200,7 +200,14 @@ def daily_sample_quantiles(
     Every update emits ``(day, n_seen, p50, hashes, vals)``; consumers keep the
     max-``n_seen`` row per day. p50 is the ceil(k'/2)-th smallest sampled value
     — events_sampled_quantiles certifies the identical estimator relationally
-    in batch."""
+    in batch.
+
+    ``key_col`` must be a UNIQUE row key (bottom_k_rows' contract, ADVICE r8):
+    state dedups on (hash, value) pairs, so two distinct rows sharing a key
+    (or an at-least-once source replaying a key with a DIFFERENT value) would
+    collapse here while the batch twin keeps both rows. With unique keys the
+    set-dedup is exactly what makes same-row replays idempotent — the
+    batch == stream equality the parity tests pin assumes it."""
     import math
 
     import pandas as pd

@@ -380,8 +380,27 @@ def test_prune_log_tree_retention(spark, tmp_path):
     again = prune_log_tree(base, keep_from="2024-01-03")
     assert again["dates_pruned"] == 0 and again["dates_kept"] == 3
 
-    # a crash-leftover staging dir must not confuse the reader or the pruner
+    # a crash-leftover staging dir must not confuse the reader, and the pruner
+    # must SWEEP it (ADVICE r8: it holds data already decided deleted, and a
+    # later prune of a recreated same-named day must not os.rename onto it)
     import os
-    os.makedirs(os.path.join(base, ".pruned-2024-01-02"), exist_ok=True)
+    stale = os.path.join(base, ".pruned-2024-01-02")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "leftover.parquet"), "wb") as f:
+        f.write(b"x")
     assert spark.read.parquet(base).count() == 18
     assert prune_log_tree(base, keep_from="2024-01-03")["dates_pruned"] == 0
+    assert not os.path.exists(stale)
+
+    # recreated day + pre-existing non-empty staging of the same name: prunes
+    # cleanly instead of raising OSError on the rename
+    day_dir = os.path.join(base, "EventDate=2024-01-02")
+    os.makedirs(day_dir)
+    with open(os.path.join(day_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"y")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "old.parquet"), "wb") as f:
+        f.write(b"z")
+    res = prune_log_tree(base, keep_from="2024-01-03")
+    assert res["dates_pruned"] == 1 and not os.path.exists(stale)
+    assert not os.path.exists(day_dir)
