@@ -803,9 +803,9 @@ def synthesize_media(
         raise ValueError(
             f"video_format must be 'raw', 'pvid', 'mjpeg' or 'mp4', got {video_format!r}"
         )
-    if audio_encoding not in ("pcm16", "g711mix", "adpcm"):
+    if audio_encoding not in ("pcm16", "g711mix", "adpcm", "mp3"):
         raise ValueError(
-            "audio_encoding must be 'pcm16', 'g711mix' or 'adpcm', "
+            "audio_encoding must be 'pcm16', 'g711mix', 'adpcm' or 'mp3', "
             f"got {audio_encoding!r}"
         )
 
@@ -854,6 +854,28 @@ def synthesize_media(
                     else:
                         payload, kind = make_ppm_bytes(px), "image"
                         meta = ("image/ppm", w, h, None, None)
+                elif doc_id % 3 == 1 and audio_encoding == "mp3":
+                    # audio: REAL MPEG-1 Layer III frame stream (ext/mp3.py) —
+                    # valid headers whose lengths tile the bytes exactly;
+                    # essence stays deterministic filler (decoded=false honesty).
+                    # Every parameter is closed-form from (doc_id, n) so the
+                    # stats oracle replays the whole stream arithmetic.
+                    from .mp3 import SAMPLE_RATES, make_mp3_bytes
+
+                    nf = n % 40 + 5
+                    ridx = (doc_id // 3) % 3
+                    rate = SAMPLE_RATES[3][ridx]
+                    vbr = (doc_id // 9) % 2 == 1
+                    payload = make_mp3_bytes(
+                        nf,
+                        rate_index=ridx,
+                        bitrate_indices=(9, 12) if vbr else (9,),  # 128/224 vs 128 kbps
+                        id3v2_size=n % 17,
+                        id3v1=True,
+                        seed=doc_id,
+                    )
+                    kind = "audio"
+                    meta = ("audio/mpeg", None, None, rate, nf * 1152 * 1000 // rate)
                 elif doc_id % 3 == 1:  # audio: WAV sine keyed by doc_id
                     rate, count = 16000, n % 400 + 100
                     freq = 110.0 * (doc_id % 20 + 1)
@@ -862,9 +884,9 @@ def synthesize_media(
                     enc = "pcm16"
                     if audio_encoding == "g711mix":
                         enc = ("pcm16", "alaw", "mulaw")[(doc_id // 3) % 3]
-                    elif audio_encoding == "adpcm":
-                        enc = "adpcm"
-                    payload = make_wav_bytes(samples, rate, encoding=enc)
+                    payload = make_wav_bytes(
+                        samples, rate, encoding="adpcm" if audio_encoding == "adpcm" else enc
+                    )
                     kind = "audio"
                     meta = ("audio/wav", None, None, rate, count * 1000 // rate)
                 elif video_format in ("mjpeg", "mp4"):  # video: REAL MJPEG container

@@ -2874,3 +2874,205 @@ def test_pq_recall_and_reconstruction(spark):
         errs.append(np.mean((v - rec) ** 2))
         var_terms.append(np.mean((v - mean) ** 2))
     assert np.mean(errs) < 2 * np.mean(var_terms)
+
+
+def test_pq_arrow_encode_matches_hof_reference_bitwise(spark):
+    """The vectorized Arrow encode (with_pq_codes, the hot path) must produce
+    BIT-IDENTICAL codes to the pure-SQL lambda-fold reference
+    (with_pq_codes_hof): the numpy kernel accumulates the squared-L2
+    left-associatively per dimension (not np.sum's pairwise grouping) exactly
+    so this holds, and np.argmin's first-minimum matches the
+    array_position-of-array_min lowest-code tie-break. This is the oracle
+    bridge — DuckDB replays the fold, Spark runs the Arrow kernel."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.quantize import (
+        PQ_M,
+        pq_codebooks,
+        with_pq_codes,
+        with_pq_codes_hof,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cbs = pq_codebooks(emb)
+    cols = ["vec_id"] + [f"pq_{s}" for s in range(PQ_M)]
+    fast = with_pq_codes(emb.select("vec_id", "embedding"), cbs).select(*cols)
+    ref = with_pq_codes_hof(emb.select("vec_id", "embedding"), cbs).select(*cols)
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+    # NULL vectors must yield NULL codes in both paths
+    null_vec = emb.select("vec_id", F.lit(None).cast("array<float>").alias("embedding"))
+    got = with_pq_codes(null_vec.limit(3), cbs).select(*cols[1:]).collect()
+    assert got and all(r[c] is None for r in got for c in cols[1:])
+
+
+def test_pq_codebooks_rejects_indivisible_dim(spark):
+    """dim % m != 0 must fail loudly: silently truncating the vector tail
+    would corrupt every PQ distance with no error (ADVICE r8)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.quantize import pq_codebooks
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    odd = emb.select("vec_id", F.slice("embedding", 1, 63).alias("embedding"))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(odd, m=4)
+
+
+def test_cms_inner_product_densifies_disjoint_rows(spark):
+    """ADVICE r8: the counter tables are sparse, so a CMS row with zero
+    overlapping nonzero cells must contribute a true inner product of 0 to the
+    min — not silently drop out. Fully disjoint sketches must estimate 0 (the
+    join of disjoint key sets IS empty), never NULL."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        cms_counters,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    # w large enough that 50+50 keys essentially never collide in SOME row;
+    # regardless of collisions the estimate must be a NUMBER >= 0, and with
+    # w >> n it is exactly 0 with near-certainty for disjoint key sets
+    est = cms_inner_product(
+        cms_counters(a, "k", w=1 << 16), cms_counters(b, "k", w=1 << 16)
+    ).collect()
+    assert len(est) == 1 and est[0]["est_join_size"] is not None
+    assert est[0]["est_join_size"] >= 0
+    # overlapping sets still estimate >= the exact product-sum (upper bound)
+    both = cms_inner_product(
+        cms_counters(a, "k", w=1 << 16), cms_counters(a, "k", w=1 << 16)
+    ).collect()[0]["est_join_size"]
+    assert both >= 50  # exact self-join size of 50 unique keys
+
+
+# --- MP3 frame-header walk ---------------------------------------------------------
+
+
+def test_mp3_header_walk_closed_form():
+    """Writer -> walker roundtrip across versions/rates/profiles: the walk must
+    land exactly on every sync word and replay the closed-form stats."""
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.ext import mp3 as MP3
+
+    # MPEG1 CBR 128kbps @ 44100, tags on both ends
+    data = MP3.make_mp3_bytes(20, rate_index=0, id3v2_size=11, seed=7)
+    info = MP3.parse_mp3(data)
+    assert info["version"] == "MPEG1" and info["sample_rate"] == 44100
+    assert info["n_frames"] == 20 and info["is_cbr"]
+    assert info["duration_ms"] == 20 * 1152 * 1000 // 44100
+    assert info["stream_bytes"] == 20 * (144 * 128 * 1000 // 44100)
+    assert info["has_id3v2"] and info["has_id3v1"] and not info["decoded"]
+    # mean bitrate replays the per-stream floor formula (417-byte frames at
+    # nominal 128 kbps floor to 127 — the arithmetic is exact, not nominal)
+    assert info["mean_bitrate_kbps"] == (
+        info["stream_bytes"] * 8 * 44100 // (20 * 1152) // 1000
+    )
+    assert info["mean_bitrate_kbps"] == 127
+
+    # VBR alternation + no tags
+    vbr = MP3.parse_mp3(
+        MP3.make_mp3_bytes(9, rate_index=2, bitrate_indices=(9, 12), id3v1=False)
+    )
+    assert not vbr["is_cbr"] and (vbr["bitrate_kbps_min"], vbr["bitrate_kbps_max"]) == (128, 224)
+    assert vbr["stream_bytes"] == 5 * (144 * 128000 // 32000) + 4 * (144 * 224000 // 32000)
+    assert not vbr["has_id3v2"] and not vbr["has_id3v1"]
+
+    # MPEG2 (spf 576, 72-factor frames) and MPEG2.5
+    for vb, rate in ((2, 22050), (0, 11025)):
+        i2 = MP3.parse_mp3(
+            MP3.make_mp3_bytes(7, rate_index=0, bitrate_indices=(9,), version_bits=vb)
+        )
+        assert i2["sample_rate"] == rate
+        assert i2["duration_ms"] == 7 * 576 * 1000 // rate
+        assert i2["stream_bytes"] == 7 * (72 * 80 * 1000 // rate)  # idx 9 = 80 in MPEG2 L3
+
+    # clean failures: torn tail, free format, layer II, mid-stream rate change
+    with pytest.raises(ValueError, match="overruns|torn|sync"):
+        MP3.parse_mp3(MP3.make_mp3_bytes(3, id3v1=False)[:-10])
+    with pytest.raises(ValueError, match="free-format"):
+        MP3.parse_mp3(MP3.make_frame_header(3, 0, 0) + b"\x00" * 100)
+    lay2 = bytearray(MP3.make_mp3_bytes(1, id3v1=False))
+    lay2[1] = (lay2[1] & ~0b110) | 0b100  # layer bits 10 = Layer II
+    with pytest.raises(ValueError, match="Layer III"):
+        MP3.parse_mp3(bytes(lay2))
+    mixed = MP3.make_mp3_bytes(1, rate_index=0, id3v1=False) + MP3.make_mp3_bytes(
+        1, rate_index=1, id3v1=False
+    )
+    with pytest.raises(ValueError, match="mid-stream"):
+        MP3.parse_mp3(mixed)
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        MP3.parse_mp3(b"TAG" + bytes(125))
+
+
+_FUZZ_MP3S: list[bytes] = []
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    op=st.sampled_from(["truncate", "flip", "trunc+flip"]),
+    frac=st.floats(0.0, 1.0),
+    bitpos=st.integers(0, 2**31),
+)
+def test_mp3_fuzz_parse_or_clean_fallback(op, frac, bitpos):
+    """Same contract as the JPEG/AVI/MP4 fuzz: random truncations/bit flips of
+    a valid MP3 stream must parse or raise the normalized ValueError — never a
+    raw struct.error/IndexError escape — and media_features must route to the
+    decoded=false digest fallback (there is no MP3 essence decoder)."""
+    from hadoop_migration_assessment_tools_spark.ext import mp3 as MP3
+    from hadoop_migration_assessment_tools_spark.ext import multimodal as M
+
+    if not _FUZZ_MP3S:
+        _FUZZ_MP3S.append(
+            MP3.make_mp3_bytes(12, rate_index=1, bitrate_indices=(9, 12), id3v2_size=9)
+        )
+    data = bytearray(_FUZZ_MP3S[0])
+    if op in ("truncate", "trunc+flip"):
+        cut = int(frac * len(data))
+        data = data[:cut]
+    if op in ("flip", "trunc+flip") and data:
+        pos = (bitpos // 8) % len(data)
+        data[pos] ^= 1 << (bitpos % 8)
+    payload = bytes(data)
+    try:
+        info = MP3.parse_mp3(payload)
+        assert info["n_frames"] >= 1 and not info["decoded"]
+    except ValueError:
+        pass
+    decoded, feats = M.media_features(payload, "audio")
+    assert decoded is False and len(feats) == 8
+
+
+def test_synthesize_media_mp3_pipeline(spark):
+    """audio_encoding='mp3': every audio row is a REAL Layer III frame stream
+    whose header walk agrees with the synthesis metadata, and the essence is
+    HONESTLY decoded=false through the Arrow UDF (no fake decode)."""
+    from hadoop_migration_assessment_tools_spark.ext import mp3 as MP3
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.pmod("doc_id", F.lit(3)) == 1
+    )
+    media = synthesize_media(docs, audio_encoding="mp3")
+    rows = media.collect()
+    assert rows
+    for r in rows:
+        info = MP3.parse_mp3(bytes(r["payload"]))
+        assert info["sample_rate"] == int(r["meta"]["sample_rate"])
+        assert info["duration_ms"] == int(r["meta"]["duration_ms"])
+        assert info["has_id3v1"]
+    feats = extract_features(media).filter(F.col("kind") == "audio")
+    got = feats.select("decoded").collect()
+    assert got and all(not g["decoded"] for g in got)

@@ -68,7 +68,12 @@ SCORED_WINDOW = [
     "qe_app_id_first_match",
     "qe_counters_roundtrip",
     "qe_perf_roundtrip",
-    "qe_tables_read_and_written",
+    # round-9 reviewed swap (VERDICT r8 #9): CMS join-size estimation — the
+    # optimizer primitive, est >= exact certified in-plan — replaces
+    # qe_tables_read_and_written (SET2 keeps scored presence via
+    # events_error_never_purchased; the array-forms row stays oracled below
+    # the line)
+    "events_cms_join_size",
     "qe_stream_batch_parity",
     "qe_avro_roundtrip",
     "qe_event_chain",
