@@ -991,3 +991,168 @@ def test_streaming_daily_cms_counters_match_batch(spark, tmp_path):
         for r in cms_counters(day_df, "event_type").collect():
             want[(day_row["day"], r["row"], r["pos"])] = r["cnt"]
     assert got == want and len(want) > 20
+
+
+# --- kill-restart recovery for the sketch maintainers (VERDICT r8 #6) ----------------
+
+
+def _maintainer_kill_restart(spark, tmp_path, build, output_mode):
+    """Shared harness: run the maintainer over an 8-file source with a
+    continuous trigger + idempotent batch sink, KILL after the first committed
+    batch (stop() can land mid-batch), restart on the SAME checkpoint with
+    availableNow to drain, and return every committed emission with its
+    batch_id. State recovery is the point: the restarted query must resume
+    from the checkpointed sketch state, not refold from scratch."""
+    import os
+
+    from hadoop_migration_assessment_tools_spark.streaming.foreach import (
+        IdempotentBatchSink,
+    )
+    from hadoop_migration_assessment_tools_spark.streaming.source import (
+        read_events_table_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF, "events").repartition(8).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sink = IdempotentBatchSink(out)
+
+    def start(available_now: bool):
+        stream = read_events_table_stream(spark, src, max_files_per_trigger=1)
+        writer = (
+            build(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+        )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime="1 seconds")
+        )
+        return writer.start()
+
+    q = start(False)
+    assert _wait_for_batches(os.path.join(out, "batch_id=*", "_SUCCESS"), 1) >= 1
+    q.stop()  # the kill — may interrupt a later batch mid-write
+    q.awaitTermination(60)
+    start(True).awaitTermination(120)
+    return spark.read.parquet(out)  # batch_id is a partition column
+
+
+def test_kmv_maintainer_kill_restart_matches_batch(spark, tmp_path):
+    """Checkpoint-restart mid-stream must reproduce the batch KMV sketch
+    bit-for-bit: the restarted query folds the remaining files into RECOVERED
+    state, so final hashes per day == the batch bottom-k exactly."""
+    from pyspark.sql.window import Window as W
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import kmv_hash
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_kmv_sketches,
+    )
+
+    k = 32
+    emitted = _maintainer_kill_restart(
+        spark, tmp_path, lambda s: daily_kmv_sketches(s, k=k), "update"
+    ).collect()
+    final: dict = {}
+    for r in emitted:
+        if r["day"] not in final or r["n_seen"] > final[r["day"]]["n_seen"]:
+            final[r["day"]] = r
+    got = {d: list(r["hashes"]) for d, r in final.items()}
+
+    events = load_table(spark, SF, "events")
+    batch = (
+        events.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), kmv_hash("user_id").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.partitionBy("day").orderBy("h")))
+        .filter(F.col("rn") <= k)
+    )
+    want: dict = {}
+    for r in batch.collect():
+        want.setdefault(r["day"], []).append(r["h"])
+    assert got == {d: sorted(v) for d, v in want.items()} and len(got) >= 2
+
+
+def test_sample_quantile_maintainer_kill_restart_matches_batch(spark, tmp_path):
+    """Checkpoint-restart for the quantile-sketch maintainer: recovered
+    (hash, value) sample state + remaining batches == the batch bottom-k row
+    sample bit-for-bit, including the p50 read off it."""
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import kmv_hash
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_sample_quantiles,
+    )
+
+    k = 32
+    emitted = _maintainer_kill_restart(
+        spark, tmp_path, lambda s: daily_sample_quantiles(s, k=k), "update"
+    ).collect()
+    final: dict = {}
+    for r in emitted:
+        if r["day"] not in final or r["n_seen"] > final[r["day"]]["n_seen"]:
+            final[r["day"]] = r
+    got = {d: sorted(zip(r["hashes"], r["vals"])) for d, r in final.items()}
+
+    events = load_table(spark, SF, "events")
+    batch = (
+        events.where(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            kmv_hash("event_id").alias("h"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(W.partitionBy("day").orderBy("h", "v")))
+        .filter(F.col("rn") <= k)
+    )
+    want: dict = {}
+    for r in batch.collect():
+        want.setdefault(r["day"], []).append((r["h"], r["v"]))
+    assert got == {d: sorted(v) for d, v in want.items()} and len(got) >= 2
+    for d, r in final.items():
+        vs = sorted(r["vals"])
+        assert r["p50"] == vs[max(1, math.ceil(0.5 * len(vs))) - 1]
+
+
+def test_cms_maintainer_kill_restart_matches_batch(spark, tmp_path):
+    """Checkpoint-restart for the SUM-mergeable CMS maintainer (a plain
+    watermarked streaming aggregate in update mode): the final emission per
+    counter cell — the highest-batch_id row for each (day, row, pos) — must
+    equal the batch CMS exactly. A huge watermark keeps every day's state
+    live so recovery, not eviction, is what's under test."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import cms_counters
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_cms_counters,
+    )
+
+    emitted = _maintainer_kill_restart(
+        spark,
+        tmp_path,
+        lambda s: daily_cms_counters(s, watermark="3650 days"),
+        "update",
+    ).collect()
+    final: dict = {}
+    for r in emitted:
+        key = (r["day"], r["row"], r["pos"])
+        if key not in final or r["batch_id"] > final[key][0]:
+            final[key] = (r["batch_id"], r["cnt"])
+    got = {k: v for k, (_, v) in final.items()}
+
+    events = load_table(spark, SF, "events")
+    want: dict = {}
+    for day_row in (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .agg(F.collect_list("event_type").alias("types"))
+        .collect()
+    ):
+        day_df = spark.createDataFrame(
+            [(t,) for t in day_row["types"]], "event_type string"
+        )
+        for r in cms_counters(day_df, "event_type").collect():
+            want[(day_row["day"], r["row"], r["pos"])] = r["cnt"]
+    assert got == want and len(want) > 20
