@@ -616,3 +616,64 @@ def test_grouped_sample_window_group_limit(spark):
     for q in (events_grouped_sampled_quantiles, events_sliding_sample_quantiles):
         plan = formatted_plan(q(spark, "/root/testdata/sf0.001"))
         assert "WindowGroupLimit" in plan, q.__name__
+
+
+def test_interval_join_salted_equals_plain_and_splits_hot_bucket(spark):
+    """VERDICT r8 #7 — the interval-join x skew composition: plant one HOT time
+    bucket (80% of points in a single 30-min window, all on ONE timestamp —
+    the worst case, where even finer bucketing can't split it), and prove
+    (a) the salted variant returns exactly the plain variant's pairs,
+    (b) the physical join stays a structural equi join (no BNLJ/Cartesian),
+    (c) the hot bucket actually SPLITS: the max (bucket, salt) group on the
+    point side is a fraction of the hot bucket's size, so the straggler task
+    shrinks by ~salt_buckets."""
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.plans.audit import plan_signature
+    from hadoop_migration_assessment_tools_spark.plans.interval_join import (
+        point_in_interval_join,
+        point_in_interval_join_salted,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    hot_ts = base + dt.timedelta(seconds=900)
+    pts = spark.createDataFrame(
+        [(i, hot_ts) for i in range(4000)]
+        + [(10_000 + i, base + dt.timedelta(seconds=3600 + 137 * i)) for i in range(1000)],
+        "pid long, p_ts timestamp",
+    ).repartition(8)
+    ivs = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=600 * j), base + dt.timedelta(seconds=600 * j + 2400))
+            for j in range(40)
+        ],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+
+    plain = point_in_interval_join(pts, "p_ts", ivs, "w_start", "w_end")
+    salted = point_in_interval_join_salted(
+        pts, "p_ts", ivs, "w_start", "w_end", salt_buckets=8
+    )
+    want = sorted((r["pid"], r["iid"]) for r in plain.select("pid", "iid").collect())
+    got = sorted((r["pid"], r["iid"]) for r in salted.select("pid", "iid").collect())
+    assert got == want and len(want) > 4000  # hot point matches several intervals
+
+    # structural equi join, no BNLJ/Cartesian — for BOTH variants
+    for df in (plain, salted):
+        sig = plan_signature(df)
+        assert sig["bnlj"] == 0 and sig["cartesian"] == 0, sig
+        assert sig["smj"] + sig["bhj"] + sig["shj"] == 1, sig
+
+    # the hot bucket splits: reproduce the salted point-side key and compare
+    # the biggest shuffle group before/after salting
+    w = F.lit(1800).cast("long")
+    keyed = pts.select(
+        F.floor(F.unix_timestamp("p_ts") / w).cast("long").alias("b"),
+        F.pmod(F.xxhash64(F.col("p_ts"), F.monotonically_increasing_id()), F.lit(8))
+        .cast("int")
+        .alias("s"),
+    )
+    max_plain = keyed.groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    max_salted = keyed.groupBy("b", "s").count().agg(F.max("count")).collect()[0][0]
+    assert max_plain >= 4000  # the planted hot bucket
+    assert max_salted <= max_plain / 4  # split across >= 4 effective salts
