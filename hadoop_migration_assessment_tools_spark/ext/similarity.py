@@ -483,3 +483,168 @@ def signlsh_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- fixed-point (quantized) Lloyd: the ORACLE-ABLE learned path ----------------------
+#
+# Float Lloyd (``_train_centroids``) is not SQL-replayable: np.mean's pairwise
+# summation groups additions differently from any SQL fold, so a DuckDB twin
+# cannot reproduce the centroids bit-for-bit. Quantizing to 20-bit fixed point
+# makes EVERY step exact integer arithmetic — floor(x * 2^20) scaling (a
+# power-of-two multiply is exact on float32 inputs), int64 squared-L2, argmin
+# with first-index ties, floor-div elementwise means — which numpy, Spark HOFs
+# on longs, AND a SQL engine all compute identically. The precision loss is
+# ~1e-6 per component: irrelevant to clustering quality, decisive for
+# certifiability (the PageRank scaled-BIGINT precedent applied to k-means).
+
+QUANT_SCALE = 1 << 20
+
+
+def quantize_vec(col: Column) -> Column:
+    """array<float> -> array<long>: floor(v * 2^20). Power-of-two scaling of a
+    float32-valued double is exact, so floor is engine-independent."""
+    return F.transform(
+        col, lambda v: F.floor(v.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
+    )
+
+
+def int_sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 of two long-array columns (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_centroids_quantized(
+    sample: list[list[float]], nlist: int, iters: int = 2
+) -> "np.ndarray":
+    """Deterministic fixed-point Lloyd on a driver-side sample: quantize, init
+    from evenly spaced sample rows — idx_i = i*(n-1) // (nlist-1), PURE integer
+    arithmetic (np.linspace's float step can differ by an ulp from a SQL
+    replay's i*((n-1)/div); integer floor-div cannot) — then ``iters`` rounds
+    of exact-integer assign/mean. Empty clusters keep their previous centroid.
+    Every intermediate fits int64: |x| <= ~2^22 after scaling, diffs^2 * dim
+    <= 2^50. Returns int64 (nlist, dim)."""
+    x = np.floor(np.asarray(sample, dtype=np.float64) * QUANT_SCALE).astype(np.int64)
+    n = len(x)
+    idx = [i * (n - 1) // (nlist - 1) for i in range(nlist)]
+    cents = x[idx].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first minimum == lowest centroid id on ties
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.sum(axis=0) // len(members)  # floor-div mean
+    return cents
+
+
+def assign_centroids_quantized(
+    df: DataFrame,
+    cents_int: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment on the QUANTIZED vectors — BLAS
+    speed with exact-integer semantics: every value in ``cent_sq - 2*x@C.T``
+    is an integer below 2^51, so float64 arithmetic is exact and the argmin
+    (ties -> lowest id, np.argmin's first minimum) matches a SQL engine's
+    ORDER BY d, cid replay bit-for-bit. Dropping |x|^2 preserves ties exactly
+    (integers)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(cents_int, dtype=np.float64)
+    cent_sq = (cents * cents).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.floor(
+            np.vstack(vecs.to_numpy()).astype(np.float64) * QUANT_SCALE
+        )
+        d = cent_sq - 2.0 * (x @ cents.T)
+        return pd.Series(d.argmin(axis=1))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def cosine_topk_ivf_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 32,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: DataFrame | None = None,
+) -> DataFrame:
+    """IVF with LEARNED (fixed-point Lloyd) centroids — the oracle-able form of
+    ``cosine_topk_ivf`` (VERDICT r8 #3): training, corpus assignment, probe
+    selection and ranking all replay exactly in SQL. Same plan shape as the
+    production path: one bounded driver sample, one Arrow-batched assignment
+    scan (no corpus shuffle), tiny per-query probe lists, exact-cosine re-rank
+    inside probed lists only (floats, rounded 6dp — the portable ranking)."""
+    src = corpus if train_sample is None else train_sample
+    sample = [
+        r[0]
+        for r in src.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_n)
+        .select(vec_col)
+        .collect()
+    ]
+    cents = train_centroids_quantized(sample, nlist, iters)
+
+    bucketed = assign_centroids_quantized(corpus, cents, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+        "centroid_id",
+    )
+    # per-query probe lists: exact-integer distances to the literal centroid
+    # table (nlist x dim longs, materialized once), sorted (d, cid) structs
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in cents.tolist()]
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
+        )
+        .withColumn("_qq", quantize_vec(F.col("_qvec")))
+        .withColumn("_qd", F.transform(cent_lit, lambda c: int_sq_l2(F.col("_qq"), c)))
+        .withColumn(
+            "_probe",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_qd"),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("centroid_id")),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            "query_id",
+            "_qvec",
+            "_qnorm",
+            F.explode(F.col("_probe.centroid_id")).alias("centroid_id"),
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _paired_cosine())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -966,22 +966,148 @@ ORDER BY query_id, rank
 """
 
 
-def emb_topk_scaled_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k on the replicated corpus — must beat bruteforce here (rows-only).
+SCALED_IVF_NLIST = 32
+SCALED_IVF_NPROBE = 4
+SCALED_IVF_ITERS = 2
+SCALED_IVF_SAMPLE_N = 2048
 
-    Round-5 cost cut: the rep-0 replica IS the base table (the perturbation is
-    identically zero at rep=0 and the float round-trip is value-preserving), so
-    both the centroid-training sample and the query set read the base
-    ``embeddings`` parquet directly — the ``vec_id < SCALED_QUERIES`` filter
-    pushes down to the scan, and neither side re-evaluates the 12x replication
-    just to extract original rows. Identical vectors, two fewer full-corpus
-    generations; recall floor pinned in tests/test_ext_operators.py."""
+
+def emb_topk_scaled_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-centroid IVF top-k on the replicated corpus — must beat
+    bruteforce here (the crossover pair in BENCH).
+
+    ORACLED since r9 (VERDICT r8 #3, formerly rows-only): training runs
+    FIXED-POINT Lloyd (ext/similarity.train_centroids_quantized — floor(x*2^20)
+    quantization, exact-int squared-L2, argmin with lowest-id ties, floor-div
+    means, integer-formula init), so every step is exact integer arithmetic
+    that numpy, Spark long-HOFs and DuckDB's unrolled-CTE replay compute
+    identically — the PageRank scaled-BIGINT precedent applied to k-means. The
+    corpus assignment stays one vectorized Arrow scan (BLAS on integer-valued
+    float64, exact below 2^53, so argmin ties replay exactly); ranking is the
+    portable 6dp-rounded cosine on the original floats. The float-Lloyd
+    ``cosine_topk_ivf`` remains in the library as the multi-iteration
+    production seam (pytest recall floors).
+
+    Round-5 cost cut preserved: the rep-0 replica IS the base table, so both
+    the training sample and the query set read the base ``embeddings`` parquet
+    directly (filters push down; the 12x replication is never re-evaluated for
+    them)."""
+    from ..ext.similarity import cosine_topk_ivf_quantized
+
     scaled = _scaled_embeddings(spark, sf_dir)
     base = load_table(spark, sf_dir, "embeddings")
     queries = base.filter(F.col("vec_id") < SCALED_QUERIES)
-    return cosine_topk_ivf(
-        scaled, queries, k=TOPK_K, nlist=32, nprobe=4, train_sample=base
+    return cosine_topk_ivf_quantized(
+        scaled,
+        queries,
+        k=TOPK_K,
+        nlist=SCALED_IVF_NLIST,
+        nprobe=SCALED_IVF_NPROBE,
+        sample_n=SCALED_IVF_SAMPLE_N,
+        iters=SCALED_IVF_ITERS,
+        train_sample=base,
     )
+
+
+def _scaled_ivf_lloyd_iteration_sql(i: int) -> str:
+    """One unrolled fixed-point Lloyd round: exact-int assignment to c{i-1},
+    elementwise floor-div means (the ((sv % cnt)+cnt)%cnt construction makes
+    the floor division explicit and %-semantics-independent), empty clusters
+    keep their previous centroid."""
+    return f"""a{i} AS (
+  SELECT s.sid, s.xq, c.cid,
+         list_sum(list_transform(list_zip(s.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM s, c{i - 1} c
+), b{i} AS (
+  SELECT sid, xq, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d ASC, cid ASC) AS rn
+    FROM a{i}) WHERE rn = 1
+), m{i} AS (
+  SELECT cid, u.i AS dim, SUM(xq[u.i]) AS sv, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b{i}, generate_series(1, 64) u(i)
+  GROUP BY cid, u.i
+), u{i} AS (
+  SELECT cid,
+         list(CAST((sv - (((sv % cnt) + cnt) % cnt)) // cnt AS BIGINT)
+              ORDER BY dim) AS c
+  FROM m{i} GROUP BY cid
+), c{i} AS (
+  SELECT c{i - 1}.cid, COALESCE(u{i}.c, c{i - 1}.c) AS c
+  FROM c{i - 1} LEFT JOIN u{i} USING (cid)
+)"""
+
+
+EMB_TOPK_SCALED_IVF_ORACLE = f"""
+WITH reps AS (
+  SELECT vec_id, embedding, r.rep FROM embeddings, generate_series(0, {SCALED_REPS - 1}) r(rep)
+), scaled AS (
+  SELECT vec_id + rep * {_SCALED_ID_STRIDE} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+             i -> CAST(CAST(embedding[i] AS DOUBLE)
+                       + ((rep * (i + 2)) % 11) * 0.003 AS REAL)) AS embedding
+  FROM reps
+), s AS (
+  -- quantized training sample: the {SCALED_IVF_SAMPLE_N} smallest-id BASE vectors
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {SCALED_IVF_SAMPLE_N}
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s
+), c0 AS (
+  -- integer-formula init: idx_i = i*(n-1) // (nlist-1)
+  SELECT g.i AS cid, s.xq AS c
+  FROM generate_series(0, {SCALED_IVF_NLIST - 1}) g(i), nn
+  JOIN s ON s.sid = (g.i * (nn.n - 1)) // {SCALED_IVF_NLIST - 1}
+), {_scaled_ivf_lloyd_iteration_sql(1)}, {_scaled_ivf_lloyd_iteration_sql(2)},
+corpq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM scaled
+), adist AS (
+  SELECT cq.vec_id, cq.embedding, c.cid,
+         list_sum(list_transform(list_zip(cq.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM corpq cq, c{SCALED_IVF_ITERS} c
+), assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, cid AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM adist) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS qq
+  FROM embeddings WHERE vec_id < {SCALED_QUERIES}
+), pdist AS (
+  SELECT q.query_id, q.qv, c.cid,
+         list_sum(list_transform(list_zip(q.qq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q, c{SCALED_IVF_ITERS} c
+), probes AS (
+  SELECT query_id, qv, cid AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
+        FROM pdist) WHERE rn <= {SCALED_IVF_NPROBE}
+), pair AS (
+  SELECT p.query_id, a.neighbor_id,
+    list_sum(list_transform(list_zip(p.qv, a.cvec),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(p.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(a.cvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+), rankedc AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pair
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM rankedc
+) WHERE rank <= {TOPK_K}
+"""
 
 
 # --- emb_near_dup_pairs -------------------------------------------------------------

@@ -383,10 +383,13 @@ QUERIES: dict[str, Query] = {
     "events_value_percentiles": ea.events_value_percentiles,
     "events_props_roundtrip": ea.events_props_roundtrip,
     "multimodal_frame_sample": llm.multimodal_frame_sample,
-    # rows-only (engine-specific path; pytest recall floors + bench crossover)
+    # r9: BOTH former rows-only entries upgraded to oracled — the registry is
+    # now 100% oracled. emb_topk_scaled_ivf: learned centroids via FIXED-POINT
+    # Lloyd (exact-int arithmetic numpy/Spark/DuckDB all reproduce; two
+    # unrolled CTE rounds — the PageRank precedent applied to k-means);
+    # multimodal_features: integer feature probes + sha256 digest replay.
+    # Kept in these slots to avoid window churn; oracles in ORACLE_SQL below.
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
-    # r9: oracled (integer feature probes + sha256 digest replay) — kept in
-    # this slot to avoid window churn; oracle in ORACLE_SQL below
     "multimodal_features": llm.multimodal_features,
 }
 
@@ -547,6 +550,10 @@ ORACLE_SQL: dict[str, str] = {
     # probes (decoded width / sample count / sha256 digest) DuckDB replays
     # closed-form
     "multimodal_features": llm.MULTIMODAL_FEATURES_ORACLE,
+    # r9 (VERDICT r8 #3): formerly rows-only — fixed-point Lloyd replayed via
+    # two unrolled CTE rounds; training, assignment, probes and ranking all
+    # hash-match
+    "emb_topk_scaled_ivf": llm.EMB_TOPK_SCALED_IVF_ORACLE,
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,

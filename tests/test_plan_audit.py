@@ -54,8 +54,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_topk_scaled_bruteforce": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
+    # r9: learned path re-planned around fixed-point Lloyd (oracled) — the
+    # centroid crossJoin became a literal-array transform and the probe window
+    # an array_sort, so the plan NARROWED: bnlj 1 -> 0, broadcast 2 -> 1,
+    # window 5 -> 3 (rank window + its two WindowGroupLimit pushdown stages)
     "emb_topk_scaled_ivf": dict(
-        shuffle_exchange=1, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=5
+        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
     "docs_minhash_near_dup": dict(
         shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
@@ -379,7 +383,8 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
 BNLJ_ALLOWED = {
     "emb_cosine_topk",
     "emb_topk_scaled_bruteforce",
-    "emb_topk_scaled_ivf",
+    # emb_topk_scaled_ivf left this set in r9: the quantized-Lloyd re-plan
+    # removed its centroid crossJoin entirely
     "emb_ann_recall",
     "docs_pack_invariants",
     "docs_training_prep_pipeline",
