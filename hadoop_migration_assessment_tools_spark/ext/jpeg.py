@@ -9,12 +9,14 @@ component sampling factors (4:4:4, 4:2:0, 4:2:2 MCU interleave) and RSTn
 restart markers.
 
 Decoder coverage: SOF0 baseline sequential, SOF1 extended sequential (8- and
-12-bit precision, 16-bit Pq=1 DQT tables) AND SOF2 progressive (spectral
+12-bit precision, 16-bit Pq=1 DQT tables), SOF2 progressive (spectral
 selection + successive approximation, DC/AC first and refinement scans, EOB
-runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow). The remaining
-processes (arithmetic coding, hierarchical, 12-bit progressive, lossless) raise
-NotImplementedError, matching the WAV/PPM/PNG codecs' partial-coverage
-discipline (ext/multimodal.py callers catch and fall back with decoded=false).
+runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow) AND SOF3 lossless
+(r9 — T.81 Annex H: all 7 predictors, 8/12-bit, bit-exact roundtrip; the
+DNG/medical process). The remaining processes (arithmetic coding,
+hierarchical, 12-bit progressive) raise NotImplementedError, matching the
+WAV/PPM/PNG codecs' partial-coverage discipline (ext/multimodal.py callers
+catch and fall back with decoded=false).
 
 The encoder exists to close the loop in-sandbox: it emits valid baseline JFIF
 that ANY decoder can read, using compact generated Huffman tables (12 DC codes
@@ -31,7 +33,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["make_jpeg_bytes", "make_progressive_jpeg_bytes", "parse_jpeg"]
+__all__ = [
+    "make_jpeg_bytes",
+    "make_lossless_jpeg_bytes",
+    "make_progressive_jpeg_bytes",
+    "parse_jpeg",
+]
 
 #: Decompression-bomb ceiling for parse_jpeg (total pixels). 16 MP covers any
 #: sane corpus image; declared dimensions above it raise ValueError (routed to
@@ -642,6 +649,101 @@ def make_progressive_jpeg_bytes(
     return bytes(out)
 
 
+# --- lossless (SOF3) encoder -----------------------------------------------------------
+#
+# T.81 Annex H: no DCT, no quantization, no color transform — each component is
+# predictively coded (7 spec predictors over the reconstructed left/above/
+# above-left neighbors) and the DIFFERENCES are Huffman-coded exactly like DC
+# coefficients (SSSS category + SSSS amplitude bits). The process real-world
+# DNG/medical pipelines still use; roundtrip is BIT-EXACT, which is what makes
+# it certifiable without golden vectors.
+
+
+def _lossless_predictions(x: np.ndarray, predictor: int, precision: int) -> np.ndarray:
+    """Per-sample predictions P (T.81 H.1): first sample 2^(P-1), rest of the
+    first line Ra, first column Rb, interior per the selected predictor.
+    ``>> 1`` is the arithmetic shift both numpy and the decoder's plain-int
+    Python use, so encode/decode agree on negative (Rb - Rc) exactly."""
+    xi = x.astype(np.int32)
+    p = np.empty_like(xi)
+    p[0, 0] = 1 << (precision - 1)
+    p[0, 1:] = xi[0, :-1]  # first line: Ra
+    p[1:, 0] = xi[:-1, 0]  # first column: Rb
+    ra, rb, rc = xi[1:, :-1], xi[:-1, 1:], xi[:-1, :-1]
+    if predictor == 1:
+        interior = ra
+    elif predictor == 2:
+        interior = rb
+    elif predictor == 3:
+        interior = rc
+    elif predictor == 4:
+        interior = ra + rb - rc
+    elif predictor == 5:
+        interior = ra + ((rb - rc) >> 1)
+    elif predictor == 6:
+        interior = rb + ((ra - rc) >> 1)
+    elif predictor == 7:
+        interior = (ra + rb) >> 1
+    else:
+        raise ValueError(f"lossless predictor must be 1..7, got {predictor}")
+    p[1:, 1:] = interior
+    return p
+
+
+def make_lossless_jpeg_bytes(
+    pixels, predictor: int = 4, precision: int = 8
+) -> bytes:
+    """Encode an (h, w, 3) RGB array as LOSSLESS JPEG (SOF3). Components are
+    R, G, B directly — lossless JPEG has no subsampling and conventionally no
+    color transform, which is exactly what makes ``parse_jpeg`` of the result
+    bit-identical to the input. ``precision``: 8 (uint8) or 12 (uint16 in
+    [0, 4095]; decoded view is the top 8 bits, matching the extended-sequential
+    contract)."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    px = np.asarray(pixels, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(px.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w, _ = px.shape
+    if precision == 8:
+        dc_bits, dc_syms, dc_codes = _DC_BITS, _DC_SYMBOLS, _ENC_DC_CODES
+    else:  # diffs reach category 12 — needs the extended table
+        dc_bits, dc_syms, dc_codes = _DC_BITS_12, _DC_SYMBOLS_12, _ENC_DC_CODES_12
+
+    diffs = [
+        px[..., c].astype(np.int32)
+        - _lossless_predictions(px[..., c], predictor, precision)
+        for c in range(3)
+    ]
+    wr = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):  # interleaved MCU: one sample per component
+                d = int(diffs[c][y, x])
+                size = _size_category(d)
+                code, length = dc_codes[size]
+                wr.write(code, length)
+                if size:
+                    wr.write(_amplitude_bits(d, size), size)
+    wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof = seg(
+        0xFFC3,
+        struct.pack(">BHHB", precision, h, w, 3)
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms))
+    sos = seg(
+        0xFFDA,
+        bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00])
+        + bytes([predictor, 0, 0]),  # Ss = predictor, Se = 0, Ah/Al = 0
+    )
+    return b"\xff\xd8" + sof + dht + sos + bytes(wr.out) + b"\xff\xd9"
+
+
 # --- decoder -------------------------------------------------------------------------
 
 
@@ -765,9 +867,10 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
     progressive (spectral selection + successive approximation, DC/AC first
     and refinement scans), 1 or 3 components, generic sampling factors
     (4:4:4 / 4:2:0 / 4:2:2 MCU interleave), 8- and 16-bit DQT tables,
-    DRI/RSTn restart intervals, multiple DQT/DHT segments. Raises
+    DRI/RSTn restart intervals, multiple DQT/DHT segments, AND SOF3 lossless
+    (predictive, all 7 predictors, 8/12-bit — bit-exact). Raises
     NotImplementedError for the remaining non-baseline processes
-    (arithmetic, hierarchical, 12-bit progressive, lossless);
+    (arithmetic, hierarchical, 12-bit progressive);
     any other failure on a
     torn/malformed payload is normalized to ValueError so callers' documented
     decoded=false fallback routes it instead of the raw struct.error/IndexError/
@@ -797,6 +900,7 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
     h = w = 0
     restart_interval = 0
     progressive = False
+    lossless = False
     precision = 8
     grids_ready = False
     mcux = mcuy = hmax = vmax = 0
@@ -843,12 +947,15 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 values = list(body[off + 17 : off + 17 + nvals])
                 huff[(tclass, tid)] = _huffman_lut(bits, values)
                 off += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / SOF1 extended / SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             # SOF0 is 8-bit by definition; SOF1 extended sequential adds 12-bit
-            # (T.81 Table B.2). 12-bit progressive stays honestly unimplemented.
-            if prec not in ((8, 12) if marker == 0xC1 else (8,)):
+            # (T.81 Table B.2); SOF3 lossless allows 2-16 — we cover the 8/12
+            # the pipeline's sample widths use. 12-bit progressive stays
+            # honestly unimplemented.
+            if prec not in ((8, 12) if marker in (0xC1, 0xC3) else (8,)):
                 raise NotImplementedError(
                     f"{prec}-bit precision for SOF marker 0xFF{marker:02X}"
                 )
@@ -864,7 +971,7 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise ValueError(f"invalid SOF sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "q": qid})
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
@@ -909,10 +1016,104 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 )
                 pos = rd.pos
                 continue
-            break  # baseline: single interleaved scan, decoded below
+            break  # baseline/lossless: single interleaved scan, decoded below
         pos += 2 + seglen
     if scans == 0:
         raise ValueError("no SOS segment found")
+
+    if lossless:
+        # --- SOF3 predictive decode (T.81 Annex H) -------------------------------
+        # Ss carries the predictor id; differences are DC-style Huffman codes.
+        # Reconstruction is modulo 2^16; neighbors are RECONSTRUCTED samples,
+        # which for a conforming stream equal the originals — the roundtrip
+        # test pins bit-exactness against make_lossless_jpeg_bytes.
+        if restart_interval:
+            raise NotImplementedError("DRI/restart markers in a lossless scan")
+        if ah != 0 or al != 0:
+            raise NotImplementedError("point transform in a lossless scan")
+        predictor = s_start
+        if not 1 <= predictor <= 7:
+            raise ValueError(f"invalid lossless predictor {predictor}")
+        if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+            raise NotImplementedError("subsampled lossless components")
+        rd = _BitReader(d, pos)
+        buf = rd._buf
+        bit = rd._bit
+        luts = []
+        for ci, dct, _act in scan_specs:
+            if (0, dct) not in huff:
+                raise ValueError(f"SOS references missing DC table {dct}")
+            luts.append((ci, huff[(0, dct)][0], huff[(0, dct)][1]))
+        planes = {ci: np.zeros((h, w), dtype=np.int32) for ci, _, _ in luts}
+        half = 1 << (precision - 1)
+        for y in range(h):
+            for x in range(w):
+                for ci, dsym, dlen in luts:  # interleaved: one sample per comp
+                    b = bit >> 3
+                    win = (
+                        (buf[b] << 32)
+                        | (buf[b + 1] << 24)
+                        | (buf[b + 2] << 16)
+                        | (buf[b + 3] << 8)
+                        | buf[b + 4]
+                    )
+                    sh_ = bit & 7
+                    pcode = (win >> (24 - sh_)) & 0xFFFF
+                    ln = dlen[pcode]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code")
+                    size = dsym[pcode]
+                    if size == 16:  # SSSS=16: diff is 32768, no amplitude bits
+                        diff = 32768
+                        bit += ln
+                    elif size:
+                        v = (win >> (40 - sh_ - ln - size)) & ((1 << size) - 1)
+                        diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        bit += ln + size
+                    else:
+                        diff = 0
+                        bit += ln
+                    pl = planes[ci]
+                    if y == 0 and x == 0:
+                        pred = half
+                    elif y == 0:
+                        pred = int(pl[0, x - 1])  # first line: Ra
+                    elif x == 0:
+                        pred = int(pl[y - 1, 0])  # first column: Rb
+                    else:
+                        ra = int(pl[y, x - 1])
+                        rb = int(pl[y - 1, x])
+                        rc = int(pl[y - 1, x - 1])
+                        if predictor == 1:
+                            pred = ra
+                        elif predictor == 2:
+                            pred = rb
+                        elif predictor == 3:
+                            pred = rc
+                        elif predictor == 4:
+                            pred = ra + rb - rc
+                        elif predictor == 5:
+                            pred = ra + ((rb - rc) >> 1)
+                        elif predictor == 6:
+                            pred = rb + ((ra - rc) >> 1)
+                        else:
+                            pred = (ra + rb) >> 1
+                    pl[y, x] = (pred + diff) & 0xFFFF
+        rd._bit = bit
+        maxv = (1 << precision) - 1
+        stack = [np.clip(planes[c_i], 0, maxv) for c_i, _, _ in luts]
+        rgb = (
+            np.stack([stack[0]] * 3, axis=-1)
+            if len(stack) == 1
+            else np.stack(stack[:3], axis=-1)
+        )
+        if precision > 8:
+            px = (rgb.astype(np.uint16) >> (precision - 8)).astype(np.uint8)
+        else:
+            px = rgb.astype(np.uint8)
+        if _return_coefs:  # no DCT coefficients exist; hand back the planes
+            return px, [planes[c_i].copy() for c_i, _, _ in luts]
+        return px
 
     if progressive:
         # accumulated zigzag coefficients -> dequantized block tensors

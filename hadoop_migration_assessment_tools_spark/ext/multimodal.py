@@ -833,12 +833,17 @@ def synthesize_media(
                         payload, kind = make_png_bytes(px), "image"
                         meta = ("image/png", w, h, None, None)
                     elif image_format == "jpeg":
-                        from .jpeg import make_jpeg_bytes, make_progressive_jpeg_bytes
+                        from .jpeg import (
+                            make_jpeg_bytes,
+                            make_lossless_jpeg_bytes,
+                            make_progressive_jpeg_bytes,
+                        )
 
                         # cycle baseline / PROGRESSIVE / 12-BIT extended
-                        # sequential so the corpus carries all three real-world
-                        # JPEG processes the decoder covers (all decode for real)
-                        variant = (doc_id // 3) % 3
+                        # sequential / LOSSLESS (r9) so the corpus carries all
+                        # four real-world JPEG processes the decoder covers
+                        # (all decode for real)
+                        variant = (doc_id // 3) % 4
                         if variant == 1:
                             payload = make_progressive_jpeg_bytes(px, quality=90)
                         elif variant == 2:
@@ -846,6 +851,10 @@ def synthesize_media(
                                 (px.astype(np.uint16) << 4) | (px >> 4),
                                 quality=90,
                                 precision=12,
+                            )
+                        elif variant == 3:
+                            payload = make_lossless_jpeg_bytes(
+                                px, predictor=1 + doc_id % 7
                             )
                         else:
                             payload = make_jpeg_bytes(px, quality=90)

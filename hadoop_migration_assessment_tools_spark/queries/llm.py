@@ -5447,3 +5447,185 @@ FROM ranked
 WHERE rank <= {PQ_TOPK_K}
 ORDER BY query_id, rank
 """
+
+
+# --- emb_ivfpq_rerank_topk --------------------------------------------------------------
+# [EXT] The production IVFADC REFINE step (Faiss's IndexRefine pattern): ADC
+# ranks a WIDENED short-list (R = 5k candidates) from codes alone, then true
+# L2 on the floats re-ranks only those R rows per query. This is the answer to
+# the measured recall cap in BASELINE §C's sweep table — codes-only ranking
+# is NOT monotone in nprobe, so production systems buy recall back with an
+# exact re-rank whose cost is R float-vector reads per query (bounded,
+# broadcast-side) instead of a full exact scan. Fully oracle-able: both
+# rankings use machinery the IVFPQ oracle already replays. 100 TB shape: the
+# corpus scan still touches nprobe/nlist of the data and only M bytes per
+# candidate; the float vectors of just R rows per query flow into the re-rank.
+
+PQ_RERANK_R = 25  # ADC short-list width (5x the final k)
+
+
+def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.quantize import PQ_M, pq_codebooks, with_pq_adc_tables, with_pq_codes
+    from ..ext.similarity import (
+        assign_centroids_fixed,
+        fixed_centroid_dists,
+        fixed_centroids,
+        sq_l2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    cents = fixed_centroids(emb, IVF_FIXED_NLIST)
+    cbs = pq_codebooks(emb)
+
+    corpus = with_pq_codes(
+        assign_centroids_fixed(emb.select("vec_id", "embedding"), cents), cbs
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "centroid_id",
+        *[F.col(f"pq_{s}") for s in range(PQ_M)],
+    )
+    probes = (
+        with_pq_adc_tables(
+            emb.where(F.col("vec_id") < TOPK_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            ),
+            cbs,
+            vec_col="qv",
+        )
+        .withColumn("_qd", fixed_centroid_dists(cents, F.col("qv")))
+        .withColumn(
+            "_probe",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_qd"),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("centroid_id")),
+                    )
+                ),
+                1,
+                IVF_FIXED_NPROBE,
+            ),
+        )
+        .select(
+            "query_id",
+            "qv",
+            *[F.col(f"_pqt_{s}") for s in range(PQ_M)],
+            F.explode(F.col("_probe.centroid_id")).alias("centroid_id"),
+        )
+    )
+    cand = corpus.join(F.broadcast(probes), "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        adc = adc + F.element_at(F.col(f"_pqt_{s}"), F.col(f"pq_{s}") + F.lit(1))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("adc_d", adc)
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .where(F.col("adc_rank") <= PQ_RERANK_R)
+        .withColumn("true_d", sq_l2(F.col("qv"), F.col("cvec")))
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("true_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .where(F.col("rank") <= PQ_TOPK_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("adc_d", 6).alias("adc_dist"),
+            F.round("true_d", 6).alias("exact_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+EMB_IVFPQ_RERANK_TOPK_ORACLE = f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+  FROM embeddings WHERE embedding IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {IVF_FIXED_NLIST}
+), cdist AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         list_sum(list_transform(list_zip(e.embedding, c.cv),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                     * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM embeddings e, cents c WHERE e.embedding IS NOT NULL
+), assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, cidx AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
+        FROM cdist)
+  WHERE rn = 1
+), cw AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16
+), enc AS (
+  SELECT a.neighbor_id, a.cvec, a.centroid_id, s.s, c.c,
+         list_sum(list_transform(
+           list_zip(a.cvec[s.s*16+1 : s.s*16+16], c.v[s.s*16+1 : s.s*16+16]),
+           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM assigned a, generate_series(0, 3) s(s), cw c
+), codesp AS (
+  SELECT neighbor_id, cvec, centroid_id,
+         MAX(CASE WHEN s = 0 THEN code END) AS c0,
+         MAX(CASE WHEN s = 1 THEN code END) AS c1,
+         MAX(CASE WHEN s = 2 THEN code END) AS c2,
+         MAX(CASE WHEN s = 3 THEN code END) AS c3
+  FROM (SELECT neighbor_id, cvec, centroid_id, s, c AS code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id, s
+                                           ORDER BY d ASC, c ASC) AS rn FROM enc)
+        WHERE rn = 1)
+  GROUP BY neighbor_id, cvec, centroid_id
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cidx AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
+        FROM cdist WHERE vec_id < {TOPK_QUERIES})
+  WHERE rn <= {IVF_FIXED_NPROBE}
+), pair AS (
+  SELECT q.query_id, p.neighbor_id, p.centroid_id, q.qv, p.cvec,
+    list_sum(list_transform(list_zip(q.qv[1:16],  w0.v[1:16]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+  + list_sum(list_transform(list_zip(q.qv[17:32], w1.v[17:32]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+  + list_sum(list_transform(list_zip(q.qv[33:48], w2.v[33:48]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+  + list_sum(list_transform(list_zip(q.qv[49:64], w3.v[49:64]),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+    AS adc_d
+  FROM probes q
+  JOIN codesp p ON p.centroid_id = q.centroid_id
+  JOIN cw w0 ON w0.c = p.c0
+  JOIN cw w1 ON w1.c = p.c1
+  JOIN cw w2 ON w2.c = p.c2
+  JOIN cw w3 ON w3.c = p.c3
+  WHERE p.neighbor_id <> q.query_id
+), shortlist AS (
+  SELECT query_id, neighbor_id, adc_d, qv, cvec
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d ASC, neighbor_id ASC) AS adc_rank
+        FROM pair)
+  WHERE adc_rank <= {PQ_RERANK_R}
+), rer AS (
+  SELECT query_id, neighbor_id, adc_d,
+         list_sum(list_transform(list_zip(qv, cvec),
+             x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS true_d
+  FROM shortlist
+)
+SELECT query_id, rank, neighbor_id,
+       ROUND(adc_d, 6) AS adc_dist,
+       ROUND(true_d, 6) AS exact_dist
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY true_d ASC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM rer)
+WHERE rank <= {PQ_TOPK_K}
+ORDER BY query_id, rank
+"""

@@ -391,6 +391,10 @@ QUERIES: dict[str, Query] = {
     # Kept in these slots to avoid window churn; oracles in ORACLE_SQL below.
     "emb_topk_scaled_ivf": llm.emb_topk_scaled_ivf,
     "multimodal_features": llm.multimodal_features,
+    # r9: the production IVFADC REFINE step — ADC short-list (R=5k) re-ranked
+    # by true L2 on just R float rows per query; buys back the recall the
+    # codes-only ranking caps (BASELINE §C sweep), cost bounded by R
+    "emb_ivfpq_rerank_topk": llm.emb_ivfpq_rerank_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -554,6 +558,7 @@ ORACLE_SQL: dict[str, str] = {
     # two unrolled CTE rounds; training, assignment, probes and ranking all
     # hash-match
     "emb_topk_scaled_ivf": llm.EMB_TOPK_SCALED_IVF_ORACLE,
+    "emb_ivfpq_rerank_topk": llm.EMB_IVFPQ_RERANK_TOPK_ORACLE,
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,

@@ -674,11 +674,12 @@ def test_jpeg_malformed_payloads_route_to_fallback():
 
 
 def _fuzz_corpus():
-    """Valid baseline + progressive + 12-bit JPEGs (both subsamplings), built once."""
+    """Valid baseline + progressive + 12-bit + lossless JPEGs, built once."""
     import numpy as np
 
     from hadoop_migration_assessment_tools_spark.ext.jpeg import (
         make_jpeg_bytes,
+        make_lossless_jpeg_bytes,
         make_progressive_jpeg_bytes,
     )
 
@@ -691,6 +692,8 @@ def _fuzz_corpus():
         make_progressive_jpeg_bytes(px, quality=60, subsampling="4:2:0"),
         make_jpeg_bytes(px12, quality=80, subsampling="4:4:4", precision=12),
         make_jpeg_bytes(px12, quality=60, subsampling="4:2:0", precision=12),
+        make_lossless_jpeg_bytes(px, predictor=4),
+        make_lossless_jpeg_bytes(px12, predictor=7, precision=12),
     ]
 
 
@@ -699,7 +702,7 @@ _FUZZ_JPEGS: list[bytes] = []
 
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
-    which=st.integers(0, 5),
+    which=st.integers(0, 7),
     op=st.sampled_from(["truncate", "flip", "flip3", "trunc+flip"]),
     frac=st.floats(0.0, 1.0),
     bitpos=st.integers(0, 2**31),
@@ -3201,3 +3204,127 @@ def test_ivfadc_recall_sweep_vs_exact_ranked_ivf(spark):
     for n, (adc_r, ivf_r) in sweep.items():
         assert adc_r <= ivf_r, (n, sweep)  # the codes-only ranking cost
         assert adc_r >= 0.15, (n, sweep)  # the PQ floor (chance = 5/2000)
+
+
+def test_lossless_jpeg_bit_exact_roundtrip():
+    """SOF3 lossless (T.81 Annex H, r9): encode -> decode must be BIT-EXACT for
+    every one of the 7 spec predictors at 8-bit, and equal the top-8-bit view
+    at 12-bit — the certifiable fixed point no lossy process has. Also: the
+    arithmetic-shift predictors (5/6) must agree between the numpy encoder and
+    the plain-int decoder on negative (Rb - Rc)."""
+    import numpy as np
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_lossless_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(41)
+    px = (rng.rand(21, 33, 3) * 255).astype(np.uint8)
+    for pred in range(1, 8):
+        assert (parse_jpeg(make_lossless_jpeg_bytes(px, predictor=pred)) == px).all()
+    px12 = (rng.rand(11, 9, 3) * 4095).astype(np.uint16)
+    for pred in (1, 4, 5, 6, 7):
+        got = parse_jpeg(make_lossless_jpeg_bytes(px12, predictor=pred, precision=12))
+        assert (got == (px12 >> 4).astype(np.uint8)).all()
+    # adversarial negative-gradient image exercises (Rb - Rc) < 0 shifts
+    i, j = np.indices((16, 16))
+    neg = np.stack([(255 - i * 16) % 256, (255 - j * 15) % 256, (i * j) % 256], -1)
+    for pred in (5, 6):
+        data = make_lossless_jpeg_bytes(neg.astype(np.uint8), predictor=pred)
+        assert (parse_jpeg(data) == neg).all()
+    # clean failures: bad predictor encode-side, torn stream decode-side
+    with pytest.raises(ValueError, match="predictor"):
+        make_lossless_jpeg_bytes(px, predictor=0)
+    with pytest.raises(ValueError):
+        parse_jpeg(make_lossless_jpeg_bytes(px)[:40])
+
+
+def test_synthesize_media_jpeg_lossless_variant(spark):
+    """The 4-variant JPEG cycle (baseline/progressive/12-bit/lossless) must
+    keep the honesty certificate: every image row decodes for real, and the
+    lossless rows' decoded pixels equal the synthesis formula exactly."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import parse_jpeg
+    from hadoop_migration_assessment_tools_spark.ext.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.pmod("doc_id", F.lit(3)) == 0
+    )
+    media = synthesize_media(docs, image_format="jpeg")
+    feats = extract_features(media).filter(F.col("kind") == "image")
+    rows = feats.select("decoded").collect()
+    assert rows and all(r["decoded"] for r in rows)
+    # lossless rows: (doc_id // 3) % 4 == 3 -> decoded == synthesized, bit-exact
+    lossless = [
+        r for r in media.collect() if (int(r["media_id"]) // 3) % 4 == 3
+    ]
+    assert lossless
+    docs_text = {int(r["doc_id"]): r["text"] for r in docs.collect()}
+    for r in lossless[:8]:
+        doc_id = int(r["media_id"])
+        n = len(docs_text[doc_id])
+        w, h = n % 64 + 4, n % 48 + 4
+        i, j = np.indices((h, w))
+        want = np.stack(
+            [
+                (i * 7 + j * 13 + doc_id) % 256,
+                (i * 3 + j * 5 + doc_id * 2) % 256,
+                (i * 11 + j + doc_id * 3) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        assert (parse_jpeg(bytes(r["payload"])) == want).all()
+
+
+def test_ivfpq_rerank_buys_back_recall(spark):
+    """The refine step must strictly improve on codes-only ranking: re-ranking
+    the ADC short-list (R = 5k) by true L2 recovers every exact top-k neighbor
+    whose ADC rank made the short-list. R bounds the buy-back — as R grows to
+    the probed-list size, recall converges to the exact-ranked-IVF ceiling
+    (~0.64 at nprobe=2, BASELINE §C sweep); at R=25 on the isotropic worst
+    case it lands between the codes-only cap (~0.24) and that ceiling."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        PQ_TOPK_K,
+        TOPK_QUERIES,
+        emb_ivfpq_rerank_topk,
+        emb_ivfpq_topk,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    ids = np.array(sorted(vecs))
+    mat = np.stack([vecs[i] for i in ids])
+    exact = {}
+    for q in (i for i in vecs if i < TOPK_QUERIES):
+        d = ((mat - vecs[q]) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact[q] = set(ids[np.lexsort((ids, d))[:PQ_TOPK_K]])
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & e) / PQ_TOPK_K for q, e in exact.items()) / len(exact)
+
+    adc_only = recall(emb_ivfpq_topk(spark, sf))
+    reranked = recall(emb_ivfpq_rerank_topk(spark, sf))
+    assert reranked > adc_only, (adc_only, reranked)
+    assert reranked >= 0.3, reranked  # measured 0.38; codes-only caps ~0.24
+    # exact_dist must be sorted within each query (true-L2 is the final order)
+    per_q: dict = {}
+    for r in emb_ivfpq_rerank_topk(spark, sf).collect():
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["exact_dist"]))
+    for q, pairs in per_q.items():
+        ds = [d for _, d in sorted(pairs)]
+        assert ds == sorted(ds), q
