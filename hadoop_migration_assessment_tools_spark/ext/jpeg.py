@@ -11,10 +11,10 @@ restart markers.
 Decoder coverage: SOF0 baseline sequential, SOF1 extended sequential (8- and
 12-bit precision, 16-bit Pq=1 DQT tables), SOF2 progressive (spectral
 selection + successive approximation, DC/AC first and refinement scans, EOB
-runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow) AND SOF3 lossless
-(r9 — T.81 Annex H: all 7 predictors, 8/12-bit, bit-exact roundtrip; the
-DNG/medical process). The remaining processes (arithmetic coding,
-hierarchical, 12-bit progressive) raise NotImplementedError, matching the
+runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow; 8- AND 12-bit as
+of r9) AND SOF3 lossless (r9 — T.81 Annex H: all 7 predictors, 8/12-bit,
+bit-exact roundtrip; the DNG/medical process). The remaining processes
+(arithmetic coding, hierarchical) raise NotImplementedError, matching the
 WAV/PPM/PNG codecs' partial-coverage discipline (ext/multimodal.py callers
 catch and fall back with decoded=false).
 
@@ -432,6 +432,19 @@ _AC_SYMBOLS_PROG = sorted(
 _AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS_PROG), 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_AC_CODES_PROG = _canonical_codes(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
 
+#: 12-bit progressive AC tables: sizes reach 14 (as in the sequential _12
+#: tables) and the EOBn symbols ride along; 239 codes at length 8 + 1 at 9
+#: keeps the all-ones code of every length reserved (T.81 C.2).
+_AC_SYMBOLS_PROG_12 = sorted(
+    set(
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(run << 4) | size for run in range(16) for size in range(1, 15)]
+    )
+)
+_AC_BITS_PROG_12 = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS_PROG_12) - 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_CODES_PROG_12 = _canonical_codes(_AC_BITS_PROG_12, _AC_SYMBOLS_PROG_12)
+
 #: libjpeg-style default progressive scan script: (kind, comp, Ss, Se, Ah, Al).
 #: Exercises spectral selection (luma bands 1-5 / 6-63), successive
 #: approximation (two AC refinement levels on luma, one on chroma) and DC
@@ -455,7 +468,7 @@ def _emit_eobrun(wr: _BitWriter, st: dict) -> None:
     correction bits that were deferred with it (T.81 G.1.2.2 / jcphuff.c)."""
     if st["eobrun"] > 0:
         nbits = st["eobrun"].bit_length() - 1
-        code, length = _ENC_AC_CODES_PROG[nbits << 4]
+        code, length = st["ac"][nbits << 4]
         wr.write(code, length)
         if nbits:
             wr.write(st["eobrun"] & ((1 << nbits) - 1), nbits)
@@ -481,11 +494,11 @@ def _encode_ac_first(zz, s_start, s_end, al, wr, st) -> None:
             continue
         _emit_eobrun(wr, st)
         while r > 15:
-            code, length = _ENC_AC_CODES_PROG[0xF0]
+            code, length = st["ac"][0xF0]
             wr.write(code, length)
             r -= 16
         nbits = temp.bit_length()
-        code, length = _ENC_AC_CODES_PROG[(r << 4) | nbits]
+        code, length = st["ac"][(r << 4) | nbits]
         wr.write(code, length)
         wr.write(temp2 & ((1 << nbits) - 1), nbits)
         r = 0
@@ -518,7 +531,7 @@ def _encode_ac_refine(zz, s_start, s_end, al, wr, st) -> None:
             continue
         while r > 15 and k <= eob:
             _emit_eobrun(wr, st)
-            code, length = _ENC_AC_CODES_PROG[0xF0]
+            code, length = st["ac"][0xF0]
             wr.write(code, length)
             r -= 16
             for b in br:
@@ -528,7 +541,7 @@ def _encode_ac_refine(zz, s_start, s_end, al, wr, st) -> None:
             br.append(temp & 1)
             continue
         _emit_eobrun(wr, st)
-        code, length = _ENC_AC_CODES_PROG[(r << 4) | 1]
+        code, length = st["ac"][(r << 4) | 1]
         wr.write(code, length)
         wr.write(1 if int(zz[k]) > 0 else 0, 1)
         for b in br:
@@ -543,22 +556,40 @@ def _encode_ac_refine(zz, s_start, s_end, al, wr, st) -> None:
 
 
 def make_progressive_jpeg_bytes(
-    pixels, quality: int = 90, subsampling: str = "4:4:4"
+    pixels, quality: int = 90, subsampling: str = "4:4:4", precision: int = 8
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as PROGRESSIVE (SOF2) JFIF.
+    """Encode an (h, w, 3) RGB array as PROGRESSIVE (SOF2) JFIF.
 
     Same color/quantization pipeline as make_jpeg_bytes — the quantized
     coefficients are IDENTICAL — delivered through the libjpeg-style scan
     script above. Exists to give the progressive decoder a real producer:
     the golden strategy is unchanged (quantization is the only lossy step, so
-    a progressive decode must reproduce the same coefficients bit for bit)."""
+    a progressive decode must reproduce the same coefficients bit for bit).
+    ``precision``: 8 (uint8) or 12 (uint16 in [0, 4095], Annex-K tables x16 as
+    16-bit Pq=1 DQT, extended DC/AC tables with sizes to 15/14 — r9, closing
+    the 12-bit-progressive gap the sequential path closed in r7)."""
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     sub = subsampling == "4:2:0"
-    px = np.asarray(pixels, dtype=np.uint8)
+    half = float(1 << (precision - 1))
+    px = np.asarray(pixels, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(px.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
     h, w, _ = px.shape
-    ycc = _rgb_to_ycbcr(px.astype(np.float64))
+    ycc = _rgb_to_ycbcr(px.astype(np.float64), half=half)
     qt = [_quality_scaled(_QT_LUM, quality), _quality_scaled(_QT_CHROM, quality)]
+    if precision == 12:
+        qt = [t * 16.0 for t in qt]
+    if precision == 8:
+        dc_bits, dc_syms, dc_codes = _DC_BITS, _DC_SYMBOLS, _ENC_DC_CODES
+        ac_bits, ac_syms, ac_codes = _AC_BITS_PROG, _AC_SYMBOLS_PROG, _ENC_AC_CODES_PROG
+    else:
+        dc_bits, dc_syms, dc_codes = _DC_BITS_12, _DC_SYMBOLS_12, _ENC_DC_CODES_12
+        ac_bits, ac_syms, ac_codes = (
+            _AC_BITS_PROG_12, _AC_SYMBOLS_PROG_12, _ENC_AC_CODES_PROG_12,
+        )
     if sub:
         y = _pad_to_blocks(ycc[..., 0], 16)
         chroma = []
@@ -571,7 +602,10 @@ def make_progressive_jpeg_bytes(
     else:
         planes = [_pad_to_blocks(ycc[..., c]) for c in range(3)]
         samp = [(1, 1)] * 3
-    quant = [_quantized_blocks(planes[c], qt[0 if c == 0 else 1]) for c in range(3)]
+    quant = [
+        _quantized_blocks(planes[c], qt[0 if c == 0 else 1], half=half)
+        for c in range(3)
+    ]
     zzq = [q[:, :, _ZZ_ROWS, _ZZ_COLS] for q in quant]  # (bv, bh, 64) zigzag
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -590,22 +624,22 @@ def make_progressive_jpeg_bytes(
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, table in enumerate(qt):
-        zz = table[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
-        out += seg(0xFFDB, bytes([tid]) + zz.tobytes())
+        zz = table[_ZZ_ROWS, _ZZ_COLS]
+        if precision == 12:  # Pq=1: 16-bit big-endian entries
+            out += seg(0xFFDB, bytes([0x10 | tid]) + zz.astype(">u2").tobytes())
+        else:
+            out += seg(0xFFDB, bytes([tid]) + zz.astype(np.uint8).tobytes())
     y_sampling = 0x22 if sub else 0x11
     out += seg(
         0xFFC2,  # SOF2: progressive DCT
-        struct.pack(">BHHB", 8, h, w, 3)
+        struct.pack(">BHHB", precision, h, w, 3)
         + bytes([1, y_sampling, 0])
         + bytes([2, 0x11, 1])
         + bytes([3, 0x11, 1]),
     )
     for tid in (0, 1):
-        out += seg(0xFFC4, bytes([tid]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS))
-        out += seg(
-            0xFFC4,
-            bytes([0x10 | tid]) + bytes(_AC_BITS_PROG) + bytes(_AC_SYMBOLS_PROG),
-        )
+        out += seg(0xFFC4, bytes([tid]) + bytes(dc_bits) + bytes(dc_syms))
+        out += seg(0xFFC4, bytes([0x10 | tid]) + bytes(ac_bits) + bytes(ac_syms))
 
     for kind, comp, s_start, s_end, ah, al in _PROG_SCANS:
         wr = _BitWriter()
@@ -624,7 +658,7 @@ def make_progressive_jpeg_bytes(
                                     diff = v - preds[ci]
                                     preds[ci] = v
                                     size = _size_category(diff)
-                                    code, length = _ENC_DC_CODES[size]
+                                    code, length = dc_codes[size]
                                     wr.write(code, length)
                                     if size:
                                         wr.write(_amplitude_bits(diff, size), size)
@@ -635,7 +669,7 @@ def make_progressive_jpeg_bytes(
             sos_body = bytes(
                 [1, comp + 1, tid << 4 | tid, s_start, s_end, (ah << 4) | al]
             )
-            st = {"eobrun": 0, "pending": []}
+            st = {"eobrun": 0, "pending": [], "ac": ac_codes}
             nbw, nbh = nb_dims(comp)
             enc = _encode_ac_first if kind == "ac_first" else _encode_ac_refine
             for row in range(nbh):
@@ -867,10 +901,10 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
     progressive (spectral selection + successive approximation, DC/AC first
     and refinement scans), 1 or 3 components, generic sampling factors
     (4:4:4 / 4:2:0 / 4:2:2 MCU interleave), 8- and 16-bit DQT tables,
-    DRI/RSTn restart intervals, multiple DQT/DHT segments, AND SOF3 lossless
-    (predictive, all 7 predictors, 8/12-bit — bit-exact). Raises
-    NotImplementedError for the remaining non-baseline processes
-    (arithmetic, hierarchical, 12-bit progressive);
+    DRI/RSTn restart intervals, multiple DQT/DHT segments, SOF2 progressive
+    at BOTH 8- and 12-bit, AND SOF3 lossless (predictive, all 7 predictors,
+    8/12-bit — bit-exact). Raises NotImplementedError for the remaining
+    non-baseline processes (arithmetic, hierarchical);
     any other failure on a
     torn/malformed payload is normalized to ValueError so callers' documented
     decoded=false fallback routes it instead of the raw struct.error/IndexError/
@@ -951,11 +985,10 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
             progressive = marker == 0xC2
             lossless = marker == 0xC3
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            # SOF0 is 8-bit by definition; SOF1 extended sequential adds 12-bit
-            # (T.81 Table B.2); SOF3 lossless allows 2-16 — we cover the 8/12
-            # the pipeline's sample widths use. 12-bit progressive stays
-            # honestly unimplemented.
-            if prec not in ((8, 12) if marker in (0xC1, 0xC3) else (8,)):
+            # SOF0 is 8-bit by definition; SOF1 extended sequential, SOF2
+            # progressive (r9) and SOF3 lossless add 12-bit (T.81 Table B.2;
+            # SOF3 allows 2-16 — we cover the 8/12 the pipeline uses).
+            if prec not in ((8, 12) if marker in (0xC1, 0xC2, 0xC3) else (8,)):
                 raise NotImplementedError(
                     f"{prec}-bit precision for SOF marker 0xFF{marker:02X}"
                 )

@@ -692,6 +692,7 @@ def _fuzz_corpus():
         make_progressive_jpeg_bytes(px, quality=60, subsampling="4:2:0"),
         make_jpeg_bytes(px12, quality=80, subsampling="4:4:4", precision=12),
         make_jpeg_bytes(px12, quality=60, subsampling="4:2:0", precision=12),
+        make_progressive_jpeg_bytes(px12, quality=80, precision=12),
         make_lossless_jpeg_bytes(px, predictor=4),
         make_lossless_jpeg_bytes(px12, predictor=7, precision=12),
     ]
@@ -702,7 +703,7 @@ _FUZZ_JPEGS: list[bytes] = []
 
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
-    which=st.integers(0, 7),
+    which=st.integers(0, 8),
     op=st.sampled_from(["truncate", "flip", "flip3", "trunc+flip"]),
     frac=st.floats(0.0, 1.0),
     bitpos=st.integers(0, 2**31),
@@ -781,9 +782,8 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
 
 def test_jpeg_12bit_feature_pipeline_and_guards():
     """media_features decodes 12-bit SOF1 for real (features ~= the 8-bit path on
-    the same top-8-bit pixels); 12-bit PROGRESSIVE stays an honest
-    NotImplementedError routed to decoded=false; out-of-range 12-bit encoder
-    input is rejected."""
+    the same top-8-bit pixels); 12-bit PROGRESSIVE decodes for real too (r9);
+    out-of-range 12-bit encoder input is rejected."""
     import numpy as np
     import pytest as _pytest
 
@@ -799,14 +799,16 @@ def test_jpeg_12bit_feature_pipeline_and_guards():
     for a, b in zip(f12[2:6], f8[2:6]):  # channel means within quantization error
         assert abs(a - b) < 1.0, (f12, f8)
 
-    # SOF2 relabeled to 12-bit: honest NotImplementedError -> decoded=false
-    prog = bytearray(J.make_progressive_jpeg_bytes(px8, quality=90))
-    sof = prog.find(b"\xff\xc2")
-    prog[sof + 4] = 12  # precision byte inside the SOF2 segment
-    with _pytest.raises(NotImplementedError):
-        J.parse_jpeg(bytes(prog))
-    assert media_features(bytes(prog), "image")[0] is False
-
+    # 12-bit progressive decodes for real through the feature pipeline (r9 —
+    # this relabel scenario used to pin the honest NotImplementedError; the
+    # real producer+decoder replaced the guard)
+    okp, fp = media_features(
+        J.make_progressive_jpeg_bytes(px12, quality=95, precision=12), "image"
+    )
+    assert okp is True and fp[0] == f8[0] and fp[1] == f8[1]
+    for a, b in zip(fp[2:6], f8[2:6]):
+        assert abs(a - b) < 1.0, (fp, f8)
+    # needed pytest import stays live for the guards below
     with _pytest.raises(ValueError):
         J.make_jpeg_bytes(np.full((8, 8, 3), 4096, np.uint16), precision=12)
     with _pytest.raises(ValueError):
@@ -3328,3 +3330,33 @@ def test_ivfpq_rerank_buys_back_recall(spark):
     for q, pairs in per_q.items():
         ds = [d for _, d in sorted(pairs)]
         assert ds == sorted(ds), q
+
+
+def test_12bit_progressive_decodes_identical_to_12bit_sequential():
+    """SOF2 at 12-bit (r9 — the last DCT process gap): both encoders quantize
+    identically (Annex-K x16 tables, half=2048), so the 12-bit progressive
+    decode must produce the EXACT pixels of the 12-bit sequential decode,
+    across subsampling modes, qualities and content shapes."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext import jpeg as J
+
+    rng = np.random.RandomState(17)
+    cases = [
+        ((25, 37), "4:4:4", 80),
+        ((16, 24), "4:2:0", 60),
+        ((9, 11), "4:4:4", 95),
+    ]
+    for (h, w), subs, q in cases:
+        px = (rng.rand(h, w, 3) * 4095).astype(np.uint16)
+        seq = J.parse_jpeg(J.make_jpeg_bytes(px, quality=q, subsampling=subs, precision=12))
+        prog = J.parse_jpeg(
+            J.make_progressive_jpeg_bytes(px, quality=q, subsampling=subs, precision=12)
+        )
+        assert (seq == prog).all(), (subs, q)
+    # sparse content exercises long EOB runs at 12-bit amplitudes
+    flat = np.full((17, 19, 3), 3000, dtype=np.uint16)
+    assert (
+        J.parse_jpeg(J.make_progressive_jpeg_bytes(flat, precision=12))
+        == J.parse_jpeg(J.make_jpeg_bytes(flat, precision=12))
+    ).all()
