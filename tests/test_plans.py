@@ -677,3 +677,45 @@ def test_interval_join_salted_equals_plain_and_splits_hot_bucket(spark):
     max_salted = keyed.groupBy("b", "s").count().agg(F.max("count")).collect()[0][0]
     assert max_plain >= 4000  # the planted hot bucket
     assert max_salted <= max_plain / 4  # split across >= 4 effective salts
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """The star-schema 100 TB move: a fact table laid out with partitionBy on
+    the join key lets Catalyst's dynamic partition pruning turn a selective
+    dim filter into a RUNTIME PartitionFilter on the fact scan — whole
+    partitions are skipped before a single fact row is read. This pins that
+    the engine's layout guidance (partitioned sinks, sources/sink.py) composes
+    with DPP: the executed plan must carry a dynamicpruningexpression on the
+    fact scan's partition column, and results must equal the unpartitioned
+    join exactly."""
+    import os
+
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    fact_dir = str(tmp_path / "fact")
+    ev.write.partitionBy("event_type").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("error", 0.5), ("click", 0.1), ("view", 0.05), ("signup", 2.0)],
+        "etype string, weight double",
+    )
+    j = (
+        fact.join(dim.where(F.col("weight") > 0.9), fact.event_type == F.col("etype"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP did not plant a runtime PartitionFilter"
+    assert "PartitionFilters" in plan
+    got = {(r["event_type"], r["n"]) for r in j.collect()}
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.join(
+            dim.where(F.col("weight") > 0.9), ev.event_type == F.col("etype")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 2
