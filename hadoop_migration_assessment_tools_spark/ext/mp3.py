@@ -87,16 +87,34 @@ def make_mp3_bytes(
     id3v2_size: int = 0,
     id3v1: bool = True,
     seed: int = 0,
+    xing: bool = False,
 ) -> bytes:
     """Deterministic, spec-valid MP3 STREAM: real headers whose lengths tile
     the byte range exactly; frame bodies are deterministic filler (the honest
     undecodable essence). ``bitrate_indices`` cycles per frame — one entry =
-    CBR, several = VBR."""
+    CBR, several = VBR. ``xing``: prepend a Xing/VBR info frame (the de-facto
+    LAME convention real VBR files lead with) whose frames field claims the
+    ``n_frames`` AUDIO frames that follow it."""
     rate = SAMPLE_RATES[version_bits][rate_index]
     out = bytearray()
     if id3v2_size:
         out += b"ID3\x04\x00\x00" + _syncsafe(id3v2_size)
         out += bytes((seed + i) % 256 for i in range(id3v2_size))
+    if xing:
+        if version_bits != 3:
+            raise ValueError("xing frame synthesis supports MPEG1 only")
+        bidx = bitrate_indices[0]
+        kbps = BITRATE_KBPS[(1, 3)][bidx]
+        flen = frame_length(version_bits, kbps, rate, padding=0)
+        body = bytearray(flen - 4)
+        # MPEG1 stereo side-info is 32 bytes; Xing lands right after it
+        body[32:36] = b"Xing"
+        body[36:40] = struct.pack(">I", 1)  # flags: frames field present
+        body[40:44] = struct.pack(">I", n_frames)
+        for i in range(44, len(body)):
+            body[i] = (seed * 17 + i) % 255
+        out += make_frame_header(version_bits, bidx, rate_index, padding=0)
+        out += bytes(body)
     for f in range(n_frames):
         bidx = bitrate_indices[f % len(bitrate_indices)]
         kbps = BITRATE_KBPS[(1 if version_bits == 3 else 2, 3)][bidx]
@@ -143,6 +161,7 @@ def parse_mp3(payload: bytes) -> dict:
     version_bits = None
     rate = None
     brs: set[int] = set()
+    first_frame: tuple[int, int] | None = None  # (offset, length)
     while pos < end:
         if end - pos < 4:
             raise ValueError(f"torn frame header at {pos}")
@@ -174,12 +193,30 @@ def parse_mp3(payload: bytes) -> dict:
         flen = frame_length(vb, kbps, this_rate, padding)
         if pos + flen > end:
             raise ValueError(f"frame at {pos} overruns the stream")
+        if first_frame is None:
+            first_frame = (pos, flen)
         n_frames += 1
         stream_bytes += flen
         brs.add(kbps)
         pos += flen
     if n_frames == 0:
         raise ValueError("no MPEG audio frames")
+
+    # Xing/Info VBR header (de-facto LAME spec): sits in the FIRST frame right
+    # after the side info — the four spec offsets by version x channel mode.
+    # The walk itself never needs it (frame lengths are self-describing); it is
+    # exposed so consumers can cross-check the claimed audio-frame count.
+    has_xing = False
+    xing_frames = None
+    foff, flen0 = first_frame
+    for so in (36, 25, 21, 13):  # 4 + side-info of MPEG1 st/mono, MPEG2 st/mono
+        tag = data[foff + so : foff + so + 4]
+        if so + 8 <= flen0 and tag in (b"Xing", b"Info"):
+            has_xing = True
+            flags = struct.unpack_from(">I", data, foff + so + 4)[0]
+            if flags & 1 and so + 12 <= flen0:
+                xing_frames = struct.unpack_from(">I", data, foff + so + 8)[0]
+            break
     spf = samples_per_frame(version_bits)
     duration_ms = n_frames * spf * 1000 // rate
     mean_kbps = stream_bytes * 8 * rate // (n_frames * spf) // 1000
@@ -196,5 +233,7 @@ def parse_mp3(payload: bytes) -> dict:
         "mean_bitrate_kbps": mean_kbps,
         "has_id3v2": has_id3v2,
         "has_id3v1": has_id3v1,
+        "has_xing": has_xing,
+        "xing_frames": xing_frames,  # claimed AUDIO frames (excl. the Xing frame)
         "decoded": False,  # essence honesty: headers walked, audio not decoded
     }

@@ -1,0 +1,108 @@
+"""Pre-commit join strategy advisor — the sketches composed into a decision.
+
+At 100 TB you cannot afford to DISCOVER a join's shape by running it: the
+straggler task or the spilled shuffle shows up an hour in. The repo already
+has the three bounded-pass measurement primitives; this module composes them
+into the standard decision tree an engine's CBO walks, as ONE inspectable
+relation:
+
+- volume:  `ext/sketch.cms_inner_product` — Cormode-Muthukrishnan inner
+  product of two d*w Count-Min counter tables; an upper bound on the inner
+  equi-join's output cardinality (collisions only ever ADD mass).
+- skew:    `ext/sketch._mg_summaries` via `plans/skew.diagnose_join_skew` —
+  Misra-Gries heavy-hitter share of each side's key, with the exact row count
+  folded into the same single scan.
+- remedies: broadcast (plans rely on Spark's own BHJ), salting
+  (`plans/skew.salted_join_left`), or a plain shuffle.
+
+Each side pays two bounded single-COLUMN scans (one per sketch — both prune to
+the key column, so the parquet reads are narrow); everything downstream
+operates on sketch-sized artifacts. The output is data, not a side effect — a
+100 TB pipeline materializes this row next to the job plan as an audit record
+of WHY a strategy was chosen.
+
+No reference citation: the reference has no join surface ([EXT] scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["advise_join"]
+
+
+def advise_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    broadcast_row_limit: int = 10_000_000,
+    skew_share: float = 0.2,
+    cms_w: int = 8192,
+) -> DataFrame:
+    """One-row decision relation for ``left JOIN right ON key``:
+
+    (left_rows, right_rows, est_join_size, left_top_share, right_top_share,
+    strategy) where strategy is the first match of the standard tree:
+
+    - ``broadcast_right`` / ``broadcast_left`` — a side fits the row limit;
+      shuffle avoided entirely (ties broadcast the smaller side).
+    - ``salt_left_key`` / ``salt_right_key`` — one key holds > ``skew_share``
+      of a side's rows; AQE's skew join MAY split it at runtime, pre-salting
+      (plans/skew.py) is the guaranteed fix. The hotter side salts.
+    - ``shuffle_ok`` — no broadcast candidate, no pathological key.
+
+    ``est_join_size`` rides along regardless of branch — it is the number that
+    decides whether the DOWNSTREAM of the join is viable at all (a join that
+    explodes 100x is a modeling bug, not a strategy problem)."""
+    from ..ext.sketch import _mg_summaries, cms_counters, cms_inner_product
+
+    def side_stats(df: DataFrame, tag: str) -> DataFrame:
+        keyed = df.select(F.col(key).cast("string").alias("k")).where(
+            F.col("k").isNotNull()
+        )
+        hh = (
+            _mg_summaries(keyed, "k", cap=64)
+            .orderBy(F.desc("est_count"), F.asc("item"))
+            .limit(1)
+            .select(
+                F.col("total_rows").alias(f"{tag}_rows"),
+                F.round(
+                    F.col("est_count") / F.greatest(F.col("total_rows"), F.lit(1)), 6
+                ).alias(f"{tag}_top_share"),
+            )
+        )
+        return hh
+
+    lk = left.select(F.col(key).cast("string").alias("k")).where(F.col("k").isNotNull())
+    rk = right.select(F.col(key).cast("string").alias("k")).where(F.col("k").isNotNull())
+    est = cms_inner_product(
+        cms_counters(lk, "k", w=cms_w), cms_counters(rk, "k", w=cms_w)
+    )
+    row = (
+        side_stats(left, "left")
+        .crossJoin(side_stats(right, "right"))
+        .crossJoin(est)
+    )
+    strategy = (
+        F.when(
+            (F.col("right_rows") <= broadcast_row_limit)
+            & (F.col("right_rows") <= F.col("left_rows")),
+            F.lit("broadcast_right"),
+        )
+        .when(F.col("left_rows") <= broadcast_row_limit, F.lit("broadcast_left"))
+        .when(
+            (F.col("left_top_share") > skew_share)
+            & (F.col("left_top_share") >= F.col("right_top_share")),
+            F.lit("salt_left_key"),
+        )
+        .when(F.col("right_top_share") > skew_share, F.lit("salt_right_key"))
+        .otherwise(F.lit("shuffle_ok"))
+    )
+    return row.select(
+        "left_rows",
+        "right_rows",
+        "est_join_size",
+        "left_top_share",
+        "right_top_share",
+        strategy.alias("strategy"),
+    )

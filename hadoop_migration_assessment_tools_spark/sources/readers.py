@@ -50,7 +50,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def read_event_log(
-    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    merge_schema: bool = True,
 ) -> DataFrame:
     """Read a (possibly date-partitioned, multi-file) QueryEvents log tree as one dataset.
 
@@ -106,7 +110,13 @@ def read_event_log(
                 yield tup + (day,)
 
         return spark.createDataFrame(binary.rdd.flatMap(decode), out_schema)
-    return spark.read.parquet(path)
+    # merge_schema=True is the SRC5 all-nullable contract made operational: a
+    # log tree written across hook versions (a late-added nullable field) must
+    # surface the SUPERSET schema with NULLs for old days — the default
+    # footer-sampling read would silently pick ONE file's schema and drop the
+    # new column. Cost: one footer read per file at planning time; a 100 TB
+    # estate with a FROZEN schema can pass merge_schema=False to skip it.
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
 
 
 def jvm_avro_available(spark: SparkSession) -> bool:

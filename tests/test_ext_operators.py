@@ -3360,3 +3360,25 @@ def test_12bit_progressive_decodes_identical_to_12bit_sequential():
         J.parse_jpeg(J.make_progressive_jpeg_bytes(flat, precision=12))
         == J.parse_jpeg(J.make_jpeg_bytes(flat, precision=12))
     ).all()
+
+
+def test_mp3_xing_vbr_header_roundtrip():
+    """Xing/Info VBR lead frame (the de-facto LAME convention real VBR files
+    open with): the writer's claimed audio-frame count must round-trip through
+    the walk, the Xing frame itself counts as a physical frame, and plain
+    streams report no Xing. The walk never NEEDS Xing (frame lengths are
+    self-describing) — it is cross-check metadata."""
+    from hadoop_migration_assessment_tools_spark.ext import mp3 as MP3
+
+    d = MP3.make_mp3_bytes(15, rate_index=1, bitrate_indices=(9, 12), id3v2_size=5, xing=True)
+    info = MP3.parse_mp3(d)
+    assert info["has_xing"] and info["xing_frames"] == 15
+    assert info["n_frames"] == 16  # 15 audio + the Xing frame
+    assert info["duration_ms"] == 16 * 1152 * 1000 // 48000
+    plain = MP3.parse_mp3(MP3.make_mp3_bytes(6))
+    assert not plain["has_xing"] and plain["xing_frames"] is None
+    # 'Info' tag (LAME's CBR spelling) is recognized too
+    d2 = bytearray(MP3.make_mp3_bytes(4, xing=True, id3v1=False))
+    i = d2.index(b"Xing")
+    d2[i : i + 4] = b"Info"
+    assert MP3.parse_mp3(bytes(d2))["has_xing"]

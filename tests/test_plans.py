@@ -719,3 +719,42 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_join_advisor_walks_the_decision_tree(spark):
+    """plans/advisor.advise_join — the sketches composed into the standard CBO
+    decision: broadcast when a side fits, salt when one key dominates, plain
+    shuffle otherwise; est_join_size (CMS inner product) rides along as the
+    viability number and must upper-bound the exact join size on every branch."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import advise_join
+
+    big = spark.range(0, 20_000).select(
+        (F.col("id") % 1000).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(0, 500).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    # 1) small right side -> broadcast_right, est >= exact
+    r = advise_join(big, small, "k", broadcast_row_limit=1_000).collect()[0]
+    exact = big.join(small, "k").count()
+    assert r["strategy"] == "broadcast_right"
+    assert r["est_join_size"] >= exact > 0
+    assert r["left_rows"] == 20_000 and r["right_rows"] == 500
+
+    # 2) both sides big, one pathological key on the left -> salt_left_key
+    skewed = spark.range(0, 20_000).select(
+        F.when(F.col("id") < 12_000, F.lit("hot"))
+        .otherwise((F.col("id") % 997).cast("string"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    r2 = advise_join(skewed, big, "k", broadcast_row_limit=100).collect()[0]
+    assert r2["strategy"] == "salt_left_key"
+    assert r2["left_top_share"] > 0.5
+
+    # 3) both big, uniform keys -> shuffle_ok
+    r3 = advise_join(big, big.select("k", F.col("v").alias("w")), "k",
+                     broadcast_row_limit=100).collect()[0]
+    assert r3["strategy"] == "shuffle_ok"
+    assert r3["left_top_share"] < 0.2 and r3["right_top_share"] < 0.2

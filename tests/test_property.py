@@ -593,3 +593,54 @@ def test_interval_join_equals_naive_range_join(spark, points, intervals, bucket)
         if st_ <= s <= st_ + l
     }
     assert got == want
+
+
+# --- fixed-point Lloyd: engine-independence of the oracle arithmetic -------------------
+
+_fp_vecs = st.lists(
+    st.lists(st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=6, max_size=6),
+    min_size=8,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vecs=_fp_vecs, nlist=st.sampled_from([2, 3, 5]), iters=st.integers(1, 3))
+def test_quantized_lloyd_matches_pure_python_int_replay(vecs, nlist, iters):
+    """The emb_topk_scaled_ivf oracle rests on this: train_centroids_quantized
+    must be reproducible by a PURE-PYTHON big-int replay of the documented
+    arithmetic (floor(x*2^20) quantization, int squared-L2, first-min argmin,
+    floor-div means, i*(n-1)//(nlist-1) init) — i.e., no numpy float shortcut
+    leaks into the result. This is exactly what the DuckDB unrolled-CTE
+    replay computes, so equality here == oracle soundness for ANY data."""
+    import math
+
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        QUANT_SCALE,
+        train_centroids_quantized,
+    )
+
+    got = train_centroids_quantized(vecs, nlist, iters=iters).tolist()
+
+    # pure-python replay with arbitrary-precision ints
+    x = [[math.floor(float(np.float32(v)) * QUANT_SCALE) for v in row] for row in vecs]
+    n = len(x)
+    cents = [list(x[i * (n - 1) // (nlist - 1)]) for i in range(nlist)]
+    for _ in range(iters):
+        assign = []
+        for row in x:
+            best, bestd = 0, None
+            for cid, c in enumerate(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(row, c))
+                if bestd is None or d < bestd:
+                    best, bestd = cid, d
+            assign.append(best)
+        for cid in range(nlist):
+            members = [x[i] for i, a in enumerate(assign) if a == cid]
+            if members:
+                cents[cid] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+    assert got == cents

@@ -404,3 +404,52 @@ def test_prune_log_tree_retention(spark, tmp_path):
     res = prune_log_tree(base, keep_from="2024-01-03")
     assert res["dates_pruned"] == 1 and not os.path.exists(stale)
     assert not os.path.exists(day_dir)
+
+
+def test_event_log_schema_evolution_surfaces_superset(spark, tmp_path):
+    """SRC5 made operational: the reference schema is all-nullable exactly so a
+    log tree written across hook versions stays readable — a day written
+    BEFORE a nullable field existed must come back with NULLs for it, and the
+    merged read must carry the superset schema (the default footer-sampling
+    read would silently drop the late-added column)."""
+    import datetime as dt
+
+    from hadoop_migration_assessment_tools_spark.schema import QUERY_EVENTS_SCHEMA
+    from hadoop_migration_assessment_tools_spark.sources.readers import read_event_log
+
+    base = str(tmp_path / "log")
+    old_fields = [f for f in QUERY_EVENTS_SCHEMA.fields if f.name != "HiveVersion"]
+    from pyspark.sql import types as T
+
+    old_schema = T.StructType(old_fields)
+
+    def rows(schema, n, day, version):
+        out = []
+        for i in range(n):
+            row = {f.name: None for f in schema.fields}
+            for c in ("TablesRead", "TablesWritten", "PartitionsRead",
+                      "PartitionsWritten", "DatabasesRead", "DatabasesWritten"):
+                if c in row:
+                    row[c] = []
+            row.update(QueryId=f"{day}-q{i}", EventType="QUERY_SUBMITTED",
+                       StartTime=dt.datetime.fromisoformat(f"{day}T12:00:00"))
+            if version is not None:
+                row["HiveVersion"] = version
+            out.append(row)
+        return out
+
+    # old hook version: no HiveVersion column at all
+    spark.createDataFrame(rows(old_schema, 3, "2024-01-01", None), old_schema).write.parquet(
+        f"{base}/EventDate=2024-01-01"
+    )
+    # new hook version: full schema
+    spark.createDataFrame(rows(QUERY_EVENTS_SCHEMA, 2, "2024-01-02", "3.1.3"),
+                          QUERY_EVENTS_SCHEMA).write.parquet(f"{base}/EventDate=2024-01-02")
+
+    merged = read_event_log(spark, base)
+    assert "HiveVersion" in merged.columns
+    got = {(r["QueryId"], r["HiveVersion"]) for r in merged.select("QueryId", "HiveVersion").collect()}
+    assert got == {
+        ("2024-01-01-q0", None), ("2024-01-01-q1", None), ("2024-01-01-q2", None),
+        ("2024-01-02-q0", "3.1.3"), ("2024-01-02-q1", "3.1.3"),
+    }
