@@ -81,6 +81,8 @@ TRACKED = [
     "events_sliding_sample_quantiles",
     "emb_pq_topk",
     "emb_ivfpq_topk",
+    # round-9: the refine step (two-stage ranking) — watch both WindowGroupLimits
+    "emb_ivfpq_rerank_topk",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
