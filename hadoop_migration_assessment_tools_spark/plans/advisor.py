@@ -26,9 +26,31 @@ No reference citation: the reference has no join surface ([EXT] scope).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["advise_join"]
+__all__ = ["advise_join", "strategy_expr"]
+
+
+def strategy_expr(broadcast_row_limit: int, skew_share: float) -> Column:
+    """The decision tree as a column expression over (left_rows, right_rows,
+    left_top_share, right_top_share) — shared by the MG-based production
+    advisor below and the exact-share certified twin (events_join_advice),
+    so both walk literally the same branches."""
+    return (
+        F.when(
+            (F.col("right_rows") <= broadcast_row_limit)
+            & (F.col("right_rows") <= F.col("left_rows")),
+            F.lit("broadcast_right"),
+        )
+        .when(F.col("left_rows") <= broadcast_row_limit, F.lit("broadcast_left"))
+        .when(
+            (F.col("left_top_share") > skew_share)
+            & (F.col("left_top_share") >= F.col("right_top_share")),
+            F.lit("salt_left_key"),
+        )
+        .when(F.col("right_top_share") > skew_share, F.lit("salt_right_key"))
+        .otherwise(F.lit("shuffle_ok"))
+    )
 
 
 def advise_join(
@@ -83,21 +105,7 @@ def advise_join(
         .crossJoin(side_stats(right, "right"))
         .crossJoin(est)
     )
-    strategy = (
-        F.when(
-            (F.col("right_rows") <= broadcast_row_limit)
-            & (F.col("right_rows") <= F.col("left_rows")),
-            F.lit("broadcast_right"),
-        )
-        .when(F.col("left_rows") <= broadcast_row_limit, F.lit("broadcast_left"))
-        .when(
-            (F.col("left_top_share") > skew_share)
-            & (F.col("left_top_share") >= F.col("right_top_share")),
-            F.lit("salt_left_key"),
-        )
-        .when(F.col("right_top_share") > skew_share, F.lit("salt_right_key"))
-        .otherwise(F.lit("shuffle_ok"))
-    )
+    strategy = strategy_expr(broadcast_row_limit, skew_share)
     return row.select(
         "left_rows",
         "right_rows",

@@ -1927,6 +1927,139 @@ FROM est, ex
 """
 
 
+# --- events_join_advice -------------------------------------------------------------
+# [EXT] The join-strategy advisor CERTIFIED (plans/advisor.py's twin with exact
+# top-shares): two candidate joins — purchases-to-errors on user_id (many
+# near-uniform keys) and the all-events SELF-join on event_type (5 values, top
+# share ~0.2-0.3: the key you must never shuffle-join on unsalted, and whose
+# CMS inner product ~ sum n_t^2 >> rows is the blow-up the viability number
+# exists to catch BEFORE running the join). Each side contributes its exact
+# row count and top-key share plus the CMS join-size bound, then the SAME
+# strategy_expr decision tree the production MG-based advisor walks produces
+# the strategy. One hash certifies the measurement arithmetic AND the decision
+# on different branches per key (and per SF — at small SFs a side fits the
+# broadcast limit; the oracle replays whichever branch the data selects). The
+# production advisor swaps exact shares for the one-scan Misra-Gries estimate
+# — same tree, bounded cost (the learned-vs-fixed twin pattern applied to a
+# planner).
+
+JOIN_ADVICE_BCAST_LIMIT = 1500
+JOIN_ADVICE_SKEW_SHARE = 0.2
+
+
+def events_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import cms_counters, cms_inner_product
+    from ..plans.advisor import strategy_expr
+
+    ev = _events(spark, sf_dir)
+
+    def side_stats(keyed: DataFrame, tag: str) -> DataFrame:
+        g = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(
+            F.sum("n").cast("long").alias(f"{tag}_rows"),
+            F.round(
+                F.max("n").cast("double") / F.sum("n").cast("double"), 6
+            ).alias(f"{tag}_top_share"),
+        )
+
+    def advice(join_key: str, left: DataFrame, right: DataFrame) -> DataFrame:
+        est = cms_inner_product(
+            cms_counters(left, "k", w=CMS_JOIN_W),
+            cms_counters(right, "k", w=CMS_JOIN_W),
+        )
+        return (
+            side_stats(left, "left")
+            .crossJoin(side_stats(right, "right"))
+            .crossJoin(est)
+            .select(
+                F.lit(join_key).alias("join_key"),
+                "left_rows",
+                "right_rows",
+                "est_join_size",
+                "left_top_share",
+                "right_top_share",
+                strategy_expr(JOIN_ADVICE_BCAST_LIMIT, JOIN_ADVICE_SKEW_SHARE).alias(
+                    "strategy"
+                ),
+            )
+        )
+
+    by_user = lambda etype: ev.where(  # noqa: E731
+        F.col("user_id").isNotNull() & (F.col("event_type") == etype)
+    ).select(F.col("user_id").cast("string").alias("k"))
+    by_type = ev.where(F.col("event_type").isNotNull()).select(
+        F.col("event_type").cast("string").alias("k")
+    )
+    return (
+        advice("user_id", by_user(CMS_JOIN_A), by_user(CMS_JOIN_B))
+        .unionByName(advice("event_type", by_type, by_type))
+        .orderBy("join_key")
+    )
+
+
+EVENTS_JOIN_ADVICE_ORACLE = f"""
+WITH px AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE event_type = '{CMS_JOIN_A}' AND user_id IS NOT NULL
+), ex AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE event_type = '{CMS_JOIN_B}' AND user_id IS NOT NULL
+), pt AS (
+  SELECT CAST(event_type AS VARCHAR) AS k FROM events WHERE event_type IS NOT NULL
+), et AS (
+  SELECT CAST(event_type AS VARCHAR) AS k FROM events WHERE event_type IS NOT NULL
+), stats AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS rows_,
+         ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS top_share
+  FROM (
+    SELECT 'pu' AS src, k, COUNT(*) AS n FROM px GROUP BY k
+    UNION ALL SELECT 'eu', k, COUNT(*) FROM ex GROUP BY k
+    UNION ALL SELECT 'pt', k, COUNT(*) FROM pt GROUP BY k
+    UNION ALL SELECT 'et', k, COUNT(*) FROM et GROUP BY k
+  ) GROUP BY src
+), cms AS (
+  SELECT src, i.i AS r,
+         (CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)
+          + i.i * CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT)) % {CMS_JOIN_W} AS p,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT 'pu' AS src, k FROM px UNION ALL SELECT 'eu', k FROM ex
+        UNION ALL SELECT 'pt', k FROM pt UNION ALL SELECT 'et', k FROM et),
+       generate_series(0, 3) AS i(i)
+  GROUP BY src, r, p
+), ip AS (
+  SELECT pair.jk, s.i AS r,
+         COALESCE((SELECT SUM(a.cnt * b.cnt)
+                   FROM cms a JOIN cms b ON a.r = b.r AND a.p = b.p
+                   WHERE a.src = pair.l AND b.src = pair.r_ AND a.r = s.i), 0) AS ipv
+  FROM (VALUES ('user_id', 'pu', 'eu'), ('event_type', 'pt', 'et')) pair(jk, l, r_),
+       generate_series(0, 3) AS s(i)
+), est AS (
+  SELECT jk, CAST(MIN(ipv) AS BIGINT) AS est_join_size FROM ip GROUP BY jk
+), advice AS (
+  SELECT pair.jk AS join_key,
+         ls.rows_ AS left_rows, rs.rows_ AS right_rows,
+         est.est_join_size,
+         ls.top_share AS left_top_share, rs.top_share AS right_top_share
+  FROM (VALUES ('user_id', 'pu', 'eu'), ('event_type', 'pt', 'et')) pair(jk, l, r_)
+  JOIN stats ls ON ls.src = pair.l
+  JOIN stats rs ON rs.src = pair.r_
+  JOIN est ON est.jk = pair.jk
+)
+SELECT join_key, left_rows, right_rows, est_join_size, left_top_share, right_top_share,
+       CASE
+         WHEN right_rows <= {JOIN_ADVICE_BCAST_LIMIT} AND right_rows <= left_rows
+           THEN 'broadcast_right'
+         WHEN left_rows <= {JOIN_ADVICE_BCAST_LIMIT} THEN 'broadcast_left'
+         WHEN left_top_share > {JOIN_ADVICE_SKEW_SHARE}
+              AND left_top_share >= right_top_share THEN 'salt_left_key'
+         WHEN right_top_share > {JOIN_ADVICE_SKEW_SHARE} THEN 'salt_right_key'
+         ELSE 'shuffle_ok'
+       END AS strategy
+FROM advice
+ORDER BY join_key
+"""
+
+
 # --- events_grouped_sampled_quantiles ---------------------------------------------------
 # [EXT] The GROUPED form of the sampled-quantile sketch — per-event_type CDF
 # estimates, fully declarative (zero driver actions, unlike the global form's

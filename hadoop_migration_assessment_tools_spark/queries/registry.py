@@ -364,6 +364,10 @@ QUERIES: dict[str, Query] = {
     # window shuffle, fully declarative (zero driver actions; contrast the
     # scored global form's bounded collect); same certified rank-error shape
     "events_grouped_sampled_quantiles": ea.events_grouped_sampled_quantiles,
+    # r9: the join-strategy advisor certified — exact shares + CMS join-size
+    # bound walked through the SAME strategy_expr decision tree the MG-based
+    # production advisor (plans/advisor.py) uses; two keys, different branches
+    "events_join_advice": ea.events_join_advice,
     # r8: sliding-window quantiles from MERGED daily bottom-k samples — the
     # CDF analog of events_sliding_hll_users (no history rescans; exact
     # trailing p50 + observed rank error as controls)
@@ -559,6 +563,7 @@ ORACLE_SQL: dict[str, str] = {
     # hash-match
     "emb_topk_scaled_ivf": llm.EMB_TOPK_SCALED_IVF_ORACLE,
     "emb_ivfpq_rerank_topk": llm.EMB_IVFPQ_RERANK_TOPK_ORACLE,
+    "events_join_advice": ea.EVENTS_JOIN_ADVICE_ORACLE,
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,

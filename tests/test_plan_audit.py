@@ -423,6 +423,9 @@ BNLJ_ALLOWED = {
     # r8: the one-row report crossJoins the 1-row CMS estimate with the 1-row
     # exact-control aggregate (both broadcast scalars)
     "events_cms_join_size",
+    # r9: each advice row crossJoins three 1-row aggregates (left stats x
+    # right stats x CMS estimate — all broadcast scalars)
+    "events_join_advice",
     # r8: PQ ADC scan crossJoins the TOPK_QUERIES-row broadcast query set onto
     # the coded corpus (same deliberate pattern as emb_cosine_topk)
     "emb_pq_topk",
