@@ -209,7 +209,9 @@ def parse_mp3(payload: bytes) -> dict:
     has_xing = False
     xing_frames = None
     foff, flen0 = first_frame
-    for so in (36, 25, 21, 13):  # 4 + side-info of MPEG1 st/mono, MPEG2 st/mono
+    # 4-byte header + side info: MPEG1 stereo 32 / mono 17; MPEG2/2.5 stereo 17
+    # / mono 9 — so the spec offsets are exactly {36, 21, 13}
+    for so in (36, 21, 13):
         tag = data[foff + so : foff + so + 4]
         if so + 8 <= flen0 and tag in (b"Xing", b"Info"):
             has_xing = True

@@ -93,7 +93,13 @@ def advise_join(
                 ).alias(f"{tag}_top_share"),
             )
         )
-        return hh
+        # an EMPTY side still yields a row (rows 0, share 0) so the decision
+        # tree sees numbers, not NULL-propagated branches: 0 rows -> broadcast
+        return hh.unionByName(
+            keyed.sparkSession.createDataFrame(
+                [(0, 0.0)], f"{tag}_rows long, {tag}_top_share double"
+            )
+        ).orderBy(F.desc(f"{tag}_rows")).limit(1)
 
     lk = left.select(F.col(key).cast("string").alias("k")).where(F.col("k").isNotNull())
     rk = right.select(F.col(key).cast("string").alias("k")).where(F.col("k").isNotNull())

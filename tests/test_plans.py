@@ -758,3 +758,16 @@ def test_join_advisor_walks_the_decision_tree(spark):
                      broadcast_row_limit=100).collect()[0]
     assert r3["strategy"] == "shuffle_ok"
     assert r3["left_top_share"] < 0.2 and r3["right_top_share"] < 0.2
+
+
+def test_join_advisor_handles_empty_side(spark):
+    """An empty side must advise broadcast with rows=0 and est=0 — numbers,
+    never NULL-propagated branches (the sizer's disjoint/empty discipline)."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import advise_join
+
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 100).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    r = advise_join(big, big.where(F.lit(False)), "k").collect()[0]
+    assert r["right_rows"] == 0 and r["right_top_share"] == 0.0
+    assert r["est_join_size"] == 0 and r["strategy"] == "broadcast_right"
