@@ -771,3 +771,48 @@ def test_join_advisor_handles_empty_side(spark):
     r = advise_join(big, big.where(F.lit(False)), "k").collect()[0]
     assert r["right_rows"] == 0 and r["right_top_share"] == 0.0
     assert r["est_join_size"] == 0 and r["strategy"] == "broadcast_right"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The docstring claim 'AQE skew-join is the runtime alternative to
+    pre-salting' (plans/skew.py, interval_join.py, advisor.py), demonstrated:
+    a planted 75%-hot key must make AQE re-plan the SortMergeJoin with
+    skew=true and read the hot partition through AQEShuffleRead-skewed splits
+    — no code change, only runtime stats. Notable trap pinned here:
+    coalescePartitions ON can merge away the skew detection at these toy
+    sizes, so the demonstration disables it for the scope of the test."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 300_000, F.lit("hot"))
+            .otherwise((F.col("id") % 5000).cast("string"))
+            .alias("k"),
+            F.col("id").alias("v"),
+            F.lpad(F.lit("x"), 40, "y").alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            (F.col("id") % 5000).cast("string").alias("k"), F.col("id").alias("w")
+        ).union(spark.createDataFrame([("hot", -1)], "k string, w long"))
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        assert j.collect()[0]["s"] == 394_999_350_000  # exact join mass
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not re-plan the skewed join"
+        assert "AQEShuffleRead" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
