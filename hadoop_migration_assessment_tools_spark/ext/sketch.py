@@ -734,3 +734,59 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
     )
     return dense.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
+def cms_counters_grouped(
+    items: DataFrame, group_cols: list[str], col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Per-group CMS counter tables: (group_cols..., row, pos, cnt). One pass,
+    one map-side-combined shuffle, <= |groups| * d * w rows out; SUM-mergeable
+    across groups — which is exactly what the sliding form below exploits."""
+    pos = F.posexplode(_cms_positions(F.col(col), d, w))
+    return (
+        items.where(F.col(col).isNotNull())
+        .select(*group_cols, pos.alias("row", "pos"))
+        .groupBy(*group_cols, "row", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_sliding_counters(
+    items: DataFrame,
+    day_col: str,
+    col: str,
+    window_days: int = 7,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Per-day TRAILING-WINDOW CMS counter tables from SUM-merged daily
+    counters — the third member of the sliding-sketch family (MAX-merged HLL
+    registers, bottom-k sample union, now SUM-merged CMS): keep one d*w
+    counter table per day, answer any trailing window by summing the window's
+    days, never rescan history. Returns (day, row, pos, cnt) per day present.
+
+    Scale shape: daily counters are ONE keyed shuffle; the merge is a range
+    window over the (day x nonzero-cell) SPINE (<= days * d * w rows — sketch-
+    sized, never data-sized). Cells that are zero on EVERY day are absent and
+    read as 0 downstream (cms_lookup's coalesce densify). Calendar gaps are
+    handled by a datediff range frame, not row offsets."""
+    from pyspark.sql.window import Window
+
+    daily = cms_counters_grouped(items, [day_col], col, d, w).localCheckpoint(
+        eager=True
+    )  # tiny (<= days*d*w rows); two consumers below (spine + join)
+    days = daily.select(day_col).distinct()
+    cells = daily.select("row", "pos").distinct()
+    spine = days.crossJoin(F.broadcast(cells))
+    dn = F.datediff(F.col(day_col), F.to_date(F.lit("1970-01-01"))).cast("long")
+    filled = spine.join(daily, [day_col, "row", "pos"], "left").withColumn("_dn", dn)
+    win = (
+        Window.partitionBy("row", "pos")
+        .orderBy("_dn")
+        .rangeBetween(-(int(window_days) - 1), 0)
+    )
+    return (
+        filled.withColumn("w_cnt", F.sum("cnt").over(win))
+        .where(F.col("w_cnt").isNotNull())
+        .select(day_col, "row", "pos", F.col("w_cnt").cast("long").alias("cnt"))
+    )

@@ -1927,6 +1927,123 @@ FROM est, ex
 """
 
 
+# --- events_sliding_cms_types ---------------------------------------------------------
+# [EXT] The third member of the sliding-sketch family (r9): trailing 7-day
+# per-type frequency ESTIMATES from SUM-merged daily CMS counter tables —
+# MAX-merged HLL registers answer trailing distincts, bottom-k sample unions
+# answer trailing quantiles, SUM-merged CMS answers trailing frequencies; in
+# every case one sketch per day, any window by merging the window's days,
+# never a history rescan. est >= exact is enforced IN-PLAN (the impossible
+# direction fails loudly); the exact trailing control rides along — at 100 TB
+# you keep the counter path and drop the control. Oracle replays daily cells,
+# the calendar-gap-safe window merge, the densified min-over-rows lookups AND
+# the exact counts in one hash.
+
+SCMS_WINDOW_DAYS = 7
+
+
+def events_sliding_cms_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import CMS_D, CMS_W, _cms_positions, cms_sliding_counters
+
+    ev = _events(spark, sf_dir).where(F.col("event_type").isNotNull())
+    src = ev.select(F.to_date("ts").alias("day"), "event_type")
+    counters = cms_sliding_counters(
+        src, "day", "event_type", window_days=SCMS_WINDOW_DAYS
+    )
+
+    types = src.select("event_type").distinct()
+    probes = types.select(
+        "event_type",
+        F.posexplode(_cms_positions(F.col("event_type"), CMS_D, CMS_W)).alias(
+            "row", "pos"
+        ),
+    )
+    days = counters.select("day").distinct()
+    # densified lookup: every (day, type, row) contributes — an absent cell is 0
+    est = (
+        days.crossJoin(F.broadcast(probes))
+        .join(counters, ["day", "row", "pos"], "left")
+        .groupBy("day", "event_type")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )
+
+    dailyc = src.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    dn = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01"))).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_dn")
+        .rangeBetween(-(SCMS_WINDOW_DAYS - 1), 0)
+    )
+    exact = (
+        days.crossJoin(F.broadcast(types))
+        .join(dailyc, ["day", "event_type"], "left")
+        .withColumn("_dn", dn)
+        .withColumn("exact_count", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"))
+        .select("day", "event_type", "exact_count")
+    )
+    out = est.join(exact, ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
+    )
+    return (
+        out.withColumn(
+            "_g",
+            F.assert_true(
+                F.col("est_count") >= F.col("exact_count"),
+                F.lit("sliding CMS undercounted a trailing window"),
+            ),
+        )
+        .filter(F.col("_g").isNull())
+        .drop("_g")
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_SLIDING_CMS_TYPES_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(event_type AS VARCHAR) AS t
+  FROM events WHERE event_type IS NOT NULL
+), days AS (SELECT DISTINCT d FROM e
+), types AS (SELECT DISTINCT t FROM e
+), hashed AS (
+  SELECT d, t,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS h2
+  FROM e
+), cells AS (
+  SELECT d, i.i AS r, (h1 + i.i * h2) % {1024} AS p, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed, generate_series(0, 3) AS i(i)
+  GROUP BY d, r, p
+), slid AS (
+  SELECT dy.d, c.r, c.p, CAST(SUM(c.cnt) AS BIGINT) AS cnt
+  FROM days dy JOIN cells c ON c.d BETWEEN dy.d - {SCMS_WINDOW_DAYS - 1} AND dy.d
+  GROUP BY dy.d, c.r, c.p
+), probes AS (
+  SELECT t, i.i AS r,
+         (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+          + i.i * CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)) % {1024} AS p
+  FROM types, generate_series(0, 3) AS i(i)
+), est AS (
+  SELECT dy.d, pr.t, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM days dy CROSS JOIN probes pr
+  LEFT JOIN slid s ON s.d = dy.d AND s.r = pr.r AND s.p = pr.p
+  GROUP BY dy.d, pr.t
+), ex AS (
+  SELECT dy.d, ty.t, CAST(COUNT(e.t) AS BIGINT) AS exact_count
+  FROM days dy CROSS JOIN types ty
+  LEFT JOIN e ON e.t = ty.t AND e.d BETWEEN dy.d - {SCMS_WINDOW_DAYS - 1} AND dy.d
+  GROUP BY dy.d, ty.t
+)
+SELECT est.d AS day, est.t AS event_type, est.est_count, ex.exact_count,
+       CAST(est.est_count - ex.exact_count AS BIGINT) AS overcount
+FROM est JOIN ex ON ex.d = est.d AND ex.t = est.t
+ORDER BY day, event_type
+"""
+
+
 # --- events_join_advice -------------------------------------------------------------
 # [EXT] The join-strategy advisor CERTIFIED (plans/advisor.py's twin with exact
 # top-shares): two candidate joins — purchases-to-errors on user_id (many

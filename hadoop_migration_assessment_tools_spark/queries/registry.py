@@ -368,6 +368,10 @@ QUERIES: dict[str, Query] = {
     # bound walked through the SAME strategy_expr decision tree the MG-based
     # production advisor (plans/advisor.py) uses; two keys, different branches
     "events_join_advice": ea.events_join_advice,
+    # r9: trailing 7-day per-type frequency estimates from SUM-merged daily
+    # CMS tables — the third sliding-sketch member (HLL=distincts,
+    # samples=quantiles, CMS=frequencies); est >= exact in-plan
+    "events_sliding_cms_types": ea.events_sliding_cms_types,
     # r8: sliding-window quantiles from MERGED daily bottom-k samples — the
     # CDF analog of events_sliding_hll_users (no history rescans; exact
     # trailing p50 + observed rank error as controls)
@@ -564,6 +568,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_topk_scaled_ivf": llm.EMB_TOPK_SCALED_IVF_ORACLE,
     "emb_ivfpq_rerank_topk": llm.EMB_IVFPQ_RERANK_TOPK_ORACLE,
     "events_join_advice": ea.EVENTS_JOIN_ADVICE_ORACLE,
+    "events_sliding_cms_types": ea.EVENTS_SLIDING_CMS_TYPES_ORACLE,
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,

@@ -426,6 +426,10 @@ BNLJ_ALLOWED = {
     # r9: each advice row crossJoins three 1-row aggregates (left stats x
     # right stats x CMS estimate — all broadcast scalars)
     "events_join_advice",
+    # r9: sliding CMS — the day-spine crossJoins broadcast sketch-sized sides
+    # (<= d*w nonzero cells, <= |types|*d probes, |types| rows); every
+    # full-data operation is the one daily-counter shuffle
+    "events_sliding_cms_types",
     # r8: PQ ADC scan crossJoins the TOPK_QUERIES-row broadcast query set onto
     # the coded corpus (same deliberate pattern as emb_cosine_topk)
     "emb_pq_topk",
