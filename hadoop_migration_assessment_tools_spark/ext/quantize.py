@@ -250,3 +250,156 @@ def with_pq_adc_tables(
             F.array(*[_sub_sq_l2(F.col(vec_col), s * sub + 1, sub, cw) for cw in cb]),
         )
     return out
+
+
+def with_ivf_pq_codes(
+    df: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid_id",
+    prefix: str = "pq",
+) -> DataFrame:
+    """Fused corpus pass for IVFADC: ONE Arrow kernel assigns the IVF list
+    (nearest fixed centroid) AND the M PQ codes, so the corpus is touched once
+    and candidates downstream carry only ``(id, centroid_id, codes)`` — M bytes
+    of payload per row instead of the raw floats. This is the production
+    IVFADC build shape (Faiss add(): assign + encode in one scan).
+
+    Bit-exactness contract (oracle parity, same as ``with_pq_codes``): every
+    squared-L2 accumulates LEFT-ASSOCIATIVELY over array order (explicit
+    per-dimension loop, never ``np.sum``), and ``np.argmin`` returns the first
+    minimum — matching ``assign_centroids_fixed`` / ``with_pq_codes_hof`` and
+    the DuckDB in-order list fold bit-for-bit (certified in
+    ``tests/test_ext_operators.py::test_ivf_pq_fused_kernel_matches_hof_bitwise``).
+    NULL vectors get NULL centroid + NULL codes."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, sub)
+    cn = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(centroid_col, IntegerType(), True)]
+        + [StructField(f"{prefix}_{s}", IntegerType(), True) for s in range(m)]
+    )
+    vec_idx = df.columns.index(vec_col)
+
+    def _left_assoc_sq_l2(x, c):
+        # x: (n, k, d) broadcast diff against c: (k, d) -> (n, k) left-assoc
+        diff = x - c[None, :, :]
+        sq = diff * diff
+        acc = sq[:, :, 0].copy()
+        for j in range(1, sq.shape[2]):
+            acc += sq[:, :, j]
+        return acc
+
+    def kernel(batches):
+        for pdf in batches:
+            col = pdf.iloc[:, vec_idx]
+            mask = col.notna().to_numpy()
+            cid = np.full(len(pdf), -1, dtype=np.int32)
+            codes = np.full((len(pdf), m), -1, dtype=np.int32)
+            if mask.any():
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in col[mask]])
+                cid[mask] = np.argmin(_left_assoc_sq_l2(vecs[:, None, :], cn), axis=1)
+                for s in range(m):
+                    sl = vecs[:, s * sub : (s + 1) * sub]
+                    codes[mask, s] = np.argmin(
+                        _left_assoc_sq_l2(sl[:, None, :], cb[s]), axis=1
+                    )
+            res = pdf.copy()
+            c = cid.astype(object)
+            c[~mask] = None
+            res[centroid_col] = c
+            for s in range(m):
+                cs = codes[:, s].astype(object)
+                cs[~mask] = None
+                res[f"{prefix}_{s}"] = cs
+            yield res
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def with_query_adc_probes(
+    queries: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    vec_col: str = "qv",
+    prefix: str = "_pqt",
+    probe_col: str = "_probe_ids",
+) -> DataFrame:
+    """Fused query-side pass for IVFADC search: ONE Arrow kernel computes the
+    M per-query ADC tables (``{prefix}_{s}`` = squared-L2 from the query's
+    subspace slice to every codeword) AND the ``nprobe`` nearest IVF lists
+    (``{probe_col}``, ascending distance, ties to the lowest centroid id).
+
+    Replaces ``with_pq_adc_tables`` + ``fixed_centroid_dists`` +
+    array_sort/slice for the hot queries: the query side is tiny (broadcast),
+    but the M*ksub lambda-HOF folds cost seconds of Catalyst ANALYSIS +
+    codegen per execution — the literal centroid/codebook trees are
+    (m*ksub*sub + nlist*dim) nodes re-analyzed on every run. The kernel closes
+    over plain numpy constants instead.
+
+    Bit-exactness: left-assoc squared-L2 (see ``with_ivf_pq_codes``); probe
+    order = stable argsort on distance (== array_sort on (d, centroid_id)
+    structs, since stable keeps the ascending-id generation order on ties)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)
+    cn = np.asarray(cents, dtype=np.float64)
+    out_schema = StructType(
+        queries.schema.fields
+        + [StructField(f"{prefix}_{s}", ArrayType(DoubleType()), True) for s in range(m)]
+        + [StructField(probe_col, ArrayType(IntegerType()), True)]
+    )
+    vec_idx = queries.columns.index(vec_col)
+
+    def kernel(batches):
+        for pdf in batches:
+            col = pdf.iloc[:, vec_idx]
+            mask = col.notna().to_numpy()
+            n = len(pdf)
+            tables = [np.empty(n, dtype=object) for _ in range(m)]
+            probes = np.empty(n, dtype=object)
+            if mask.any():
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in col[mask]])
+                tabm = []
+                for s in range(m):
+                    sl = vecs[:, s * sub : (s + 1) * sub]
+                    diff = sl[:, None, :] - cb[s][None, :, :]
+                    sq = diff * diff
+                    acc = sq[:, :, 0].copy()
+                    for j in range(1, sq.shape[2]):
+                        acc += sq[:, :, j]
+                    tabm.append(acc)  # (nm, ksub)
+                cdiff = vecs[:, None, :] - cn[None, :, :]
+                csq = cdiff * cdiff
+                cacc = csq[:, :, 0].copy()
+                for j in range(1, csq.shape[2]):
+                    cacc += csq[:, :, j]
+                order = np.argsort(cacc, axis=1, kind="stable")[:, :nprobe]
+                midx = np.flatnonzero(mask)
+                for r, gi in enumerate(midx):
+                    for s in range(m):
+                        tables[s][gi] = tabm[s][r].tolist()
+                    probes[gi] = order[r].tolist()
+            res = pdf.copy()
+            for s in range(m):
+                res[f"{prefix}_{s}"] = tables[s]
+            res[probe_col] = probes
+            yield res
+
+    return queries.mapInPandas(kernel, out_schema)

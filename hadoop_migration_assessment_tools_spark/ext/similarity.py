@@ -648,3 +648,55 @@ def cosine_topk_ivf_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def with_sq_l2(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "true_d"
+) -> DataFrame:
+    """Vectorized squared-L2 between two float-array columns (Arrow
+    mapInPandas + numpy) — the refine-step hot path: exact re-rank of an ADC
+    shortlist touches R×|Q| float-vector pairs, and the interpreted
+    ``sq_l2`` lambda fold pays the ~4x HOF tax per element (VERDICT r9 #1,
+    the same class ``with_pq_codes`` escaped at r9).
+
+    Bit-exactness contract (oracle parity): accumulates LEFT-ASSOCIATIVELY
+    over array order in float64 — an explicit per-dimension loop, never
+    ``np.sum`` (pairwise summation groups differently) — so the doubles are
+    bit-identical to the ``sq_l2`` fold / DuckDB's in-order list fold
+    (certified in tests/test_ext_operators.py::
+    test_with_sq_l2_matches_hof_fold_bitwise). NULL or length-mismatched
+    pairs yield NULL, matching zip_with's null-padding fold semantics."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, DoubleType(), True)])
+    ai = df.columns.index(a_col)
+    bi = df.columns.index(b_col)
+
+    def kernel(batches):
+        for pdf in batches:
+            a, b = pdf.iloc[:, ai], pdf.iloc[:, bi]
+            n = len(pdf)
+            out = np.empty(n, dtype=object)
+            mask = (a.notna() & b.notna()).to_numpy()
+            if mask.any():
+                av = [np.asarray(v, dtype=np.float64) for v in a[mask]]
+                bv = [np.asarray(v, dtype=np.float64) for v in b[mask]]
+                lens_ok = np.fromiter(
+                    (x.shape == y.shape for x, y in zip(av, bv)), dtype=bool
+                )
+                midx = np.flatnonzero(mask)
+                if lens_ok.any():
+                    xa = np.stack([v for v, ok in zip(av, lens_ok) if ok])
+                    xb = np.stack([v for v, ok in zip(bv, lens_ok) if ok])
+                    diff = xa - xb
+                    sq = diff * diff
+                    acc = sq[:, 0].copy()
+                    for j in range(1, sq.shape[1]):  # left-assoc, == the fold
+                        acc += sq[:, j]
+                    for r, gi in enumerate(midx[lens_ok]):
+                        out[gi] = float(acc[r])
+            res = pdf.copy()
+            res[out_col] = out
+            yield res
+
+    return df.mapInPandas(kernel, out_schema)

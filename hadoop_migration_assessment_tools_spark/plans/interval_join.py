@@ -40,7 +40,17 @@ def point_in_interval_join(
     """Join each point row (timestamp ``ts_col``) to every interval row whose
     closed interval [start_col, end_col] contains it. Returns the combined
     columns (point columns + interval columns); callers select/aggregate.
-    Column names must not collide across the two inputs (rename first)."""
+    Column names must not collide across the two inputs (rename first).
+
+    Outer-join caveat (ADVICE r9, documented semantics): the interval side is
+    replicated once per covered time bucket, so ``how='right'``/``'full'``
+    emit each UNMATCHED interval once per bucket replica, not once (matched
+    pairs are unaffected — each meets in exactly one bucket, the point's).
+    A right-join caller must therefore aggregate duplication-insensitively —
+    group by the interval's columns and count only point-side values, as
+    events_session_concurrency does to keep zero-concurrency incidents. The
+    salted variant below RAISES on right/full instead: salting multiplies the
+    duplication by salt_buckets and it has no in-repo caller needing it."""
     w = F.lit(int(bucket_seconds)).cast("long")
     pb = points.withColumn(
         "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / w).cast("long")
@@ -86,7 +96,20 @@ def point_in_interval_join_salted(
     structural equi join (no BNLJ possible). Cost: the interval side carries
     ``salt_buckets`` x its replica count — the usual salt trade, cheap when
     intervals are the small side. AQE's skew-join is the runtime alternative;
-    this is the guaranteed-by-construction form."""
+    this is the guaranteed-by-construction form.
+
+    ``how`` is restricted to inner/left (ADVICE r9): MATCHED pairs meet
+    exactly once under any ``how``, but a right/full outer join would emit
+    each UNMATCHED interval once per (bucket replica x salt) instead of once
+    — the replication that makes the equi key work is invisible to matched
+    rows and multiplied into unmatched ones. (The plain variant already
+    duplicates unmatched intervals per bucket replica, which is why it
+    carries the same restriction.)"""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} unsupported: unmatched intervals would be emitted "
+            "once per (bucket replica x salt); use inner or left"
+        )
     w = F.lit(int(bucket_seconds)).cast("long")
     n = int(salt_buckets)
     pb = points.withColumn(

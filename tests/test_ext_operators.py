@@ -2914,6 +2914,139 @@ def test_pq_arrow_encode_matches_hof_reference_bitwise(spark):
     assert got and all(r[c] is None for r in got for c in cols[1:])
 
 
+def test_ivf_pq_fused_kernel_matches_hof_bitwise(spark):
+    """The fused corpus kernel (with_ivf_pq_codes: IVF assignment + M PQ codes
+    in ONE Arrow pass — the r10 rerank hot path) must match the two lambda-HOF
+    references bit-for-bit: assign_centroids_fixed for centroid_id and
+    with_pq_codes_hof for the codes. Same left-assoc/first-min contract as
+    test_pq_arrow_encode_matches_hof_reference_bitwise."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.quantize import (
+        PQ_M,
+        pq_codebooks,
+        with_ivf_pq_codes,
+        with_pq_codes_hof,
+    )
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        assign_centroids_fixed,
+        fixed_centroids,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cents = fixed_centroids(emb, 8)
+    cbs = pq_codebooks(emb)
+    cols = ["vec_id", "centroid_id"] + [f"pq_{s}" for s in range(PQ_M)]
+    fused = with_ivf_pq_codes(emb.select("vec_id", "embedding"), cents, cbs).select(*cols)
+    ref = with_pq_codes_hof(
+        assign_centroids_fixed(emb.select("vec_id", "embedding"), cents), cbs
+    ).select(*cols)
+    assert fused.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fused).count() == 0
+    # NULL vectors -> NULL centroid + NULL codes
+    null_vec = emb.select("vec_id", F.lit(None).cast("array<float>").alias("embedding"))
+    got = with_ivf_pq_codes(null_vec.limit(3), cents, cbs).select(*cols[1:]).collect()
+    assert got and all(r[c] is None for r in got for c in cols[1:])
+
+
+def test_query_adc_probes_match_hof_bitwise(spark):
+    """The fused query-side kernel (with_query_adc_probes: per-query ADC tables
+    + nprobe nearest IVF lists in ONE Arrow pass) must match the lambda-HOF
+    construction bit-for-bit: with_pq_adc_tables for the double-valued tables,
+    and the array_sort-of-(d, centroid_id)-structs slice for the probe order
+    (stable argsort == struct sort because generation order is ascending id)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.quantize import (
+        PQ_M,
+        pq_codebooks,
+        with_pq_adc_tables,
+        with_query_adc_probes,
+    )
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        fixed_centroid_dists,
+        fixed_centroids,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    nprobe = 3
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cents = fixed_centroids(emb, 8)
+    cbs = pq_codebooks(emb)
+    q = emb.where(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cols = ["query_id"] + [f"_pqt_{s}" for s in range(PQ_M)] + ["_probe_ids"]
+    fused = with_query_adc_probes(q, cents, cbs, nprobe, vec_col="qv").select(*cols)
+    ref = (
+        with_pq_adc_tables(q, cbs, vec_col="qv")
+        .withColumn("_qd", fixed_centroid_dists(cents, F.col("qv")))
+        .withColumn(
+            "_probe_ids",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_qd"),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("centroid_id")),
+                    )
+                ),
+                1,
+                nprobe,
+            )["centroid_id"].cast("array<int>"),
+        )
+        .select(*cols)
+    )
+    assert fused.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fused).count() == 0
+
+
+def test_with_sq_l2_matches_hof_fold_bitwise(spark):
+    """The vectorized exact re-rank distance (with_sq_l2, the r10 refine hot
+    path — VERDICT r9 #1) must be BIT-IDENTICAL to the sq_l2 lambda fold:
+    left-assoc float64 accumulation in array order, never np.sum. NULL on
+    either side -> NULL, matching zip_with's null-padding fold."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.similarity import sq_l2, with_sq_l2
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+        .join(
+            F.broadcast(
+                emb.where(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+                )
+            )
+        )
+    )
+    fast = with_sq_l2(pairs, "va", "vb", out_col="d").select("a_id", "b_id", "d")
+    ref = pairs.withColumn("d", sq_l2(F.col("va"), F.col("vb"))).select(
+        "a_id", "b_id", "d"
+    )
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+    # NULL / length-mismatch semantics match the fold (NULL result)
+    edge = spark.createDataFrame(
+        [(1, [1.0, 2.0], None), (2, None, [1.0]), (3, [1.0, 2.0], [1.0])],
+        "id long, va array<float>, vb array<float>",
+    )
+    got = {r["id"]: r["d"] for r in with_sq_l2(edge, "va", "vb", out_col="d").collect()}
+    hof = {
+        r["id"]: r["d"]
+        for r in edge.withColumn("d", sq_l2(F.col("va"), F.col("vb"))).collect()
+    }
+    assert got == hof == {1: None, 2: None, 3: None}
+
+
 def test_pq_codebooks_rejects_indivisible_dim(spark):
     """dim % m != 0 must fail loudly: silently truncating the vector tail
     would corrupt every PQ distance with no error (ADVICE r8)."""

@@ -38,6 +38,17 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_ivf_fixed_topk": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
+    # r10 (VERDICT r9 #1): IVFADC + exact refine, fully Arrow-vectorized —
+    # corpus assign+encode fused in one mapInPandas, query ADC tables + probe
+    # lists in another, exact re-rank squared-L2 in a third. Candidates carry
+    # ONLY (query_id, neighbor_id, adc_d) through the ADC window shuffle; the
+    # float vectors re-enter post-shortlist via broadcast joins (probes on
+    # query_id, shortlist onto one extra corpus scan on neighbor_id) — so all
+    # 3 joins are BHJ equi-joins and the window shuffles move 3 narrow
+    # columns. window=6: two rank windows x (Window + 2 WindowGroupLimit).
+    "emb_ivfpq_rerank_topk": dict(
+        shuffle_exchange=3, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+    ),
     # round 6: fixed-centroid cluster profile — scan-local assignment + one
     # centroid/label agg + the profile windows (+ output-order sort). Zero joins.
     "emb_cluster_profile": dict(

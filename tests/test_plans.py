@@ -816,3 +816,72 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_apply_join_advice_every_branch_equals_plain_join(spark):
+    """VERDICT r9 #3 — the advisor ACTUATED: apply_join_advice must walk the
+    same decision tree as advise_join and every branch must return exactly the
+    plain inner join's rows. Five planted fixtures, one per branch; planted
+    skew share (0.8) sits far above skew_share + total/cap per the documented
+    MG undercount margin."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import apply_join_advice
+    from hadoop_migration_assessment_tools_spark.plans.audit import plan_signature
+
+    big_uniform = [(i % 200, i) for i in range(2000)]  # 200 keys x 10 rows
+    hot = [(0, i) for i in range(1600)] + [(1 + i % 200, i) for i in range(400)]
+    tiny = [(k, k * 10) for k in range(30)]
+    wide = [(i % 300, i) for i in range(3000)]
+
+    def mk(rows, side):
+        return spark.createDataFrame(rows, f"k long, {side} long")
+
+    cases = {
+        "broadcast_right": (mk(big_uniform, "lv"), mk(tiny, "rv")),
+        "broadcast_left": (mk(tiny, "lv"), mk(big_uniform, "rv")),
+        "salt_left_key": (mk(hot, "lv"), mk(big_uniform, "rv")),
+        "salt_right_key": (mk(big_uniform, "lv"), mk(hot, "rv")),
+        "shuffle_ok": (mk(big_uniform, "lv"), mk(wide, "rv")),
+    }
+    for want, (left, right) in cases.items():
+        strategy, out = apply_join_advice(
+            left, right, "k", broadcast_row_limit=50, salt_buckets=8
+        )
+        assert strategy == want, f"{want}: advisor chose {strategy}"
+        assert out.columns == ["k", "lv", "rv"]
+        plain = left.join(right, "k").select("k", "lv", "rv")
+        got = sorted(map(tuple, out.collect()))
+        exp = sorted(map(tuple, plain.collect()))
+        assert got == exp, f"{want}: rows diverge from the plain join"
+        sig = plan_signature(out)
+        assert sig["bnlj"] == 0 and sig["cartesian"] == 0, (want, sig)
+        if want.startswith("broadcast"):
+            assert sig["bhj"] >= 1, (want, sig)  # the hint must actually fire
+
+
+def test_apply_join_advice_rejects_column_overlap(spark):
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.plans.advisor import apply_join_advice
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="non-key columns"):
+        apply_join_advice(df, df, "k")
+
+
+def test_salted_interval_join_rejects_outer_how(spark):
+    """ADVICE r9: under right/full outer the salted variant would emit each
+    unmatched interval once per (bucket replica x salt) — it must refuse.
+    The PLAIN variant deliberately allows 'right' (events_session_concurrency
+    keeps zero-concurrency incidents through a duplication-insensitive
+    groupBy), with the per-bucket-replica duplication documented instead."""
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.plans.interval_join import (
+        point_in_interval_join_salted,
+    )
+
+    pts = spark.createDataFrame([], "p_ts timestamp")
+    ivs = spark.createDataFrame([], "w_start timestamp, w_end timestamp")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="unmatched intervals"):
+            point_in_interval_join_salted(pts, "p_ts", ivs, "w_start", "w_end", how=how)
