@@ -206,11 +206,22 @@ def parse_mp3(payload: bytes) -> dict:
     # after the side info — the four spec offsets by version x channel mode.
     # The walk itself never needs it (frame lengths are self-describing); it is
     # exposed so consumers can cross-check the claimed audio-frame count.
+    #
+    # Accounting contract (ADVICE r9, documented rather than adjusted):
+    # n_frames / duration_ms / is_cbr / mean_bitrate_kbps count EVERY physical
+    # frame INCLUDING a leading Xing/Info metadata frame — the walk reports
+    # the physical stream; industry tools usually subtract the info frame.
+    # Consumers wanting the audio-only figure subtract 1 when has_xing (the
+    # xing_frames field already carries the encoder's audio-only claim).
     has_xing = False
     xing_frames = None
     foff, flen0 = first_frame
     # 4-byte header + side info: MPEG1 stereo 32 / mono 17; MPEG2/2.5 stereo 17
-    # / mono 9 — so the spec offsets are exactly {36, 21, 13}
+    # / mono 9 — so the spec offsets are exactly {36, 21, 13}. NO-CRC
+    # assumption (ADVICE r9): in CRC-protected frames (protection bit 0) the
+    # side info shifts +2 bytes and these fixed offsets would miss the tag —
+    # fine for this walker, whose own writer always sets protection=1 (no
+    # CRC), but a CRC-protected external stream reports has_xing=False.
     for so in (36, 21, 13):
         tag = data[foff + so : foff + so + 4]
         if so + 8 <= flen0 and tag in (b"Xing", b"Info"):

