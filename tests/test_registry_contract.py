@@ -63,7 +63,12 @@ SCORED_WINDOW = [
     "qe_submit_complete_join",
     "qe_user_rollup",
     "qe_table_read_frequency",
-    "qe_version_gate",
+    # round-10 reviewed swap (VERDICT r9 #9): the actuated join advisor —
+    # apply_join_advice executing the data-chosen branch with decision +
+    # joined rows certified in one hash (salt_left_key fires at the sf0.01
+    # scoring SF) — replaces the narrow scalar-map version gate, which stays
+    # oracled below the line with pytest + hypothesis coverage for PRJ8
+    "events_join_advice_applied",
     "qe_partition_names",
     "qe_app_id_first_match",
     "qe_counters_roundtrip",
