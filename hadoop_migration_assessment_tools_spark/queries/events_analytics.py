@@ -2367,6 +2367,107 @@ ORDER BY day
 """
 
 
+# --- events_stream_cms_parity -----------------------------------------------------------
+# [EXT] The SUM-mergeable half of the streaming-maintainer scored-line evidence
+# (companion to events_stream_hll_parity's MAX-mergeable half): per-day CMS
+# counter tables maintained by a REAL multi-batch stream (4 source files,
+# maxFilesPerTrigger=1) through daily_cms_counters — which is a PLAIN
+# watermarked streaming aggregate, because the CMS merge operator IS
+# elementwise SUM and Spark's incremental aggregation already sums. The output
+# joins streamed cells to batch cells per (day, row, pos) full-outer and the
+# oracle — which can only compute the BATCH cells — emits (n, n, n), so a
+# missing cell, an extra cell, or ONE miscounted counter anywhere in the d*w
+# table breaks the hash. All-integer output: zero rounding discipline.
+
+STREAM_CMS_D = 4
+STREAM_CMS_W = 1024
+
+
+def events_stream_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..config import scratch_dir
+    from ..ext.sketch import _cms_positions
+    from ..streaming.source import read_events_table_stream
+    from ..streaming.windows import daily_cms_counters
+
+    ev = _events(spark, sf_dir)
+    tmp = scratch_dir("events_stream_cms", sf_dir, wipe=True)
+    src = f"{tmp}/src"
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+
+    stream = read_events_table_stream(spark, src, max_files_per_trigger=1)
+    table = f"events_stream_cms_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")  # state-store cost, r7 lesson
+    try:
+        (
+            daily_cms_counters(stream, d=STREAM_CMS_D, w=STREAM_CMS_W)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    streamed = spark.table(table).select(
+        "day", "row", "pos", F.col("cnt").alias("s_cnt")
+    )
+    batch = (
+        ev.where(F.col("event_type").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            F.posexplode(
+                _cms_positions(F.col("event_type"), STREAM_CMS_D, STREAM_CMS_W)
+            ).alias("row", "pos"),
+        )
+        .groupBy("day", "row", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("b_cnt"))
+    )
+    return (
+        batch.join(streamed, ["day", "row", "pos"], "full_outer")
+        .groupBy("day")
+        .agg(
+            F.count("s_cnt").cast("long").alias("n_stream_cells"),
+            F.count("b_cnt").cast("long").alias("n_batch_cells"),
+            F.count(F.when(F.col("s_cnt") == F.col("b_cnt"), 1))
+            .cast("long")
+            .alias("n_match"),
+            F.sum("b_cnt").cast("long").alias("sum_cnt"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_STREAM_CMS_PARITY_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(event_type AS VARCHAR) AS t
+  FROM events WHERE event_type IS NOT NULL
+), hashed AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS h2
+  FROM e
+), cells AS (
+  SELECT d, i.i AS r, (h1 + i.i * h2) % {STREAM_CMS_W} AS p,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed, generate_series(0, {STREAM_CMS_D - 1}) AS i(i)
+  GROUP BY d, r, p
+)
+SELECT d AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_stream_cells,
+       CAST(COUNT(*) AS BIGINT) AS n_batch_cells,
+       CAST(COUNT(*) AS BIGINT) AS n_match,
+       CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+FROM cells
+GROUP BY d
+ORDER BY day
+"""
+
+
 # --- events_grouped_sampled_quantiles ---------------------------------------------------
 # [EXT] The GROUPED form of the sampled-quantile sketch — per-event_type CDF
 # estimates, fully declarative (zero driver actions, unlike the global form's

@@ -382,6 +382,10 @@ QUERIES: dict[str, Query] = {
     # style line — a real 4-micro-batch stream maintains per-day registers and
     # the output hash breaks unless streamed state == batch sketch exactly
     "events_stream_hll_parity": ea.events_stream_hll_parity,
+    # r10: the SUM-mergeable half of the same evidence — daily_cms_counters
+    # maintained over 4 micro-batches, every (day, row, pos) cell hash-checked
+    # against the batch CMS via the full-outer-join certification
+    "events_stream_cms_parity": ea.events_stream_cms_parity,
     # r9: trailing 7-day per-type frequency estimates from SUM-merged daily
     # CMS tables — the third sliding-sketch member (HLL=distincts,
     # samples=quantiles, CMS=frequencies); est >= exact in-plan
@@ -589,6 +593,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_join_advice": ea.EVENTS_JOIN_ADVICE_ORACLE,
     "events_join_advice_applied": ea.EVENTS_JOIN_ADVICE_APPLIED_ORACLE,
     "events_stream_hll_parity": ea.EVENTS_STREAM_HLL_PARITY_ORACLE,
+    "events_stream_cms_parity": ea.EVENTS_STREAM_CMS_PARITY_ORACLE,
     "events_sliding_cms_types": ea.EVENTS_SLIDING_CMS_TYPES_ORACLE,
     "events_session_concurrency": ea.EVENTS_SESSION_CONCURRENCY_ORACLE,
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
