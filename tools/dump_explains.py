@@ -83,6 +83,10 @@ TRACKED = [
     "emb_ivfpq_topk",
     # round-9: the refine step (two-stage ranking) — watch both WindowGroupLimits
     "emb_ivfpq_rerank_topk",
+    # round-10: residual PQ (watch the residual subtraction staying a narrow
+    # Arrow map) and the actuated advisor (the executed branch's join strategy)
+    "emb_residual_pq_topk",
+    "events_join_advice_applied",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
