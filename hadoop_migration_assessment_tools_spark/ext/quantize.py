@@ -241,7 +241,13 @@ def with_pq_adc_tables(
     """Per-QUERY ADC tables: ``{prefix}_{s}`` = array of squared-L2 distances
     from the query's subspace-s slice to every codeword. Computed ONCE per
     query row (the query side is tiny and broadcast); the corpus-side distance
-    is then M array lookups per pair instead of M*ksub interpreted folds."""
+    is then M array lookups per pair instead of M*ksub interpreted folds.
+
+    This HOF form is the certified REFERENCE twin: its m*ksub literal-codeword
+    lambda folds cost ~2.5 s of Catalyst analysis per execution at any SF
+    (measured r10), so hot paths use ``with_pq_adc_tables_arrow`` (tables
+    only) or ``with_query_adc_probes`` (tables + IVF probes), each pinned
+    bitwise against this construction in tests/test_ext_operators.py."""
     sub = len(codebooks[0][0])
     out = queries
     for s, cb in enumerate(codebooks):
@@ -250,6 +256,61 @@ def with_pq_adc_tables(
             F.array(*[_sub_sq_l2(F.col(vec_col), s * sub + 1, sub, cw) for cw in cb]),
         )
     return out
+
+
+def with_pq_adc_tables_arrow(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "qv",
+    prefix: str = "_pqt",
+) -> DataFrame:
+    """Arrow twin of ``with_pq_adc_tables`` (tables only, no IVF probes —
+    the plain-PQ query side). The HOF builder's real cost is not the
+    interpreter but Catalyst ANALYSIS: its m*ksub lambda-HOF folds over
+    literal codeword arrays are (m*ksub*sub)-node trees re-analyzed on every
+    execution (~2.5 s measured at ANY SF — a constant tax, r10). One
+    mapInPandas node closing over numpy constants analyzes in milliseconds.
+
+    Bit-exactness: left-assoc squared-L2 accumulation (see
+    ``with_ivf_pq_codes``), certified bitwise against the HOF fold in
+    tests/test_ext_operators.py::test_pq_adc_tables_arrow_matches_hof_bitwise.
+    NULL vectors get NULL tables."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, sub)
+    out_schema = StructType(
+        queries.schema.fields
+        + [StructField(f"{prefix}_{s}", ArrayType(DoubleType()), True) for s in range(m)]
+    )
+    vec_idx = queries.columns.index(vec_col)
+
+    def kernel(batches):
+        for pdf in batches:
+            col = pdf.iloc[:, vec_idx]
+            mask = col.notna().to_numpy()
+            n = len(pdf)
+            tables = [np.empty(n, dtype=object) for _ in range(m)]
+            if mask.any():
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in col[mask]])
+                midx = np.flatnonzero(mask)
+                for s in range(m):
+                    sl = vecs[:, s * sub : (s + 1) * sub]
+                    diff = sl[:, None, :] - cb[s][None, :, :]
+                    sq = diff * diff
+                    acc = sq[:, :, 0].copy()
+                    for j in range(1, sq.shape[2]):
+                        acc += sq[:, :, j]
+                    for r, gi in enumerate(midx):
+                        tables[s][gi] = acc[r].tolist()
+            res = pdf.copy()
+            for s in range(m):
+                res[f"{prefix}_{s}"] = tables[s]
+            yield res
+
+    return queries.mapInPandas(kernel, out_schema)
 
 
 def with_ivf_pq_codes(

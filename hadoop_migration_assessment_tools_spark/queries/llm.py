@@ -5176,7 +5176,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.quantize import (
         PQ_M,
         pq_codebooks,
-        with_pq_adc_tables,
+        with_pq_adc_tables_arrow,
         with_pq_codes,
     )
     from ..ext.similarity import sq_l2
@@ -5190,7 +5190,9 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cvec"),
         *[F.col(f"pq_{s}") for s in range(PQ_M)],
     )
-    queries = with_pq_adc_tables(
+    # Arrow ADC tables (r10): the HOF builder costs ~2.5 s of Catalyst
+    # analysis per run at ANY SF; the kernel is pinned bitwise against it
+    queries = with_pq_adc_tables_arrow(
         emb.where(F.col("vec_id") < TOPK_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         ),
@@ -5297,13 +5299,8 @@ ORDER BY query_id, rank
 
 
 def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ext.quantize import PQ_M, pq_codebooks, with_pq_adc_tables, with_pq_codes
-    from ..ext.similarity import (
-        assign_centroids_fixed,
-        fixed_centroid_dists,
-        fixed_centroids,
-        sq_l2,
-    )
+    from ..ext.quantize import PQ_M, pq_codebooks, with_pq_codes, with_query_adc_probes
+    from ..ext.similarity import assign_centroids_fixed, fixed_centroids, sq_l2
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     cents = fixed_centroids(emb, IVF_FIXED_NLIST)
@@ -5317,34 +5314,23 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         *[F.col(f"pq_{s}") for s in range(PQ_M)],
     )
-    probes = (
-        with_pq_adc_tables(
-            emb.where(F.col("vec_id") < TOPK_QUERIES).select(
-                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-            ),
-            cbs,
-            vec_col="qv",
-        )
-        .withColumn("_qd", fixed_centroid_dists(cents, F.col("qv")))
-        .withColumn(
-            "_probe",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        F.col("_qd"),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("centroid_id")),
-                    )
-                ),
-                1,
-                IVF_FIXED_NPROBE,
-            ),
-        )
-        .select(
-            "query_id",
-            "qv",
-            *[F.col(f"_pqt_{s}") for s in range(PQ_M)],
-            F.explode(F.col("_probe.centroid_id")).alias("centroid_id"),
-        )
+    # Fused Arrow query pass (r10): ADC tables + probe lists in one kernel —
+    # the HOF-fold/array_sort construction it replaces costs ~2.5 s of
+    # Catalyst analysis per run at ANY SF; pinned bitwise against it in
+    # tests/test_ext_operators.py (tables, probe ids, and probe order)
+    probes = with_query_adc_probes(
+        emb.where(F.col("vec_id") < TOPK_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        cents,
+        cbs,
+        IVF_FIXED_NPROBE,
+        vec_col="qv",
+    ).select(
+        "query_id",
+        "qv",
+        *[F.col(f"_pqt_{s}") for s in range(PQ_M)],
+        F.explode(F.col("_probe_ids")).alias("centroid_id"),
     )
     cand = corpus.join(F.broadcast(probes), "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")

@@ -3005,6 +3005,37 @@ def test_query_adc_probes_match_hof_bitwise(spark):
     assert ref.exceptAll(fused).count() == 0
 
 
+def test_pq_adc_tables_arrow_matches_hof_bitwise(spark):
+    """The tables-only Arrow ADC builder (with_pq_adc_tables_arrow — the
+    plain-PQ query side, r10) must match the lambda-HOF construction
+    bit-for-bit, and NULL vectors must yield NULL tables."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.quantize import (
+        PQ_M,
+        pq_codebooks,
+        with_pq_adc_tables,
+        with_pq_adc_tables_arrow,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cbs = pq_codebooks(emb)
+    q = emb.where(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cols = ["query_id"] + [f"_pqt_{s}" for s in range(PQ_M)]
+    fused = with_pq_adc_tables_arrow(q, cbs, vec_col="qv").select(*cols)
+    ref = with_pq_adc_tables(q, cbs, vec_col="qv").select(*cols)
+    assert fused.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fused).count() == 0
+    null_q = q.select("query_id", F.lit(None).cast("array<float>").alias("qv"))
+    got = with_pq_adc_tables_arrow(null_q.limit(3), cbs, vec_col="qv").collect()
+    assert got and all(r[f"_pqt_{s}"] is None for r in got for s in range(PQ_M))
+
+
 def test_with_sq_l2_matches_hof_fold_bitwise(spark):
     """The vectorized exact re-rank distance (with_sq_l2, the r10 refine hot
     path — VERDICT r9 #1) must be BIT-IDENTICAL to the sq_l2 lambda fold:
