@@ -601,6 +601,47 @@ def assign_centroids_quantized(
     return df.withColumn(out_col, nearest(F.col(vec_col)))
 
 
+def quantized_probe_ids(
+    cents_int: "np.ndarray",
+    nprobe: int,
+) -> "Column":
+    """Column factory: ``nprobe`` nearest quantized-centroid ids of a float
+    vector column, as ``array<int>`` ascending by (exact distance, cid) — the
+    Arrow twin of the literal-centroid HOF probe construction (whose
+    nlist*dim literal tree costs ~2 s of Catalyst analysis PER RUN at any SF,
+    the with_pq_adc_tables tax class, r10).
+
+    Bit-exactness: per query row the ranking drops |q|^2 (a constant shift
+    preserves order AND integer ties); every value in ``cent_sq - 2*q@C.T``
+    is an integer below 2^52, exact in float64; stable argsort gives ties to
+    the lowest cid — matching the (d, cid) struct sort bit-for-bit (pinned in
+    tests/test_ext_operators.py::test_quantized_probe_ids_match_hof_bitwise).
+    NULL vectors yield NULL (an explode then drops the query, as the HOF
+    path's NULL lineage did)."""
+    from pyspark.sql.functions import pandas_udf
+
+    _check_quantized_envelope(np.asarray(cents_int, dtype=np.int64))
+    cents = np.asarray(cents_int, dtype=np.float64)
+    cent_sq = (cents * cents).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna().to_numpy()
+        out = np.empty(len(vecs), dtype=object)
+        if mask.any():
+            x = np.floor(
+                np.vstack(vecs[mask].to_numpy()).astype(np.float64) * QUANT_SCALE
+            )
+            _check_quantized_envelope(x.astype(np.int64))
+            d = cent_sq - 2.0 * (x @ cents.T)
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            for r, gi in enumerate(np.flatnonzero(mask)):
+                out[gi] = order[r].tolist()
+        return pd.Series(out)
+
+    return probe
+
+
 def cosine_topk_ivf_quantized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -636,37 +677,22 @@ def cosine_topk_ivf_quantized(
         l2_norm(F.col(vec_col)).alias("_cnorm"),
         "centroid_id",
     )
-    # per-query probe lists: exact-integer distances to the literal centroid
-    # table (nlist x dim longs, materialized once), sorted (d, cid) structs
-    cent_lit = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in cents.tolist()]
-    )
+    # per-query probe lists via the Arrow kernel (r10): the literal-centroid
+    # HOF construction it replaces (nlist x dim inlined longs + nlist int
+    # folds) cost ~2 s of Catalyst analysis per run at ANY SF; pinned bitwise
+    # against it in tests/test_ext_operators.py
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qvec"),
             l2_norm(F.col(vec_col)).alias("_qnorm"),
         )
-        .withColumn("_qq", quantize_vec(F.col("_qvec")))
-        .withColumn("_qd", F.transform(cent_lit, lambda c: int_sq_l2(F.col("_qq"), c)))
-        .withColumn(
-            "_probe",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        F.col("_qd"),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("centroid_id")),
-                    )
-                ),
-                1,
-                nprobe,
-            ),
-        )
+        .withColumn("_probe_ids", quantized_probe_ids(cents, nprobe)(F.col("_qvec")))
         .select(
             "query_id",
             "_qvec",
             "_qnorm",
-            F.explode(F.col("_probe.centroid_id")).alias("centroid_id"),
+            F.explode(F.col("_probe_ids")).alias("centroid_id"),
         )
     )
     scored = (

@@ -3036,6 +3036,65 @@ def test_pq_adc_tables_arrow_matches_hof_bitwise(spark):
     assert got and all(r[f"_pqt_{s}"] is None for r in got for s in range(PQ_M))
 
 
+def test_quantized_probe_ids_match_hof_bitwise(spark):
+    """The Arrow probe kernel (quantized_probe_ids — drops |q|^2, float64 BLAS
+    on integer values, stable argsort) must match the literal-centroid HOF
+    construction (full int_sq_l2, (d, cid) struct sort) bit-for-bit, and NULL
+    vectors must yield NULL probe lists."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        int_sq_l2,
+        quantize_vec,
+        quantized_probe_ids,
+        train_centroids_quantized,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    nprobe = 4
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    sample = [
+        r[0]
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(256)
+        .select("embedding")
+        .collect()
+    ]
+    cents = train_centroids_quantized(sample, 16, iters=2)
+    q = emb.where(F.col("vec_id") < 64).select("vec_id", "embedding")
+    fused = q.select(
+        "vec_id", quantized_probe_ids(cents, nprobe)(F.col("embedding")).alias("p")
+    )
+    cent_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cents.tolist()])
+    ref = (
+        q.withColumn("_qq", quantize_vec(F.col("embedding")))
+        .withColumn("_qd", F.transform(cent_lit, lambda c: int_sq_l2(F.col("_qq"), c)))
+        .select(
+            "vec_id",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_qd"),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+                    )
+                ),
+                1,
+                nprobe,
+            )["cid"].cast("array<int>").alias("p"),
+        )
+    )
+    assert fused.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fused).count() == 0
+    null_q = q.select("vec_id", F.lit(None).cast("array<float>").alias("embedding"))
+    got = null_q.limit(3).select(
+        quantized_probe_ids(cents, nprobe)(F.col("embedding")).alias("p")
+    ).collect()
+    assert got and all(r["p"] is None for r in got)
+
+
 def test_with_sq_l2_matches_hof_fold_bitwise(spark):
     """The vectorized exact re-rank distance (with_sq_l2, the r10 refine hot
     path — VERDICT r9 #1) must be BIT-IDENTICAL to the sq_l2 lambda fold:
