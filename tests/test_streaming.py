@@ -1118,6 +1118,47 @@ def test_sample_quantile_maintainer_kill_restart_matches_batch(spark, tmp_path):
         assert r["p50"] == vs[max(1, math.ceil(0.5 * len(vs))) - 1]
 
 
+def test_hll_maintainer_kill_restart_matches_batch(spark, tmp_path):
+    """Checkpoint-restart for the MAX-mergeable HLL maintainer (a plain
+    watermarked streaming aggregate, like CMS but MAX instead of SUM): the
+    final emission per register — the highest-batch_id row for each
+    (day, reg) — must equal the batch registers exactly. Completes the
+    kill-restart matrix across all four maintainers (KMV / sample / CMS / HLL;
+    the scored-line parity rows certify uninterrupted streams, this certifies
+    recovery)."""
+    from hadoop_migration_assessment_tools_spark.ext.sketch import (
+        hll_registers_grouped,
+    )
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_hll_registers,
+    )
+
+    emitted = _maintainer_kill_restart(
+        spark,
+        tmp_path,
+        lambda s: daily_hll_registers(s, watermark="3650 days", p=5),
+        "update",
+    ).collect()
+    final: dict = {}
+    for r in emitted:
+        key = (r["day"], r["reg"])
+        if key not in final or r["batch_id"] > final[key][0]:
+            final[key] = (r["batch_id"], r["max_rank"])
+    got = {k: v for k, (_, v) in final.items()}
+
+    events = load_table(spark, SF, "events")
+    want = {
+        (r["day"], r["reg"]): r["max_rank"]
+        for r in hll_registers_grouped(
+            events.select(F.to_date("ts").alias("day"), "user_id"),
+            ["day"],
+            "user_id",
+            p=5,
+        ).collect()
+    }
+    assert got == want and len(want) > 20
+
+
 def test_cms_maintainer_kill_restart_matches_batch(spark, tmp_path):
     """Checkpoint-restart for the SUM-mergeable CMS maintainer (a plain
     watermarked streaming aggregate in update mode): the final emission per
