@@ -5719,7 +5719,12 @@ def emb_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_RESIDUAL_PQ_TOPK_ORACLE = f"""
+#: Shared CTE chain for the residual-PQ family: clustered corpus -> quantized
+#: training sample -> 2 unrolled fixed-point Lloyd rounds -> residual encode
+#: (codes) -> per-(query, probed-list) residual ADC tables -> candidate pairs
+#: with integer ADC distances. Both the codes-only top-k and the refine
+#: composition below read from `pair` (and `corpq` for exact re-rank vectors).
+_RES_PQ_ORACLE_CTES = f"""
 WITH anch AS (
   SELECT vec_id AS aid, embedding AS av FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id < {RES_PQ_ANCHORS}
@@ -5808,7 +5813,11 @@ corpq AS (
   JOIN qadc t3 ON t3.query_id = p.query_id AND t3.centroid_id = p.centroid_id
               AND t3.s = 3 AND t3.code = a.k3
   WHERE a.neighbor_id <> p.query_id
-)
+)"""
+
+EMB_RESIDUAL_PQ_TOPK_ORACLE = (
+    _RES_PQ_ORACLE_CTES
+    + f"""
 SELECT query_id, rank, neighbor_id, CAST(adc_d AS BIGINT) AS adc_d
 FROM (SELECT *, CAST(ROW_NUMBER() OVER (
           PARTITION BY query_id ORDER BY adc_d ASC, neighbor_id ASC) AS BIGINT) AS rank
@@ -5816,3 +5825,118 @@ FROM (SELECT *, CAST(ROW_NUMBER() OVER (
 WHERE rank <= {PQ_TOPK_K}
 ORDER BY query_id, rank
 """
+)
+
+
+# --- emb_residual_pq_rerank_topk ------------------------------------------------------
+# [EXT] The FULL production ANN stack composed in the integer-exact seam:
+# learned IVF (fixed-point Lloyd) -> residual PQ codes -> ADC shortlist of R
+# candidates per query -> EXACT re-rank of just the shortlist (integer
+# squared-L2 on the quantized vectors) -> final top-k. This is Faiss's
+# IndexIVFPQ + IndexRefine pair (Jegou et al.; the architecture every
+# production vector store runs), and — unlike the float refine in
+# emb_ivfpq_rerank_topk — every stage here is exact int64, so ONE oracle hash
+# certifies training, residual encoding, probing, ADC ranking, the shortlist
+# cut AND the exact refine with zero rounding discipline. Scale shape: the
+# ADC window shuffle carries only (query_id, neighbor_id, adc_d); quantized
+# vectors re-enter post-shortlist via a broadcast of the R*|Q|-row shortlist
+# (never a corpus shuffle); the refine fold runs on R*|Q| rows, independent
+# of corpus size. [EXT] — no reference citation; public-literature design.
+
+RES_RERANK_R = 64
+
+
+def emb_residual_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.quantize import (
+        PQ_M,
+        residual_pq_codebooks_int,
+        with_ivf_residual_pq_codes,
+        with_residual_adc_probes,
+    )
+    from ..ext.similarity import int_sq_l2, quantize_vec, train_centroids_quantized
+
+    clustered = _clustered_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    sample = [
+        r[0]
+        for r in clustered.orderBy("vec_id")
+        .limit(RES_PQ_SAMPLE_N)
+        .select("embedding")
+        .collect()
+    ]
+    cents = train_centroids_quantized(sample, RES_PQ_NLIST, RES_PQ_ITERS)
+    cbs = residual_pq_codebooks_int(clustered, cents)
+    corpus = with_ivf_residual_pq_codes(clustered, cents, cbs).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        *[F.col(f"pq_{s}") for s in range(PQ_M)],
+    )
+    queries = clustered.where(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = with_residual_adc_probes(queries, cents, cbs, RES_PQ_NPROBE).drop("qv")
+    cand = corpus.join(F.broadcast(probes), "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.lit(0).cast("long")
+    for s in range(PQ_M):
+        adc = adc + F.element_at(F.col(f"_pqt_{s}"), F.col(f"pq_{s}") + F.lit(1))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id").asc()
+    )
+    # shortlist shuffle carries ONLY (query_id, neighbor_id, adc_d)
+    shortlist = (
+        cand.withColumn("adc_d", adc)
+        .select("query_id", "neighbor_id", "adc_d")
+        .withColumn("_radc", F.row_number().over(w_adc))
+        .where(F.col("_radc") <= RES_RERANK_R)
+        .drop("_radc")
+    )
+    # quantized vectors re-enter post-shortlist: broadcast the R*|Q|-row
+    # shortlist into the corpus scan (no corpus shuffle), queries broadcast too
+    nvecs = clustered.select(
+        F.col("vec_id").alias("neighbor_id"), quantize_vec(F.col("embedding")).alias("nq")
+    )
+    qvecs = clustered.where(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), quantize_vec(F.col("embedding")).alias("qq")
+    )
+    w_true = Window.partitionBy("query_id").orderBy(
+        F.col("true_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("true_d", int_sq_l2(F.col("qq"), F.col("nq")))
+        .select("query_id", "neighbor_id", "adc_d", "true_d")
+        .withColumn("rank", F.row_number().over(w_true).cast("long"))
+        .where(F.col("rank") <= PQ_TOPK_K)
+        .select("query_id", "rank", "neighbor_id", "adc_d", "true_d")
+        .orderBy("query_id", "rank")
+    )
+
+
+EMB_RESIDUAL_PQ_RERANK_TOPK_ORACLE = (
+    _RES_PQ_ORACLE_CTES
+    + f""",
+short AS (
+  SELECT query_id, neighbor_id, adc_d
+  FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d ASC, neighbor_id ASC) AS radc
+        FROM pair)
+  WHERE radc <= {RES_RERANK_R}
+), ex AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_d,
+         list_sum(list_transform(list_zip(cq.xq, cn2.xq),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS true_d
+  FROM short s
+  JOIN corpq cq ON cq.vec_id = s.query_id
+  JOIN corpq cn2 ON cn2.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id,
+       CAST(adc_d AS BIGINT) AS adc_d, CAST(true_d AS BIGINT) AS true_d
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY true_d ASC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM ex)
+WHERE rank <= {PQ_TOPK_K}
+ORDER BY query_id, rank
+"""
+)

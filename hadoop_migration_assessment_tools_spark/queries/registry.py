@@ -425,6 +425,10 @@ QUERIES: dict[str, Query] = {
     # fixed-point integer (zero rounding in the oracle); clustered derivation
     # because residual's edge IS cluster structure (isotropic == raw, measured)
     "emb_residual_pq_topk": llm.emb_residual_pq_topk,
+    # r10: the FULL production stack composed — learned IVF + residual PQ
+    # shortlist + EXACT integer re-rank of just the R*|Q| shortlist rows
+    # (Faiss IndexIVFPQ + IndexRefine), one hash certifying every stage
+    "emb_residual_pq_rerank_topk": llm.emb_residual_pq_rerank_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -590,6 +594,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_topk_scaled_ivf": llm.EMB_TOPK_SCALED_IVF_ORACLE,
     "emb_ivfpq_rerank_topk": llm.EMB_IVFPQ_RERANK_TOPK_ORACLE,
     "emb_residual_pq_topk": llm.EMB_RESIDUAL_PQ_TOPK_ORACLE,
+    "emb_residual_pq_rerank_topk": llm.EMB_RESIDUAL_PQ_RERANK_TOPK_ORACLE,
     "events_join_advice": ea.EVENTS_JOIN_ADVICE_ORACLE,
     "events_join_advice_applied": ea.EVENTS_JOIN_ADVICE_APPLIED_ORACLE,
     "events_stream_hll_parity": ea.EVENTS_STREAM_HLL_PARITY_ORACLE,
