@@ -84,9 +84,11 @@ TRACKED = [
     # round-9: the refine step (two-stage ranking) — watch both WindowGroupLimits
     "emb_ivfpq_rerank_topk",
     # round-10: residual PQ (watch the residual subtraction staying a narrow
-    # Arrow map) and the actuated advisor (the executed branch's join strategy)
+    # Arrow map), the actuated advisor (the executed branch's join strategy),
+    # and the composed refine stack (shortlist shuffle must stay 3-column)
     "emb_residual_pq_topk",
     "events_join_advice_applied",
+    "emb_residual_pq_rerank_topk",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
