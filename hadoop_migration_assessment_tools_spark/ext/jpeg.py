@@ -13,10 +13,13 @@ Decoder coverage: SOF0 baseline sequential, SOF1 extended sequential (8- and
 selection + successive approximation, DC/AC first and refinement scans, EOB
 runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow; 8- AND 12-bit as
 of r9) AND SOF3 lossless (r9 — T.81 Annex H: all 7 predictors, 8/12-bit,
-bit-exact roundtrip; the DNG/medical process). The remaining processes
-(arithmetic coding, hierarchical) raise NotImplementedError, matching the
-WAV/PPM/PNG codecs' partial-coverage discipline (ext/multimodal.py callers
-catch and fall back with decoded=false).
+bit-exact roundtrip; the DNG/medical process) AND SOF9 extended sequential
+with ARITHMETIC coding (r10 — T.81 Annexes D & F QM-coder, encoder + decoder
+in ext/jarith.py, cross-validated against libjpeg-turbo in both directions).
+The remaining processes (arithmetic progressive SOF10, arithmetic lossless
+SOF11, hierarchical) raise NotImplementedError, matching the WAV/PPM/PNG
+codecs' partial-coverage discipline (ext/multimodal.py callers catch and
+fall back with decoded=false).
 
 The encoder exists to close the loop in-sandbox: it emits valid baseline JFIF
 that ANY decoder can read, using compact generated Huffman tables (12 DC codes
@@ -781,6 +784,129 @@ def make_lossless_jpeg_bytes(
 # --- decoder -------------------------------------------------------------------------
 
 
+#: Arithmetic conditioning defaults (T.81 F.1.4.4.1.4 / F.1.4.4.2.1): DC
+#: lower/upper thresholds L=0, U=1; AC context split index Kx=5.
+_ARITH_DC_L = 0
+_ARITH_DC_U = 1
+_ARITH_AC_KX = 5
+
+
+def make_arith_jpeg_bytes(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    precision: int = 8,
+) -> bytes:
+    """Encode an (h, w, 3) RGB array as extended sequential JPEG with
+    ARITHMETIC entropy coding (SOF9 + DAC, T.81 Annexes D & F) — the process
+    the Huffman baseline encoder's twin: identical preprocessing, identical
+    quantized coefficients, only the lossless entropy stage differs, so
+    ``parse_jpeg(make_arith_jpeg_bytes(px)) ==
+    parse_jpeg(make_jpeg_bytes(px))`` exactly (and libjpeg-turbo agrees —
+    the cross-implementation tests decode these streams with the system
+    codec). Conditioning uses the spec defaults, emitted explicitly as a DAC
+    segment. No restart-marker support (arithmetic restart resets all
+    statistics; our writer never emits DRI)."""
+    from .jarith import (
+        AC_STATS_SIZE,
+        DC_STATS_SIZE,
+        ArithEncoder,
+        dc_context_for_diff,
+        encode_ac_coeffs,
+        encode_dc_diff,
+        new_stats,
+    )
+
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    sub = subsampling == "4:2:0"
+    half = float(1 << (precision - 1))
+    px = np.asarray(pixels, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(px.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w, _ = px.shape
+    ycc = _rgb_to_ycbcr(px.astype(np.float64), half=half)
+    qt = [_quality_scaled(_QT_LUM, quality), _quality_scaled(_QT_CHROM, quality)]
+    if precision == 12:
+        qt = [t * 16.0 for t in qt]
+    if sub:
+        y = _pad_to_blocks(ycc[..., 0], 16)
+        chroma = []
+        for c in (1, 2):
+            p = _pad_to_blocks(ycc[..., c], 16)
+            ph, pw = p.shape
+            chroma.append(p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+        planes = [y, chroma[0], chroma[1]]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        planes = [_pad_to_blocks(ycc[..., c]) for c in range(3)]
+        samp = [(1, 1)] * 3
+    quant = [
+        _quantized_blocks(planes[c], qt[0 if c == 0 else 1], half=half)
+        for c in range(3)
+    ]
+
+    enc = ArithEncoder()
+    # statistics per conditioning-table id: Y uses tables 0, chroma tables 1
+    # (sharing statistics across Cb/Cr exactly as the Huffman twin shares DHTs)
+    dc_stats = [new_stats(DC_STATS_SIZE), new_stats(DC_STATS_SIZE)]
+    ac_stats = [new_stats(AC_STATS_SIZE), new_stats(AC_STATS_SIZE)]
+    dc_ctx = [0, 0, 0]
+    preds = [0, 0, 0]
+    mcuy = quant[0].shape[0] // samp[0][1]
+    mcux = quant[0].shape[1] // samp[0][0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(3):
+                tid = 0 if c == 0 else 1
+                ch, cv = samp[c]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = quant[c][my * cv + by, mx * ch + bx][_ZZ_ROWS, _ZZ_COLS]
+                        dc = int(zz[0])
+                        diff = dc - preds[c]
+                        preds[c] = dc
+                        encode_dc_diff(enc, dc_stats[tid], dc_ctx[c], diff)
+                        dc_ctx[c] = dc_context_for_diff(diff, _ARITH_DC_L, _ARITH_DC_U)
+                        encode_ac_coeffs(enc, ac_stats[tid], _ARITH_AC_KX, zz)
+    entropy = enc.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zz = table[_ZZ_ROWS, _ZZ_COLS]
+        if precision == 12:
+            return seg(0xFFDB, bytes([0x10 | tid]) + zz.astype(">u2").tobytes())
+        return seg(0xFFDB, bytes([tid]) + zz.astype(np.uint8).tobytes())
+
+    y_sampling = 0x22 if sub else 0x11
+    sof = seg(
+        0xFFC9,  # SOF9: extended sequential, arithmetic coding
+        struct.pack(">BHHB", precision, h, w, 3)
+        + bytes([1, y_sampling, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dc_cs = (_ARITH_DC_U << 4) | _ARITH_DC_L
+    dac = seg(
+        0xFFCC,
+        bytes([0x00, dc_cs, 0x10, _ARITH_AC_KX, 0x01, dc_cs, 0x11, _ARITH_AC_KX]),
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+        + bytes([0, 63, 0]),
+    )
+    app0 = seg(0xFF00 | 0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, qt[0]) + dqt(1, qt[1]) + sof + dac + sos
+        + entropy + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     """Table-driven entropy reader over a pre-unstuffed byte buffer.
 
@@ -902,9 +1028,12 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
     and refinement scans), 1 or 3 components, generic sampling factors
     (4:4:4 / 4:2:0 / 4:2:2 MCU interleave), 8- and 16-bit DQT tables,
     DRI/RSTn restart intervals, multiple DQT/DHT segments, SOF2 progressive
-    at BOTH 8- and 12-bit, AND SOF3 lossless (predictive, all 7 predictors,
-    8/12-bit — bit-exact). Raises NotImplementedError for the remaining
-    non-baseline processes (arithmetic, hierarchical);
+    at BOTH 8- and 12-bit, SOF3 lossless (predictive, all 7 predictors,
+    8/12-bit — bit-exact), AND SOF9 extended sequential with ARITHMETIC
+    coding (r10 — QM-coder + Annex-F models via ext/jarith.py, DAC
+    conditioning honored, 8/12-bit, cross-validated against libjpeg-turbo).
+    Raises NotImplementedError for the remaining processes (arithmetic
+    progressive SOF10, arithmetic lossless SOF11, hierarchical);
     any other failure on a
     torn/malformed payload is normalized to ValueError so callers' documented
     decoded=false fallback routes it instead of the raw struct.error/IndexError/
@@ -935,6 +1064,8 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
     restart_interval = 0
     progressive = False
     lossless = False
+    arith = False
+    arith_cond: dict[tuple[int, int], int] = {}
     precision = 8
     grids_ready = False
     mcux = mcuy = hmax = vmax = 0
@@ -981,14 +1112,15 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 values = list(body[off + 17 : off + 17 + nvals])
                 huff[(tclass, tid)] = _huffman_lut(bits, values)
                 off += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1/2/3/9
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            arith = marker == 0xC9  # extended sequential, arithmetic (r10)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             # SOF0 is 8-bit by definition; SOF1 extended sequential, SOF2
-            # progressive (r9) and SOF3 lossless add 12-bit (T.81 Table B.2;
-            # SOF3 allows 2-16 — we cover the 8/12 the pipeline uses).
-            if prec not in ((8, 12) if marker in (0xC1, 0xC2, 0xC3) else (8,)):
+            # progressive (r9), SOF3 lossless and SOF9 arithmetic add 12-bit
+            # (T.81 Table B.2; SOF3 allows 2-16 — we cover 8/12).
+            if prec not in ((8, 12) if marker in (0xC1, 0xC2, 0xC3, 0xC9) else (8,)):
                 raise NotImplementedError(
                     f"{prec}-bit precision for SOF marker 0xFF{marker:02X}"
                 )
@@ -1004,11 +1136,17 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise ValueError(f"invalid SOF sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "q": qid})
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            off = 0
+            while off + 1 < len(body):
+                tc, tb = body[off] >> 4, body[off] & 0x0F
+                arith_cond[(tc, tb)] = body[off + 1]
+                off += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1153,6 +1291,75 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
         for ci, c in enumerate(comps):
             flat = np.array(prog_coef[ci], dtype=np.float64)
             blocks = np.zeros((flat.shape[0], 8, 8))
+            blocks[:, _ZZ_ROWS, _ZZ_COLS] = flat
+            c["coefs"] = (blocks * qtables[c["q"]]).reshape(c["bh"], c["bw"], 8, 8)
+        return _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs, precision)
+
+    if arith:
+        # --- SOF9 sequential arithmetic decode (T.81 Annexes D & F, r10) ---------
+        # Per-block calls into the QM-coder + Annex-F statistical models; the
+        # statistics are per conditioning-table id (shared across components
+        # that reference the same table, exactly like shared DHTs), the DC
+        # context and predictor are per component.
+        from .jarith import (
+            AC_STATS_SIZE,
+            DC_STATS_SIZE,
+            ArithDecoder,
+            dc_context_for_diff,
+            decode_ac_coeffs,
+            decode_dc_diff,
+            new_stats,
+        )
+
+        if restart_interval:
+            raise NotImplementedError("DRI/restart markers in an arithmetic scan")
+        dec = ArithDecoder(d, pos)
+        dc_stats: dict[int, bytearray] = {}
+        ac_stats: dict[int, bytearray] = {}
+        cond_dc: dict[int, int] = {}
+        cond_kx: dict[int, int] = {}
+        for ci, dct, act in scan_specs:
+            dc_stats.setdefault(dct, new_stats(DC_STATS_SIZE))
+            ac_stats.setdefault(act, new_stats(AC_STATS_SIZE))
+            cs = arith_cond.get((0, dct), 0x10)  # defaults L=0, U=1
+            cond_dc[dct] = cs
+            kx = arith_cond.get((1, act), 5)  # default Kx=5
+            if not 1 <= kx <= 63:
+                raise ValueError(f"invalid DAC Kx {kx}")
+            cond_kx[act] = kx
+        per_comp = [([], [], []) for _ in comps]
+        preds = [0] * len(comps)
+        dc_ctx = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, dct, act in scan_specs:
+                    c = comps[ci]
+                    ch, cv, cbw = c["h"], c["v"], c["bw"]
+                    bids, ks, vals = per_comp[ci]
+                    lo, up = cond_dc[dct] & 0x0F, cond_dc[dct] >> 4
+                    for by in range(cv):
+                        for bx in range(ch):
+                            diff = decode_dc_diff(dec, dc_stats[dct], dc_ctx[ci])
+                            dc_ctx[ci] = dc_context_for_diff(diff, lo, up)
+                            pred = preds[ci] + diff
+                            preds[ci] = pred
+                            bid = (my * cv + by) * cbw + (mx * ch + bx)
+                            bids.append(bid)
+                            ks.append(0)
+                            vals.append(pred)
+                            for k, v in decode_ac_coeffs(
+                                dec, ac_stats[act], cond_kx[act]
+                            ):
+                                bids.append(bid)
+                                ks.append(k)
+                                vals.append(v)
+        for ci, c in enumerate(comps):
+            bids, ks, vals = per_comp[ci]
+            nb = c["bh"] * c["bw"]
+            flat = np.zeros((nb, 64))
+            if bids:
+                flat[bids, ks] = vals
+            blocks = np.zeros((nb, 8, 8))
             blocks[:, _ZZ_ROWS, _ZZ_COLS] = flat
             c["coefs"] = (blocks * qtables[c["q"]]).reshape(c["bh"], c["bw"], 8, 8)
         return _assemble_pixels(comps, hmax, vmax, h, w, _return_coefs, precision)

@@ -10,7 +10,7 @@ sequential (SOF1, 16-bit DQT) — ext/jpeg.py — and MJPEG AVI video (RIFF
 'AVI ' container walk + per-frame JPEG decode) and MJPEG-in-MP4 video
 (ISO-BMFF box walk + sample-table reconstruction, ext/mp4.py), all implemented
 from their public format specs, with no media libraries. Formats that genuinely
-require external codecs (arithmetic-coded jpeg, mp3, H.264/HEVC
+require external codecs (mp3 essence, H.264/HEVC
 video essence inside MP4) raise ``NotImplementedError`` from ``decode_media`` and
 ``extract_features`` falls back to a clearly-marked deterministic digest feature,
 so the distributed pipeline shape stays exercised end to end either way.
@@ -645,11 +645,12 @@ def resize_image(pixels, out_h: int, out_w: int):
 
 def decode_media(payload: bytes, kind: str, meta=None) -> dict:
     """Decode an opaque payload into numpy form. Real for WAV audio (PCM and
-    G.711 A-law/mu-law), PPM/PNG images, JPEG (baseline, progressive AND 12-bit
-    extended sequential), MJPEG video in AVI or MP4 (ISO-BMFF) containers, and
-    PVID video; anything else (inter-frame video codecs like H.264 inside MP4,
-    arithmetic-coded jpeg, mp3...) needs external libs this container doesn't
-    have and raises NotImplementedError — callers fall back."""
+    G.711 A-law/mu-law), PPM/PNG images, JPEG (baseline, progressive, 12-bit
+    extended sequential, lossless AND r10 sequential-arithmetic SOF9), MJPEG
+    video in AVI or MP4 (ISO-BMFF) containers, and PVID video; anything else
+    (inter-frame video codecs like H.264 inside MP4, mp3 essence...) needs
+    external libs this container doesn't have and raises NotImplementedError —
+    callers fall back."""
     payload = bytes(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         n, w, h, frames = parse_avi_mjpeg(payload)
@@ -678,7 +679,7 @@ def decode_media(payload: bytes, kind: str, meta=None) -> dict:
         return {"kind": "video", "frames": frames, "n_frames": n, "width": w, "height": h}
     raise NotImplementedError(
         f"no pure-python decoder for this payload (kind={kind!r}); "
-        "mp3/H.264/arithmetic-jpeg require librosa/av/PIL"
+        "mp3/H.264 essence requires librosa/av"
     )
 
 

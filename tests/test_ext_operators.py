@@ -519,11 +519,12 @@ def test_jpeg_coefficient_exact_golden():
 
 
 def test_jpeg_rejects_non_baseline_and_falls_back():
-    """Arithmetic-coded (SOF9) must raise NotImplementedError from the codec, and
-    the feature pipeline must route such payloads to digest features,
-    decoded=false. A baseline stream merely RELABELED as progressive (SOF2 with
-    a sequential full-band scan header) is malformed progressive — a normalized
-    ValueError, also routed to the fallback."""
+    """Arithmetic-PROGRESSIVE (SOF10) must raise NotImplementedError from the
+    codec (SOF9 sequential arithmetic is supported since r10), and the feature
+    pipeline must route such payloads to digest features, decoded=false. A
+    baseline stream merely RELABELED as progressive (SOF2 with a sequential
+    full-band scan header) is malformed progressive — a normalized ValueError,
+    also routed to the fallback."""
     import pytest as _pytest
 
     from hadoop_migration_assessment_tools_spark.ext.jpeg import (
@@ -534,11 +535,22 @@ def test_jpeg_rejects_non_baseline_and_falls_back():
 
     data = bytearray(make_jpeg_bytes(_gradient_image()))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC9  # masquerade as arithmetic sequential
+    data[idx + 1] = 0xCA  # masquerade as arithmetic PROGRESSIVE (unsupported)
     with _pytest.raises(NotImplementedError):
         parse_jpeg(bytes(data))
     decoded, feats = media_features(bytes(data), "image")
     assert decoded is False and len(feats) == 8
+
+    # SOF9 is SUPPORTED since r10 — a relabeled HUFFMAN stream is malformed
+    # arithmetic data: the decode-or-clean-fallback contract applies (garbage
+    # pixels or normalized ValueError, never a raw escape)
+    data[idx + 1] = 0xC9
+    try:
+        out = parse_jpeg(bytes(data))
+        assert out.ndim == 3 and out.dtype.name == "uint8"
+    except ValueError:
+        pass
+    assert isinstance(media_features(bytes(data), "image")[0], bool)
 
     data[idx + 1] = 0xC2  # SOF2 label on a baseline scan: invalid DC scan Se=63
     with _pytest.raises(ValueError):
@@ -674,10 +686,11 @@ def test_jpeg_malformed_payloads_route_to_fallback():
 
 
 def _fuzz_corpus():
-    """Valid baseline + progressive + 12-bit + lossless JPEGs, built once."""
+    """Valid baseline + progressive + 12-bit + lossless + arithmetic JPEGs."""
     import numpy as np
 
     from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_arith_jpeg_bytes,
         make_jpeg_bytes,
         make_lossless_jpeg_bytes,
         make_progressive_jpeg_bytes,
@@ -695,6 +708,8 @@ def _fuzz_corpus():
         make_progressive_jpeg_bytes(px12, quality=80, precision=12),
         make_lossless_jpeg_bytes(px, predictor=4),
         make_lossless_jpeg_bytes(px12, predictor=7, precision=12),
+        make_arith_jpeg_bytes(px, quality=80, subsampling="4:4:4"),
+        make_arith_jpeg_bytes(px12, quality=60, subsampling="4:2:0", precision=12),
     ]
 
 
@@ -703,7 +718,7 @@ _FUZZ_JPEGS: list[bytes] = []
 
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
-    which=st.integers(0, 8),
+    which=st.integers(0, 10),
     op=st.sampled_from(["truncate", "flip", "flip3", "trunc+flip"]),
     frac=st.floats(0.0, 1.0),
     bitpos=st.integers(0, 2**31),
@@ -3783,3 +3798,125 @@ def test_residual_pq_beats_raw_pq_on_clustered_corpus(spark):
     for n, (res_r, raw_r) in sweep.items():
         assert res_r >= raw_r, (n, sweep)  # residual wins at equal nprobe
         assert res_r >= 0.5, (n, sweep)  # measured 0.71-0.73; generous floor
+
+
+def test_arith_jpeg_decodes_identical_to_huffman_twin():
+    """SOF9 arithmetic coding (r10, ext/jarith.py): the entropy stage is
+    lossless, so an arithmetic and a Huffman encoding of the SAME image with
+    the same quality/subsampling/precision must decode to IDENTICAL pixels —
+    across subsamplings, precisions, qualities, and sparse content (long
+    zero runs exercise the EOB/zero-run contexts). Arithmetic streams must
+    also be smaller than the (non-optimized) Huffman twins on dense content —
+    the compression edge is the reason the process exists."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_arith_jpeg_bytes,
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    px8 = (rng.rand(25, 37, 3) * 255).astype(np.uint8)
+    px12 = (rng.rand(16, 24, 3) * 4095).astype(np.uint16)
+    cases = [
+        (px8, dict(quality=90, subsampling="4:4:4")),
+        (px8, dict(quality=60, subsampling="4:2:0")),
+        (px12, dict(quality=80, subsampling="4:4:4", precision=12)),
+        (px12, dict(quality=55, subsampling="4:2:0", precision=12)),
+        (np.full((9, 30, 3), 200, dtype=np.uint8), dict(quality=90)),
+    ]
+    for px, kw in cases:
+        a = make_arith_jpeg_bytes(px, **kw)
+        h = make_jpeg_bytes(px, **kw)
+        assert (parse_jpeg(a) == parse_jpeg(h)).all(), kw
+    dense_a = make_arith_jpeg_bytes(px8, quality=90)
+    dense_h = make_jpeg_bytes(px8, quality=90)
+    assert len(dense_a) < len(dense_h)
+
+
+def test_arith_jpeg_coefficient_exact_golden():
+    """Coefficient-level golden for the arithmetic path: the decoder's
+    dequantized coefficients must EXACTLY equal the Huffman twin's (same
+    quantized integers through the same tables) — the entropy stage never
+    touches a coefficient."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_arith_jpeg_bytes,
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    px = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+    _, ca = parse_jpeg(make_arith_jpeg_bytes(px, quality=75), _return_coefs=True)
+    _, ch = parse_jpeg(make_jpeg_bytes(px, quality=75), _return_coefs=True)
+    assert all(np.array_equal(x, y) for x, y in zip(ca, ch))
+
+
+def _build_jpegtool(tmp_path):
+    """Compile tools/jpegtool.c against the system libjpeg; None if the
+    toolchain or headers are unavailable (tests skip)."""
+    import os
+    import shutil
+    import subprocess
+
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    src = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tools", "jpegtool.c")
+    if gcc is None or not os.path.exists("/usr/include/jpeglib.h"):
+        return None
+    exe = str(tmp_path / "jpegtool")
+    r = subprocess.run([gcc, "-O2", "-o", exe, src, "-ljpeg"], capture_output=True)
+    return exe if r.returncode == 0 else None
+
+
+def test_arith_jpeg_cross_validates_with_libjpeg(tmp_path):
+    """Interoperability with the independent reference implementation, BOTH
+    directions (skipped when gcc/libjpeg-dev is unavailable):
+
+    1. libjpeg-turbo must decode OUR arithmetic streams to byte-identical
+       pixels as OUR Huffman twins (its own IDCT on both, so any entropy
+       nonconformance — coder, models, conditioning, stuffing — breaks it).
+    2. WE must decode libjpeg-turbo's arithmetic streams to the exact
+       dequantized coefficients of ITS Huffman twins."""
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_arith_jpeg_bytes,
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    exe = _build_jpegtool(tmp_path)
+    if exe is None:
+        _pytest.skip("gcc/libjpeg-dev unavailable")
+
+    rng = np.random.RandomState(4)
+    px = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+    ppm = tmp_path / "src.ppm"
+    ppm.write_bytes(b"P6\n56 40\n255\n" + px.tobytes())
+
+    # direction 1: our streams through libjpeg
+    for subs in ("4:4:4", "4:2:0"):
+        fa, fh = tmp_path / "ma.jpg", tmp_path / "mh.jpg"
+        fa.write_bytes(make_arith_jpeg_bytes(px, quality=85, subsampling=subs))
+        fh.write_bytes(make_jpeg_bytes(px, quality=85, subsampling=subs))
+        pa, ph = tmp_path / "ma.ppm", tmp_path / "mh.ppm"
+        subprocess.run([exe, "decode", str(fa), str(pa)], check=True)
+        subprocess.run([exe, "decode", str(fh), str(ph)], check=True)
+        assert pa.read_bytes() == ph.read_bytes(), subs
+
+    # direction 2: libjpeg's streams through us
+    for subs, q in (("444", 85), ("420", 77)):
+        la, lh = tmp_path / "la.jpg", tmp_path / "lh.jpg"
+        subprocess.run([exe, "encode", str(ppm), str(la), str(q), "1", subs], check=True)
+        subprocess.run([exe, "encode", str(ppm), str(lh), str(q), "0", subs], check=True)
+        xa, ca = parse_jpeg(la.read_bytes(), _return_coefs=True)
+        xh, ch = parse_jpeg(lh.read_bytes(), _return_coefs=True)
+        assert all(np.array_equal(x, y) for x, y in zip(ca, ch)), (subs, q)
+        assert (xa == xh).all(), (subs, q)
