@@ -40,9 +40,11 @@ __all__ = [
     "ArithEncoder",
     "decode_dc_diff",
     "decode_ac_coeffs",
+    "decode_ac_refine_block",
     "encode_dc_diff",
     "encode_ac_coeffs",
     "dc_context_for_diff",
+    "new_stats",
     "DC_STATS_SIZE",
     "AC_STATS_SIZE",
     "FIXED_STATE",
@@ -352,19 +354,23 @@ def encode_dc_diff(enc: ArithEncoder, stats: bytearray, ctx: int, diff: int) -> 
         mm >>= 1
 
 
-def decode_ac_coeffs(dec: ArithDecoder, stats: bytearray, kx: int):
-    """Decode the 63 AC coefficients of one block (F.2.4.2). Yields
-    (zigzag index, value) for each nonzero coefficient."""
+def decode_ac_coeffs(
+    dec: ArithDecoder, stats: bytearray, kx: int, ss: int = 1, se: int = 63
+):
+    """Decode the AC coefficients of one block over the band [ss, se]
+    (F.2.4.2 sequential; G.3.2 progressive AC-first uses the same procedure
+    on the scan's spectral band). Yields (zigzag index, value) for each
+    nonzero coefficient."""
     fixed = bytearray([(FIXED_STATE << 1)])
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):  # EOB
             return
         while dec.decode(stats, st + 1) == 0:
             k += 1
             st += 3
-            if k > 63:
+            if k > se:
                 raise ValueError("corrupt arithmetic AC run")
         sign = dec.decode(fixed, 0)
         m = dec.decode(stats, st + 2)
@@ -386,6 +392,42 @@ def decode_ac_coeffs(dec: ArithDecoder, stats: bytearray, kx: int):
             m >>= 1
         v += 1
         yield k, (-v if sign else v)
+        k += 1
+
+
+def decode_ac_refine_block(
+    dec: ArithDecoder, stats: bytearray, blk, ss: int, se: int, al: int
+) -> None:
+    """One block of a progressive AC REFINEMENT scan (T.81 G.3.3, jdarith
+    decode_mcu_AC_refine control flow): correction bits for already-nonzero
+    history coefficients, significance+sign for newly-nonzero ones, with the
+    EOB decision asked only beyond the previous stage's last nonzero index.
+    Mutates ``blk`` (zigzag-order ints) in place."""
+    fixed = bytearray([(FIXED_STATE << 1)])
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                return  # EOB
+        while True:
+            v = blk[k]
+            if v != 0:  # history coefficient: correction bit
+                if dec.decode(stats, st + 2):
+                    blk[k] = v + (m1 if v < 0 else p1)
+                break
+            if dec.decode(stats, st + 1):  # newly significant
+                blk[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic AC refinement run")
         k += 1
 
 

@@ -13,13 +13,13 @@ Decoder coverage: SOF0 baseline sequential, SOF1 extended sequential (8- and
 selection + successive approximation, DC/AC first and refinement scans, EOB
 runs — T.81 Annex G.2 with libjpeg jdphuff.c control flow; 8- AND 12-bit as
 of r9) AND SOF3 lossless (r9 — T.81 Annex H: all 7 predictors, 8/12-bit,
-bit-exact roundtrip; the DNG/medical process) AND SOF9 extended sequential
-with ARITHMETIC coding (r10 — T.81 Annexes D & F QM-coder, encoder + decoder
-in ext/jarith.py, cross-validated against libjpeg-turbo in both directions).
-The remaining processes (arithmetic progressive SOF10, arithmetic lossless
-SOF11, hierarchical) raise NotImplementedError, matching the WAV/PPM/PNG
-codecs' partial-coverage discipline (ext/multimodal.py callers catch and
-fall back with decoded=false).
+bit-exact roundtrip; the DNG/medical process) AND the ARITHMETIC-coded
+processes (r10 — T.81 Annexes D, F & G QM-coder in ext/jarith.py): SOF9
+extended sequential (encoder + decoder) and SOF10 progressive (decoder),
+both cross-validated against libjpeg-turbo. The remaining processes
+(arithmetic lossless SOF11, hierarchical) raise NotImplementedError,
+matching the WAV/PPM/PNG codecs' partial-coverage discipline
+(ext/multimodal.py callers catch and fall back with decoded=false).
 
 The encoder exists to close the loop in-sandbox: it emits valid baseline JFIF
 that ANY decoder can read, using compact generated Huffman tables (12 DC codes
@@ -1112,15 +1112,15 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 values = list(body[off + 17 : off + 17 + nvals])
                 huff[(tclass, tid)] = _huffman_lut(bits, values)
                 off += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1/2/3/9
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1/2/3/9/10
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
-            arith = marker == 0xC9  # extended sequential, arithmetic (r10)
+            arith = marker in (0xC9, 0xCA)  # arithmetic processes (r10)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             # SOF0 is 8-bit by definition; SOF1 extended sequential, SOF2
             # progressive (r9), SOF3 lossless and SOF9 arithmetic add 12-bit
             # (T.81 Table B.2; SOF3 allows 2-16 — we cover 8/12).
-            if prec not in ((8, 12) if marker in (0xC1, 0xC2, 0xC3, 0xC9) else (8,)):
+            if prec not in ((8, 12) if marker != 0xC0 else (8,)):
                 raise NotImplementedError(
                     f"{prec}-bit precision for SOF marker 0xFF{marker:02X}"
                 )
@@ -1136,7 +1136,7 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise ValueError(f"invalid SOF sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "q": qid})
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
@@ -1179,6 +1179,13 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
                     prog_coef = [
                         [[0] * 64 for _ in range(c["bh"] * c["bw"])] for c in comps
                     ]
+                if arith:
+                    pos = _decode_progressive_scan_arith(
+                        d, pos, scan_specs, comps, prog_coef, arith_cond,
+                        s_start, s_end, ah, al,
+                        mcux, mcuy, hmax, vmax, w, h, restart_interval,
+                    )
+                    continue
                 rd = _BitReader(d, pos)
                 _decode_progressive_scan(
                     rd, scan_specs, comps, huff, prog_coef,
@@ -1479,6 +1486,112 @@ def _noninterleaved_dims(c, hmax, vmax, w, h):
     xi = (w * c["h"] + hmax - 1) // hmax
     yi = (h * c["v"] + vmax - 1) // vmax
     return (xi + 7) // 8, (yi + 7) // 8
+
+
+def _skip_to_marker(d: bytes, pos: int) -> int:
+    """Advance past the tail of an arithmetic entropy segment to the next
+    marker (skipping stuffed FF00 pairs)."""
+    n = len(d)
+    while pos + 1 < n:
+        if d[pos] == 0xFF:
+            if d[pos + 1] == 0x00:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return pos
+
+
+def _decode_progressive_scan_arith(
+    d, pos, scan_specs, comps, prog_coef, arith_cond,
+    s_start, s_end, ah, al,
+    mcux, mcuy, hmax, vmax, w, h, restart_interval,
+):
+    """One progressive ARITHMETIC (SOF10) scan (T.81 Annex G.3, jdarith
+    control flow): DC first scans run the sequential Annex-F DC model with the
+    point transform applied to the decoded difference; DC refinement scans are
+    one fixed-state bit per block; AC first scans run the sequential AC model
+    over the spectral band; AC refinement scans use per-K correction/
+    significance decisions with the EOB decision asked only beyond the
+    previous stage's last nonzero index. Statistics, DC contexts and
+    predictors reset at every scan (each scan is its own entropy segment with
+    its own QM decoder). Returns the stream position of the next marker."""
+    from .jarith import (
+        AC_STATS_SIZE,
+        DC_STATS_SIZE,
+        FIXED_STATE,
+        ArithDecoder,
+        dc_context_for_diff,
+        decode_ac_coeffs,
+        decode_ac_refine_block,
+        decode_dc_diff,
+        new_stats,
+    )
+
+    if restart_interval:
+        raise NotImplementedError("DRI/restart markers in an arithmetic scan")
+    dec = ArithDecoder(d, pos)
+    fixed = bytearray([FIXED_STATE << 1])
+
+    if s_start == 0:  # DC scan
+        if s_end != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        dc_stats: dict[int, bytearray] = {}
+        cond: dict[int, int] = {}
+        for _ci, dct, _act in scan_specs:
+            dc_stats.setdefault(dct, new_stats(DC_STATS_SIZE))
+            cond[dct] = arith_cond.get((0, dct), 0x10)
+        preds = {ci: 0 for ci, _, _ in scan_specs}
+        dc_ctx = {ci: 0 for ci, _, _ in scan_specs}
+
+        def dc_block(blk, ci, dct):
+            if ah == 0:
+                lo, up = cond[dct] & 0x0F, cond[dct] >> 4
+                diff = decode_dc_diff(dec, dc_stats[dct], dc_ctx[ci])
+                dc_ctx[ci] = dc_context_for_diff(diff, lo, up)
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+            elif dec.decode(fixed, 0):
+                blk[0] |= 1 << al
+
+        if len(scan_specs) > 1:  # interleaved over the MCU grid
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, dct, _act in scan_specs:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = prog_coef[ci][
+                                    (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                                ]
+                                dc_block(blk, ci, dct)
+        else:
+            ci, dct, _act = scan_specs[0]
+            c = comps[ci]
+            nbw, nbh = _noninterleaved_dims(c, hmax, vmax, w, h)
+            for row in range(nbh):
+                for col in range(nbw):
+                    dc_block(prog_coef[ci][row * c["bw"] + col], ci, dct)
+    else:  # AC scan: single component only
+        if len(scan_specs) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, _dct, act = scan_specs[0]
+        c = comps[ci]
+        ac_stats = new_stats(AC_STATS_SIZE)
+        kx = arith_cond.get((1, act), 5)
+        if not 1 <= kx <= 63:
+            raise ValueError(f"invalid DAC Kx {kx}")
+        blocks = prog_coef[ci]
+        nbw, nbh = _noninterleaved_dims(c, hmax, vmax, w, h)
+        for row in range(nbh):
+            for col in range(nbw):
+                blk = blocks[row * c["bw"] + col]
+                if ah == 0:  # AC first (band [Ss, Se], point transform Al)
+                    for k, v in decode_ac_coeffs(dec, ac_stats, kx, s_start, s_end):
+                        blk[k] = v << al
+                else:
+                    decode_ac_refine_block(dec, ac_stats, blk, s_start, s_end, al)
+    return _skip_to_marker(d, dec.pos)
 
 
 def _decode_progressive_scan(

@@ -519,12 +519,12 @@ def test_jpeg_coefficient_exact_golden():
 
 
 def test_jpeg_rejects_non_baseline_and_falls_back():
-    """Arithmetic-PROGRESSIVE (SOF10) must raise NotImplementedError from the
-    codec (SOF9 sequential arithmetic is supported since r10), and the feature
-    pipeline must route such payloads to digest features, decoded=false. A
-    baseline stream merely RELABELED as progressive (SOF2 with a sequential
-    full-band scan header) is malformed progressive — a normalized ValueError,
-    also routed to the fallback."""
+    """Arithmetic-LOSSLESS (SOF11) must raise NotImplementedError from the
+    codec (SOF9 sequential and SOF10 progressive arithmetic are supported
+    since r10), and the feature pipeline must route such payloads to digest
+    features, decoded=false. A baseline stream merely RELABELED as progressive
+    (SOF2 with a sequential full-band scan header) is malformed progressive —
+    a normalized ValueError, also routed to the fallback."""
     import pytest as _pytest
 
     from hadoop_migration_assessment_tools_spark.ext.jpeg import (
@@ -535,7 +535,7 @@ def test_jpeg_rejects_non_baseline_and_falls_back():
 
     data = bytearray(make_jpeg_bytes(_gradient_image()))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xCA  # masquerade as arithmetic PROGRESSIVE (unsupported)
+    data[idx + 1] = 0xCB  # masquerade as arithmetic LOSSLESS (unsupported)
     with _pytest.raises(NotImplementedError):
         parse_jpeg(bytes(data))
     decoded, feats = media_features(bytes(data), "image")
@@ -3911,12 +3911,19 @@ def test_arith_jpeg_cross_validates_with_libjpeg(tmp_path):
         subprocess.run([exe, "decode", str(fh), str(ph)], check=True)
         assert pa.read_bytes() == ph.read_bytes(), subs
 
-    # direction 2: libjpeg's streams through us
-    for subs, q in (("444", 85), ("420", 77)):
+    # direction 2: libjpeg's streams through us — sequential (SOF9) AND
+    # progressive (SOF10, libjpeg's standard 10-scan script) arithmetic
+    for subs, q, prog in (("444", 85, 0), ("420", 77, 0), ("444", 85, 1), ("420", 62, 1)):
         la, lh = tmp_path / "la.jpg", tmp_path / "lh.jpg"
-        subprocess.run([exe, "encode", str(ppm), str(la), str(q), "1", subs], check=True)
-        subprocess.run([exe, "encode", str(ppm), str(lh), str(q), "0", subs], check=True)
+        subprocess.run(
+            [exe, "encode", str(ppm), str(la), str(q), "1", subs, str(prog)],
+            check=True,
+        )
+        subprocess.run(
+            [exe, "encode", str(ppm), str(lh), str(q), "0", subs, str(prog)],
+            check=True,
+        )
         xa, ca = parse_jpeg(la.read_bytes(), _return_coefs=True)
         xh, ch = parse_jpeg(lh.read_bytes(), _return_coefs=True)
-        assert all(np.array_equal(x, y) for x, y in zip(ca, ch)), (subs, q)
-        assert (xa == xh).all(), (subs, q)
+        assert all(np.array_equal(x, y) for x, y in zip(ca, ch)), (subs, q, prog)
+        assert (xa == xh).all(), (subs, q, prog)

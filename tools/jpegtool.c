@@ -45,7 +45,7 @@ static int decode(const char *in, const char *out) {
 }
 
 static int encode(const char *in, const char *out, int quality, int arith,
-                  const char *subsamp) {
+                  const char *subsamp, int progressive) {
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
   unsigned w, h, maxv;
@@ -68,6 +68,7 @@ static int encode(const char *in, const char *out, int quality, int arith,
     jpeg_set_defaults(&cinfo);
     jpeg_set_quality(&cinfo, quality, TRUE);
     cinfo.arith_code = arith ? TRUE : FALSE;
+    if (progressive) jpeg_simple_progression(&cinfo);
     if (strcmp(subsamp, "444") == 0) {
       cinfo.comp_info[0].h_samp_factor = 1; cinfo.comp_info[0].v_samp_factor = 1;
     } /* 420 is the libjpeg default (2x2, 1x1, 1x1) */
@@ -88,7 +89,8 @@ int main(int argc, char **argv) {
   if (argc >= 4 && strcmp(argv[1], "decode") == 0)
     return decode(argv[2], argv[3]);
   if (argc >= 7 && strcmp(argv[1], "encode") == 0)
-    return encode(argv[2], argv[3], atoi(argv[4]), atoi(argv[5]), argv[6]);
-  die("usage: jpegtool decode in.jpg out.ppm | encode in.ppm out.jpg q arith 444|420");
+    return encode(argv[2], argv[3], atoi(argv[4]), atoi(argv[5]), argv[6],
+                  argc >= 8 ? atoi(argv[7]) : 0);
+  die("usage: jpegtool decode in.jpg out.ppm | encode in.ppm out.jpg q arith 444|420 [prog]");
   return 2;
 }
