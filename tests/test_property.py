@@ -668,3 +668,82 @@ def test_quantized_lloyd_guards_fail_loudly():
     cents = train_centroids_quantized([[4.0, -4.0], [0.5, 0.25]], nlist=2)
     assert cents.shape == (2, 2)
     _check_quantized_envelope(np.asarray(cents))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(1, 2000),
+    ncontexts=st.integers(1, 8),
+    skew=st.floats(0.01, 0.99),
+)
+def test_qm_coder_roundtrip_any_decision_sequence(seed, n, ncontexts, skew):
+    """The QM arithmetic coder pair (ext/jarith.py, T.81 Annex D) must
+    roundtrip ANY binary decision sequence over any context mix exactly —
+    including skewed sequences that drive the estimator deep into the Qe
+    table and long MPS runs that exercise the carry/0xFF-stuffing paths.
+    Also pins the stuffing invariant on the wire: every 0xFF byte in the
+    entropy output is followed by 0x00."""
+    import random
+
+    from hadoop_migration_assessment_tools_spark.ext.jarith import (
+        ArithDecoder,
+        ArithEncoder,
+        new_stats,
+    )
+
+    rng = random.Random(seed)
+    decisions = [
+        (rng.randrange(ncontexts), 1 if rng.random() < skew else 0)
+        for _ in range(n)
+    ]
+    enc = ArithEncoder()
+    stats = new_stats(ncontexts)
+    for ctx, bit in decisions:
+        enc.encode(stats, ctx, bit)
+    payload = enc.flush()
+    i = 0
+    while i < len(payload):
+        if payload[i] == 0xFF:
+            assert i + 1 < len(payload) and payload[i + 1] == 0x00, payload.hex()
+            i += 2
+        else:
+            i += 1
+    dec = ArithDecoder(payload, 0)
+    dstats = new_stats(ncontexts)
+    for k, (ctx, bit) in enumerate(decisions):
+        got = dec.decode(dstats, ctx)
+        assert got == bit, (k, ctx, bit, got)
+    assert bytes(dstats) == bytes(stats)  # estimator states track exactly
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(0, 2**31),
+    hw=st.tuples(st.integers(8, 40), st.integers(8, 40)),
+    quality=st.integers(30, 95),
+    subsampling=st.sampled_from(["4:4:4", "4:2:0"]),
+    precision=st.sampled_from([8, 12]),
+)
+def test_arith_jpeg_parity_fuzz(seed, hw, quality, subsampling, precision):
+    """Property form of the arithmetic/Huffman twin parity: for ANY image,
+    quality, subsampling and precision, the two encodings of the same
+    quantized coefficients decode identically."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_arith_jpeg_bytes,
+        make_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    h, w = hw
+    rng = np.random.RandomState(seed % 2**31)
+    if precision == 8:
+        px = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    else:
+        px = (rng.rand(h, w, 3) * 4095).astype(np.uint16)
+    kw = dict(quality=quality, subsampling=subsampling, precision=precision)
+    a = parse_jpeg(make_arith_jpeg_bytes(px, **kw))
+    b = parse_jpeg(make_jpeg_bytes(px, **kw))
+    assert (a == b).all()
