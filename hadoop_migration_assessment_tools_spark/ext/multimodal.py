@@ -796,9 +796,10 @@ def synthesize_media(
     on zlib and are pytest-verified instead. ``audio_encoding``: 'pcm16' (default —
     closed-form sizes, the manifest oracle depends on them) or 'g711mix' (cycle
     pcm16 / A-law / mu-law so the G.711 decode paths run distributed)."""
-    if image_format not in ("ppm", "png", "jpeg"):
+    if image_format not in ("ppm", "png", "jpeg", "jpeg_arith"):
         raise ValueError(
-            f"image_format must be 'ppm', 'png' or 'jpeg', got {image_format!r}"
+            "image_format must be 'ppm', 'png', 'jpeg' or 'jpeg_arith', "
+            f"got {image_format!r}"
         )
     if video_format not in ("raw", "pvid", "mjpeg", "mp4"):
         raise ValueError(
@@ -833,8 +834,9 @@ def synthesize_media(
                     if image_format == "png":
                         payload, kind = make_png_bytes(px), "image"
                         meta = ("image/png", w, h, None, None)
-                    elif image_format == "jpeg":
+                    elif image_format in ("jpeg", "jpeg_arith"):
                         from .jpeg import (
+                            make_arith_jpeg_bytes,
                             make_jpeg_bytes,
                             make_lossless_jpeg_bytes,
                             make_progressive_jpeg_bytes,
@@ -843,8 +845,11 @@ def synthesize_media(
                         # cycle baseline / PROGRESSIVE / 12-BIT extended
                         # sequential / LOSSLESS (r9) so the corpus carries all
                         # four real-world JPEG processes the decoder covers
-                        # (all decode for real)
-                        variant = (doc_id // 3) % 4
+                        # (all decode for real). 'jpeg_arith' (r10, opt-in so
+                        # the oracled 4-variant corpus stays byte-stable)
+                        # widens the cycle with SOF9 ARITHMETIC coding.
+                        nvar = 5 if image_format == "jpeg_arith" else 4
+                        variant = (doc_id // 3) % nvar
                         if variant == 1:
                             payload = make_progressive_jpeg_bytes(px, quality=90)
                         elif variant == 2:
@@ -857,6 +862,8 @@ def synthesize_media(
                             payload = make_lossless_jpeg_bytes(
                                 px, predictor=1 + doc_id % 7
                             )
+                        elif variant == 4:
+                            payload = make_arith_jpeg_bytes(px, quality=90)
                         else:
                             payload = make_jpeg_bytes(px, quality=90)
                         kind = "image"
