@@ -87,6 +87,13 @@ _QE = (
 
 FIXED_STATE = 113  # self-looping ~0.5 state for AC signs (never adapts)
 
+# Shared one-byte stats area pinned at FIXED_STATE (ADVICE r10: hoisted out of
+# the per-block hot loops). Provably invariant: _QE[113] = (qe, 113, 113, 0) —
+# nmps == nlps == 113 and switch == 0, so every decode/encode write stores the
+# identical byte (113 << 1) | mps back with mps never flipping; concurrent
+# identical writes are harmless, so one module-level buffer serves all blocks.
+_FIXED_STATS = bytearray([FIXED_STATE << 1])
+
 #: Statistics-area sizes (T.81 F.1.4.4): DC uses bins 0-48 (5 contexts x 4 +
 #: magnitude category chain X1.. at 20 + mantissa bins at +14); AC uses
 #: 3 bins per coefficient index (1..63) = 189, plus two 28-bin magnitude
@@ -361,7 +368,7 @@ def decode_ac_coeffs(
     (F.2.4.2 sequential; G.3.2 progressive AC-first uses the same procedure
     on the scan's spectral band). Yields (zigzag index, value) for each
     nonzero coefficient."""
-    fixed = bytearray([(FIXED_STATE << 1)])
+    fixed = _FIXED_STATS
     k = ss
     while k <= se:
         st = 3 * (k - 1)
@@ -403,7 +410,7 @@ def decode_ac_refine_block(
     history coefficients, significance+sign for newly-nonzero ones, with the
     EOB decision asked only beyond the previous stage's last nonzero index.
     Mutates ``blk`` (zigzag-order ints) in place."""
-    fixed = bytearray([(FIXED_STATE << 1)])
+    fixed = _FIXED_STATS
     p1 = 1 << al
     m1 = -p1
     kex = se
@@ -433,7 +440,7 @@ def decode_ac_refine_block(
 
 def encode_ac_coeffs(enc: ArithEncoder, stats: bytearray, kx: int, zz) -> None:
     """Encode the 63 AC coefficients of one zigzagged block (F.1.4.2)."""
-    fixed = bytearray([(FIXED_STATE << 1)])
+    fixed = _FIXED_STATS
     last_nz = 0
     for k in range(63, 0, -1):
         if zz[k]:

@@ -1031,9 +1031,11 @@ def parse_jpeg(payload: bytes, _return_coefs: bool = False):
     at BOTH 8- and 12-bit, SOF3 lossless (predictive, all 7 predictors,
     8/12-bit — bit-exact), AND SOF9 extended sequential with ARITHMETIC
     coding (r10 — QM-coder + Annex-F models via ext/jarith.py, DAC
-    conditioning honored, 8/12-bit, cross-validated against libjpeg-turbo).
+    conditioning honored, 8/12-bit, cross-validated against libjpeg-turbo)
+    AND SOF10 progressive with arithmetic coding (r10 — Annex-G models,
+    decode; see _decode_progressive_scan_arith).
     Raises NotImplementedError for the remaining processes (arithmetic
-    progressive SOF10, arithmetic lossless SOF11, hierarchical);
+    lossless SOF11, hierarchical);
     any other failure on a
     torn/malformed payload is normalized to ValueError so callers' documented
     decoded=false fallback routes it instead of the raw struct.error/IndexError/
@@ -1329,6 +1331,8 @@ def _parse_jpeg_impl(payload: bytes, _return_coefs: bool = False):
             dc_stats.setdefault(dct, new_stats(DC_STATS_SIZE))
             ac_stats.setdefault(act, new_stats(AC_STATS_SIZE))
             cs = arith_cond.get((0, dct), 0x10)  # defaults L=0, U=1
+            if (cs & 0x0F) > (cs >> 4):  # T.81 B.2.4.3: 0 <= L <= U <= 15
+                raise ValueError(f"invalid DAC DC conditioning 0x{cs:02X} (L > U)")
             cond_dc[dct] = cs
             kx = arith_cond.get((1, act), 5)  # default Kx=5
             if not 1 <= kx <= 63:
@@ -1540,7 +1544,10 @@ def _decode_progressive_scan_arith(
         cond: dict[int, int] = {}
         for _ci, dct, _act in scan_specs:
             dc_stats.setdefault(dct, new_stats(DC_STATS_SIZE))
-            cond[dct] = arith_cond.get((0, dct), 0x10)
+            cs = arith_cond.get((0, dct), 0x10)
+            if (cs & 0x0F) > (cs >> 4):  # T.81 B.2.4.3: 0 <= L <= U <= 15
+                raise ValueError(f"invalid DAC DC conditioning 0x{cs:02X} (L > U)")
+            cond[dct] = cs
         preds = {ci: 0 for ci, _, _ in scan_specs}
         dc_ctx = {ci: 0 for ci, _, _ in scan_specs}
 

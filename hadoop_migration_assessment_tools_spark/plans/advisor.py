@@ -12,37 +12,97 @@ relation:
 - skew:    `ext/sketch._mg_summaries` via `plans/skew.diagnose_join_skew` —
   Misra-Gries heavy-hitter share of each side's key, with the exact row count
   folded into the same single scan.
+- size:    rows x avg-serialized-row-bytes (VERDICT r10 #1) — Spark's actual
+  broadcast threshold is BYTES (`spark.sql.autoBroadcastJoinThreshold`), not
+  rows; a 9M-row dim of wide strings passes any row limit yet blows the
+  driver. The avg row size comes from a BOUNDED sample (LIMIT `sample_rows`,
+  serialized via to_json — field names + quoting make it a mild OVERestimate,
+  which errs toward refusing a broadcast: the safe direction).
 - remedies: broadcast (plans rely on Spark's own BHJ), salting
   (`plans/skew.salted_join_left`), or a plain shuffle.
 
 Each side pays two bounded single-COLUMN scans (one per sketch — both prune to
-the key column, so the parquet reads are narrow); everything downstream
-operates on sketch-sized artifacts. The output is data, not a side effect — a
-100 TB pipeline materializes this row next to the job plan as an audit record
-of WHY a strategy was chosen.
+the key column, so the parquet reads are narrow) plus one LIMIT-bounded sample
+for the byte estimate; everything downstream operates on sketch-sized
+artifacts. The output is data, not a side effect — a 100 TB pipeline
+materializes this row next to the job plan as an audit record of WHY a
+strategy was chosen.
+
+Composite keys (VERDICT r10 #6): ``key`` may be a list of columns. The sketch
+column is the NUL-joined tuple (``concat_ws('\\x00', ...)``) so MG shares and
+the CMS join-size bound measure the COMPOSITE key's distribution — exactly the
+distribution the shuffle partitioner hashes — and the salted rewrite salts the
+same tuple.
 
 No reference citation: the reference has no join surface ([EXT] scope).
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["advise_join", "apply_join_advice", "strategy_expr"]
 
+#: Default broadcast byte ceiling: 256 MiB. Spark's conf default
+#: (autoBroadcastJoinThreshold) is 10 MiB — deliberately timid for AUTO
+#: decisions; an explicit advisor-sanctioned broadcast is usually safe up to a
+#: few hundred MiB of executor/driver memory. Still far under the 8 GiB hard
+#: limit on a broadcasted relation.
+DEFAULT_BROADCAST_BYTES = 256 * 1024 * 1024
 
-def strategy_expr(broadcast_row_limit: int, skew_share: float) -> Column:
+
+def _as_keys(key: str | Sequence[str]) -> list[str]:
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("join needs at least one key column")
+    return keys
+
+
+def _sketch_key(keys: list[str]) -> Column:
+    """The composite key as ONE sketchable string column: NUL-joined casts.
+    concat_ws skips NULLs, but callers filter any-key-NULL rows first (an
+    inner equi-join never matches a NULL key, so those rows cannot shift a
+    branch)."""
+    if len(keys) == 1:
+        return F.col(keys[0]).cast("string")
+    return F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys])
+
+
+def _not_null(keys: list[str]) -> Column:
+    cond = F.col(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return cond
+
+
+def strategy_expr(
+    broadcast_row_limit: int, skew_share: float, broadcast_byte_limit: int
+) -> Column:
     """The decision tree as a column expression over (left_rows, right_rows,
-    left_top_share, right_top_share) — shared by the MG-based production
-    advisor below and the exact-share certified twin (events_join_advice),
-    so both walk literally the same branches."""
+    left_bytes, right_bytes, left_top_share, right_top_share) — shared by the
+    MG-based production advisor below and the exact-share certified twin
+    (events_join_advice), so both walk literally the same branches.
+
+    A side is broadcast-eligible only if it fits BOTH limits: rows (Spark's
+    hard per-relation row cap, and the driver's deserialization row loop) AND
+    bytes (the actual memory unit — VERDICT r10 #1: row count alone would
+    broadcast a wide 9M-row dim straight into a driver OOM). Ties between two
+    eligible sides broadcast the smaller side BY BYTES, the unit that costs."""
+    r_fits = (F.col("right_rows") <= broadcast_row_limit) & (
+        F.col("right_bytes") <= broadcast_byte_limit
+    )
+    l_fits = (F.col("left_rows") <= broadcast_row_limit) & (
+        F.col("left_bytes") <= broadcast_byte_limit
+    )
     return (
         F.when(
-            (F.col("right_rows") <= broadcast_row_limit)
-            & (F.col("right_rows") <= F.col("left_rows")),
+            r_fits & (F.col("right_bytes") <= F.col("left_bytes")),
             F.lit("broadcast_right"),
         )
-        .when(F.col("left_rows") <= broadcast_row_limit, F.lit("broadcast_left"))
+        .when(l_fits, F.lit("broadcast_left"))
+        .when(r_fits, F.lit("broadcast_right"))
         .when(
             (F.col("left_top_share") > skew_share)
             & (F.col("left_top_share") >= F.col("right_top_share")),
@@ -56,18 +116,23 @@ def strategy_expr(broadcast_row_limit: int, skew_share: float) -> Column:
 def advise_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     broadcast_row_limit: int = 10_000_000,
     skew_share: float = 0.2,
     cms_w: int = 8192,
+    broadcast_byte_limit: int = DEFAULT_BROADCAST_BYTES,
+    sample_rows: int = 1024,
 ) -> DataFrame:
-    """One-row decision relation for ``left JOIN right ON key``:
+    """One-row decision relation for ``left JOIN right ON key`` (key may be a
+    column name or a list of them — composite equi-join):
 
-    (left_rows, right_rows, est_join_size, left_top_share, right_top_share,
-    strategy) where strategy is the first match of the standard tree:
+    (left_rows, right_rows, left_bytes, right_bytes, est_join_size,
+    left_top_share, right_top_share, strategy) where strategy is the first
+    match of the standard tree:
 
-    - ``broadcast_right`` / ``broadcast_left`` — a side fits the row limit;
-      shuffle avoided entirely (ties broadcast the smaller side).
+    - ``broadcast_right`` / ``broadcast_left`` — a side fits BOTH the row
+      limit and the byte limit (rows x avg-sampled-row-bytes); shuffle avoided
+      entirely (ties broadcast the smaller side by bytes).
     - ``salt_left_key`` / ``salt_right_key`` — one key holds > ``skew_share``
       of a side's rows; AQE's skew join MAY split it at runtime, pre-salting
       (plans/skew.py) is the guaranteed fix. The hotter side salts.
@@ -77,21 +142,26 @@ def advise_join(
     decides whether the DOWNSTREAM of the join is viable at all (a join that
     explodes 100x is a modeling bug, not a strategy problem).
 
-    Estimate direction near the thresholds (ADVICE r9): row counts are EXACT
-    (the MG scan folds the count in via a sentinel row; NULL keys are excluded
-    on both the stat and join sides, so they cannot shift a branch), but the
-    Misra-Gries top-share UNDERCOUNTS — ``est >= true - total/cap`` with
-    cap=64, i.e. by at most ~1.6% of rows. So skew can be MISSED when the true
-    share sits within total/cap above ``skew_share`` (the decision degrades to
-    ``shuffle_ok`` — a performance miss, never a correctness one) but can
-    never be INVENTED. Callers pinning a branch in tests should keep the
-    planted share at least ~2 x total/cap away from ``skew_share``."""
+    Estimate direction near the thresholds (ADVICE r9 + VERDICT r10 #1): row
+    counts are EXACT (the MG scan folds the count in via a sentinel row;
+    any-key-NULL rows are excluded on both the stat and join sides, so they
+    cannot shift a branch), the Misra-Gries top-share UNDERCOUNTS —
+    ``est >= true - total/cap`` with cap=64, i.e. by at most ~1.6% of rows —
+    and the byte estimate (exact rows x to_json avg over a LIMIT
+    ``sample_rows`` sample) mildly OVERESTIMATES serialized size (JSON field
+    names/quoting vs columnar encoding). So skew can be MISSED when the true
+    share sits within total/cap above ``skew_share`` and a broadcast can be
+    REFUSED when the true bytes sit just under the limit — both degrade to a
+    safer/slower branch, never to a wrong result or an OOM. A broadcast is
+    never INVENTED. Callers pinning a branch in tests should keep planted
+    shares ~2 x total/cap away from ``skew_share`` and planted sizes well away
+    from ``broadcast_byte_limit``."""
     from ..ext.sketch import _mg_summaries, cms_counters, cms_inner_product
 
+    keys = _as_keys(key)
+
     def side_stats(df: DataFrame, tag: str) -> DataFrame:
-        keyed = df.select(F.col(key).cast("string").alias("k")).where(
-            F.col("k").isNotNull()
-        )
+        keyed = df.where(_not_null(keys)).select(_sketch_key(keys).alias("k"))
         hh = (
             _mg_summaries(keyed, "k", cap=64)
             .orderBy(F.desc("est_count"), F.asc("item"))
@@ -105,14 +175,33 @@ def advise_join(
         )
         # an EMPTY side still yields a row (rows 0, share 0) so the decision
         # tree sees numbers, not NULL-propagated branches: 0 rows -> broadcast
-        return hh.unionByName(
+        stats = hh.unionByName(
             keyed.sparkSession.createDataFrame(
                 [(0, 0.0)], f"{tag}_rows long, {tag}_top_share double"
             )
         ).orderBy(F.desc(f"{tag}_rows")).limit(1)
+        # bytes = exact rows x avg serialized row size over a BOUNDED sample
+        # (LIMIT short-circuits the scan; an empty side averages to 0)
+        avg_bytes = (
+            df.where(_not_null(keys))
+            .limit(sample_rows)
+            .agg(
+                F.coalesce(
+                    F.avg(F.octet_length(F.to_json(F.struct(*df.columns)))),
+                    F.lit(0.0),
+                ).alias(f"{tag}_avg_row_bytes")
+            )
+        )
+        return stats.crossJoin(avg_bytes).select(
+            f"{tag}_rows",
+            f"{tag}_top_share",
+            F.ceil(F.col(f"{tag}_rows") * F.col(f"{tag}_avg_row_bytes"))
+            .cast("long")
+            .alias(f"{tag}_bytes"),
+        )
 
-    lk = left.select(F.col(key).cast("string").alias("k")).where(F.col("k").isNotNull())
-    rk = right.select(F.col(key).cast("string").alias("k")).where(F.col("k").isNotNull())
+    lk = left.where(_not_null(keys)).select(_sketch_key(keys).alias("k"))
+    rk = right.where(_not_null(keys)).select(_sketch_key(keys).alias("k"))
     est = cms_inner_product(
         cms_counters(lk, "k", w=cms_w), cms_counters(rk, "k", w=cms_w)
     )
@@ -121,10 +210,12 @@ def advise_join(
         .crossJoin(side_stats(right, "right"))
         .crossJoin(est)
     )
-    strategy = strategy_expr(broadcast_row_limit, skew_share)
+    strategy = strategy_expr(broadcast_row_limit, skew_share, broadcast_byte_limit)
     return row.select(
         "left_rows",
         "right_rows",
+        "left_bytes",
+        "right_bytes",
         "est_join_size",
         "left_top_share",
         "right_top_share",
@@ -135,21 +226,24 @@ def advise_join(
 def apply_join_advice(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     broadcast_row_limit: int = 10_000_000,
     skew_share: float = 0.2,
     cms_w: int = 8192,
     salt_buckets: int = 16,
+    broadcast_byte_limit: int = DEFAULT_BROADCAST_BYTES,
+    sample_rows: int = 1024,
 ) -> tuple[str, DataFrame]:
     """Walk the SAME decision tree as ``advise_join`` and EXECUTE the chosen
-    plan (VERDICT r9 #3 — the advisor actuated). Returns ``(strategy, df)``
-    where ``df`` is the INNER equi-join of ``left`` and ``right`` on ``key``
-    with columns ordered ``key, left-minus-key, right-minus-key`` — the same
-    rows under every branch (certified branch-by-branch in
+    plan (VERDICT r9 #3 — the advisor actuated; r10 #1/#6 — byte-aware and
+    composite-key). Returns ``(strategy, df)`` where ``df`` is the INNER
+    equi-join of ``left`` and ``right`` on ``key`` (a name or a list of
+    names) with columns ordered ``keys, left-minus-keys, right-minus-keys`` —
+    the same rows under every branch (certified branch-by-branch in
     tests/test_plans.py::test_apply_join_advice_*):
 
     - ``broadcast_right`` / ``broadcast_left`` — ``F.broadcast`` hint on the
-      fitting side; the big side never shuffles.
+      side that fits BOTH limits; the big side never shuffles.
     - ``salt_left_key`` / ``salt_right_key`` — ``plans/skew.salted_join_left``
       with the HOT side salted and the other side replicated across
       ``salt_buckets`` (the guaranteed fix where AQE's runtime skew split is
@@ -161,10 +255,12 @@ def apply_join_advice(
     branch choice). Inner joins only — the salted rewrite replicates the
     non-salted side, so outer-join unmatched rows would be emitted once per
     replica (the ADVICE r9 interval-join caveat; same restriction there).
-    Cost: two bounded single-COLUMN scans per side for the sketches — at
-    100 TB that is the insurance premium against discovering a spilled
-    shuffle or a straggler task an hour into the real join."""
-    overlap = (set(left.columns) & set(right.columns)) - {key}
+    Cost: two bounded single-COLUMN scans per side for the sketches plus one
+    LIMIT-bounded byte sample — at 100 TB that is the insurance premium
+    against discovering a spilled shuffle, a straggler task, or a broadcast
+    OOM an hour into the real join."""
+    keys = _as_keys(key)
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
     if overlap:
         raise ValueError(
             f"left/right share non-key columns {sorted(overlap)}; "
@@ -173,22 +269,29 @@ def apply_join_advice(
     from .skew import salted_join_left
 
     advice = advise_join(
-        left, right, key, broadcast_row_limit, skew_share, cms_w
+        left,
+        right,
+        keys,
+        broadcast_row_limit,
+        skew_share,
+        cms_w,
+        broadcast_byte_limit,
+        sample_rows,
     ).collect()[0]
     strategy = advice["strategy"]
     if strategy == "broadcast_right":
-        out = left.join(F.broadcast(right), key, "inner")
+        out = left.join(F.broadcast(right), keys, "inner")
     elif strategy == "broadcast_left":
-        out = F.broadcast(left).join(right, key, "inner")
+        out = F.broadcast(left).join(right, keys, "inner")
     elif strategy == "salt_left_key":
-        out = salted_join_left(left, right, key, salt_buckets, "inner")
+        out = salted_join_left(left, right, keys, salt_buckets, "inner")
     elif strategy == "salt_right_key":
-        out = salted_join_left(right, left, key, salt_buckets, "inner")
+        out = salted_join_left(right, left, keys, salt_buckets, "inner")
     else:
-        out = left.join(right, key, "inner")
+        out = left.join(right, keys, "inner")
     cols = (
-        [key]
-        + [c for c in left.columns if c != key]
-        + [c for c in right.columns if c != key]
+        keys
+        + [c for c in left.columns if c not in keys]
+        + [c for c in right.columns if c not in keys]
     )
     return strategy, out.select(*cols)

@@ -2051,16 +2051,21 @@ ORDER BY day, event_type
 # share ~0.2-0.3: the key you must never shuffle-join on unsalted, and whose
 # CMS inner product ~ sum n_t^2 >> rows is the blow-up the viability number
 # exists to catch BEFORE running the join). Each side contributes its exact
-# row count and top-key share plus the CMS join-size bound, then the SAME
-# strategy_expr decision tree the production MG-based advisor walks produces
-# the strategy. One hash certifies the measurement arithmetic AND the decision
-# on different branches per key (and per SF — at small SFs a side fits the
-# broadcast limit; the oracle replays whichever branch the data selects). The
+# row count, top-key share AND exact serialized key bytes (VERDICT r10 #1 —
+# Spark's broadcast threshold is BYTES, not rows) plus the CMS join-size
+# bound, then the SAME strategy_expr decision tree the production MG-based
+# advisor walks produces the strategy. One hash certifies the measurement
+# arithmetic AND the decision on different branches per key/SF — and the BYTE
+# term genuinely BINDS at sf0.001: the event_type side has 1000 rows (inside
+# the 1500-row limit — the r10-and-earlier tree would broadcast) but 5617
+# exact key bytes (over the 3000-byte limit), so the tree must REFUSE the
+# broadcast and fall through to salt_left_key (share 0.21 > 0.2). The
 # production advisor swaps exact shares for the one-scan Misra-Gries estimate
-# — same tree, bounded cost (the learned-vs-fixed twin pattern applied to a
-# planner).
+# and exact bytes for a LIMIT-bounded to_json sample — same tree, bounded
+# cost (the learned-vs-fixed twin pattern applied to a planner).
 
 JOIN_ADVICE_BCAST_LIMIT = 1500
+JOIN_ADVICE_BCAST_BYTES = 3000
 JOIN_ADVICE_SKEW_SHARE = 0.2
 
 
@@ -2071,9 +2076,15 @@ def events_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
 
     def side_stats(keyed: DataFrame, tag: str) -> DataFrame:
-        g = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        # bytes are EXACT here (sum of key octet lengths) — the twin replaces
+        # the production advisor's sampled to_json estimate with a number the
+        # oracle replays to the byte, so left/right_bytes join the hash
+        g = keyed.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("k")).alias("b")
+        )
         return g.agg(
             F.sum("n").cast("long").alias(f"{tag}_rows"),
+            F.sum("b").cast("long").alias(f"{tag}_bytes"),
             F.round(
                 F.max("n").cast("double") / F.sum("n").cast("double"), 6
             ).alias(f"{tag}_top_share"),
@@ -2092,12 +2103,16 @@ def events_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(join_key).alias("join_key"),
                 "left_rows",
                 "right_rows",
+                "left_bytes",
+                "right_bytes",
                 "est_join_size",
                 "left_top_share",
                 "right_top_share",
-                strategy_expr(JOIN_ADVICE_BCAST_LIMIT, JOIN_ADVICE_SKEW_SHARE).alias(
-                    "strategy"
-                ),
+                strategy_expr(
+                    JOIN_ADVICE_BCAST_LIMIT,
+                    JOIN_ADVICE_SKEW_SHARE,
+                    JOIN_ADVICE_BCAST_BYTES,
+                ).alias("strategy"),
             )
         )
 
@@ -2127,12 +2142,13 @@ WITH px AS (
   SELECT CAST(event_type AS VARCHAR) AS k FROM events WHERE event_type IS NOT NULL
 ), stats AS (
   SELECT src, CAST(SUM(n) AS BIGINT) AS rows_,
+         CAST(SUM(b) AS BIGINT) AS bytes_,
          ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS top_share
   FROM (
-    SELECT 'pu' AS src, k, COUNT(*) AS n FROM px GROUP BY k
-    UNION ALL SELECT 'eu', k, COUNT(*) FROM ex GROUP BY k
-    UNION ALL SELECT 'pt', k, COUNT(*) FROM pt GROUP BY k
-    UNION ALL SELECT 'et', k, COUNT(*) FROM et GROUP BY k
+    SELECT 'pu' AS src, k, COUNT(*) AS n, SUM(strlen(k)) AS b FROM px GROUP BY k
+    UNION ALL SELECT 'eu', k, COUNT(*), SUM(strlen(k)) FROM ex GROUP BY k
+    UNION ALL SELECT 'pt', k, COUNT(*), SUM(strlen(k)) FROM pt GROUP BY k
+    UNION ALL SELECT 'et', k, COUNT(*), SUM(strlen(k)) FROM et GROUP BY k
   ) GROUP BY src
 ), cms AS (
   SELECT src, i.i AS r,
@@ -2155,6 +2171,7 @@ WITH px AS (
 ), advice AS (
   SELECT pair.jk AS join_key,
          ls.rows_ AS left_rows, rs.rows_ AS right_rows,
+         ls.bytes_ AS left_bytes, rs.bytes_ AS right_bytes,
          est.est_join_size,
          ls.top_share AS left_top_share, rs.top_share AS right_top_share
   FROM (VALUES ('user_id', 'pu', 'eu'), ('event_type', 'pt', 'et')) pair(jk, l, r_)
@@ -2162,11 +2179,17 @@ WITH px AS (
   JOIN stats rs ON rs.src = pair.r_
   JOIN est ON est.jk = pair.jk
 )
-SELECT join_key, left_rows, right_rows, est_join_size, left_top_share, right_top_share,
+SELECT join_key, left_rows, right_rows, left_bytes, right_bytes,
+       est_join_size, left_top_share, right_top_share,
        CASE
-         WHEN right_rows <= {JOIN_ADVICE_BCAST_LIMIT} AND right_rows <= left_rows
+         WHEN right_rows <= {JOIN_ADVICE_BCAST_LIMIT}
+              AND right_bytes <= {JOIN_ADVICE_BCAST_BYTES}
+              AND right_bytes <= left_bytes
            THEN 'broadcast_right'
-         WHEN left_rows <= {JOIN_ADVICE_BCAST_LIMIT} THEN 'broadcast_left'
+         WHEN left_rows <= {JOIN_ADVICE_BCAST_LIMIT}
+              AND left_bytes <= {JOIN_ADVICE_BCAST_BYTES} THEN 'broadcast_left'
+         WHEN right_rows <= {JOIN_ADVICE_BCAST_LIMIT}
+              AND right_bytes <= {JOIN_ADVICE_BCAST_BYTES} THEN 'broadcast_right'
          WHEN left_top_share > {JOIN_ADVICE_SKEW_SHARE}
               AND left_top_share >= right_top_share THEN 'salt_left_key'
          WHEN right_top_share > {JOIN_ADVICE_SKEW_SHARE} THEN 'salt_right_key'
@@ -2194,6 +2217,10 @@ ORDER BY join_key
 # key across 8 reducers instead of one straggler.
 
 APPLIED_BCAST_LIMIT = 16
+APPLIED_BCAST_BYTES = 1 << 20  # r11 byte term: dim sample estimate ~200 B at
+# sf0.001 — >3 orders of magnitude of slack, so the byte conjunct is certainly
+# true where the row gate passes and the oracle's row-only CASE replays the
+# same branch (the byte term BINDS, with exact bytes, in events_join_advice)
 APPLIED_SALT_BUCKETS = 8
 APPLIED_HOT_MOD = 4  # pmod(user_id, 4) < 2 -> 'hot' (~50% of rows)
 APPLIED_KEY_MOD = 101  # cold keys: 'u' || user_id % 101
@@ -2222,6 +2249,7 @@ def events_join_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         broadcast_row_limit=APPLIED_BCAST_LIMIT,
         salt_buckets=APPLIED_SALT_BUCKETS,
+        broadcast_byte_limit=APPLIED_BCAST_BYTES,
     )
     return (
         joined.groupBy("k", "dim_n")

@@ -3871,6 +3871,31 @@ def test_arith_jpeg_media_features_decoded_true():
     assert feats[0] == 28.0  # width feature, the integer probe
 
 
+def test_arith_jpeg_rejects_dac_dc_l_gt_u():
+    """ADVICE r10: a DAC segment whose DC conditioning violates T.81 B.2.4.3
+    (L > U) must raise a clean ValueError instead of silently producing a
+    degenerate context classification. Patch the encoder's own DAC segment
+    (Cs byte 0x10 = L0/U1 -> 0x01 = L1/U0) and expect the loud rejection; the
+    unpatched stream still decodes."""
+    import numpy as np
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.ext.jpeg import (
+        make_arith_jpeg_bytes,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    px = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    b = make_arith_jpeg_bytes(px, quality=80)
+    i = b.find(b"\xff\xcc")
+    assert i > 0 and b[i + 4] == 0x00 and b[i + 5] == 0x10  # (Tc=0,Tb=0), Cs
+    bad = b[: i + 5] + bytes([0x01]) + b[i + 6 :]
+    with pytest.raises(ValueError, match="DAC DC conditioning"):
+        parse_jpeg(bad)
+    parse_jpeg(b)  # control: the valid stream still decodes
+
+
 def _build_jpegtool(tmp_path):
     """Compile tools/jpegtool.c against the system libjpeg; None if the
     toolchain or headers are unavailable (tests skip)."""

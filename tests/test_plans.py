@@ -868,6 +868,112 @@ def test_apply_join_advice_rejects_column_overlap(spark):
         apply_join_advice(df, df, "k")
 
 
+def test_join_advisor_refuses_bytes_blown_broadcast(spark):
+    """VERDICT r10 #1 — the broadcast decision is BYTES, not rows: a dim that
+    passes the row limit but whose rows x avg-serialized-bytes blows the byte
+    limit must NOT be broadcast (the r10-and-earlier row-only tree would have
+    OOM'd the driver at scale). Control: the same dim with a generous byte
+    limit IS broadcast — only the byte term flips the branch."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import (
+        advise_join,
+        apply_join_advice,
+    )
+
+    big = spark.range(0, 3000).select(
+        (F.col("id") % 300).alias("k"), F.col("id").alias("lv")
+    )
+    # 30 rows (<< row limit 50) of ~100 KB payload each: ~3 MB serialized
+    wide_dim = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.repeat(F.lit("x"), 100_000).alias("rv")
+    )
+    r = advise_join(
+        big, wide_dim, "k", broadcast_row_limit=50, broadcast_byte_limit=100_000
+    ).collect()[0]
+    assert r["right_rows"] == 30 and r["right_bytes"] > 100_000
+    assert not r["strategy"].startswith("broadcast"), r["strategy"]
+    assert r["strategy"] == "shuffle_ok"  # no skew either: 300 uniform keys
+    strategy, out = apply_join_advice(
+        big, wide_dim, "k", broadcast_row_limit=50, broadcast_byte_limit=100_000
+    )
+    assert strategy == "shuffle_ok"
+    assert out.count() == 300  # 30 dim keys x 10 rows each
+    # control: byte room -> the same fixture broadcasts
+    r2 = advise_join(
+        big, wide_dim, "k", broadcast_row_limit=50,
+        broadcast_byte_limit=64 * 1024 * 1024,
+    ).collect()[0]
+    assert r2["strategy"] == "broadcast_right"
+
+
+def test_join_advisor_broadcast_ties_break_by_bytes(spark):
+    """Two broadcast-eligible sides: the advisor must pick the smaller side
+    BY BYTES (the unit that costs), not by rows — fewer rows of fat strings
+    lose to more rows of narrow ints."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import advise_join
+
+    fat_few = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.repeat(F.lit("y"), 5_000).alias("lv")
+    )
+    narrow_many = spark.range(0, 40).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("rv")
+    )
+    r = advise_join(
+        fat_few, narrow_many, "k", broadcast_row_limit=1_000
+    ).collect()[0]
+    assert r["left_rows"] < r["right_rows"]  # rows would pick the LEFT side
+    assert r["left_bytes"] > r["right_bytes"]
+    assert r["strategy"] == "broadcast_right"  # bytes pick the right side
+
+
+def test_apply_join_advice_composite_key_all_branches(spark):
+    """VERDICT r10 #6 — composite equi-join keys: the sketches measure the
+    NUL-joined key tuple and the salted rewrite salts the same tuple, so
+    broadcast / salt / shuffle branches all return exactly the plain two-
+    column join's rows. The hot fixture plants one (k1, k2) PAIR at 80% —
+    the share the advisor must measure is the TUPLE's, because that is what
+    the shuffle partitioner hashes."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import (
+        advise_join,
+        apply_join_advice,
+    )
+    from hadoop_migration_assessment_tools_spark.plans.audit import plan_signature
+
+    uniform = [(i % 20, (i * 7) % 20, i) for i in range(2000)]
+    # hot PAIR (3, 9): 1600 rows; the rest spread so each single column is
+    # ~uniform (every k1 and k2 value still appears many times)
+    hot = [(3, 9, i) for i in range(1600)] + [
+        (i % 20, (i * 7 + 1) % 20, i) for i in range(400)
+    ]
+    tiny = [(a, b, a * 100 + b) for a in range(5) for b in range(5)]
+
+    def mk(rows, side):
+        return spark.createDataFrame(rows, f"k1 long, k2 long, {side} long")
+
+    cases = {
+        "broadcast_right": (mk(uniform, "lv"), mk(tiny, "rv")),
+        "salt_left_key": (mk(hot, "lv"), mk(uniform, "rv")),
+        "shuffle_ok": (mk(uniform, "lv"), mk(uniform[:2000], "rv")),
+    }
+    for want, (left, right) in cases.items():
+        strategy, out = apply_join_advice(
+            left, right, ["k1", "k2"], broadcast_row_limit=50, salt_buckets=8
+        )
+        assert strategy == want, f"{want}: advisor chose {strategy}"
+        assert out.columns == ["k1", "k2", "lv", "rv"]
+        plain = left.join(right, ["k1", "k2"]).select("k1", "k2", "lv", "rv")
+        got = sorted(map(tuple, out.collect()))
+        exp = sorted(map(tuple, plain.collect()))
+        assert got == exp, f"{want}: rows diverge from the plain join"
+        sig = plan_signature(out)
+        assert sig["bnlj"] == 0 and sig["cartesian"] == 0, (want, sig)
+    # the advisor's measured share is the TUPLE's (planted 0.8 >> 0.2 + the
+    # documented MG undercount margin)
+    r = advise_join(
+        mk(hot, "lv"), mk(uniform, "rv"), ["k1", "k2"], broadcast_row_limit=50
+    ).collect()[0]
+    assert r["left_top_share"] > 0.7
+
+
 def test_salted_interval_join_rejects_outer_how(spark):
     """ADVICE r9: under right/full outer the salted variant would emit each
     unmatched interval once per (bucket replica x salt) — it must refuse.
