@@ -80,6 +80,7 @@ def salted_group_topk(
     k: int,
     salt_buckets: int = 16,
     rank_col: str = "rank",
+    salt: Column | None = None,
 ) -> DataFrame:
     """Per-group top-k that survives a HOT group (VERDICT r9 #5 — the reusable
     primitive SCALE.md's Windows row promised): a plain
@@ -96,16 +97,22 @@ def salted_group_topk(
 
     Results are identical to the plain window for any TOTAL order (callers
     must include a tie-breaker in ``order_by``, same contract as
-    ``distributed_row_number``). The salt is a deterministic per-row spread
-    (hash of a row id, the plans/skew.py move), so identical sort keys still
-    fan out. Cost: one extra (narrow) shuffle of the k*salt_buckets
+    ``distributed_row_number``). The default salt is a per-row spread (hash of
+    a row id, the plans/skew.py move), so identical sort keys still fan out;
+    pass ``salt`` (any int expression in [0, salt_buckets), e.g. a portable
+    hash of a unique key — the r11 oracled row events_salted_group_topk does
+    this) when the bucket assignment itself must be deterministic /
+    replayable. Cost: one extra (narrow) shuffle of the k*salt_buckets
     survivors — the usual salt trade, free next to the straggler it removes.
-    Certified equal + split-pinned in tests/test_plans.py."""
+    Certified equal + split-pinned in tests/test_plans.py; certified equal to
+    the definitional window BY HASH in the oracled registry row."""
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast(
-            "int"
-        ),
+        salt.cast("int")
+        if salt is not None
+        else F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).cast("int"),
     )
     w_local = Window.partitionBy(*group_cols, "_salt").orderBy(*order_by)
     survivors = (

@@ -458,6 +458,9 @@ BNLJ_ALLOWED = {
     # r7: the one-row report crossJoins four 1-row aggregates (est_a x est_b x
     # est_union x exact overlap), all over the checkpointed distinct level
     "docs_split_hll_overlap",
+    # r11: the top-k rows crossJoin the 1-row split-certification aggregate
+    # (hot_rows x max_bucket x split_ok — one broadcast scalar row)
+    "events_salted_group_topk",
 }
 
 

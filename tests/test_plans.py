@@ -618,6 +618,31 @@ def test_grouped_sample_window_group_limit(spark):
         assert "WindowGroupLimit" in plan, q.__name__
 
 
+def test_salted_group_topk_registry_row_plan_shape(spark):
+    """VERDICT r10 #3 — the oracled events_salted_group_topk row must show the
+    two-phase WindowGroupLimit shape: BOTH windows (the per-(grp,salt) local
+    top-k and the per-grp re-rank) carry the rank-filter pushdown, and the
+    plan has no join beyond the one broadcast of the 1-row split relation."""
+    from hadoop_migration_assessment_tools_spark.plans.audit import (
+        formatted_plan,
+        plan_signature,
+    )
+    from hadoop_migration_assessment_tools_spark.queries.events_analytics import (
+        events_salted_group_topk,
+    )
+
+    df = events_salted_group_topk(spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, "both phases must push the rank filter"
+    sig = plan_signature(df)
+    # bnlj == 1 is the 1-row split-certification crossJoin (BNLJ_ALLOWED class)
+    assert sig["bnlj"] <= 1 and sig["cartesian"] == 0, sig
+    r = df.collect()
+    # the in-plan split certification must REQUIRE the >= 4x shrink
+    assert all(row["split_ok"] for row in r)
+    assert r[0]["hot_rows"] >= 4 * r[0]["max_bucket"]
+
+
 def test_interval_join_salted_equals_plain_and_splits_hot_bucket(spark):
     """VERDICT r8 #7 — the interval-join x skew composition: plant one HOT time
     bucket (80% of points in a single 30-min window, all on ONE timestamp —
