@@ -2606,6 +2606,137 @@ ORDER BY day
 """
 
 
+# --- events_stream_state_sink_parity ----------------------------------------------------
+# [EXT] The streaming PRODUCTION LOOP closed end-to-end (VERDICT r10 #2 — the
+# piece the memory-sink parity rows above deliberately did not demonstrate):
+# a real multi-batch stream (4 source files, maxFilesPerTrigger=1) maintains
+# per-day KMV bottom-k sketch state through the UPDATE-mode
+# applyInPandasWithState maintainer (streaming/windows.daily_kmv_sketches —
+# each emission is the touched day's COMPLETE current sketch), lands it in a
+# PARTITIONED parquet sink via foreachBatch with dynamic overwrite-by-day
+# (streaming/foreach.DailyStateOverwriteSink — only touched days rewrite;
+# replayed batches rewrite identical content, so the sink is idempotent), and
+# then a DOWNSTREAM BATCH CONSUMER reads the state tree back and full-outer-
+# joins the persisted hashes against the batch KMV sketch per day: one
+# missing/extra/shifted hash anywhere in any day's persisted bottom-k breaks
+# the oracle hash, as does a wrong n_seen counter (certified against the
+# exact per-day row count) or a day with more than one surviving state row
+# (n_state_rows). Kill-restart survival of this exact loop is pinned in
+# tests/test_streaming.py::test_state_sink_kill_restart_tree_matches_batch.
+# 100 TB shape: per-trigger write cost is the touched days' k-row sketches
+# (state bounded, history never rescanned); the consumer reads k rows/day.
+
+STREAM_SINK_K = 32
+
+
+def events_stream_state_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..config import scratch_dir
+    from ..ext.sketch import kmv_hash
+    from ..streaming.foreach import DailyStateOverwriteSink
+    from ..streaming.source import read_events_table_stream
+    from ..streaming.windows import daily_kmv_sketches
+
+    ev = _events(spark, sf_dir)
+    tmp = scratch_dir("events_stream_state_sink", sf_dir, wipe=True)
+    src = f"{tmp}/src"
+    # 4 files + maxFilesPerTrigger=1 forces a genuinely multi-batch fold
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+
+    stream = read_events_table_stream(spark, src, max_files_per_trigger=1)
+    sink = DailyStateOverwriteSink(f"{tmp}/state")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")  # state-store cost, r7 lesson
+    try:
+        sink.attach(
+            daily_kmv_sketches(stream, k=STREAM_SINK_K),
+            checkpoint_dir=f"{tmp}/ckpt",
+            available_now=True,
+        ).awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # the downstream consumer: a BATCH read of the persisted state tree
+    state = spark.read.parquet(f"{tmp}/state").select(
+        F.col("day").cast("date").alias("day"), "n_seen", "hashes"
+    )
+    streamed = state.select(
+        "day", F.explode("hashes").alias("h"), F.lit(1).alias("s")
+    )
+    per_day_state = state.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_state_rows"),
+        F.max("n_seen").cast("long").alias("n_seen"),
+    )
+    distinct_hashes = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), kmv_hash("user_id").alias("h"))
+        .distinct()
+    )
+    batch = (
+        distinct_hashes.withColumn(
+            "rn", F.row_number().over(W.partitionBy("day").orderBy("h"))
+        )
+        .where(F.col("rn") <= STREAM_SINK_K)
+        .select("day", "h", F.lit(1).alias("b"))
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    )
+    return (
+        batch.join(streamed, ["day", "h"], "full_outer")
+        .groupBy("day")
+        .agg(
+            F.count("s").cast("long").alias("n_sink_hashes"),
+            F.count("b").cast("long").alias("n_batch_hashes"),
+            F.count(F.when(F.col("s").isNotNull() & F.col("b").isNotNull(), 1))
+            .cast("long")
+            .alias("n_match"),
+        )
+        .join(per_day_state, "day")
+        .join(exact, "day")
+        .select(
+            "day",
+            "n_state_rows",
+            "n_sink_hashes",
+            "n_batch_hashes",
+            "n_match",
+            "n_seen",
+            "exact_rows",
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_STREAM_STATE_SINK_PARITY_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events WHERE user_id IS NOT NULL
+), h AS (
+  SELECT DISTINCT day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM e
+), bk AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM h
+  ) WHERE rn <= {STREAM_SINK_K}
+), per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY day
+)
+SELECT b.day,
+       CAST(1 AS BIGINT) AS n_state_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_sink_hashes,
+       CAST(COUNT(*) AS BIGINT) AS n_batch_hashes,
+       CAST(COUNT(*) AS BIGINT) AS n_match,
+       p.n AS n_seen,
+       p.n AS exact_rows
+FROM bk b JOIN per_day p ON p.day = b.day
+GROUP BY b.day, p.n
+ORDER BY b.day
+"""
+
+
 # --- events_grouped_sampled_quantiles ---------------------------------------------------
 # [EXT] The GROUPED form of the sampled-quantile sketch — per-event_type CDF
 # estimates, fully declarative (zero driver actions, unlike the global form's

@@ -429,6 +429,11 @@ QUERIES: dict[str, Query] = {
     # shortlist + EXACT integer re-rank of just the R*|Q| shortlist rows
     # (Faiss IndexIVFPQ + IndexRefine), one hash certifying every stage
     "emb_residual_pq_rerank_topk": llm.emb_residual_pq_rerank_topk,
+    # r11 (VERDICT r10 #2): the streaming production loop closed — update-mode
+    # KMV maintainer -> foreachBatch dynamic overwrite-by-day parquet state
+    # tree -> downstream batch consumer; persisted hashes full-outer-certified
+    # against the batch sketch (kill-restart pinned in tests/test_streaming.py)
+    "events_stream_state_sink_parity": ea.events_stream_state_sink_parity,
     # r11 (VERDICT r10 #3): salted_group_topk ACTUATED — planted 75%-hot group,
     # deterministic portable salt, engine runs the two-phase salted plan, the
     # oracle computes the DEFINITIONAL one-window top-k; split stats (>= 4x
@@ -603,6 +608,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_join_advice": ea.EVENTS_JOIN_ADVICE_ORACLE,
     "events_join_advice_applied": ea.EVENTS_JOIN_ADVICE_APPLIED_ORACLE,
     "events_salted_group_topk": ea.EVENTS_SALTED_GROUP_TOPK_ORACLE,
+    "events_stream_state_sink_parity": ea.EVENTS_STREAM_STATE_SINK_PARITY_ORACLE,
     "events_stream_hll_parity": ea.EVENTS_STREAM_HLL_PARITY_ORACLE,
     "events_stream_cms_parity": ea.EVENTS_STREAM_CMS_PARITY_ORACLE,
     "events_sliding_cms_types": ea.EVENTS_SLIDING_CMS_TYPES_ORACLE,
