@@ -386,7 +386,7 @@ WITH b AS (
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < {TOPK_QUERIES}
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT
     q.query_id, c.vec_id AS neighbor_id, c.bucket = q.bucket AS same_bucket,
     list_sum(list_transform(list_zip(q.qv, c.embedding),
@@ -494,7 +494,7 @@ WITH b AS (
 ), q AS (
   SELECT vec_id AS query_id, label AS query_label, embedding AS qv, bucket
   FROM b WHERE vec_id < {TOPK_QUERIES}
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT
     q.query_id, q.query_label, c.vec_id AS neighbor_id, c.label AS neighbor_label,
     list_sum(list_transform(list_zip(q.qv, c.embedding),
@@ -730,17 +730,17 @@ WITH cents AS (
                   x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
                      * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
   FROM embeddings e, cents c
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, embedding AS cvec, cidx AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
         FROM cdist)
   WHERE rn = 1
-), probes AS (
+), probes AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS qv, cidx AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
         FROM cdist WHERE vec_id < {TOPK_QUERIES})
   WHERE rn <= {IVF_FIXED_NPROBE}
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT p.query_id, a.neighbor_id,
          list_sum(list_transform(list_zip(p.qv, a.cvec),
                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
@@ -945,7 +945,7 @@ WITH reps AS (
   FROM reps
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM scaled WHERE vec_id < {SCALED_QUERIES}
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT q.query_id, c.vec_id AS neighbor_id,
     list_sum(list_transform(list_zip(q.qv, c.embedding),
                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
@@ -1014,12 +1014,12 @@ def _scaled_ivf_lloyd_iteration_sql(i: int) -> str:
     elementwise floor-div means (the ((sv % cnt)+cnt)%cnt construction makes
     the floor division explicit and %-semantics-independent), empty clusters
     keep their previous centroid."""
-    return f"""a{i} AS (
+    return f"""a{i} AS MATERIALIZED (
   SELECT s.sid, s.xq, c.cid,
          list_sum(list_transform(list_zip(s.xq, c.c),
                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
   FROM s, c{i - 1} c
-), b{i} AS (
+), b{i} AS MATERIALIZED (
   SELECT sid, xq, cid FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d ASC, cid ASC) AS rn
     FROM a{i}) WHERE rn = 1
@@ -1032,7 +1032,7 @@ def _scaled_ivf_lloyd_iteration_sql(i: int) -> str:
          list(CAST((sv - (((sv % cnt) + cnt) % cnt)) // cnt AS BIGINT)
               ORDER BY dim) AS c
   FROM m{i} GROUP BY cid
-), c{i} AS (
+), c{i} AS MATERIALIZED (
   SELECT c{i - 1}.cid, COALESCE(u{i}.c, c{i - 1}.c) AS c
   FROM c{i - 1} LEFT JOIN u{i} USING (cid)
 )"""
@@ -1061,17 +1061,17 @@ WITH reps AS (
   FROM generate_series(0, {SCALED_IVF_NLIST - 1}) g(i), nn
   JOIN s ON s.sid = (g.i * (nn.n - 1)) // {SCALED_IVF_NLIST - 1}
 ), {_scaled_ivf_lloyd_iteration_sql(1)}, {_scaled_ivf_lloyd_iteration_sql(2)},
-corpq AS (
+corpq AS MATERIALIZED (
   SELECT vec_id, embedding,
          list_transform(embedding,
              v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
   FROM scaled
-), adist AS (
+), adist AS MATERIALIZED (
   SELECT cq.vec_id, cq.embedding, c.cid,
          list_sum(list_transform(list_zip(cq.xq, c.c),
                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
   FROM corpq cq, c{SCALED_IVF_ITERS} c
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, embedding AS cvec, cid AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
         FROM adist) WHERE rn = 1
@@ -1085,11 +1085,11 @@ corpq AS (
          list_sum(list_transform(list_zip(q.qq, c.c),
                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
   FROM q, c{SCALED_IVF_ITERS} c
-), probes AS (
+), probes AS MATERIALIZED (
   SELECT query_id, qv, cid AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
         FROM pdist) WHERE rn <= {SCALED_IVF_NPROBE}
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT p.query_id, a.neighbor_id,
     list_sum(list_transform(list_zip(p.qv, a.cvec),
                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
@@ -1319,7 +1319,7 @@ WITH cents AS (
                   x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
                      * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
   FROM embeddings e, cents c
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id, label, CAST(cidx AS INTEGER) AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
         FROM cdist)
@@ -1853,7 +1853,7 @@ WITH toks AS (
 ), top AS (
   SELECT term, exact_count, h1, h2 FROM hashed
   ORDER BY exact_count DESC, term ASC LIMIT {CMS_TOP_N}
-), probes AS (
+), probes AS MATERIALIZED (
   SELECT t.term, t.exact_count, c.cnt
   FROM top t
   CROSS JOIN generate_series(0, 3) AS i(i)
@@ -4368,7 +4368,7 @@ DOCS_SPLIT_LEAKAGE_ORACLE = (
   FROM pairs
   WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)
         >= {MINHASH_VERIFY_THRESHOLD}
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT {_SPLIT_CASE.format(id='id_a')} AS split_a,
          {_SPLIT_CASE.format(id='id_b')} AS split_b,
          id_a, id_b, jaccard
@@ -4859,7 +4859,7 @@ WITH emb_aug AS (
                   x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
                      * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
   FROM scoped e, cents c
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id, embedding, CAST(cidx AS INTEGER) AS centroid_id,
          sqrt(list_sum(list_transform(embedding,
               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
@@ -5227,7 +5227,7 @@ WITH cw AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding AS v
   FROM embeddings WHERE embedding IS NOT NULL
   QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16
-), enc AS (
+), enc AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, s.s, c.c,
          list_sum(list_transform(
            list_zip(e.embedding[s.s*16+1 : s.s*16+16], c.v[s.s*16+1 : s.s*16+16]),
@@ -5240,7 +5240,7 @@ WITH cw AS (
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
         FROM enc)
   WHERE rn = 1
-), codesp AS (
+), codesp AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, embedding AS cvec,
          MAX(CASE WHEN s = 0 THEN code END) AS c0,
          MAX(CASE WHEN s = 1 THEN code END) AS c1,
@@ -5250,7 +5250,7 @@ WITH cw AS (
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id < {TOPK_QUERIES} AND embedding IS NOT NULL
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT q.query_id, p.neighbor_id, q.qv, p.cvec,
     list_sum(list_transform(list_zip(q.qv[1:16],   w0.v[1:16]),
       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
@@ -5368,23 +5368,23 @@ WITH cents AS (
                   x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
                      * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
   FROM embeddings e, cents c WHERE e.embedding IS NOT NULL
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, embedding AS cvec, cidx AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
         FROM cdist)
   WHERE rn = 1
-), cw AS (
+), cw AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding AS v
   FROM embeddings WHERE embedding IS NOT NULL
   QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16
-), enc AS (
+), enc AS MATERIALIZED (
   SELECT a.neighbor_id, a.cvec, a.centroid_id, s.s, c.c,
          list_sum(list_transform(
            list_zip(a.cvec[s.s*16+1 : s.s*16+16], c.v[s.s*16+1 : s.s*16+16]),
            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
               * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
   FROM assigned a, generate_series(0, 3) s(s), cw c
-), codesp AS (
+), codesp AS MATERIALIZED (
   SELECT neighbor_id, cvec, centroid_id,
          MAX(CASE WHEN s = 0 THEN code END) AS c0,
          MAX(CASE WHEN s = 1 THEN code END) AS c1,
@@ -5395,12 +5395,12 @@ WITH cents AS (
                                            ORDER BY d ASC, c ASC) AS rn FROM enc)
         WHERE rn = 1)
   GROUP BY neighbor_id, cvec, centroid_id
-), probes AS (
+), probes AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS qv, cidx AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
         FROM cdist WHERE vec_id < {TOPK_QUERIES})
   WHERE rn <= {IVF_FIXED_NPROBE}
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT q.query_id, p.neighbor_id, p.centroid_id, q.qv, p.cvec,
     list_sum(list_transform(list_zip(q.qv[1:16],  w0.v[1:16]),
       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
@@ -5544,23 +5544,23 @@ WITH cents AS (
                   x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
                      * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
   FROM embeddings e, cents c WHERE e.embedding IS NOT NULL
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, embedding AS cvec, cidx AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
         FROM cdist)
   WHERE rn = 1
-), cw AS (
+), cw AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding AS v
   FROM embeddings WHERE embedding IS NOT NULL
   QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16
-), enc AS (
+), enc AS MATERIALIZED (
   SELECT a.neighbor_id, a.cvec, a.centroid_id, s.s, c.c,
          list_sum(list_transform(
            list_zip(a.cvec[s.s*16+1 : s.s*16+16], c.v[s.s*16+1 : s.s*16+16]),
            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
               * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
   FROM assigned a, generate_series(0, 3) s(s), cw c
-), codesp AS (
+), codesp AS MATERIALIZED (
   SELECT neighbor_id, cvec, centroid_id,
          MAX(CASE WHEN s = 0 THEN code END) AS c0,
          MAX(CASE WHEN s = 1 THEN code END) AS c1,
@@ -5571,12 +5571,12 @@ WITH cents AS (
                                            ORDER BY d ASC, c ASC) AS rn FROM enc)
         WHERE rn = 1)
   GROUP BY neighbor_id, cvec, centroid_id
-), probes AS (
+), probes AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS qv, cidx AS centroid_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cidx ASC) AS rn
         FROM cdist WHERE vec_id < {TOPK_QUERIES})
   WHERE rn <= {IVF_FIXED_NPROBE}
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT q.query_id, p.neighbor_id, p.centroid_id, q.qv, p.cvec,
     list_sum(list_transform(list_zip(q.qv[1:16],  w0.v[1:16]),
       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
@@ -5719,59 +5719,71 @@ def emb_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared CTE chain for the residual-PQ family: clustered corpus -> quantized
-#: training sample -> 2 unrolled fixed-point Lloyd rounds -> residual encode
-#: (codes) -> per-(query, probed-list) residual ADC tables -> candidate pairs
-#: with integer ADC distances. Both the codes-only top-k and the refine
-#: composition below read from `pair` (and `corpq` for exact re-rank vectors).
-_RES_PQ_ORACLE_CTES = f"""
-WITH anch AS (
+#: The clustered-corpus CTE prefix shared by the residual-PQ oracles (the
+#: default-knob rows read it directly; the production-knob row wraps it in a
+#: 12x replicate-and-perturb derivation).
+_RES_PQ_CORPUS_CTES = f"""anch AS (
   SELECT vec_id AS aid, embedding AS av FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id < {RES_PQ_ANCHORS}
-), clustered AS (
+), clustered AS MATERIALIZED (
   SELECT e.vec_id,
          list_transform(list_zip(a.av, e.embedding),
              p -> CAST(0.9 * CAST(p[1] AS DOUBLE) + 0.1 * CAST(p[2] AS DOUBLE) AS REAL)) AS embedding
   FROM embeddings e JOIN anch a ON a.aid = e.vec_id % {RES_PQ_ANCHORS}
   WHERE e.embedding IS NOT NULL
-), s AS (
+)"""
+
+
+def _residual_pq_oracle_ctes(
+    corpus_ctes: str, sample_n: int, nlist: int, nprobe: int, n_queries: int
+) -> str:
+    """Shared CTE chain for the residual-PQ family, parameterized (r11 — one
+    relational replay serves the default knobs AND the production knobs of
+    emb_residual_rerank_scaled): ``corpus_ctes`` must define a CTE named
+    ``clustered`` (vec_id, embedding float32). Chain: quantized training
+    sample -> 2 unrolled fixed-point Lloyd rounds -> residual encode (codes)
+    -> per-(query, probed-list) residual ADC tables -> candidate pairs with
+    integer ADC distances. Consumers read from `pair` (and `corpq` for exact
+    re-rank vectors)."""
+    return f"""
+WITH {corpus_ctes}, s AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid,
          list_transform(embedding,
              v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
   FROM clustered
-  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {RES_PQ_SAMPLE_N}
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {sample_n}
 ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s
-), c0 AS (
+), c0 AS MATERIALIZED (
   SELECT g.i AS cid, s.xq AS c
-  FROM generate_series(0, {RES_PQ_NLIST - 1}) g(i), nn
-  JOIN s ON s.sid = (g.i * (nn.n - 1)) // {RES_PQ_NLIST - 1}
+  FROM generate_series(0, {nlist - 1}) g(i), nn
+  JOIN s ON s.sid = (g.i * (nn.n - 1)) // {nlist - 1}
 ), {_scaled_ivf_lloyd_iteration_sql(1)}, {_scaled_ivf_lloyd_iteration_sql(2)},
-corpq AS (
+corpq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
              v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
   FROM clustered
-), adist AS (
+), adist AS MATERIALIZED (
   SELECT cq.vec_id, cq.xq, c.cid, c.c,
          list_sum(list_transform(list_zip(cq.xq, c.c),
                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
   FROM corpq cq, c{RES_PQ_ITERS} c
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, cid AS centroid_id,
          list_transform(list_zip(xq, c), p -> p[1] - p[2]) AS rq
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
         FROM adist) WHERE rn = 1
-), cw AS (
+), cw AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1 AS code, rq
   FROM assigned
   QUALIFY ROW_NUMBER() OVER (ORDER BY neighbor_id) <= 16
-), enc AS (
+), enc AS MATERIALIZED (
   SELECT a.neighbor_id, a.centroid_id, s2.s, w.code,
          list_sum(list_transform(
              list_zip(a.rq[s2.s*16+1 : s2.s*16+16], w.rq[s2.s*16+1 : s2.s*16+16]),
              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
   FROM assigned a, generate_series(0, 3) s2(s), cw w
-), codesp AS (
+), codesp AS MATERIALIZED (
   SELECT neighbor_id, centroid_id,
          MAX(CASE WHEN s = 0 THEN code END) AS k0,
          MAX(CASE WHEN s = 1 THEN code END) AS k1,
@@ -5783,24 +5795,24 @@ corpq AS (
         WHERE rn = 1)
   GROUP BY neighbor_id, centroid_id
 ), q AS (
-  SELECT vec_id AS query_id, xq FROM corpq WHERE vec_id < {TOPK_QUERIES}
+  SELECT vec_id AS query_id, xq FROM corpq WHERE vec_id < {n_queries}
 ), pdist AS (
   SELECT q.query_id, q.xq, c.cid, c.c,
          list_sum(list_transform(list_zip(q.xq, c.c),
                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
   FROM q, c{RES_PQ_ITERS} c
-), probes AS (
+), probes AS MATERIALIZED (
   SELECT query_id, cid AS centroid_id,
          list_transform(list_zip(xq, c), p -> p[1] - p[2]) AS qrq
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
-        FROM pdist) WHERE rn <= {RES_PQ_NPROBE}
-), qadc AS (
+        FROM pdist) WHERE rn <= {nprobe}
+), qadc AS MATERIALIZED (
   SELECT p.query_id, p.centroid_id, s2.s, w.code,
          list_sum(list_transform(
              list_zip(p.qrq[s2.s*16+1 : s2.s*16+16], w.rq[s2.s*16+1 : s2.s*16+16]),
              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
   FROM probes p, generate_series(0, 3) s2(s), cw w
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT p.query_id, a.neighbor_id, t0.d + t1.d + t2.d + t3.d AS adc_d
   FROM probes p
   JOIN codesp a ON a.centroid_id = p.centroid_id
@@ -5814,6 +5826,11 @@ corpq AS (
               AND t3.s = 3 AND t3.code = a.k3
   WHERE a.neighbor_id <> p.query_id
 )"""
+
+
+_RES_PQ_ORACLE_CTES = _residual_pq_oracle_ctes(
+    _RES_PQ_CORPUS_CTES, RES_PQ_SAMPLE_N, RES_PQ_NLIST, RES_PQ_NPROBE, TOPK_QUERIES
+)
 
 EMB_RESIDUAL_PQ_TOPK_ORACLE = (
     _RES_PQ_ORACLE_CTES
@@ -5846,7 +5863,21 @@ ORDER BY query_id, rank
 RES_RERANK_R = 64
 
 
-def emb_residual_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _residual_rerank_pipeline(
+    corpus: DataFrame,
+    nlist: int,
+    nprobe: int,
+    iters: int,
+    sample_n: int,
+    r_shortlist: int,
+    k: int,
+    n_queries: int,
+) -> DataFrame:
+    """The composed IVF+residual-PQ+refine pipeline, parameterized (r11 —
+    the SAME code path serves the oracled default-knob row and the oracled
+    production-knob row emb_residual_rerank_scaled at nlist=256 on the 12x
+    corpus). ``corpus`` is a (vec_id, embedding) relation the caller has
+    checkpointed (it feeds 4 consumers)."""
     from ..ext.quantize import (
         PQ_M,
         residual_pq_codebooks_int,
@@ -5855,26 +5886,25 @@ def emb_residual_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..ext.similarity import int_sq_l2, quantize_vec, train_centroids_quantized
 
-    clustered = _clustered_embeddings(spark, sf_dir).localCheckpoint(eager=False)
     sample = [
         r[0]
-        for r in clustered.orderBy("vec_id")
-        .limit(RES_PQ_SAMPLE_N)
+        for r in corpus.orderBy("vec_id")
+        .limit(sample_n)
         .select("embedding")
         .collect()
     ]
-    cents = train_centroids_quantized(sample, RES_PQ_NLIST, RES_PQ_ITERS)
-    cbs = residual_pq_codebooks_int(clustered, cents)
-    corpus = with_ivf_residual_pq_codes(clustered, cents, cbs).select(
+    cents = train_centroids_quantized(sample, nlist, iters)
+    cbs = residual_pq_codebooks_int(corpus, cents)
+    coded = with_ivf_residual_pq_codes(corpus, cents, cbs).select(
         F.col("vec_id").alias("neighbor_id"),
         "centroid_id",
         *[F.col(f"pq_{s}") for s in range(PQ_M)],
     )
-    queries = clustered.where(F.col("vec_id") < TOPK_QUERIES).select(
+    queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    probes = with_residual_adc_probes(queries, cents, cbs, RES_PQ_NPROBE).drop("qv")
-    cand = corpus.join(F.broadcast(probes), "centroid_id").where(
+    probes = with_residual_adc_probes(queries, cents, cbs, nprobe).drop("qv")
+    cand = coded.join(F.broadcast(probes), "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
     adc = F.lit(0).cast("long")
@@ -5888,15 +5918,15 @@ def emb_residual_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("adc_d", adc)
         .select("query_id", "neighbor_id", "adc_d")
         .withColumn("_radc", F.row_number().over(w_adc))
-        .where(F.col("_radc") <= RES_RERANK_R)
+        .where(F.col("_radc") <= r_shortlist)
         .drop("_radc")
     )
     # quantized vectors re-enter post-shortlist: broadcast the R*|Q|-row
     # shortlist into the corpus scan (no corpus shuffle), queries broadcast too
-    nvecs = clustered.select(
+    nvecs = corpus.select(
         F.col("vec_id").alias("neighbor_id"), quantize_vec(F.col("embedding")).alias("nq")
     )
-    qvecs = clustered.where(F.col("vec_id") < TOPK_QUERIES).select(
+    qvecs = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), quantize_vec(F.col("embedding")).alias("qq")
     )
     w_true = Window.partitionBy("query_id").orderBy(
@@ -5908,21 +5938,37 @@ def emb_residual_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("true_d", int_sq_l2(F.col("qq"), F.col("nq")))
         .select("query_id", "neighbor_id", "adc_d", "true_d")
         .withColumn("rank", F.row_number().over(w_true).cast("long"))
-        .where(F.col("rank") <= PQ_TOPK_K)
+        .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_d", "true_d")
         .orderBy("query_id", "rank")
     )
 
 
-EMB_RESIDUAL_PQ_RERANK_TOPK_ORACLE = (
-    _RES_PQ_ORACLE_CTES
-    + f""",
+def emb_residual_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clustered = _clustered_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    return _residual_rerank_pipeline(
+        clustered,
+        nlist=RES_PQ_NLIST,
+        nprobe=RES_PQ_NPROBE,
+        iters=RES_PQ_ITERS,
+        sample_n=RES_PQ_SAMPLE_N,
+        r_shortlist=RES_RERANK_R,
+        k=PQ_TOPK_K,
+        n_queries=TOPK_QUERIES,
+    )
+
+
+def _residual_rerank_oracle_tail(r_shortlist: int, k: int) -> str:
+    """Refine tail shared by the default- and production-knob rerank oracles:
+    ADC shortlist of ``r_shortlist`` -> exact integer squared-L2 re-rank ->
+    top ``k``. Reads `pair` and `corpq` from _residual_pq_oracle_ctes."""
+    return f""",
 short AS (
   SELECT query_id, neighbor_id, adc_d
   FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY adc_d ASC, neighbor_id ASC) AS radc
         FROM pair)
-  WHERE radc <= {RES_RERANK_R}
+  WHERE radc <= {r_shortlist}
 ), ex AS (
   SELECT s.query_id, s.neighbor_id, s.adc_d,
          list_sum(list_transform(list_zip(cq.xq, cn2.xq),
@@ -5936,7 +5982,98 @@ SELECT query_id, rank, neighbor_id,
 FROM (SELECT *, CAST(ROW_NUMBER() OVER (
           PARTITION BY query_id ORDER BY true_d ASC, neighbor_id ASC) AS BIGINT) AS rank
       FROM ex)
-WHERE rank <= {PQ_TOPK_K}
+WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+EMB_RESIDUAL_PQ_RERANK_TOPK_ORACLE = _RES_PQ_ORACLE_CTES + _residual_rerank_oracle_tail(
+    RES_RERANK_R, PQ_TOPK_K
 )
+
+
+# --- emb_residual_rerank_scaled -------------------------------------------------------
+# [EXT] The production ANN stack at PRODUCTION-SHAPED knobs (VERDICT r10 #4 —
+# the default-knob row certifies correctness at nlist=64 on the base corpus;
+# this row certifies the SAME pipeline at nlist=256 over the 12x-replicated
+# clustered corpus, the emb_topk_scaled_* derivation applied to residual
+# IVFADC). Every stage stays exact int64, so the ORACLE replays training
+# (2 fixed-point Lloyd rounds over a 2048-vector sample at 256 centroids),
+# residual encoding of the full 12x corpus, probing at nprobe=16, the ADC
+# shortlist AND the exact integer refine — one hash, production knobs. The
+# scale evidence this row exists for: corpus work is ONE fused Arrow pass
+# (assign + encode against 256 centroids), candidates are bounded by
+# nprobe/nlist = 1/16 of the corpus per query, and the refine cost R*|Q| is
+# CONSTANT in corpus size — tools/scale_curve.py carries its measured curve
+# (SCALE.md), and tests/test_ext_operators.py pins the recall floor vs the
+# exact numpy bruteforce. [EXT] — public-literature design (Faiss IVFPQ+Refine).
+
+SCALED_RES_NLIST = 256
+SCALED_RES_NPROBE = 16
+SCALED_RES_SAMPLE_N = 2048
+
+
+def _scaled_clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered corpus (anchor pull — residual PQ's edge IS cluster
+    structure) replicated SCALED_REPS x with the same tiny deterministic
+    per-replica perturbation as _scaled_embeddings: perturbation magnitude
+    (<= 0.03) stays well under the 0.9 anchor pull, so cluster structure
+    survives the scale-up. Executor-side explode; no generation shuffle."""
+    base = _clustered_embeddings(spark, sf_dir)
+    reps = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(SCALED_REPS - 1))).alias("rep"),
+    )
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + ((F.col("rep") * (i + 3)) % 11).cast("double") * 0.003,
+    )
+    return reps.select(
+        (F.col("vec_id") + F.col("rep") * _SCALED_ID_STRIDE).alias("vec_id"),
+        perturbed.cast("array<float>").alias("embedding"),
+    )
+
+
+def emb_residual_rerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scaled = _scaled_clustered_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    return _residual_rerank_pipeline(
+        scaled,
+        nlist=SCALED_RES_NLIST,
+        nprobe=SCALED_RES_NPROBE,
+        iters=RES_PQ_ITERS,
+        sample_n=SCALED_RES_SAMPLE_N,
+        r_shortlist=RES_RERANK_R,
+        k=PQ_TOPK_K,
+        n_queries=TOPK_QUERIES,
+    )
+
+
+#: clustered0 = the anchor-pulled base corpus; clustered = its 12x replicate-
+#: and-perturb derivation (rep-0 keeps the original vectors, so queries are
+#: identical to the base row's).
+_SCALED_RES_CORPUS_CTES = f"""anch AS (
+  SELECT vec_id AS aid, embedding AS av FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id < {RES_PQ_ANCHORS}
+), clustered0 AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(list_zip(a.av, e.embedding),
+             p -> CAST(0.9 * CAST(p[1] AS DOUBLE) + 0.1 * CAST(p[2] AS DOUBLE) AS REAL)) AS embedding
+  FROM embeddings e JOIN anch a ON a.aid = e.vec_id % {RES_PQ_ANCHORS}
+  WHERE e.embedding IS NOT NULL
+), clustered AS MATERIALIZED (
+  SELECT vec_id + r.rep * {_SCALED_ID_STRIDE} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+             i -> CAST(CAST(embedding[i] AS DOUBLE)
+                       + ((r.rep * (i + 2)) % 11) * 0.003 AS REAL)) AS embedding
+  FROM clustered0, generate_series(0, {SCALED_REPS - 1}) r(rep)
+)"""
+
+EMB_RESIDUAL_RERANK_SCALED_ORACLE = _residual_pq_oracle_ctes(
+    _SCALED_RES_CORPUS_CTES,
+    SCALED_RES_SAMPLE_N,
+    SCALED_RES_NLIST,
+    SCALED_RES_NPROBE,
+    TOPK_QUERIES,
+) + _residual_rerank_oracle_tail(RES_RERANK_R, PQ_TOPK_K)

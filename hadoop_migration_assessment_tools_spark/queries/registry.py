@@ -56,7 +56,10 @@ QUERIES: dict[str, Query] = {
     # stays oracled below the line).
     "docs_training_prep_pipeline": llm.docs_training_prep_pipeline,
     "q19_disjunctive_predicates": tpch.q19_disjunctive_predicates,
-    "order_priority_semijoin": tpch.order_priority_semijoin,
+    # r11 reviewed swap (VERDICT r10 #8): order_priority_semijoin rotated below
+    # the line — its JN5 semi-join shape stays scored via q21_waiting_suppliers'
+    # EXISTS + NOT EXISTS semi+anti pair — making room for the composed
+    # production ANN stack (emb_residual_pq_rerank_topk, in the LLM block below)
     "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
     "customers_orders_full_outer": tpch.customers_orders_full_outer,
     "min_cost_supplier": tpch.min_cost_supplier,
@@ -184,6 +187,12 @@ QUERIES: dict[str, Query] = {
     # so the scored hash certifies strictly more. emb_ivf_fixed_topk stays
     # oracled below the line (it remains the pure-IVF shape's regression row).
     "emb_ivfpq_topk": llm.emb_ivfpq_topk,
+    # r11 reviewed swap (VERDICT r10 #8): the FULL production ANN stack —
+    # learned IVF + residual PQ + ADC shortlist + exact integer refine, every
+    # stage in one hash (the single strongest end-to-end certification in the
+    # repo) — takes a scored row from order_priority_semijoin (rotated below
+    # the line, still oracled; JN5 semi stays scored via q21)
+    "emb_residual_pq_rerank_topk": llm.emb_residual_pq_rerank_topk,
     "docs_split_leakage": llm.docs_split_leakage,
     "docs_pii_scrub": llm.docs_pii_scrub,
     "multimodal_manifest": llm.multimodal_manifest,
@@ -425,10 +434,16 @@ QUERIES: dict[str, Query] = {
     # fixed-point integer (zero rounding in the oracle); clustered derivation
     # because residual's edge IS cluster structure (isotropic == raw, measured)
     "emb_residual_pq_topk": llm.emb_residual_pq_topk,
-    # r10: the FULL production stack composed — learned IVF + residual PQ
-    # shortlist + EXACT integer re-rank of just the R*|Q| shortlist rows
-    # (Faiss IndexIVFPQ + IndexRefine), one hash certifying every stage
-    "emb_residual_pq_rerank_topk": llm.emb_residual_pq_rerank_topk,
+    # (emb_residual_pq_rerank_topk moved INTO the scored window in the r11
+    # reviewed swap — see the scored LLM block above)
+    # r11 reviewed swap-out: the JN5 semi-join single-shape row, still oracled;
+    # its operator shape keeps scored presence via q21_waiting_suppliers
+    "order_priority_semijoin": tpch.order_priority_semijoin,
+    # r11 (VERDICT r10 #4): the production ANN stack at PRODUCTION knobs —
+    # nlist=256, nprobe=16, 2048-vector training sample over the 12x clustered
+    # corpus; the whole integer pipeline (Lloyd, residual codes, ADC shortlist,
+    # exact refine) oracled at scale-shaped parameters
+    "emb_residual_rerank_scaled": llm.emb_residual_rerank_scaled,
     # r11 (VERDICT r10 #2): the streaming production loop closed — update-mode
     # KMV maintainer -> foreachBatch dynamic overwrite-by-day parquet state
     # tree -> downstream batch consumer; persisted hashes full-outer-certified
@@ -605,6 +620,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_ivfpq_rerank_topk": llm.EMB_IVFPQ_RERANK_TOPK_ORACLE,
     "emb_residual_pq_topk": llm.EMB_RESIDUAL_PQ_TOPK_ORACLE,
     "emb_residual_pq_rerank_topk": llm.EMB_RESIDUAL_PQ_RERANK_TOPK_ORACLE,
+    "emb_residual_rerank_scaled": llm.EMB_RESIDUAL_RERANK_SCALED_ORACLE,
     "events_join_advice": ea.EVENTS_JOIN_ADVICE_ORACLE,
     "events_join_advice_applied": ea.EVENTS_JOIN_ADVICE_APPLIED_ORACLE,
     "events_salted_group_topk": ea.EVENTS_SALTED_GROUP_TOPK_ORACLE,

@@ -3680,6 +3680,55 @@ def test_residual_rerank_improves_codes_only_recall(spark):
     assert r_refined >= 0.8, (r_refined, r_codes)  # measured ~0.95+; floor generous
 
 
+def test_residual_rerank_scaled_recall_floor(spark):
+    """VERDICT r10 #4 — the production-knob row (emb_residual_rerank_scaled:
+    nlist=256, nprobe=16, 12x clustered corpus) must hold its recall against
+    the exact quantized-L2 ground truth computed by numpy over the full
+    scaled corpus, and every emitted true_d must be the exact integer L2.
+    The shortlist-bounded refine means the recall floor survives the 12x
+    scale-up at the SAME R — the property the scale curve measures in time,
+    pinned here in recall."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.similarity import QUANT_SCALE
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        PQ_TOPK_K,
+        TOPK_QUERIES,
+        _scaled_clustered_embeddings,
+    )
+    from hadoop_migration_assessment_tools_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    scaled = _scaled_clustered_embeddings(spark, sf)
+    rows = sorted(
+        (
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+            for r in scaled.collect()
+        ),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    Xq = np.floor(np.stack([t[1] for t in rows]) * QUANT_SCALE).astype(np.int64)
+    exact = {}
+    truth_d = {}
+    for q in (i for i in ids if i < TOPK_QUERIES):
+        d = ((Xq - Xq[ids == q][0]) ** 2).sum(axis=1)
+        truth_d[q] = {int(i): int(v) for i, v in zip(ids, d)}
+        d = d.astype(np.float64)
+        d[ids == q] = np.inf
+        exact[q] = set(ids[np.lexsort((ids, d))[:PQ_TOPK_K]])
+
+    got_rows = QUERIES["emb_residual_rerank_scaled"](spark, sf).collect()
+    for r in got_rows:
+        assert r["true_d"] == truth_d[r["query_id"]][r["neighbor_id"]]
+    got: dict = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    rec = sum(len(got[q] & exact[q]) / PQ_TOPK_K for q in exact) / len(exact)
+    assert rec >= 0.8, rec
+
+
 def test_residual_pq_beats_raw_pq_on_clustered_corpus(spark):
     """VERDICT r9 #4 — residual PQ's recall evidence at equal nprobe: on the
     clustered derivation (emb_residual_pq_topk's corpus — 64 anchors, the

@@ -22,7 +22,10 @@ SCORED_WINDOW = [
     # third single-table filter+agg (q6 — still oracled below the line)
     "docs_training_prep_pipeline",
     "q19_disjunctive_predicates",
-    "order_priority_semijoin",
+    # round-11 reviewed swap (VERDICT r10 #8): order_priority_semijoin rotated
+    # below the line (still oracled; JN5 semi stays scored via q21's EXISTS +
+    # NOT EXISTS pair) — the scored row moved to emb_residual_pq_rerank_topk
+    # in the LLM block below
     "q21_waiting_suppliers",
     "customers_orders_full_outer",
     "min_cost_supplier",
@@ -107,6 +110,11 @@ SCORED_WINDOW = [
     # pipeline and adds the PQ layer) takes the scored row; emb_ivf_fixed_topk
     # stays oracled below the line
     "emb_ivfpq_topk",
+    # round-11 reviewed swap (VERDICT r10 #8): the composed production ANN
+    # stack — learned IVF + residual PQ + ADC shortlist + exact integer
+    # refine, one hash certifying every stage — gains the scored row it was
+    # flagged for (in from below the line; order_priority_semijoin out)
+    "emb_residual_pq_rerank_topk",
     "docs_split_leakage",
     "docs_pii_scrub",
     "multimodal_manifest",

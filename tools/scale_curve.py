@@ -36,6 +36,12 @@ DEFAULT_SET = [
     "emb_ivfpq_rerank_topk",  # assign+encode O(n); shortlist R*|Q| fixed
     "emb_pq_topk",  # encode O(n); ADC scan O(n) codes-only
     "emb_residual_pq_topk",  # same as above + residual subtraction O(n)
+    # r11 refresh (VERDICT r10 #4/#7): the newest heavy rows
+    "emb_residual_pq_rerank_topk",  # + R*|Q| exact refine — constant in n
+    "emb_residual_rerank_scaled",  # production knobs: nlist=256, 12x corpus
+    "events_stream_hll_parity",  # state-bounded maintainer — expected flat
+    "events_stream_cms_parity",  # state-bounded maintainer — expected flat
+    "events_stream_state_sink_parity",  # maintainer + partitioned state sink
     "docs_training_prep_pipeline",  # five linear stages, checkpointed
     "docs_incremental_ingest",  # batch admission linear; index probe
     "qe_stream_batch_parity",  # fixed micro-batch machinery dominates
