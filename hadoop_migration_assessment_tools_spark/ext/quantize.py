@@ -558,12 +558,18 @@ def with_ivf_residual_pq_codes(
                     * QUANT_SCALE
                 ).astype(np.int64)
                 _check_quantized_envelope(x)
-                a = ((x[:, None, :] - cn[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                # exact-int argmin via |c|^2 - 2 x.c (row-constant |x|^2
+                # dropped — cannot shift an argmin or a tie; products
+                # <= 64 * 2^44 < 2^63 so the int64 matmul is exact). The
+                # broadcast-difference form allocated B*nlist*dim int64
+                # temporaries per batch — at nlist=256 that thrashed 32
+                # concurrent workers (r11 production-knob row profiling)
+                a = ((cn * cn).sum(axis=1)[None, :] - 2 * (x @ cn.T)).argmin(axis=1)
                 cid[mask] = a
                 r = x - cn[a]
                 for s in range(m):
                     sl = r[:, s * sub : (s + 1) * sub]
-                    d = ((sl[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                    d = (cb[s] * cb[s]).sum(axis=1)[None, :] - 2 * (sl @ cb[s].T)
                     codes[mask, s] = d.argmin(axis=1)
             res = pdf.copy()
             c = cid.astype(object)

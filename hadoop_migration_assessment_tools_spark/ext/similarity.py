@@ -560,7 +560,11 @@ def train_centroids_quantized(
     idx = [i * (n - 1) // (nlist - 1) for i in range(nlist)]
     cents = x[idx].copy()
     for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # exact-int argmin via |c|^2 - 2 x.c (the |x|^2 row constant cannot
+        # shift an argmin or a tie; every product <= 64 * 2^44 < 2^63, so the
+        # int64 matmul is exact and identical to the broadcast-difference form
+        # — which allocated n*nlist*dim temporaries and thrashed at nlist=256)
+        d = (cents * cents).sum(axis=1)[None, :] - 2 * (x @ cents.T)
         assign = d.argmin(axis=1)  # first minimum == lowest centroid id on ties
         for j in range(nlist):
             members = x[assign == j]
