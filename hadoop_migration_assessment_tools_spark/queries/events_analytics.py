@@ -2122,9 +2122,27 @@ def events_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_type = ev.where(F.col("event_type").isNotNull()).select(
         F.col("event_type").cast("string").alias("k")
     )
+    # r11 (VERDICT r10 #6): the COMPOSITE key row — the NUL-joined tuple is
+    # exactly what plans/advisor._sketch_key feeds the production sketches for
+    # multi-column joins, so this row oracle-certifies the tuple-stat
+    # arithmetic (exact shares, exact bytes, CMS inner product on the tuple).
+    # The byte term binds here a second time: at sf0.001 the self-joined side
+    # has < 1500 rows but far over 3000 key bytes -> broadcast refused, and
+    # the ~80 near-uniform pairs put the top share under skew_share ->
+    # shuffle_ok, the honest no-remedy branch.
+    by_pair = ev.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.concat_ws(
+            "\x00",
+            F.pmod(F.col("user_id"), F.lit(16)).cast("string"),
+            F.col("event_type"),
+        ).alias("k")
+    )
     return (
         advice("user_id", by_user(CMS_JOIN_A), by_user(CMS_JOIN_B))
         .unionByName(advice("event_type", by_type, by_type))
+        .unionByName(advice("uid16_type", by_pair, by_pair))
         .orderBy("join_key")
     )
 
@@ -2140,6 +2158,11 @@ WITH px AS (
   SELECT CAST(event_type AS VARCHAR) AS k FROM events WHERE event_type IS NOT NULL
 ), et AS (
   SELECT CAST(event_type AS VARCHAR) AS k FROM events WHERE event_type IS NOT NULL
+), pc AS (
+  -- the composite (user_id % 16, event_type) tuple, NUL-joined exactly as
+  -- plans/advisor._sketch_key builds it for multi-column production joins
+  SELECT CAST(user_id % 16 AS VARCHAR) || chr(0) || event_type AS k
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 ), stats AS (
   SELECT src, CAST(SUM(n) AS BIGINT) AS rows_,
          CAST(SUM(b) AS BIGINT) AS bytes_,
@@ -2149,6 +2172,7 @@ WITH px AS (
     UNION ALL SELECT 'eu', k, COUNT(*), SUM(strlen(k)) FROM ex GROUP BY k
     UNION ALL SELECT 'pt', k, COUNT(*), SUM(strlen(k)) FROM pt GROUP BY k
     UNION ALL SELECT 'et', k, COUNT(*), SUM(strlen(k)) FROM et GROUP BY k
+    UNION ALL SELECT 'pc', k, COUNT(*), SUM(strlen(k)) FROM pc GROUP BY k
   ) GROUP BY src
 ), cms AS (
   SELECT src, i.i AS r,
@@ -2156,7 +2180,8 @@ WITH px AS (
           + i.i * CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT)) % {CMS_JOIN_W} AS p,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM (SELECT 'pu' AS src, k FROM px UNION ALL SELECT 'eu', k FROM ex
-        UNION ALL SELECT 'pt', k FROM pt UNION ALL SELECT 'et', k FROM et),
+        UNION ALL SELECT 'pt', k FROM pt UNION ALL SELECT 'et', k FROM et
+        UNION ALL SELECT 'pc', k FROM pc),
        generate_series(0, 3) AS i(i)
   GROUP BY src, r, p
 ), ip AS (
@@ -2164,7 +2189,8 @@ WITH px AS (
          COALESCE((SELECT SUM(a.cnt * b.cnt)
                    FROM cms a JOIN cms b ON a.r = b.r AND a.p = b.p
                    WHERE a.src = pair.l AND b.src = pair.r_ AND a.r = s.i), 0) AS ipv
-  FROM (VALUES ('user_id', 'pu', 'eu'), ('event_type', 'pt', 'et')) pair(jk, l, r_),
+  FROM (VALUES ('user_id', 'pu', 'eu'), ('event_type', 'pt', 'et'),
+               ('uid16_type', 'pc', 'pc')) pair(jk, l, r_),
        generate_series(0, 3) AS s(i)
 ), est AS (
   SELECT jk, CAST(MIN(ipv) AS BIGINT) AS est_join_size FROM ip GROUP BY jk
@@ -2174,7 +2200,8 @@ WITH px AS (
          ls.bytes_ AS left_bytes, rs.bytes_ AS right_bytes,
          est.est_join_size,
          ls.top_share AS left_top_share, rs.top_share AS right_top_share
-  FROM (VALUES ('user_id', 'pu', 'eu'), ('event_type', 'pt', 'et')) pair(jk, l, r_)
+  FROM (VALUES ('user_id', 'pu', 'eu'), ('event_type', 'pt', 'et'),
+               ('uid16_type', 'pc', 'pc')) pair(jk, l, r_)
   JOIN stats ls ON ls.src = pair.l
   JOIN stats rs ON rs.src = pair.r_
   JOIN est ON est.jk = pair.jk

@@ -382,7 +382,9 @@ QUERIES: dict[str, Query] = {
     "events_grouped_sampled_quantiles": ea.events_grouped_sampled_quantiles,
     # r9: the join-strategy advisor certified — exact shares + CMS join-size
     # bound walked through the SAME strategy_expr decision tree the MG-based
-    # production advisor (plans/advisor.py) uses; two keys, different branches
+    # production advisor (plans/advisor.py) uses; r11: three keys (incl. the
+    # NUL-joined composite tuple) with exact per-side BYTES — the byte term
+    # binds at sf0.001 on two of them
     "events_join_advice": ea.events_join_advice,
     # r10 reviewed swap: the PRJ8 version gate rotated below the line in favor
     # of the actuated advisor (events_join_advice_applied, scored row 26)
