@@ -3697,6 +3697,142 @@ ORDER BY lang
 """
 
 
+# --- docs_bigram_surprisal -----------------------------------------------------------
+# [EXT] The conditional (bigram) LM quality signal — one Markov order up from
+# docs_unigram_surprisal (CCNet scores with a 5-gram KenLM; the distributed
+# shape is identical at any order: vocabulary shuffles, broadcast scoring,
+# per-doc aggregation). bits = max(bl(cnt(t1)) - bl(cnt(t1,t2)), 0) is
+# -log2 p(t2|t1) in whole bits, exact integer arithmetic both engines.
+#
+# The certification is the ORDER-SENSITIVITY theorem, in one hash: every doc
+# is scored alongside its REVERSED twin (token order destroyed, token multiset
+# preserved — a unigram model provably cannot tell them apart), under the SAME
+# LM trained on originals only. Both variants' pair counts, OOV counts and
+# surprisal sums land per-lang in the output, plus rev_higher_docs (how many
+# docs the conditional model correctly flags as degraded when scrambled) and
+# pair_parity_docs (must equal doc_count: reversal preserves pair COUNT
+# exactly — an in-hash structural invariant). 100 TB shape: two vocabulary
+# shuffles (token, pair — both map-side-combined, top-K truncated to
+# broadcastable size), then ONE corpus scan per variant with broadcast-only
+# joins and a doc_id shuffle.
+
+BIGRAM_TOP_K = 2000
+
+
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.lm import bigram_vocab, score_bigram_surprisal, unigram_vocab
+    from ..ext.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = unigram_vocab(docs, top_k=UNIGRAM_TOP_K).localCheckpoint()
+    pairs = bigram_vocab(docs, top_k=BIGRAM_TOP_K).localCheckpoint()
+    toks = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    both = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(F.lit("orig").alias("variant"), F.col("toks").alias("toks")),
+                F.struct(
+                    F.lit("rev").alias("variant"), F.reverse("toks").alias("toks")
+                ),
+            )
+        ).alias("v"),
+    ).select("doc_id", "lang", F.col("v.variant").alias("variant"), F.col("v.toks").alias("toks"))
+    scored = score_bigram_surprisal(
+        both, uni, pairs, toks_col="toks", id_cols=("doc_id", "lang", "variant")
+    )
+    o = scored.where(F.col("variant") == "orig").select(
+        "doc_id",
+        "lang",
+        F.col("n_pairs").alias("o_pairs"),
+        F.col("oov_pairs").alias("o_oov"),
+        F.col("sum_bits").alias("o_bits"),
+    )
+    r = scored.where(F.col("variant") == "rev").select(
+        "doc_id",
+        F.col("n_pairs").alias("r_pairs"),
+        F.col("oov_pairs").alias("r_oov"),
+        F.col("sum_bits").alias("r_bits"),
+    )
+    return (
+        o.join(r, "doc_id")
+        .groupBy("lang")
+        .agg(
+            count_big("doc_count"),
+            F.sum("o_pairs").cast("long").alias("total_pairs"),
+            F.sum("o_oov").cast("long").alias("oov_pairs_orig"),
+            F.sum("r_oov").cast("long").alias("oov_pairs_rev"),
+            F.sum("o_bits").cast("long").alias("sum_bits_orig"),
+            F.sum("r_bits").cast("long").alias("sum_bits_rev"),
+            F.sum(F.when(F.col("r_bits") > F.col("o_bits"), 1).otherwise(0))
+            .cast("long")
+            .alias("rev_higher_docs"),
+            F.sum(F.when(F.col("r_pairs") == F.col("o_pairs"), 1).otherwise(0))
+            .cast("long")
+            .alias("pair_parity_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_BIGRAM_SURPRISAL_ORACLE = rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang,
+         string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+') AS l
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '')) > 0
+), uni AS MATERIALIZED (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(l) AS token FROM tok) GROUP BY token
+  ORDER BY cnt DESC, token ASC LIMIT {UNIGRAM_TOP_K}
+), allpairs AS MATERIALIZED (
+  SELECT doc_id, lang, variant, l[i] AS t1, l[i + 1] AS t2
+  FROM (
+    SELECT doc_id, lang, variant, l,
+           unnest(generate_series(1, len(l) - 1)) AS i
+    FROM (SELECT doc_id, lang, 'orig' AS variant, l FROM tok
+          UNION ALL SELECT doc_id, lang, 'rev', list_reverse(l) FROM tok) v
+    WHERE len(l) >= 2
+  )
+), pv AS MATERIALIZED (
+  SELECT t1, t2, COUNT(*) AS pair_cnt
+  FROM allpairs WHERE variant = 'orig' GROUP BY t1, t2
+  ORDER BY pair_cnt DESC, t1 ASC, t2 ASC LIMIT {BIGRAM_TOP_K}
+), scored AS (
+  SELECT p.doc_id, p.lang, p.variant,
+         GREATEST(COALESCE(length(printf('%b', u.cnt)), 1)
+                  - COALESCE(length(printf('%b', v.pair_cnt)), 1), 0) AS bits,
+         CASE WHEN v.pair_cnt IS NULL THEN 1 ELSE 0 END AS oov
+  FROM allpairs p
+  LEFT JOIN uni u ON u.token = p.t1
+  LEFT JOIN pv v ON v.t1 = p.t1 AND v.t2 = p.t2
+), perdoc AS (
+  SELECT doc_id, lang, variant,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(oov) AS BIGINT) AS oov,
+         CAST(SUM(bits) AS BIGINT) AS bits
+  FROM scored GROUP BY doc_id, lang, variant
+)
+SELECT o.lang,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(o.n_pairs) AS BIGINT) AS total_pairs,
+       CAST(SUM(o.oov) AS BIGINT) AS oov_pairs_orig,
+       CAST(SUM(r.oov) AS BIGINT) AS oov_pairs_rev,
+       CAST(SUM(o.bits) AS BIGINT) AS sum_bits_orig,
+       CAST(SUM(r.bits) AS BIGINT) AS sum_bits_rev,
+       CAST(SUM(CASE WHEN r.bits > o.bits THEN 1 ELSE 0 END) AS BIGINT)
+         AS rev_higher_docs,
+       CAST(SUM(CASE WHEN r.n_pairs = o.n_pairs THEN 1 ELSE 0 END) AS BIGINT)
+         AS pair_parity_docs
+FROM perdoc o
+JOIN perdoc r ON r.doc_id = o.doc_id AND r.variant = 'rev'
+WHERE o.variant = 'orig'
+GROUP BY o.lang
+ORDER BY o.lang
+"""
+
+
 # --- docs_temperature_mixture --------------------------------------------------------
 # sqrt-temperature domain mixture (ext/sampling.py temperature_sample): certifies the
 # exact sampled SET cross-engine (membership via portable md5 bound, checksummed with

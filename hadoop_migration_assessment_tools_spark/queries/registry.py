@@ -259,6 +259,11 @@ QUERIES: dict[str, Query] = {
     "docs_hybrid_search": llm.docs_hybrid_search,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
+    # r11: the CONDITIONAL (bigram) LM signal with the order-sensitivity
+    # certification — every doc scored beside its reversed twin under the same
+    # LM; a unigram model provably can't tell them apart, the bigram flags the
+    # scramble; pair-count parity is an in-hash structural invariant
+    "docs_bigram_surprisal": llm.docs_bigram_surprisal,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
     "emb_random_projection": llm.emb_random_projection,
     "emb_cosine_topk": llm.emb_cosine_topk,
@@ -542,6 +547,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_epoch_schedule": llm.DOCS_EPOCH_SCHEDULE_ORACLE,
     "docs_hybrid_search": llm.DOCS_HYBRID_SEARCH_ORACLE,
     "docs_unigram_surprisal": llm.DOCS_UNIGRAM_SURPRISAL_ORACLE,
+    "docs_bigram_surprisal": llm.DOCS_BIGRAM_SURPRISAL_ORACLE,
     "docs_temperature_mixture": llm.DOCS_TEMPERATURE_MIXTURE_ORACLE,
     "emb_random_projection": llm.EMB_RANDOM_PROJECTION_ORACLE,
     "multimodal_frame_sample": llm.MULTIMODAL_FRAME_SAMPLE_ORACLE,
