@@ -747,3 +747,53 @@ def test_arith_jpeg_parity_fuzz(seed, hw, quality, subsampling, precision):
     a = parse_jpeg(make_arith_jpeg_bytes(px, **kw))
     b = parse_jpeg(make_jpeg_bytes(px, **kw))
     assert (a == b).all()
+
+
+# --- salted per-group top-k == plain window (r11 property) ----------------------------
+
+_sgt_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # group (few groups -> heavy collisions)
+        st.integers(-50, 50),     # sort value (narrow range -> heavy ties)
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_sgt_rows, k=st.sampled_from([1, 2, 5]), buckets=st.sampled_from([2, 4, 8]))
+def test_salted_group_topk_equals_plain_window_property(spark, rows, k, buckets):
+    """plans/ranking.salted_group_topk must equal the plain per-group window
+    for ANY data / k / bucket count, given a total order — including heavy
+    sort-key ties (broken by the unique row id) and groups smaller than k.
+    Randomized companion to the planted-hot-key pytest and the oracled
+    registry row; exercises the deterministic-salt parameter too."""
+    from pyspark.sql.window import Window as W
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import portable_hash60
+    from hadoop_migration_assessment_tools_spark.plans.ranking import salted_group_topk
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, grp long, v long")
+    order = [F.col("v").desc(), F.col("rid").asc()]
+    salt = F.pmod(portable_hash60(F.col("rid")), F.lit(buckets))
+    got = sorted(
+        map(
+            tuple,
+            salted_group_topk(df, ["grp"], order, k, buckets, salt=salt)
+            .select("grp", "rank", "rid", "v")
+            .collect(),
+        )
+    )
+    w = W.partitionBy("grp").orderBy(*order)
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("grp", "rank", "rid", "v")
+            .collect(),
+        )
+    )
+    assert got == want
