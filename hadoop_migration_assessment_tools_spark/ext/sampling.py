@@ -31,6 +31,8 @@ __all__ = [
     "MIX_HEX_DIGITS",
     "interleave_schedule",
     "pps_systematic_sample",
+    "priority_sample",
+    "PRIORITY_U_BITS",
 ]
 
 
@@ -311,5 +313,86 @@ def pps_systematic_sample(
             F.col("_w").alias("weight"),
             F.col("_cum").alias("cum_weight"),
             F.col("n_hits"),
+        )
+    )
+
+
+PRIORITY_U_BITS = 30  # u in [1, 2^30]: keeps w * 2^30 exact in int64 for w < 2^33
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): ONE k-row weighted
+    sample that answers ANY downstream subset-sum query over the weights with
+    an unbiased estimator — the canonical '100 TB corpus, bounded sample,
+    arbitrary later questions' primitive (e.g. estimate total tokens per
+    source/language/quality-band from one stored sample).
+
+    Mechanics, all exact integers so the DuckDB oracle replays them to the
+    bit: u_i = (md5-hash of the id) % 2^30 + 1 plays the uniform variate;
+    priority q_i = (w_i << 30) DIV u_i; the sample is the top-k rows by
+    (q desc, id asc) and tau is the (k+1)-th priority (0 when n <= k). Each
+    sampled row carries the estimator weight w_hat = max(w, tau): for any
+    predicate P, sum of w_hat over sampled rows satisfying P estimates the
+    true subset-sum (exactly when n <= k, since tau = 0). The deterministic
+    hash freezes one draw of the randomness — re-runs and engines agree, and
+    the certified output is the OBSERVED relative error per subset, not a
+    probabilistic claim.
+
+    Weights must be >= 1 (guarded in-plan) and < 2^33 (the shift guard).
+    Plan shape: one narrow scan computes priorities; the top-(k+1) is
+    TakeOrderedAndProject (map-side partial top-k — k+1 rows in motion, the
+    corpus never shuffles); tau re-enters as a broadcast 1-row relation.
+
+    Returns (id_col, weight, priority, tau, w_hat) — exactly min(k, n) rows.
+    """
+    key = split_key(F.col("_id").cast("string"), salt)
+    u = (
+        F.pmod(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+            F.lit(1 << PRIORITY_U_BITS),
+        )
+        + 1
+    )
+    base = (
+        df.where(F.col(id_col).isNotNull() & F.col(weight_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .withColumn(
+            "_guard",
+            F.assert_true(
+                (F.col("_w") >= 1) & (F.col("_w") < F.lit(1 << 33)),
+                F.lit("priority_sample: weights must be in [1, 2^33)"),
+            ),
+        )
+        .filter(F.col("_guard").isNull())  # keeps the assert in the live plan
+        .withColumn("_u", u)
+        .withColumn(
+            "_q", F.expr(f"(_w * {1 << PRIORITY_U_BITS}) div _u").cast("long")
+        )
+    )
+    topk1 = base.orderBy(F.desc("_q"), F.asc("_id")).limit(k + 1)
+    ranked = topk1.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(F.desc("_q"), F.asc("_id")))
+    )
+    tau = ranked.where(F.col("_rn") == k + 1).agg(
+        F.coalesce(F.max("_q"), F.lit(0)).cast("long").alias("tau")
+    )
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias("weight"),
+            F.col("_q").alias("priority"),
+            "tau",
+            F.greatest(F.col("_w"), F.col("tau")).cast("long").alias("w_hat"),
         )
     )

@@ -2222,6 +2222,96 @@ ORDER BY doc_id
 """
 
 
+# --- docs_priority_sample --------------------------------------------------------------
+# [EXT] Priority sampling (Duffield-Lund-Thorup, JACM 2007; r11) — ONE k-row
+# weighted sample answering ANY later subset-sum query with the max(w, tau)
+# estimator: the '100 TB corpus, bounded sample, arbitrary questions'
+# primitive a training pipeline stores beside its manifests. All-integer
+# mechanics (portable 30-bit md5 variate, q = (w << 30) DIV u, top-k by
+# (q desc, id asc), tau = the (k+1)-th priority), so the oracle replays the
+# draw, the threshold and every estimate to the bit. Certified per SOURCE:
+# the estimate, the exact subset-sum control a 100 TB run could not afford,
+# and the OBSERVED relative error (a deterministic number, not a
+# probabilistic claim). Plan shape: one narrow priority scan; the top-(k+1)
+# is TakeOrderedAndProject (map-side partial top-k — the corpus never
+# shuffles); tau and the k-row sample re-enter as broadcasts.
+
+PRIO_K = 128
+
+
+def docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("n_chars") + 1).alias("w")
+    )
+    samp = priority_sample(docs.select("doc_id", "w"), "w", PRIO_K, salt="prio")
+    tau_df = samp.agg(F.max("tau").cast("long").alias("tau"))
+    est = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(samp), "doc_id")
+        .groupBy("source")
+        .agg(
+            count_big("n_sampled"),
+            F.sum("w_hat").cast("long").alias("est_chars"),
+        )
+    )
+    exact = docs.groupBy("source").agg(F.sum("w").cast("long").alias("exact_chars"))
+    return (
+        exact.join(est, "source", "left")
+        .crossJoin(F.broadcast(tau_df))
+        .select(
+            "source",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+            "tau",
+            F.coalesce(F.col("est_chars"), F.lit(0)).cast("long").alias("est_chars"),
+            "exact_chars",
+            F.round(
+                (F.coalesce(F.col("est_chars"), F.lit(0)) - F.col("exact_chars"))
+                .cast("double")
+                / F.col("exact_chars"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_PRIORITY_SAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars + 1 AS w,
+         (CAST(('0x' || substr(md5('prio' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % {1 << 30}) + 1 AS u
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+), pr AS (
+  SELECT *, (w * {1 << 30}) // u AS q FROM base
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY q DESC, doc_id ASC) AS rn FROM pr
+), tau AS (
+  SELECT CAST(COALESCE(MAX(CASE WHEN rn = {PRIO_K + 1} THEN q END), 0) AS BIGINT) AS tau
+  FROM ranked
+), samp AS (
+  SELECT r.doc_id, r.source, r.w, GREATEST(r.w, t.tau) AS w_hat
+  FROM ranked r, tau t WHERE r.rn <= {PRIO_K}
+), est AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(w_hat) AS BIGINT) AS est_chars
+  FROM samp GROUP BY source
+), ex AS (
+  SELECT source, CAST(SUM(w) AS BIGINT) AS exact_chars FROM base GROUP BY source
+)
+SELECT ex.source,
+       CAST(COALESCE(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+       (SELECT tau FROM tau) AS tau,
+       CAST(COALESCE(est.est_chars, 0) AS BIGINT) AS est_chars,
+       ex.exact_chars,
+       ROUND(CAST(COALESCE(est.est_chars, 0) - ex.exact_chars AS DOUBLE)
+             / ex.exact_chars, 6) AS rel_err
+FROM ex LEFT JOIN est USING (source)
+ORDER BY ex.source
+"""
+
+
 # --- docs_cdc_chunking -------------------------------------------------------------------
 # [EXT] Content-defined chunking (ext/cdc.py): the LBFS/rsync boundary rule with
 # an engine-portable hash (md5-prefix string compare), certified end to end —

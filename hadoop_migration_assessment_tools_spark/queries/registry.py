@@ -259,6 +259,10 @@ QUERIES: dict[str, Query] = {
     "docs_hybrid_search": llm.docs_hybrid_search,
     # round-4: LM-quality scoring + training-mixture sampling ([EXT] additions)
     "docs_unigram_surprisal": llm.docs_unigram_surprisal,
+    # r11: priority sampling (DLT) — one k-row weighted sample answering any
+    # subset-sum query via the max(w, tau) estimator; per-source estimates,
+    # exact controls and observed rel errors all in one hash
+    "docs_priority_sample": llm.docs_priority_sample,
     # r11: the CONDITIONAL (bigram) LM signal with the order-sensitivity
     # certification — every doc scored beside its reversed twin under the same
     # LM; a unigram model provably can't tell them apart, the bigram flags the
@@ -548,6 +552,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_hybrid_search": llm.DOCS_HYBRID_SEARCH_ORACLE,
     "docs_unigram_surprisal": llm.DOCS_UNIGRAM_SURPRISAL_ORACLE,
     "docs_bigram_surprisal": llm.DOCS_BIGRAM_SURPRISAL_ORACLE,
+    "docs_priority_sample": llm.DOCS_PRIORITY_SAMPLE_ORACLE,
     "docs_temperature_mixture": llm.DOCS_TEMPERATURE_MIXTURE_ORACLE,
     "emb_random_projection": llm.EMB_RANDOM_PROJECTION_ORACLE,
     "multimodal_frame_sample": llm.MULTIMODAL_FRAME_SAMPLE_ORACLE,

@@ -2303,6 +2303,65 @@ def test_pps_systematic_sample_overflow_guard(spark):
         pps_systematic_sample(df, "w", 1000, num_partitions=2).collect()
 
 
+def test_priority_sample_matches_python_replay_and_exact_when_k_covers(spark):
+    """DLT priority sampling (r11): (a) the sample set, tau and w_hat must
+    equal a pure-Python replay of the documented integer mechanics; (b) with
+    k >= n the sample is the whole input, tau == 0 and every subset-sum
+    estimate is EXACT; (c) re-runs are deterministic; (d) weights outside
+    [1, 2^33) fail loudly via the in-plan assert; (e) the plan's top-k is
+    TakeOrderedAndProject — the corpus never shuffles."""
+    import hashlib
+
+    from hadoop_migration_assessment_tools_spark.ext.sampling import (
+        PRIORITY_U_BITS,
+        priority_sample,
+    )
+
+    rows = [(i, 10 + (i * 37) % 900) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k = 16
+    got = {
+        r["doc_id"]: (r["weight"], r["priority"], r["tau"], r["w_hat"])
+        for r in priority_sample(df, "w", k, salt="t").collect()
+    }
+
+    def u_of(i):
+        h = hashlib.md5(f"t{i}".encode()).hexdigest()
+        return int(h[:8], 16) % (1 << PRIORITY_U_BITS) + 1
+
+    pri = sorted(
+        ((w << PRIORITY_U_BITS) // u_of(i), i, w) for i, w in rows
+    )[::-1]
+    tau = pri[k][0] if len(pri) > k else 0
+    want = {i: (w, q, tau, max(w, tau)) for q, i, w in pri[:k]}
+    assert got == want
+    assert len(got) == k and tau > 0
+
+    # re-run determinism
+    again = {
+        r["doc_id"]: (r["weight"], r["priority"], r["tau"], r["w_hat"])
+        for r in priority_sample(df, "w", k, salt="t").collect()
+    }
+    assert again == got
+
+    # k >= n: tau == 0 and every subset-sum is exact
+    full = priority_sample(df, "w", 100, salt="t").collect()
+    assert len(full) == len(rows) and all(r["tau"] == 0 for r in full)
+    assert {(r["doc_id"], r["w_hat"]) for r in full} == set(rows)
+
+    # loud overflow / domain guard
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with pytest.raises(Exception, match="weights must be|ASSERT|assert"):
+        priority_sample(bad, "w", 4).collect()
+
+    # plan: the top-(k+1) must be a map-side partial top-k, not a global sort
+    from hadoop_migration_assessment_tools_spark.plans.audit import formatted_plan
+
+    assert "TakeOrderedAndProject" in formatted_plan(
+        priority_sample(df, "w", k, salt="t")
+    )
+
+
 # --- fixed-point PageRank ---------------------------------------------------------------
 
 

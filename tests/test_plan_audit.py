@@ -461,6 +461,9 @@ BNLJ_ALLOWED = {
     # r11: the top-k rows crossJoin the 1-row split-certification aggregate
     # (hot_rows x max_bucket x split_ok — one broadcast scalar row)
     "events_salted_group_topk",
+    # r11: the DLT threshold tau is a 1-row aggregate crossJoined onto the
+    # k-row sample (and re-entering the final report) — broadcast scalars
+    "docs_priority_sample",
 }
 
 
