@@ -288,3 +288,119 @@ def daily_cms_counters(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(F.col("wnd.start").cast("date").alias("day"), "row", "pos", "cnt")
     )
+
+
+def daily_priority_samples(
+    events: DataFrame,
+    k: int = 32,
+    ts_col: str = "ts",
+    weight_col: str = "value",
+    key_col: str = "event_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Streaming priority-sample maintainer (r11): per-day DLT top-k
+    (priority, id, weight) state — the weighted complement of
+    ``daily_kmv_sketches`` (uniform distinct sample) and
+    ``daily_sample_quantiles`` (uniform row sample): the persisted k rows
+    answer any later per-day subset-SUM query via the max(w, tau) estimator
+    (ext/sampling.priority_sample, Duffield-Lund-Thorup).
+
+    Priority sampling is mergeable exactly like bottom-k: the top-k by
+    priority of a union equals the top-k of the concatenated per-split top-k
+    sets, so each micro-batch folds in via the sketch's own merge operator
+    and the final state equals the batch sample for ANY micro-batch
+    partitioning — kill-restart certified in tests/test_streaming.py. The
+    weight is floor(weight_col * 100) + 1 (exact integer cents; NULLs
+    excluded), the variate is the portable 30-bit md5 hash of ``key_col``
+    (must be a UNIQUE row key — replays dedup on id, the
+    daily_sample_quantiles contract). State per day is <= k (priority, id,
+    weight) triples plus a fold counter. Emissions are the touched day's
+    COMPLETE state, so the DailyStateOverwriteSink day-partitioned loop
+    applies unchanged."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..ext.sampling import PRIORITY_U_BITS, split_key
+
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("tau", T.LongType()),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("weights", T.ArrayType(T.LongType())),
+            T.StructField("priorities", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        # STATE HOLDS TOP-(k+1): the (k+1)-th element is the tau witness, and
+        # it must survive folds — any global top-(k+1) element has <= k
+        # elements above it at every fold, so it always ranks within the kept
+        # k+1 (the same argument that makes the top-k sample itself mergeable;
+        # keeping only k would silently drop the true threshold).
+        ids, ws, qs, n_seen = state.get if state.exists else ((), (), (), 0)
+        # state triples keyed by id (replay-idempotent)
+        cur = {int(i): (int(q), int(w)) for i, w, q in zip(ids, ws, qs)}
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for i, w, q in zip(pdf["id"], pdf["w"], pdf["q"]):
+                cur[int(i)] = (int(q), int(w))
+        ordered = sorted(cur.items(), key=lambda t: (-t[1][0], t[0]))[: k + 1]
+        tau = ordered[k][1][0] if len(ordered) > k else 0
+        state.update(
+            (
+                [i for i, _ in ordered],
+                [w for _, (_, w) in ordered],
+                [q for _, (q, _) in ordered],
+                n_seen,
+            )
+        )
+        top = ordered[:k]
+        yield pd.DataFrame(
+            {
+                "day": [key[0]],
+                "n_seen": [n_seen],
+                "tau": [tau],
+                "ids": [[i for i, _ in top]],
+                "weights": [[w for _, (_, w) in top]],
+                "priorities": [[q for _, (q, _) in top]],
+            }
+        )
+
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(split_key(F.col(key_col).cast("string"), salt), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1 << PRIORITY_U_BITS),
+        )
+        + 1
+    )
+    w = (F.floor(F.col(weight_col) * 100) + 1).cast("long")
+    hashed = (
+        events.where(
+            F.col(weight_col).isNotNull() & F.col(key_col).isNotNull()
+        )
+        .select(
+            F.to_date(ts_col).alias("day"),
+            F.col(key_col).cast("long").alias("id"),
+            w.alias("w"),
+            u.alias("_u"),
+        )
+        .withColumn("q", F.expr(f"(w * {1 << PRIORITY_U_BITS}) div _u").cast("long"))
+        .drop("_u")
+    )
+    return hashed.groupBy("day").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=(
+            "ids array<long>, weights array<long>, priorities array<long>, "
+            "n_seen long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

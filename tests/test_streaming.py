@@ -1040,6 +1040,59 @@ def _maintainer_kill_restart(spark, tmp_path, build, output_mode):
     return spark.read.parquet(out)  # batch_id is a partition column
 
 
+def test_priority_sample_maintainer_kill_restart_matches_batch(spark, tmp_path):
+    """r11 — the weighted member of the maintainer family: per-day DLT
+    priority samples maintained as top-(k+1) state must survive a mid-stream
+    kill and equal the batch replay bit-for-bit — sample set, weights,
+    priorities AND tau (the (k+1)-th priority, which is exactly why state
+    keeps k+1 triples: keeping only k would silently drop the threshold
+    witness)."""
+    import hashlib
+
+    from hadoop_migration_assessment_tools_spark.ext.sampling import PRIORITY_U_BITS
+    from hadoop_migration_assessment_tools_spark.streaming.windows import (
+        daily_priority_samples,
+    )
+
+    k = 16
+    emitted = _maintainer_kill_restart(
+        spark, tmp_path, lambda s: daily_priority_samples(s, k=k), "update"
+    ).collect()
+    final: dict = {}
+    for r in emitted:
+        if r["day"] not in final or r["n_seen"] > final[r["day"]]["n_seen"]:
+            final[r["day"]] = r
+
+    events = load_table(spark, SF, "events").where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    rows = events.select(
+        F.to_date("ts").alias("day"),
+        F.col("event_id").cast("long").alias("id"),
+        (F.floor(F.col("value") * 100) + 1).cast("long").alias("w"),
+    ).collect()
+
+    def u_of(i):
+        h = hashlib.md5(f"prio{i}".encode()).hexdigest()
+        return int(h[:8], 16) % (1 << PRIORITY_U_BITS) + 1
+
+    per_day: dict = {}
+    for r in rows:
+        q = (r["w"] << PRIORITY_U_BITS) // u_of(r["id"])
+        per_day.setdefault(r["day"], {})[r["id"]] = (q, r["w"])
+    assert set(final) == set(per_day) and len(final) >= 2
+    for d, cur in per_day.items():
+        ordered = sorted(cur.items(), key=lambda t: (-t[1][0], t[0]))
+        want_tau = ordered[k][1][0] if len(ordered) > k else 0
+        top = ordered[:k]
+        got = final[d]
+        assert got["n_seen"] == len(cur), d
+        assert got["tau"] == want_tau, d
+        assert list(got["ids"]) == [i for i, _ in top], d
+        assert list(got["weights"]) == [w for _, (_, w) in top], d
+        assert list(got["priorities"]) == [q for _, (q, _) in top], d
+
+
 def test_state_sink_kill_restart_tree_matches_batch(spark, tmp_path):
     """VERDICT r10 #2 — the streaming PRODUCTION loop survives a mid-stream
     kill: update-mode KMV maintainer -> DailyStateOverwriteSink (foreachBatch,
