@@ -89,6 +89,17 @@ TRACKED = [
     "emb_residual_pq_topk",
     "events_join_advice_applied",
     "emb_residual_pq_rerank_topk",
+    # round-11: the production-knob ANN stack (watch the one fused assignment
+    # scan at nlist=256), the actuated salted top-k (both WindowGroupLimits),
+    # the streaming state-sink downstream read, the byte-aware advice twin,
+    # the DLT sample (TakeOrderedAndProject — the corpus never shuffles), and
+    # the bigram scorer (broadcast-only scoring joins)
+    "emb_residual_rerank_scaled",
+    "events_salted_group_topk",
+    "events_stream_state_sink_parity",
+    "events_join_advice",
+    "docs_priority_sample",
+    "docs_bigram_surprisal",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
