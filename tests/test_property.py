@@ -797,3 +797,71 @@ def test_salted_group_topk_equals_plain_window_property(spark, rows, k, buckets)
         )
     )
     assert got == want
+
+
+# --- DLT priority sampling == pure-python replay (r11 property) -----------------------
+
+_ps_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(1, 1 << 20)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_ps_rows, k=st.sampled_from([1, 4, 16]))
+def test_priority_sample_matches_replay_property(spark, rows, k):
+    """ext/sampling.priority_sample must equal the documented pure-Python
+    integer mechanics for ANY ids/weights/k — sample membership, priorities,
+    tau and the max(w, tau) estimator weights — including n <= k (tau 0,
+    estimates exact)."""
+    import hashlib
+
+    from hadoop_migration_assessment_tools_spark.ext.sampling import (
+        PRIORITY_U_BITS,
+        priority_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: (r["weight"], r["priority"], r["tau"], r["w_hat"])
+        for r in priority_sample(df, "w", k, salt="p").collect()
+    }
+
+    def u_of(i):
+        h = hashlib.md5(f"p{i}".encode()).hexdigest()
+        return int(h[:8], 16) % (1 << PRIORITY_U_BITS) + 1
+
+    pri = sorted(((w << PRIORITY_U_BITS) // u_of(i), i, w) for i, w in rows)[::-1]
+    tau = pri[k][0] if len(pri) > k else 0
+    want = {i: (w, q, tau, max(w, tau)) for q, i, w in pri[:k]}
+    assert got == want
+
+
+# --- bigram pairs structural identities (r11 property) --------------------------------
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=3), min_size=0, max_size=12
+    )
+)
+def test_bigram_pairs_reversal_identity(spark, toks):
+    """ext/lm.bigram_pairs structural identities for any token list: pair
+    count is max(len-1, 0); pairs(reverse(l)) == the original pairs reversed
+    with components swapped — the exact property the order-sensitivity
+    certification rides on."""
+    from hadoop_migration_assessment_tools_spark.ext.lm import bigram_pairs
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    fwd = df.select(bigram_pairs(F.col("toks")).alias("p")).collect()[0]["p"]
+    rev = df.select(
+        bigram_pairs(F.reverse(F.col("toks"))).alias("p")
+    ).collect()[0]["p"]
+    want_fwd = [(toks[i], toks[i + 1]) for i in range(max(len(toks) - 1, 0))]
+    assert [(p["t1"], p["t2"]) for p in fwd] == want_fwd
+    assert [(p["t1"], p["t2"]) for p in rev] == [
+        (b, a) for a, b in reversed(want_fwd)
+    ]
