@@ -243,6 +243,10 @@ QUERIES: dict[str, Query] = {
     "customers_without_orders": tpch.customers_without_orders,
     "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
     "orders_zorder_locality": tpch.orders_zorder_locality,
+    # r11: Hilbert vs Z-order MEASURED at equal-count file cuts — Hilbert's
+    # continuity halves the covered min/max rectangle area on real data; both
+    # curves' keys, file assignments and rectangles in one hash
+    "orders_hilbert_locality": tpch.orders_hilbert_locality,
     "lineitem_exact_median": tpch.lineitem_exact_median,
     # r7 swap-out: sign-LSH embedding near-dup (scored evidence now carried by
     # emb_ann_recall; exact-pair certification stays oracled here)
@@ -536,6 +540,7 @@ ORACLE_SQL: dict[str, str] = {
     "q21_waiting_suppliers": tpch.Q21_ORACLE,
     "q22_global_sales_opportunity": tpch.Q22_ORACLE,
     "orders_zorder_locality": tpch.ORDERS_ZORDER_LOCALITY_ORACLE,
+    "orders_hilbert_locality": tpch.ORDERS_HILBERT_LOCALITY_ORACLE,
     "lineitem_exact_median": tpch.LINEITEM_EXACT_MEDIAN_ORACLE,
     "lineitem_bloom_prefilter": tpch.LINEITEM_BLOOM_PREFILTER_ORACLE,
     "qe_query_fingerprints": ql.QE_QUERY_FINGERPRINTS_ORACLE,

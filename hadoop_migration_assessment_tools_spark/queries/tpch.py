@@ -1597,6 +1597,160 @@ ORDER BY z_group
 ORDERS_ZORDER_LOCALITY_ORACLE = _zorder_oracle()
 
 
+# --- orders_hilbert_locality ---------------------------------------------------------
+# [EXT] Hilbert vs Z-order, the layout decision MEASURED (plans/hilbert.py;
+# r11): both curves linearize the same (price, date) bucket grid, both are
+# cut into HB_FILES equal-ROW-COUNT chunks — exactly what
+# repartitionByRange + file sizing produces — and each file's parquet-style
+# min/max bucket rectangle is measured. The Hilbert curve is continuous
+# (every step moves one cell) where Morton jumps at power-of-two boundaries,
+# so unaligned cuts stay local: measured covered-area ~73k vs ~138k at
+# sf0.01 (about HALF the files read for the same box predicate). One hash
+# certifies both curves' keys (checksums), the equal-count file assignment,
+# every file's rectangle, and the aggregate comparison. Ranks come from
+# plans/ranking.distributed_row_number (no single-task window over the
+# data); the oracle replays the unrolled Lam-Shapiro chain as per-level CTEs
+# and a plain ROW_NUMBER.
+
+HB_FILES = 48
+
+
+def orders_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.hilbert import with_hilbert_key
+    from ..plans.ranking import distributed_row_number
+    from ..plans.zorder import fixed_range_bucket, zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = fixed_range_bucket(F.col("o_totalprice"), 0.0, ZO_PRICE_HI, ZO_BITS)
+    y = fixed_range_bucket(
+        F.datediff(F.col("o_orderdate"), F.lit(ZO_EPOCH).cast("date")).cast("double"),
+        0.0,
+        ZO_DAYS_HI,
+        ZO_BITS,
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"), x.alias("x"), y.alias("y")
+    ).localCheckpoint(eager=False)
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    def curve_stats(name: str, keyed: DataFrame) -> DataFrame:
+        ranked = distributed_row_number(
+            keyed, [F.col("k"), F.col("okey")], rank_col="rank"
+        )
+        files = ranked.crossJoin(F.broadcast(nrow)).withColumn(
+            "file", F.expr(f"(rank - 1) * {HB_FILES} div _n").cast("long")
+        )
+        per_file = files.groupBy("file").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        area = (F.col("max_x") - F.col("min_x") + 1) * (
+            F.col("max_y") - F.col("min_y") + 1
+        )
+        span = (F.col("max_x") - F.col("min_x") + 1) + (
+            F.col("max_y") - F.col("min_y") + 1
+        )
+        return per_file.agg(
+            F.lit(name).alias("curve"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(area).cast("long").alias("covered_area"),
+            F.sum(span).cast("long").alias("span_sum"),
+            F.sum("k_sum").cast("long").alias("key_checksum"),
+        ).select(
+            "curve", "n_rows", "n_files", "covered_area", "span_sum", "key_checksum"
+        )
+
+    hkeyed = with_hilbert_key(base, F.col("x"), F.col("y"), ZO_BITS, "k")
+    zkeyed = base.select(
+        "okey", "x", "y", zorder_key([F.col("x"), F.col("y")], ZO_BITS).alias("k")
+    )
+    return (
+        curve_stats("hilbert", hkeyed)
+        .unionByName(curve_stats("zorder", zkeyed))
+        .orderBy("curve")
+    )
+
+
+def _hilbert_locality_oracle() -> str:
+    n_side = 1 << ZO_BITS
+    x = (
+        f"GREATEST(0, LEAST({n_side - 1}, "
+        f"CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) * {n_side} / {ZO_PRICE_HI}) AS BIGINT)))"
+    )
+    y = (
+        f"GREATEST(0, LEAST({n_side - 1}, "
+        f"CAST(FLOOR((CAST(date_diff('day', DATE '{ZO_EPOCH}', o_orderdate) AS DOUBLE) - 0.0)"
+        f" * {n_side} / {ZO_DAYS_HI}) AS BIGINT)))"
+    )
+    zparts = []
+    for i in range(ZO_BITS):
+        zparts.append(f"(((x >> {i}) & 1) << {i * 2})")
+        zparts.append(f"(((y >> {i}) & 1) << {i * 2 + 1})")
+    z = " | ".join(zparts)
+    # unrolled Lam-Shapiro chain: one CTE per level, rx/ry from the PRE-update
+    # state columns hx/hy of the previous level
+    levels = []
+    prev = "hb"
+    for li, level in enumerate(range(ZO_BITS - 1, -1, -1)):
+        s = 1 << level
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        cte = f"""l{li} AS (
+  SELECT okey, x, y,
+         d + {s * s} * xor(3 * {rx}, {ry}) AS d,
+         CASE WHEN (hy & {s}) = 0
+              THEN (CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hy ELSE hy END)
+              ELSE hx END AS hx,
+         CASE WHEN (hy & {s}) = 0
+              THEN (CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hx ELSE hx END)
+              ELSE hy END AS hy
+  FROM {prev})"""
+        levels.append(cte)
+        prev = f"l{li}"
+    level_sql = ",\n".join(levels)
+
+    def curve_sql(name: str, rel: str, key: str) -> str:
+        return f"""
+SELECT '{name}' AS curve,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM((max_x - min_x + 1) * (max_y - min_y + 1)) AS BIGINT) AS covered_area,
+       CAST(SUM((max_x - min_x + 1) + (max_y - min_y + 1)) AS BIGINT) AS span_sum,
+       CAST(SUM(k_sum) AS BIGINT) AS key_checksum
+FROM (
+  SELECT ((rn - 1) * {HB_FILES}) // nn AS file,
+         COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y, SUM(k) AS k_sum
+  FROM (SELECT okey, x, y, {key} AS k,
+               ROW_NUMBER() OVER (ORDER BY {key}, okey) AS rn,
+               COUNT(*) OVER () AS nn
+        FROM {rel})
+  GROUP BY file
+)"""
+
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT o_orderkey AS okey, {x} AS x, {y} AS y FROM orders
+), hb AS (
+  SELECT okey, x, y, CAST(0 AS BIGINT) AS d, x AS hx, y AS hy FROM b
+), {level_sql},
+hkeys AS MATERIALIZED (SELECT okey, x, y, d FROM {prev}),
+zkeys AS MATERIALIZED (SELECT okey, x, y, ({z}) AS z FROM b)
+{curve_sql("hilbert", "hkeys", "d")}
+UNION ALL
+{curve_sql("zorder", "zkeys", "z")}
+ORDER BY curve
+"""
+
+
+ORDERS_HILBERT_LOCALITY_ORACLE = _hilbert_locality_oracle()
+
+
 # --- lineitem_exact_median ----------------------------------------------------------
 # Exact per-group median WITHOUT a global sort (plans/median.py): two-phase
 # histogram selection — the only sort touches the ~n/1024 rows of the candidate

@@ -464,6 +464,9 @@ BNLJ_ALLOWED = {
     # r11: the DLT threshold tau is a 1-row aggregate crossJoined onto the
     # k-row sample (and re-entering the final report) — broadcast scalars
     "docs_priority_sample",
+    # r11: each curve crossJoins the 1-row total-count aggregate for the
+    # equal-count file assignment — broadcast scalar
+    "orders_hilbert_locality",
 }
 
 

@@ -364,6 +364,56 @@ def test_zorder_key_interleave_golden(spark):
     assert got == interleave(0b1010, 0b0110)
 
 
+def test_hilbert_key_matches_replay_bijective_and_continuous(spark):
+    """plans/hilbert.py (r11): (a) with_hilbert_key must equal the pure-Python
+    Lam-Shapiro replay on the FULL 32x32 grid at bits=5; (b) the mapping is a
+    BIJECTION onto [0, 4^bits); (c) the continuity theorem that gives Hilbert
+    its locality edge: consecutive curve positions d and d+1 are grid
+    NEIGHBORS (|dx| + |dy| == 1) — Morton provably violates this at every
+    power-of-two boundary, which is exactly why unaligned file cuts cover
+    bigger rectangles there."""
+    from hadoop_migration_assessment_tools_spark.plans.hilbert import (
+        hilbert_d_py,
+        with_hilbert_key,
+    )
+
+    bits = 5
+    n = 1 << bits
+    grid = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["_h"]
+        for r in with_hilbert_key(df, F.col("x"), F.col("y"), bits).collect()
+    }
+    want = {(x, y): hilbert_d_py(x, y, bits) for x, y in grid}
+    assert got == want
+    assert sorted(got.values()) == list(range(n * n))  # bijection
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_beats_zorder_on_equal_count_cuts(spark):
+    """The registry row's claim pinned as an inequality: at 48 equal-count
+    file cuts over the real orders buckets, Hilbert's total covered
+    min/max-rectangle area must be STRICTLY smaller than Z-order's (measured
+    ~0.53x at both sf0.01 and sf0.1 — this asserts the direction, not the
+    weather-sensitive magnitude)."""
+    from hadoop_migration_assessment_tools_spark.queries.tpch import (
+        orders_hilbert_locality,
+    )
+
+    rows = {
+        r["curve"]: r
+        for r in orders_hilbert_locality(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["hilbert"]["n_rows"] == rows["zorder"]["n_rows"]
+    assert rows["hilbert"]["n_files"] == rows["zorder"]["n_files"]
+    assert rows["hilbert"]["covered_area"] < rows["zorder"]["covered_area"]
+    assert rows["hilbert"]["span_sum"] < rows["zorder"]["span_sum"]
+
+
 def test_runtime_bloom_filter_prunes_application_side(spark):
     """Runtime-filter literacy proof: with a selective creation side, Catalyst's
     InjectRuntimeFilter must add a bloom-filter semi-reduction (might_contain) on
