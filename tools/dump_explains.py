@@ -100,6 +100,9 @@ TRACKED = [
     "events_join_advice",
     "docs_priority_sample",
     "docs_bigram_surprisal",
+    # round-11: the Hilbert-vs-Z comparison (watch the two distributed-rank
+    # pipelines and the per-level projection chain staying collapsed-free)
+    "orders_hilbert_locality",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
