@@ -126,7 +126,15 @@ QUERIES: dict[str, Query] = {
     "qe_partition_names": ql.qe_partition_names,
     "qe_app_id_first_match": ql.qe_app_id_first_match,
     "qe_counters_roundtrip": ql.qe_counters_roundtrip,
-    "qe_perf_roundtrip": ql.qe_perf_roundtrip,
+    # r11 second reviewed swap (VERDICT r10 #8's runner-up family, upgraded):
+    # the streaming PRODUCTION loop — update-mode maintainer -> foreachBatch
+    # dynamic overwrite-by-day parquet state tree -> downstream batch consumer,
+    # hash-certified against the batch sketch with kill-restart pytest cover —
+    # takes a scored row from qe_perf_roundtrip, whose map-roundtrip shape
+    # keeps scored presence via qe_counters_roundtrip (perf row stays oracled
+    # below the line; AGG2's 0->now-start fallback keeps pytest coverage in
+    # tests/test_event_operators.py)
+    "events_stream_state_sink_parity": ea.events_stream_state_sink_parity,
     # round-9 reviewed swap (VERDICT r8 #9): join-size estimation from CMS
     # sketches — the optimizer primitive (size a 100 TB join from two d*w-row
     # artifacts BEFORE paying for it), certified est >= exact in-plan — takes
@@ -459,11 +467,11 @@ QUERIES: dict[str, Query] = {
     # corpus; the whole integer pipeline (Lloyd, residual codes, ADC shortlist,
     # exact refine) oracled at scale-shaped parameters
     "emb_residual_rerank_scaled": llm.emb_residual_rerank_scaled,
-    # r11 (VERDICT r10 #2): the streaming production loop closed — update-mode
-    # KMV maintainer -> foreachBatch dynamic overwrite-by-day parquet state
-    # tree -> downstream batch consumer; persisted hashes full-outer-certified
-    # against the batch sketch (kill-restart pinned in tests/test_streaming.py)
-    "events_stream_state_sink_parity": ea.events_stream_state_sink_parity,
+    # (events_stream_state_sink_parity moved INTO the scored window in the
+    # r11 second reviewed swap — see the qe_* block above)
+    # r11 second-swap displaced row: AGG2's perf roundtrip, still oracled; the
+    # map-roundtrip shape keeps its scored row via qe_counters_roundtrip
+    "qe_perf_roundtrip": ql.qe_perf_roundtrip,
     # r11 (VERDICT r10 #3): salted_group_topk ACTUATED — planted 75%-hot group,
     # deterministic portable salt, engine runs the two-phase salted plan, the
     # oracle computes the DEFINITIONAL one-window top-k; split stats (>= 4x

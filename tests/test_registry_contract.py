@@ -75,7 +75,13 @@ SCORED_WINDOW = [
     "qe_partition_names",
     "qe_app_id_first_match",
     "qe_counters_roundtrip",
-    "qe_perf_roundtrip",
+    # round-11 second reviewed swap (the r10 verdict's runner-up family in
+    # its strongest form): the streaming PRODUCTION loop — maintainer ->
+    # day-partitioned idempotent sink -> downstream batch consumer, one hash
+    # — in for qe_perf_roundtrip (still oracled below the line; the
+    # map-roundtrip shape keeps scored presence via qe_counters_roundtrip,
+    # AGG2's fallback keeps pytest coverage)
+    "events_stream_state_sink_parity",
     # round-9 reviewed swap (VERDICT r8 #9): CMS join-size estimation — the
     # optimizer primitive, est >= exact certified in-plan — replaces
     # qe_tables_read_and_written (SET2 keeps scored presence via
