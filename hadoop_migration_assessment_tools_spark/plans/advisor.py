@@ -233,6 +233,7 @@ def apply_join_advice(
     salt_buckets: int = 16,
     broadcast_byte_limit: int = DEFAULT_BROADCAST_BYTES,
     sample_rows: int = 1024,
+    max_blowup: float | None = None,
 ) -> tuple[str, DataFrame]:
     """Walk the SAME decision tree as ``advise_join`` and EXECUTE the chosen
     plan (VERDICT r9 #3 — the advisor actuated; r10 #1/#6 — byte-aware and
@@ -258,7 +259,16 @@ def apply_join_advice(
     Cost: two bounded single-COLUMN scans per side for the sketches plus one
     LIMIT-bounded byte sample — at 100 TB that is the insurance premium
     against discovering a spilled shuffle, a straggler task, or a broadcast
-    OOM an hour into the real join."""
+    OOM an hour into the real join.
+
+    ``max_blowup`` (r11) actuates the VIABILITY number: the CMS inner product
+    upper-bounds the inner join's output cardinality, and a join that
+    explodes N-fold is a modeling bug no strategy can fix — when
+    ``est_join_size > max_blowup * max(left_rows, right_rows)`` the call
+    raises ValueError with the numbers instead of launching the join.
+    The bound's direction is safe for a guard: CMS collisions only ever ADD
+    mass, so a REFUSED join truly had an estimated blow-up (the estimate can
+    over-trigger near the threshold, never silently pass a real explosion)."""
     keys = _as_keys(key)
     overlap = (set(left.columns) & set(right.columns)) - set(keys)
     if overlap:
@@ -279,6 +289,16 @@ def apply_join_advice(
         sample_rows,
     ).collect()[0]
     strategy = advice["strategy"]
+    if max_blowup is not None:
+        bound = max_blowup * max(advice["left_rows"], advice["right_rows"], 1)
+        if advice["est_join_size"] > bound:
+            raise ValueError(
+                f"join viability check failed: estimated output "
+                f"{advice['est_join_size']} rows exceeds {max_blowup}x the "
+                f"larger input ({max(advice['left_rows'], advice['right_rows'])} "
+                f"rows) — a join that explodes like this is a modeling bug no "
+                f"strategy fixes; review the key before paying for it"
+            )
     if strategy == "broadcast_right":
         out = left.join(F.broadcast(right), keys, "inner")
     elif strategy == "broadcast_left":

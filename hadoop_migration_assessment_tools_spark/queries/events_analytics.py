@@ -2764,6 +2764,152 @@ ORDER BY b.day
 """
 
 
+# --- events_sliding_priority_sums -------------------------------------------------------
+# [EXT] The FOURTH sliding-sketch member (r11): trailing 7-day VALUE-SUM
+# estimates from MERGED daily priority samples — HLL answers sliding
+# distincts, bottom-k samples sliding quantiles, CMS sliding frequencies;
+# DLT priority samples answer sliding WEIGHTED SUMS (estimate total cents
+# per trailing window from k rows/day, never rescanning history). The engine
+# keeps one (k+1)-row sample per day and merges windows by re-ranking the
+# union (the day-offset explode makes the trailing join a plain equi join —
+# 7(k+1) sketch rows per window, zero BNLJ); the ORACLE computes the DIRECT
+# window sample over all of the window's rows, so the hash-match IS the
+# priority-sampling merge theorem live: any global window top-(k+1) element
+# has <= k elements above it within its own day, hence survives the daily
+# cut. Exact trailing sums ride along as the control with the OBSERVED
+# relative error. All-integer estimator (weights = exact cents, integer
+# priorities, tau, max(w, tau)); one ROUND for rel_err only.
+
+SPS_K = 24
+SPS_WINDOW = 7
+
+
+def events_sliding_priority_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import PRIORITY_U_BITS, split_key
+
+    ev = _events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(split_key(F.col("event_id").cast("string"), "prio"), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1 << PRIORITY_U_BITS),
+        )
+        + 1
+    )
+    base = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.col("event_id").alias("id"),
+            (F.floor(F.col("value") * 100) + 1).cast("long").alias("w"),
+            u.alias("_u"),
+        )
+        .withColumn("q", F.expr(f"(w * {1 << PRIORITY_U_BITS}) div _u").cast("long"))
+        .drop("_u")
+    )
+    w_day = Window.partitionBy("day").orderBy(F.desc("q"), F.asc("id"))
+    # one (k+1)-row sketch per day — checkpoint: the spine, the merge and the
+    # ranks all read it (<= days * (k+1) rows)
+    daily = (
+        base.withColumn("_rn", F.row_number().over(w_day))
+        .where(F.col("_rn") <= SPS_K + 1)
+        .drop("_rn")
+        .localCheckpoint(eager=False)
+    )
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    exploded = daily.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(SPS_WINDOW - 1))).alias("_off")
+    ).select(F.date_add("day", F.col("_off")).alias("wday"), "id", "w", "q")
+    win_rows = exploded.join(F.broadcast(days), "wday")
+    w_rank = Window.partitionBy("wday").orderBy(F.desc("q"), F.asc("id"))
+    ranked = win_rows.withColumn("wrn", F.row_number().over(w_rank))
+    tau = ranked.where(F.col("wrn") == SPS_K + 1).groupBy("wday").agg(
+        F.max("q").cast("long").alias("tau")
+    )
+    est = (
+        ranked.where(F.col("wrn") <= SPS_K)
+        .join(tau, "wday", "left")
+        .groupBy("wday")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample_rows"),
+            F.sum(F.greatest(F.col("w"), F.coalesce(F.col("tau"), F.lit(0))))
+            .cast("long")
+            .alias("est_sum"),
+        )
+    )
+    # exact control: daily exact sums merged by the SAME offset-explode join
+    # (sum of daily sums — the control costs one groupBy over the data)
+    exact = (
+        base.groupBy("day")
+        .agg(F.sum("w").cast("long").alias("dsum"))
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(SPS_WINDOW - 1))).alias("_off")
+        )
+        .select(F.date_add("day", F.col("_off")).alias("wday"), "dsum")
+        .join(F.broadcast(days), "wday")
+        .groupBy("wday")
+        .agg(F.sum("dsum").cast("long").alias("exact_sum"))
+    )
+    return (
+        est.join(exact, "wday")
+        .select(
+            F.col("wday").alias("day"),
+            "n_sample_rows",
+            "est_sum",
+            "exact_sum",
+            F.round(
+                (F.col("est_sum") - F.col("exact_sum")).cast("double")
+                / F.col("exact_sum"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_SLIDING_PRIORITY_SUMS_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, event_id AS id,
+         CAST(FLOOR(value * 100) + 1 AS BIGINT) AS w,
+         (CAST(('0x' || substr(md5('prio' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % {1 << 30}) + 1 AS u
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+), q AS (
+  SELECT day, id, w, (w * {1 << 30}) // u AS q FROM e
+), days AS (SELECT DISTINCT day FROM q
+), winrows AS (
+  -- the DEFINITIONAL form: every window row ranked directly (the engine
+  -- merges per-day (k+1)-row sketches instead — the merge theorem is what
+  -- the hash certifies)
+  SELECT dy.day AS wday, q.id, q.w, q.q,
+         ROW_NUMBER() OVER (PARTITION BY dy.day ORDER BY q.q DESC, q.id ASC) AS rn
+  FROM days dy JOIN q ON q.day BETWEEN dy.day - {SPS_WINDOW - 1} AND dy.day
+), tau AS (
+  SELECT wday, MAX(CASE WHEN rn = {SPS_K + 1} THEN q END) AS tau
+  FROM winrows GROUP BY wday
+), est AS (
+  SELECT w.wday,
+         CAST(COUNT(*) AS BIGINT) AS n_sample_rows,
+         CAST(SUM(GREATEST(w.w, COALESCE(t.tau, 0))) AS BIGINT) AS est_sum
+  FROM winrows w JOIN tau t USING (wday)
+  WHERE w.rn <= {SPS_K}
+  GROUP BY w.wday
+), ex AS (
+  SELECT dy.day AS wday, CAST(SUM(q.w) AS BIGINT) AS exact_sum
+  FROM days dy JOIN q ON q.day BETWEEN dy.day - {SPS_WINDOW - 1} AND dy.day
+  GROUP BY dy.day
+)
+SELECT est.wday AS day, est.n_sample_rows, est.est_sum, ex.exact_sum,
+       ROUND(CAST(est.est_sum - ex.exact_sum AS DOUBLE) / ex.exact_sum, 6) AS rel_err
+FROM est JOIN ex USING (wday)
+ORDER BY day
+"""
+
+
 # --- events_grouped_sampled_quantiles ---------------------------------------------------
 # [EXT] The GROUPED form of the sampled-quantile sketch — per-event_type CDF
 # estimates, fully declarative (zero driver actions, unlike the global form's

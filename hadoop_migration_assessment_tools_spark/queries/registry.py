@@ -426,6 +426,10 @@ QUERIES: dict[str, Query] = {
     # CDF analog of events_sliding_hll_users (no history rescans; exact
     # trailing p50 + observed rank error as controls)
     "events_sliding_sample_quantiles": ea.events_sliding_sample_quantiles,
+    # r11: the FOURTH sliding member — trailing weighted SUMS from merged
+    # daily DLT priority samples; the oracle computes the DIRECT window
+    # sample, so the hash IS the priority-sampling merge theorem live
+    "events_sliding_priority_sums": ea.events_sliding_priority_sums,
     # r8: product quantization — deterministic per-subspace codebooks, corpus
     # encoded to M=4 codes (64x storage cut), per-query ADC tables, rank by
     # code lookups; true L2 rides along per row (approximation certified)
@@ -658,6 +662,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_cms_join_size": ea.EVENTS_CMS_JOIN_SIZE_ORACLE,
     "events_grouped_sampled_quantiles": ea.EVENTS_GROUPED_SAMPLED_QUANTILES_ORACLE,
     "events_sliding_sample_quantiles": ea.EVENTS_SLIDING_SAMPLE_QUANTILES_ORACLE,
+    "events_sliding_priority_sums": ea.EVENTS_SLIDING_PRIORITY_SUMS_ORACLE,
     "emb_pq_topk": llm.EMB_PQ_TOPK_ORACLE,
     "emb_ivfpq_topk": llm.EMB_IVFPQ_TOPK_ORACLE,
 }

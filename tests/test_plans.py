@@ -943,6 +943,37 @@ def test_apply_join_advice_rejects_column_overlap(spark):
         apply_join_advice(df, df, "k")
 
 
+def test_apply_join_advice_viability_guard_refuses_exploding_join(spark):
+    """r11 — the viability number ACTUATED: a self-join on a 4-value key
+    explodes ~n^2/4-fold; with max_blowup set, apply_join_advice must refuse
+    with the numbers in the error instead of launching it. Controls: the same
+    call without the guard executes (row count == the true explosion), and a
+    well-keyed join passes the same guard. The CMS bound only ever
+    OVERcounts, so a refusal is never a silent false pass."""
+    import pytest
+
+    from hadoop_migration_assessment_tools_spark.plans.advisor import apply_join_advice
+
+    left = spark.createDataFrame(
+        [(i % 4, i) for i in range(2000)], "k long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(i % 4, i) for i in range(2000)], "k long, rv long"
+    )
+    with pytest.raises(ValueError, match="viability"):
+        apply_join_advice(left, right, "k", broadcast_row_limit=50, max_blowup=10.0)
+    # control 1: without the guard the join executes — and really explodes
+    _, out = apply_join_advice(left, right, "k", broadcast_row_limit=50)
+    assert out.count() == 4 * 500 * 500
+    # control 2: a near-unique key passes the same guard
+    ok_l = spark.createDataFrame([(i, i) for i in range(2000)], "k long, lv long")
+    ok_r = spark.createDataFrame([(i, -i) for i in range(2000)], "k long, rv long")
+    strategy, out = apply_join_advice(
+        ok_l, ok_r, "k", broadcast_row_limit=50, max_blowup=10.0
+    )
+    assert out.count() == 2000
+
+
 def test_join_advisor_refuses_bytes_blown_broadcast(spark):
     """VERDICT r10 #1 — the broadcast decision is BYTES, not rows: a dim that
     passes the row limit but whose rows x avg-serialized-bytes blows the byte
