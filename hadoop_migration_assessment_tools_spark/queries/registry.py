@@ -92,7 +92,16 @@ QUERIES: dict[str, Query] = {
     "docs_minhash_near_dup": llm.docs_minhash_near_dup,
     "emb_ann_recall": llm.emb_ann_recall,
     "docs_pack_invariants": llm.docs_pack_invariants,
-    "events_session_windows": ea.events_session_windows,
+    # r11 second reviewed swap (VERDICT r10 #8's runner-up family, upgraded):
+    # the streaming PRODUCTION loop — update-mode maintainer -> foreachBatch
+    # dynamic overwrite-by-day parquet state tree -> downstream batch consumer,
+    # hash-certified against the batch sketch with kill-restart pytest cover —
+    # takes the scored row from events_session_windows (still oracled below
+    # the line; WIN3's session shape keeps TWO scored rows via
+    # events_sessionize and the session-interval blast-radius row
+    # events_session_concurrency). Family floors intact: qe_ stays 12,
+    # events stays >= 9.
+    "events_stream_state_sink_parity": ea.events_stream_state_sink_parity,
     # Round-8 reviewed swap: the bucketed big-big point-in-interval join
     # (incident blast-radius; plans/interval_join.py — the join family's time
     # flavor, structurally BNLJ-proof) replaces the props JSON roundtrip,
@@ -126,15 +135,7 @@ QUERIES: dict[str, Query] = {
     "qe_partition_names": ql.qe_partition_names,
     "qe_app_id_first_match": ql.qe_app_id_first_match,
     "qe_counters_roundtrip": ql.qe_counters_roundtrip,
-    # r11 second reviewed swap (VERDICT r10 #8's runner-up family, upgraded):
-    # the streaming PRODUCTION loop — update-mode maintainer -> foreachBatch
-    # dynamic overwrite-by-day parquet state tree -> downstream batch consumer,
-    # hash-certified against the batch sketch with kill-restart pytest cover —
-    # takes a scored row from qe_perf_roundtrip, whose map-roundtrip shape
-    # keeps scored presence via qe_counters_roundtrip (perf row stays oracled
-    # below the line; AGG2's 0->now-start fallback keeps pytest coverage in
-    # tests/test_event_operators.py)
-    "events_stream_state_sink_parity": ea.events_stream_state_sink_parity,
+    "qe_perf_roundtrip": ql.qe_perf_roundtrip,
     # round-9 reviewed swap (VERDICT r8 #9): join-size estimation from CMS
     # sketches — the optimizer primitive (size a 100 TB join from two d*w-row
     # artifacts BEFORE paying for it), certified est >= exact in-plan — takes
@@ -472,10 +473,11 @@ QUERIES: dict[str, Query] = {
     # exact refine) oracled at scale-shaped parameters
     "emb_residual_rerank_scaled": llm.emb_residual_rerank_scaled,
     # (events_stream_state_sink_parity moved INTO the scored window in the
-    # r11 second reviewed swap — see the qe_* block above)
-    # r11 second-swap displaced row: AGG2's perf roundtrip, still oracled; the
-    # map-roundtrip shape keeps its scored row via qe_counters_roundtrip
-    "qe_perf_roundtrip": ql.qe_perf_roundtrip,
+    # r11 second reviewed swap — see the comment in the scored block above)
+    # r11 second-swap displaced row: the WIN3 session-window shape, still
+    # oracled; scored presence kept twice via events_sessionize and
+    # events_session_concurrency
+    "events_session_windows": ea.events_session_windows,
     # r11 (VERDICT r10 #3): salted_group_topk ACTUATED — planted 75%-hot group,
     # deterministic portable salt, engine runs the two-phase salted plan, the
     # oracle computes the DEFINITIONAL one-window top-k; split stats (>= 4x
