@@ -41,14 +41,20 @@ def version_major_minor(version: Column) -> Column:
 
 
 def is_supported_hive_version(version: Column) -> Column:
-    """PRJ8 range check: 2.2 <= version < 4.0; unparseable -> false
-    (utils/VersionValidator.java:29-55; matrix VersionValidatorTest.java:29-49)."""
-    major = F.regexp_extract(version, _VERSION_RE, 1)
-    minor = F.regexp_extract(version, _VERSION_RE, 2)
-    maj = F.when(major != "", major.cast("int"))
-    mino = F.when(minor != "", minor.cast("int"))
-    num = maj * 1000 + mino  # 2.2 -> 2002; 4.0 -> 4000
-    return F.coalesce((num >= 2002) & (num < 4000), F.lit(False))
+    """PRJ8 gate: major==2 ? minor>=2 : major==3; unparseable -> false
+    (utils/VersionValidator.java:44-55; matrix VersionValidatorTest.java:29-49).
+
+    try_cast, not cast: a regex-matched component can still overflow the numeric
+    type (e.g. '2147483647.0' * 1000 under ANSI mode crashed the whole query).
+    The reference's Integer.parseInt rejects such strings (NumberFormatException
+    -> unsupported); try_cast-to-long yields null there, and null comparisons
+    fall through to the coalesce(false). No multiplication anywhere, so no
+    arithmetic can overflow regardless of input.
+    """
+    maj = F.regexp_extract(version, _VERSION_RE, 1).try_cast("long")
+    mino = F.regexp_extract(version, _VERSION_RE, 2).try_cast("long")
+    ok = F.when(maj == 2, mino >= 2).otherwise(maj == 3)
+    return F.coalesce(ok, F.lit(False))
 
 
 def mr_job_to_application_id(job_id: Column) -> Column:
@@ -66,9 +72,14 @@ def writer_id(length: int = 10) -> Column:
 
 
 def json_get_long(json_col: Column | str, key: str) -> Column:
-    """JSON scalar extraction used all over the analytics layer (SURVEY §2.7 JSON family)."""
+    """JSON scalar extraction used all over the analytics layer (SURVEY §2.7 JSON family).
+
+    try_cast, not cast: the JSON value is user-controlled text, and under ANSI
+    mode (Spark 4 default) cast("long") of an out-of-range number string kills
+    the whole query. Malformed/overflowing -> null, same as a missing key.
+    """
     c = F.col(json_col) if isinstance(json_col, str) else json_col
-    return F.get_json_object(c, f"$.{key}").cast("long")
+    return F.get_json_object(c, f"$.{key}").try_cast("long")
 
 
 def normalize_query_text(col: Column) -> Column:

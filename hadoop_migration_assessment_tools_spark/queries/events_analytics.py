@@ -99,7 +99,7 @@ ORDER BY user_id
 
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -579,7 +579,7 @@ def events_props_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.to_json(
         F.struct(
             F.col("event_type").alias("t"),
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
             F.unix_millis("ts").alias("ms"),
         )
     )

@@ -254,9 +254,10 @@ WITH versions AS (
   SELECT
     hive_version,
     COALESCE(
-      TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS INTEGER) * 1000 +
-      TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 2) AS INTEGER)
-      BETWEEN 2002 AND 3999, FALSE) AS supported
+      CASE WHEN TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS BIGINT) = 2
+           THEN TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 2) AS BIGINT) >= 2
+           ELSE TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS BIGINT) = 3
+      END, FALSE) AS supported
   FROM versions
 )
 SELECT hive_version, supported, CAST(COUNT(*) AS BIGINT) AS n

@@ -135,7 +135,17 @@ QUERIES: dict[str, Query] = {
     "qe_partition_names": ql.qe_partition_names,
     "qe_app_id_first_match": ql.qe_app_id_first_match,
     "qe_counters_roundtrip": ql.qe_counters_roundtrip,
-    "qe_perf_roundtrip": ql.qe_perf_roundtrip,
+    # round-12 reviewed swap (VERDICT r11 #7): qe_version_gate returns to the
+    # scored window — PRJ8 just demonstrated a real failure mode (ANSI integer
+    # overflow crash, fixed in functions/scalars.py via try_cast + direct
+    # comparison) and the driver-scored row should carry the operator that
+    # regressed. qe_perf_roundtrip rotates below the line (still oracled);
+    # the map-roundtrip shape keeps scored presence via qe_counters_roundtrip.
+    # This also completes the r11 swap as documented: the r11 registry edit
+    # landed events_stream_state_sink_parity at row 18 (in for
+    # events_session_windows) instead of row 30 (in for qe_perf_roundtrip),
+    # leaving the pin stale — the pin and this comment now match the registry.
+    "qe_version_gate": ql.qe_version_gate,
     # round-9 reviewed swap (VERDICT r8 #9): join-size estimation from CMS
     # sketches — the optimizer primitive (size a 100 TB join from two d*w-row
     # artifacts BEFORE paying for it), certified est >= exact in-plan — takes
@@ -408,9 +418,10 @@ QUERIES: dict[str, Query] = {
     # NUL-joined composite tuple) with exact per-side BYTES — the byte term
     # binds at sf0.001 on two of them
     "events_join_advice": ea.events_join_advice,
-    # r10 reviewed swap: the PRJ8 version gate rotated below the line in favor
-    # of the actuated advisor (events_join_advice_applied, scored row 26)
-    "qe_version_gate": ql.qe_version_gate,
+    # r12 reviewed swap: qe_perf_roundtrip rotated below the line when the
+    # PRJ8 version gate (post-overflow-fix) took back its scored row; AGG2's
+    # perf-map shape keeps pytest coverage and qe_counters_roundtrip scored
+    "qe_perf_roundtrip": ql.qe_perf_roundtrip,
     # r10 (VERDICT r9 #6): the streaming HLL maintainer certified on a scored-
     # style line — a real 4-micro-batch stream maintains per-day registers and
     # the output hash breaks unless streamed state == batch sketch exactly

@@ -169,8 +169,11 @@ def _read_avro_tree_jvm(
     day = F.regexp_extract(
         F.input_file_name(), r"/(\d{4}-\d{2}-\d{2})/[^/]+$", 1
     )
+    # try_cast: the day-dir name is external input — "2023-99-99" matches the
+    # digit regex but is no date, and an ANSI cast would fail the whole read.
+    # Foreign/garbled dirs degrade to EventDate=null instead (rows still load).
     return df.withColumn(
-        "EventDate", F.when(day != "", day).otherwise(None).cast("date")
+        "EventDate", F.when(day != "", day).otherwise(None).try_cast("date")
     )
 
 

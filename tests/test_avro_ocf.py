@@ -482,7 +482,15 @@ def test_jvm_avro_tree_reader_layout_via_parquet_standin(spark, tmp_path):
     base = tmp_path / "tree"
     # reference layout puts files DIRECTLY in the day dir (<base>/<day>/x.avro),
     # so copy the part file out of Spark's dataset directory into place
-    for day, qtext in [("2024-01-02", "q1"), ("2024-02-28", "q2"), ("not-a-date", "qmisc")]:
+    # "2024-99-99" matches the \d{4}-\d{2}-\d{2} extraction but is no real date:
+    # under ANSI a plain cast("date") failed the WHOLE tree read (r12 audit);
+    # it must degrade to EventDate=null like any other foreign dir
+    for day, qtext in [
+        ("2024-01-02", "q1"),
+        ("2024-02-28", "q2"),
+        ("not-a-date", "qmisc"),
+        ("2024-99-99", "qbad"),
+    ]:
         scratch = tmp_path / f"scratch_{qtext}"
         spark.createDataFrame([(qtext, 5)], schema).coalesce(1).write.mode(
             "overwrite"
@@ -502,4 +510,5 @@ def test_jvm_avro_tree_reader_layout_via_parquet_standin(spark, tmp_path):
         "q1": dt.date(2024, 1, 2),
         "q2": dt.date(2024, 2, 28),
         "qmisc": None,
+        "qbad": None,
     }

@@ -28,17 +28,25 @@ _SETTINGS = dict(
 
 
 def _py_version_supported(v: str) -> bool:
-    """Reference semantics (VersionValidator.java:29-55): ^(\\d+)\\.(\\d+).* then
-    2.2 <= major.minor < 4.0."""
+    """Reference semantics (VersionValidator.java:44-55): ^(\\d+)\\.(\\d+).* then
+    major==2 ? minor>=2 : major==3. Integer.parseInt rejects components that
+    overflow a 32-bit int (NumberFormatException -> unsupported); the engine's
+    try_cast-to-long mirrors that as null -> false (every overflowing value is
+    outside {2,3} anyway, so long-vs-int width cannot change the verdict)."""
     m = re.match(r"^(\d+)\.(\d+).*", v)
     if not m:
         return False
-    num = int(m.group(1)) * 1000 + int(m.group(2))
-    return 2002 <= num < 4000
+    major, minor = int(m.group(1)), int(m.group(2))
+    if major > 2**31 - 1 or minor > 2**31 - 1:
+        return False
+    return minor >= 2 if major == 2 else major == 3
 
 
 version_strings = st.one_of(
     st.from_regex(r"[0-9]{1,3}\.[0-9]{1,3}(\.[0-9]{1,3})?", fullmatch=True),
+    # wide components: exercises int/long overflow (the r11 ANSI crash) and
+    # minors >= 1000 (where a packed major*1000+minor encoding diverges)
+    st.from_regex(r"[0-9]{1,24}\.[0-9]{1,24}", fullmatch=True),
     st.text(
         alphabet="0123456789.abcxyz", min_size=0, max_size=12
     ),
@@ -101,6 +109,42 @@ def test_app_id_conversion_total(spark, ids):
     for src, out in zip(ids, got):
         if re.fullmatch(r"job_\d+_\d+", src):
             assert out == "application_" + src[4:]
+        else:
+            assert out is None
+
+
+json_values = st.one_of(
+    st.integers(min_value=-(2**70), max_value=2**70),  # spans long overflow both ways
+    st.text(alphabet="0123456789-x.", min_size=0, max_size=25),
+    st.none(),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(json_values, min_size=1, max_size=8))
+def test_json_get_long_total_under_ansi(spark, values):
+    """json_get_long invariant (r12 ANSI audit): the JSON value is external
+    input, so ANY value — including integers that overflow BIGINT, which under
+    ANSI mode crashed a plain cast — yields the parsed long when it fits and
+    null otherwise. The query must never throw."""
+    import json as _json
+
+    from hadoop_migration_assessment_tools_spark.functions.scalars import json_get_long
+
+    payloads = [_json.dumps({"k": v}) for v in values]
+    df = spark.createDataFrame([(p,) for p in payloads], ["props"])
+    got = [r["k"] for r in df.select(json_get_long("props", "k").alias("k")).collect()]
+    for v, out in zip(values, got):
+        if isinstance(v, int) and -(2**63) <= v < 2**63:
+            assert out == v
+        elif isinstance(v, str):
+            # extracted as a bare string; parses iff it is a valid long literal
+            try:
+                iv = int(v)
+                expect = iv if -(2**63) <= iv < 2**63 else None
+            except ValueError:
+                expect = None
+            assert out == expect
         else:
             assert out is None
 

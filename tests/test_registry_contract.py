@@ -47,7 +47,12 @@ SCORED_WINDOW = [
     "docs_minhash_near_dup",
     "emb_ann_recall",
     "docs_pack_invariants",
-    "events_session_windows",
+    # round-11 reviewed swap (second): the streaming PRODUCTION loop —
+    # maintainer -> day-partitioned idempotent sink -> downstream batch
+    # consumer, one hash — in for events_session_windows (still oracled below
+    # the line; WIN3's session shape keeps two scored rows via
+    # events_sessionize + events_session_concurrency)
+    "events_stream_state_sink_parity",
     # round-8 reviewed swap: the bucketed big-big interval join (incident
     # blast-radius) replaces the props JSON roundtrip; the map-roundtrip shape
     # keeps two scored rows (qe_counters_roundtrip, qe_perf_roundtrip) and
@@ -75,13 +80,12 @@ SCORED_WINDOW = [
     "qe_partition_names",
     "qe_app_id_first_match",
     "qe_counters_roundtrip",
-    # round-11 second reviewed swap (the r10 verdict's runner-up family in
-    # its strongest form): the streaming PRODUCTION loop — maintainer ->
-    # day-partitioned idempotent sink -> downstream batch consumer, one hash
-    # — in for qe_perf_roundtrip (still oracled below the line; the
-    # map-roundtrip shape keeps scored presence via qe_counters_roundtrip,
-    # AGG2's fallback keeps pytest coverage)
-    "events_stream_state_sink_parity",
+    # round-12 reviewed swap (VERDICT r11 #7): the PRJ8 version gate returns —
+    # it just demonstrated a real failure mode (ANSI overflow crash, now fixed
+    # via try_cast + direct comparison) — in for qe_perf_roundtrip (still
+    # oracled below the line; map-roundtrip shape keeps scored presence via
+    # qe_counters_roundtrip)
+    "qe_version_gate",
     # round-9 reviewed swap (VERDICT r8 #9): CMS join-size estimation — the
     # optimizer primitive, est >= exact certified in-plan — replaces
     # qe_tables_read_and_written (SET2 keeps scored presence via
