@@ -892,7 +892,12 @@ ORDER BY kind, format
 # scanning nprobe/nlist of the corpus must beat scanning all of it. BENCH_r{N} carries
 # the side-by-side wall times; pytest asserts IVF recall >= 0.8 vs the exact result.
 
-SCALED_REPS = 12
+# r12 (VERDICT r11 #5): 12 -> 6. The bruteforce control exists only to dominate
+# the IVF row convincingly (it had grown to ~24 s, ~10% of the whole bench);
+# at 6x the scan-work ratio is still nlist/nprobe = 8x before fixed costs, and
+# BENCH_r12 must show >= 2x crossover margin. Both oracles derive from this
+# constant, so exact-hash parity is unaffected.
+SCALED_REPS = 6
 SCALED_QUERIES = 75
 _SCALED_ID_STRIDE = 10_000_000
 
@@ -928,7 +933,7 @@ def emb_topk_scaled_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracled (round 4): the deterministic per-replica perturbation is SQL-expressible
     (DuckDB's generate_series supplies the element index Spark's transform lambda
     gets natively), and the float-cast quantization is reproduced with CAST AS REAL,
-    so the exact neighbor sets hash-match end to end — the 12x-corpus baseline is
+    so the exact neighbor sets hash-match end to end — the SCALED_REPS-x corpus baseline is
     certified, not just timed."""
     scaled = _scaled_embeddings(spark, sf_dir)
     return cosine_topk_bruteforce(scaled, _scaled_queries(scaled), k=TOPK_K)
@@ -990,7 +995,7 @@ def emb_topk_scaled_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round-5 cost cut preserved: the rep-0 replica IS the base table, so both
     the training sample and the query set read the base ``embeddings`` parquet
-    directly (filters push down; the 12x replication is never re-evaluated for
+    directly (filters push down; the SCALED_REPS-x replication is never re-evaluated for
     them)."""
     from ..ext.similarity import cosine_topk_ivf_quantized
 
@@ -5947,7 +5952,7 @@ def emb_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: The clustered-corpus CTE prefix shared by the residual-PQ oracles (the
 #: default-knob rows read it directly; the production-knob row wraps it in a
-#: 12x replicate-and-perturb derivation).
+#: SCALED_REPS-x replicate-and-perturb derivation).
 _RES_PQ_CORPUS_CTES = f"""anch AS (
   SELECT vec_id AS aid, embedding AS av FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id < {RES_PQ_ANCHORS}
@@ -6101,7 +6106,7 @@ def _residual_rerank_pipeline(
 ) -> DataFrame:
     """The composed IVF+residual-PQ+refine pipeline, parameterized (r11 —
     the SAME code path serves the oracled default-knob row and the oracled
-    production-knob row emb_residual_rerank_scaled at nlist=256 on the 12x
+    production-knob row emb_residual_rerank_scaled at nlist=256 on the SCALED_REPS-x
     corpus). ``corpus`` is a (vec_id, embedding) relation the caller has
     checkpointed (it feeds 4 consumers)."""
     from ..ext.quantize import (
@@ -6221,11 +6226,11 @@ EMB_RESIDUAL_PQ_RERANK_TOPK_ORACLE = _RES_PQ_ORACLE_CTES + _residual_rerank_orac
 # --- emb_residual_rerank_scaled -------------------------------------------------------
 # [EXT] The production ANN stack at PRODUCTION-SHAPED knobs (VERDICT r10 #4 —
 # the default-knob row certifies correctness at nlist=64 on the base corpus;
-# this row certifies the SAME pipeline at nlist=256 over the 12x-replicated
+# this row certifies the SAME pipeline at nlist=256 over the SCALED_REPS-x replicated
 # clustered corpus, the emb_topk_scaled_* derivation applied to residual
 # IVFADC). Every stage stays exact int64, so the ORACLE replays training
 # (2 fixed-point Lloyd rounds over a 2048-vector sample at 256 centroids),
-# residual encoding of the full 12x corpus, probing at nprobe=16, the ADC
+# residual encoding of the full SCALED_REPS-x corpus, probing at nprobe=16, the ADC
 # shortlist AND the exact integer refine — one hash, production knobs. The
 # scale evidence this row exists for: corpus work is ONE fused Arrow pass
 # (assign + encode against 256 centroids), candidates are bounded by
@@ -6276,7 +6281,7 @@ def emb_residual_rerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: clustered0 = the anchor-pulled base corpus; clustered = its 12x replicate-
+#: clustered0 = the anchor-pulled base corpus; clustered = its SCALED_REPS-x replicate-
 #: and-perturb derivation (rep-0 keeps the original vectors, so queries are
 #: identical to the base row's).
 _SCALED_RES_CORPUS_CTES = f"""anch AS (

@@ -59,3 +59,39 @@ def test_scored_window_contract():
     assert count(("events_", "signup_", "users_")) >= 9, "events-analytics family underrepresented"
     relational = 50 - count(("qe_", "docs_", "emb_", "multimodal", "events_", "signup_", "users_"))
     assert relational >= 8, "relational family underrepresented"
+
+
+def _load_bench_module():
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_historical_floors_and_trip_logic():
+    """The fresh-session escape hatch (r12, VERDICT r11 #8): floors come from
+    same-SF BENCH history only, and the trip condition needs >3x floor AND >1 s
+    absolute, worst-first, bounded."""
+    bench = _load_bench_module()
+    floors = bench._historical_floors("0.1")
+    # the repo ships sf0.1 BENCH history; every floor must be a positive time
+    # for a known registry query
+    assert floors and all(v > 0 for v in floors.values())
+    from hadoop_migration_assessment_tools_spark.queries.registry import QUERIES
+
+    assert set(floors) <= set(QUERIES)
+    # a scale factor with no recorded history yields no floors (and thus can
+    # never trip a rerun)
+    assert bench._historical_floors("0.31337") == {}
+
+    f = {"a": 0.5, "b": 0.2, "c": 2.0, "d": 0.1}
+    t = {
+        "a": 1.6,   # >3x floor and >1 s -> tripped
+        "b": 0.9,   # >3x floor but under the 1 s absolute gate -> not tripped
+        "c": 5.0,   # 2.5x floor -> not tripped
+        "d": 1.2,   # 12x floor -> tripped, and worse ratio than 'a'
+        "new": 99,  # no floor (new query) -> not tripped
+    }
+    assert bench._tripped_queries(t, f) == ["d", "a"]
+    assert bench._tripped_queries(t, f, limit=1) == ["d"]
+    assert bench._tripped_queries({}, f) == []
