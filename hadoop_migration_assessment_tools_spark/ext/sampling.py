@@ -344,7 +344,9 @@ def priority_sample(
     the certified output is the OBSERVED relative error per subset, not a
     probabilistic claim.
 
-    Weights must be >= 1 (guarded in-plan) and < 2^33 (the shift guard).
+    Weights must be INTEGER-VALUED, >= 1 and < 2^33 (guarded in-plan; a
+    fractional weight is rejected loudly rather than silently truncated —
+    2.7 -> 2 would change the estimator with no signal).
     Plan shape: one narrow scan computes priorities; the top-(k+1) is
     TakeOrderedAndProject (map-side partial top-k — k+1 rows in motion, the
     corpus never shuffles); tau re-enters as a broadcast 1-row relation.
@@ -363,16 +365,28 @@ def priority_sample(
         df.where(F.col(id_col).isNotNull() & F.col(weight_col).isNotNull())
         .select(
             F.col(id_col).alias("_id"),
-            F.col(weight_col).cast("long").alias("_w"),
+            # try_cast + the equality conjunct below: a fractional weight
+            # (2.7 -> 2) would silently change the estimator if cast first
+            # and guarded after (ADVICE r11 #2) — the guard now rejects any
+            # weight that is not exactly its own long value (fractional,
+            # overflowing, or unparseable all fail loudly in-plan)
+            F.col(weight_col).try_cast("long").alias("_w"),
+            F.col(weight_col).alias("_w_raw"),
         )
         .withColumn(
             "_guard",
             F.assert_true(
-                (F.col("_w") >= 1) & (F.col("_w") < F.lit(1 << 33)),
-                F.lit("priority_sample: weights must be in [1, 2^33)"),
+                F.col("_w").isNotNull()
+                & (F.col("_w_raw").cast("double") == F.col("_w").cast("double"))
+                & (F.col("_w") >= 1)
+                & (F.col("_w") < F.lit(1 << 33)),
+                F.lit(
+                    "priority_sample: weights must be integer-valued in [1, 2^33)"
+                ),
             ),
         )
         .filter(F.col("_guard").isNull())  # keeps the assert in the live plan
+        .drop("_w_raw")
         .withColumn("_u", u)
         .withColumn(
             "_q", F.expr(f"(_w * {1 << PRIORITY_U_BITS}) div _u").cast("long")

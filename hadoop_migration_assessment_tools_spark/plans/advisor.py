@@ -122,6 +122,7 @@ def advise_join(
     cms_w: int = 8192,
     broadcast_byte_limit: int = DEFAULT_BROADCAST_BYTES,
     sample_rows: int = 1024,
+    exact_bytes: bool = False,
 ) -> DataFrame:
     """One-row decision relation for ``left JOIN right ON key`` (key may be a
     column name or a list of them — composite equi-join):
@@ -148,14 +149,24 @@ def advise_join(
     cannot shift a branch), the Misra-Gries top-share UNDERCOUNTS —
     ``est >= true - total/cap`` with cap=64, i.e. by at most ~1.6% of rows —
     and the byte estimate (exact rows x to_json avg over a LIMIT
-    ``sample_rows`` sample) mildly OVERESTIMATES serialized size (JSON field
-    names/quoting vs columnar encoding). So skew can be MISSED when the true
-    share sits within total/cap above ``skew_share`` and a broadcast can be
-    REFUSED when the true bytes sit just under the limit — both degrade to a
-    safer/slower branch, never to a wrong result or an OOM. A broadcast is
-    never INVENTED. Callers pinning a branch in tests should keep planted
-    shares ~2 x total/cap away from ``skew_share`` and planted sizes well away
-    from ``broadcast_byte_limit``."""
+    ``sample_rows`` sample) has TWO error terms with opposite guarantees
+    (ADVICE r11 #1): the JSON encoding itself OVERESTIMATES serialized size
+    (field names/quoting vs columnar encoding), but the LIMIT sample is a
+    position-biased prefix — if wide rows sit beyond the first ``sample_rows``
+    rows the average UNDERESTIMATES, and a byte-blown side could still be
+    sanctioned for broadcast. The prefix is the deliberate trade: the sketch
+    scans read only the key columns (pruned), so a whole-side to_json average
+    would be the single most expensive scan in the advisor at 100 TB. Callers
+    whose row widths vary heavily by position should pass ``exact_bytes=True``
+    (average over EVERY row — no sampling bias, full-width scan cost) or size
+    ``broadcast_byte_limit`` with headroom for the tail. So: skew can be
+    MISSED when the true share sits within total/cap above ``skew_share``;
+    a broadcast can be REFUSED on JSON overhead or (prefix mode only)
+    WRONGLY SANCTIONED on positional width skew — the first two degrade to a
+    safer/slower branch; the last is why ``exact_bytes`` exists. Callers
+    pinning a branch in tests should keep planted shares ~2 x total/cap away
+    from ``skew_share`` and planted sizes well away from
+    ``broadcast_byte_limit``."""
     from ..ext.sketch import _mg_summaries, cms_counters, cms_inner_product
 
     keys = _as_keys(key)
@@ -181,10 +192,13 @@ def advise_join(
             )
         ).orderBy(F.desc(f"{tag}_rows")).limit(1)
         # bytes = exact rows x avg serialized row size over a BOUNDED sample
-        # (LIMIT short-circuits the scan; an empty side averages to 0)
+        # (LIMIT short-circuits the scan; an empty side averages to 0) —
+        # or over every row when exact_bytes (no positional bias, full scan)
+        sampled = df.where(_not_null(keys))
+        if not exact_bytes:
+            sampled = sampled.limit(sample_rows)
         avg_bytes = (
-            df.where(_not_null(keys))
-            .limit(sample_rows)
+            sampled
             .agg(
                 F.coalesce(
                     F.avg(F.octet_length(F.to_json(F.struct(*df.columns)))),
@@ -234,6 +248,7 @@ def apply_join_advice(
     broadcast_byte_limit: int = DEFAULT_BROADCAST_BYTES,
     sample_rows: int = 1024,
     max_blowup: float | None = None,
+    exact_bytes: bool = False,
 ) -> tuple[str, DataFrame]:
     """Walk the SAME decision tree as ``advise_join`` and EXECUTE the chosen
     plan (VERDICT r9 #3 — the advisor actuated; r10 #1/#6 — byte-aware and
@@ -287,6 +302,7 @@ def apply_join_advice(
         cms_w,
         broadcast_byte_limit,
         sample_rows,
+        exact_bytes,
     ).collect()[0]
     strategy = advice["strategy"]
     if max_blowup is not None:

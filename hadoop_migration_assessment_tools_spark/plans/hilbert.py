@@ -53,6 +53,16 @@ def with_hilbert_key(
     the whole chain is codegen-able integer arithmetic."""
     if bits < 1 or bits > 16:
         raise ValueError("with_hilbert_key supports 1..16 bits per dimension")
+    # ADVICE r11 #3: the chain materializes _hx/_hy and key_col as named
+    # columns — a caller already carrying one of those names would get
+    # duplicate/ambiguous columns instead of a clear error (zorder never
+    # materializes intermediates, so only this variant needs the guard)
+    clash = sorted(set(df.columns) & {"_hx", "_hy", key_col})
+    if clash:
+        raise ValueError(
+            f"with_hilbert_key: input already has column(s) {clash}; rename "
+            "them or pass a different key_col"
+        )
     carry = [F.col(c) for c in df.columns]
     out = df.select(
         *carry,

@@ -2247,7 +2247,10 @@ APPLIED_BCAST_LIMIT = 16
 APPLIED_BCAST_BYTES = 1 << 20  # r11 byte term: dim sample estimate ~200 B at
 # sf0.001 — >3 orders of magnitude of slack, so the byte conjunct is certainly
 # true where the row gate passes and the oracle's row-only CASE replays the
-# same branch (the byte term BINDS, with exact bytes, in events_join_advice)
+# same branch (the byte term BINDS, with exact bytes, in events_join_advice).
+# r12 (ADVICE r11 #4): the slack is no longer an argument — it is PINNED >= 8x
+# in tests/test_plans.py::test_join_advice_applied_byte_slack_is_pinned, so a
+# fixture/SF change that widens dim rows trips CI before it can break the hash.
 APPLIED_SALT_BUCKETS = 8
 APPLIED_HOT_MOD = 4  # pmod(user_id, 4) < 2 -> 'hot' (~50% of rows)
 APPLIED_KEY_MOD = 101  # cold keys: 'u' || user_id % 101
@@ -2808,6 +2811,18 @@ def events_sliding_priority_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("value") * 100) + 1).cast("long").alias("w"),
             u.alias("_u"),
         )
+        # in-plan guard (ADVICE r11 #2): w >= 1 is what keeps Spark's
+        # truncating `div` equal to the oracle's flooring `//`; negative
+        # values must fail loudly rather than silently break hash parity
+        .withColumn(
+            "_guard",
+            F.assert_true(
+                F.col("w") >= 1,
+                F.lit("events_sliding_priority_sums: derived weight must be >= 1"),
+            ),
+        )
+        .filter(F.col("_guard").isNull())
+        .drop("_guard")
         .withColumn("q", F.expr(f"(w * {1 << PRIORITY_U_BITS}) div _u").cast("long"))
         .drop("_u")
     )

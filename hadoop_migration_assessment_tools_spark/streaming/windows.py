@@ -391,6 +391,18 @@ def daily_priority_samples(
             w.alias("w"),
             u.alias("_u"),
         )
+        # in-plan guard (ADVICE r11 #2): a negative weight would make Spark's
+        # truncating `div` and the batch oracle's flooring `//` diverge — the
+        # derivation must fail loudly, not drift silently
+        .withColumn(
+            "_guard",
+            F.assert_true(
+                F.col("w") >= 1,
+                F.lit("daily_priority_samples: derived weight must be >= 1"),
+            ),
+        )
+        .filter(F.col("_guard").isNull())
+        .drop("_guard")
         .withColumn("q", F.expr(f"(w * {1 << PRIORITY_U_BITS}) div _u").cast("long"))
         .drop("_u")
     )

@@ -2354,6 +2354,16 @@ def test_priority_sample_matches_python_replay_and_exact_when_k_covers(spark):
     with pytest.raises(Exception, match="weights must be|ASSERT|assert"):
         priority_sample(bad, "w", 4).collect()
 
+    # fractional weights must be REJECTED, not silently truncated (2.7 -> 2
+    # would change the estimator with no signal — ADVICE r11 #2)
+    frac = spark.createDataFrame([(1, 2.7)], "doc_id long, w double")
+    with pytest.raises(Exception, match="integer-valued|ASSERT|assert"):
+        priority_sample(frac, "w", 4).collect()
+    # integer-VALUED doubles are fine (the estimator is unchanged)
+    ok = spark.createDataFrame([(1, 3.0), (2, 5.0)], "doc_id long, w double")
+    got_d = {r["doc_id"]: r["weight"] for r in priority_sample(ok, "w", 4).collect()}
+    assert got_d == {1: 3, 2: 5}
+
     # plan: the top-(k+1) must be a map-side partial top-k, not a global sort
     from hadoop_migration_assessment_tools_spark.plans.audit import formatted_plan
 

@@ -835,6 +835,78 @@ def test_join_advisor_walks_the_decision_tree(spark):
     assert r3["left_top_share"] < 0.2 and r3["right_top_share"] < 0.2
 
 
+def test_join_advisor_exact_bytes_sees_past_prefix_bias(spark):
+    """ADVICE r11 #1: the LIMIT byte sample is a position-biased prefix — a
+    side whose wide rows sit beyond the first sample_rows can be sanctioned
+    for broadcast on a far-too-low byte estimate. exact_bytes=True averages
+    over every row and must catch it (refusing the broadcast)."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import advise_join
+
+    # 2000 narrow rows first (sorted by id within the single input partition),
+    # then 500 rows carrying ~40 KB each: true avg ~8 KB/row, prefix avg ~20 B
+    wide_tail = spark.range(0, 2_500, 1, 1).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") >= 2_000, F.repeat(F.lit("x"), 40_000))
+        .otherwise(F.lit("s"))
+        .alias("payload"),
+    )
+    big = spark.range(0, 50_000).select(
+        (F.col("id") % 2_500).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    kwargs = dict(broadcast_row_limit=10_000, broadcast_byte_limit=1_000_000,
+                  sample_rows=1_024)
+    biased = advise_join(big, wide_tail, "k", **kwargs).collect()[0]
+    exact = advise_join(big, wide_tail, "k", exact_bytes=True, **kwargs).collect()[0]
+    # prefix mode undersizes (~2.5k rows x ~20 B << 1 MB) and sanctions the
+    # broadcast; the exact average sees the ~20 MB truth and refuses it
+    assert biased["strategy"] == "broadcast_right"
+    assert exact["right_bytes"] > 10 * biased["right_bytes"]
+    assert exact["right_bytes"] > 1_000_000
+    assert exact["strategy"] != "broadcast_right"
+
+
+def test_join_advice_applied_byte_slack_is_pinned(spark):
+    """ADVICE r11 #4: events_join_advice_applied's oracle replays a row-only
+    CASE while the engine also evaluates the sampled byte conjunct; branch
+    parity rests on the dim byte estimate sitting far under
+    APPLIED_BCAST_BYTES wherever the row gate passes. Pin that slack (>= 8x)
+    at every scoring SF so a fixture change that widens dim rows trips CI
+    before it breaks the correctness hash."""
+    from hadoop_migration_assessment_tools_spark.plans.advisor import advise_join
+    from hadoop_migration_assessment_tools_spark.queries.events_analytics import (
+        APPLIED_BCAST_BYTES,
+        APPLIED_BCAST_LIMIT,
+        APPLIED_HOT_MOD,
+        APPLIED_KEY_MOD,
+        _events,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+        k = F.when(
+            F.pmod(F.col("user_id"), F.lit(APPLIED_HOT_MOD)) < 2, F.lit("hot")
+        ).otherwise(
+            F.concat(
+                F.lit("u"),
+                F.pmod(F.col("user_id"), F.lit(APPLIED_KEY_MOD)).cast("string"),
+            )
+        )
+        left = ev.select(k.alias("k"), "value")
+        dim = left.groupBy("k").agg(F.count("*").cast("long").alias("dim_n"))
+        r = advise_join(
+            left, dim, "k",
+            broadcast_row_limit=APPLIED_BCAST_LIMIT,
+            broadcast_byte_limit=APPLIED_BCAST_BYTES,
+        ).collect()[0]
+        if r["right_rows"] <= APPLIED_BCAST_LIMIT:
+            # the row gate passes -> the byte conjunct must be slack, not close
+            assert r["right_bytes"] * 8 < APPLIED_BCAST_BYTES, (
+                f"{sf_dir}: dim byte estimate {r['right_bytes']} is within 8x "
+                f"of APPLIED_BCAST_BYTES={APPLIED_BCAST_BYTES}; the row-only "
+                "oracle CASE no longer certifies the engine's branch"
+            )
+
+
 def test_join_advisor_handles_empty_side(spark):
     """An empty side must advise broadcast with rows=0 and est=0 — numbers,
     never NULL-propagated branches (the sizer's disjoint/empty discipline)."""
