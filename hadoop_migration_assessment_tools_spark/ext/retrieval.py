@@ -1,0 +1,210 @@
+"""Lexical + hybrid retrieval over a document corpus — BM25 top-k and
+reciprocal-rank fusion (RRF) of lexical and embedding rankings.
+
+[EXT] — no reference citation; this is the retrieval half of a training-data /
+RAG pipeline (the embedding half lives in ext/similarity.py). Public-literature
+designs: Okapi BM25 (Robertson-Walker-Jones TREC-3) and RRF (Cormack et al.,
+SIGIR 2009).
+
+Engine-parity discipline (the repo's fixed-point rule): BM25's per-term
+contribution is an irrational double (ln + divisions), but both engines compute
+the SAME IEEE expression on the same inputs, so the value is quantized ONCE via
+floor(contrib * 1e6) into a BIGINT and all cross-term aggregation is exact
+integer arithmetic — no float summation order anywhere. RRF goes further: its
+score is sum(SCALE div (K + rank)) — pure integer division end to end.
+
+Scale shape (100 TB corpus):
+- the corpus is tokenized in ONE narrow pass; doc length rides the (doc, term)
+  groupBy key, so term frequencies need no second join against a lengths table;
+- the query-term set is tiny by nature (dozens of queries x <= q_terms tokens)
+  and BROADCASTS; the exploded token stream is left-semi filtered against it
+  BEFORE any aggregation, so the only shuffles are map-side-combined groupBys
+  over postings that MATCHED a query term — the corpus itself never reshuffles
+  and non-matching tokens never leave their input partition;
+- document frequencies are computed from the filtered posting stream (for a
+  term in the query set, every doc containing it survives the semi join, so
+  the restricted count equals the global df);
+- corpus-level stats (N, avgdl) re-enter as a broadcast 1-row relation, the
+  tfidf/median pattern — no driver-side action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+#: fixed-point scale for BM25 contributions and RRF scores (1e6: ranking
+#: resolution far below any meaningful score gap; quantization-boundary
+#: ln-ULP risk ~1e-10 per term — same accepted class as the 6dp TF-IDF round)
+RETRIEVAL_SCALE = 1_000_000
+
+#: Okapi defaults (Robertson et al.); written as exact literals in BOTH
+#: engines so the parsed doubles are bit-identical
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: RRF smoothing constant (Cormack et al. use 60)
+RRF_K = 60
+
+
+def _bm25_contrib_e6(
+    tf: Column, df: Column, dl: Column, n_docs: Column, avgdl: Column
+) -> Column:
+    """floor(idf * tf_norm * SCALE) as BIGINT — the one quantization point.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))   (always > 0, no negative-idf
+    branch needed); tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    """
+    idf = F.log(
+        F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+    tfn = (tf * F.lit(BM25_K1 + 1.0)) / (
+        tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avgdl)
+    )
+    return F.floor(idf * tfn * F.lit(float(RETRIEVAL_SCALE))).cast("long")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    q_terms: int = 12,
+) -> DataFrame:
+    """Top-k corpus docs per query under Okapi BM25, deterministic ranking.
+
+    ``queries`` is a (query_id, query_text) relation; its distinct tokens
+    (first ``q_terms`` per query) form the term bag — query-side term
+    frequency is ignored, the standard short-query simplification. A query
+    doc drawn from the corpus never retrieves itself (self-exclusion on id).
+
+    Returns (query_id, doc_id, n_terms_matched, score_e6, rank) where
+    score_e6 is the exact BIGINT sum of quantized per-term contributions and
+    rank orders by (score_e6 DESC, doc_id ASC) — fully engine-portable.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("_id", "_toks", F.size("_toks").cast("long").alias("_dl"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.explode(
+                F.slice(tokens(F.lower(F.col(query_text_col))), 1, q_terms)
+            ).alias("_term"),
+        )
+        .distinct()
+    )
+    qterm_set = qterms.select("_term").distinct()
+
+    posting = (
+        base.select("_id", "_dl", F.explode("_toks").alias("_term"))
+        .join(F.broadcast(qterm_set), "_term", "left_semi")
+        .groupBy("_id", "_dl", "_term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    dfreq = posting.groupBy("_term").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+
+    scored = (
+        posting.join(F.broadcast(dfreq), "_term")
+        .join(F.broadcast(qterms), "_term")
+        .filter(F.col("_id") != F.col("_qid"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_c",
+            _bm25_contrib_e6(
+                F.col("_tf").cast("double"),
+                F.col("_df").cast("double"),
+                F.col("_dl").cast("double"),
+                F.col("_n_docs"),
+                F.col("_avgdl"),
+            ),
+        )
+        .groupBy("_qid", "_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("_c").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("score_e6"), F.asc("_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "n_terms_matched",
+            "score_e6",
+            "rank",
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_a_col: str = "rank",
+    rank_b_col: str = "rank",
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings — pure integer math.
+
+    rrf_e6 = sum over systems of SCALE div (rrf_k + rank); a doc absent from
+    one system's list simply contributes nothing from it (the standard RRF
+    treatment of partial candidate lists, which is exactly what hybrid
+    lexical+vector retrieval produces when the corpora only partially
+    overlap). Integer division is floor-identical across engines for the
+    positive operands here. Returns (query_id, doc_id, rank_lex, rank_vec,
+    rrf_e6, fused_rank); fused_rank orders by (rrf_e6 DESC, doc_id ASC).
+    """
+    a = ranked_a.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_a_col).alias("rank_lex"),
+    )
+    b = ranked_b.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_b_col).alias("rank_vec"),
+    )
+    fused = (
+        a.join(b, ["_qid", "_id"], "full_outer")
+        .withColumn(
+            "rrf_e6",
+            F.coalesce(
+                F.expr(f"{RETRIEVAL_SCALE} div ({rrf_k} + rank_lex)"), F.lit(0)
+            ).cast("long")
+            + F.coalesce(
+                F.expr(f"{RETRIEVAL_SCALE} div ({rrf_k} + rank_vec)"), F.lit(0)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("rrf_e6"), F.asc("_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "rank_lex",
+            "rank_vec",
+            "rrf_e6",
+            "fused_rank",
+        )
+    )

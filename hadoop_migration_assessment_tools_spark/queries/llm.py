@@ -6308,3 +6308,175 @@ EMB_RESIDUAL_RERANK_SCALED_ORACLE = _residual_pq_oracle_ctes(
     SCALED_RES_NPROBE,
     TOPK_QUERIES,
 ) + _residual_rerank_oracle_tail(RES_RERANK_R, PQ_TOPK_K)
+
+
+# --- docs_bm25_topk / docs_hybrid_rrf -------------------------------------------------
+# [EXT] The retrieval half of the pipeline (ext/retrieval.py): Okapi BM25 over the
+# documents corpus, then reciprocal-rank fusion with the exact embedding ranking —
+# the production hybrid lexical+vector retrieval stack, certified end to end in one
+# hash. Engine parity is exact by construction: the per-term BM25 contribution is
+# quantized ONCE (floor(contrib * 1e6) -> BIGINT), all cross-term/cross-system
+# aggregation is integer arithmetic, and RRF is integer division throughout.
+# Scale shape: query terms broadcast; the exploded corpus token stream is left-semi
+# filtered before any aggregation (non-matching tokens never leave their partition);
+# doc length rides the postings groupBy key; corpus stats re-enter as a broadcast
+# 1-row relation; the vector leg is the existing certified bruteforce ranking.
+
+BM25_QMOD = 20
+BM25_QREM = 7
+BM25_QTERMS = 12
+BM25_TOPK = 10
+RRF_FUSE_K = 10
+
+
+def _bm25_queries(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % BM25_QMOD == BM25_QREM).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _bm25_queries(docs), k=BM25_TOPK, q_terms=BM25_QTERMS
+    ).orderBy("query_id", "rank")
+
+
+#: shared oracle CTEs: tokenization identical to ext/text.tokens (regex trim, \s+
+#: split, empty -> []), then postings restricted to the query-term set
+_BM25_ORACLE_CTES = f"""base AS (
+  SELECT doc_id AS id,
+         CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', ''), '\\s+')
+         END AS toks
+  FROM documents
+), lens AS (
+  SELECT id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM lens
+), qterms AS (
+  SELECT DISTINCT id AS qid, unnest(toks[1:{BM25_QTERMS}]) AS term
+  FROM base WHERE id % {BM25_QMOD} = {BM25_QREM}
+), posting AS (
+  SELECT l.id, l.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM lens l, unnest(l.toks) AS u(term) , (SELECT DISTINCT term FROM qterms) t
+  WHERE u.term = t.term
+  GROUP BY l.id, l.dl, t.term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY term
+), contrib AS (
+  -- every operand cast to DOUBLE so DuckDB cannot take a decimal-arithmetic
+  -- path; parenthesization mirrors the Spark Column AST operation for
+  -- operation (ext/retrieval._bm25_contrib_e6)
+  SELECT q.qid, p.id, p.term,
+         CAST(FLOOR(
+           ln(CAST(1.0 AS DOUBLE)
+              + (s.n_docs - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * ((CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(p.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + (CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)) / s.avgdl)))
+           * CAST(1000000.0 AS DOUBLE)
+         ) AS BIGINT) AS c
+  FROM posting p
+  JOIN dfreq d USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN stats s
+  WHERE p.id <> q.qid
+), scored AS (
+  SELECT qid, id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM(c) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY qid, id
+), ranked AS (
+  SELECT qid, id, n_terms_matched, score_e6,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY score_e6 DESC, id ASC) AS BIGINT) AS rank
+  FROM scored
+)"""
+
+DOCS_BM25_TOPK_ORACLE = f"""
+WITH {_BM25_ORACLE_CTES}
+SELECT qid AS query_id, id AS doc_id, n_terms_matched, score_e6, rank
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with the exact cosine
+    embedding ranking by integer RRF. Queries are the corpus docs that ALSO
+    carry an embedding (the realistic hybrid condition: both legs can run);
+    each leg contributes its top-k and absence from one leg simply
+    contributes nothing (partial-overlap corpora are the norm — at sf0.1
+    only ids < 2000 have vectors)."""
+    from ..ext.retrieval import bm25_topk, rrf_fuse
+    from ..ext.similarity import cosine_topk_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q_ids = _bm25_queries(docs).join(
+        emb.select(F.col("vec_id").alias("query_id")), "query_id", "left_semi"
+    )
+    lex = bm25_topk(docs, q_ids, k=BM25_TOPK, q_terms=BM25_QTERMS)
+    qvec = emb.join(
+        q_ids.select(F.col("query_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vec = cosine_topk_bruteforce(emb, qvec, k=BM25_TOPK).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, vec, k=RRF_FUSE_K).orderBy("query_id", "fused_rank")
+
+
+DOCS_HYBRID_RRF_ORACLE = f"""
+WITH {_BM25_ORACLE_CTES}, qset AS (
+  SELECT DISTINCT b.id AS query_id
+  FROM base b JOIN embeddings e ON e.vec_id = b.id
+  WHERE b.id % {BM25_QMOD} = {BM25_QREM} AND e.embedding IS NOT NULL
+), lex AS (
+  SELECT r.qid AS query_id, r.id AS doc_id, r.rank
+  FROM ranked r JOIN qset ON qset.query_id = r.qid
+  WHERE r.rank <= {BM25_TOPK}
+), pair AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(qe.embedding, c.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(qe.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM qset q
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  JOIN embeddings c ON c.embedding IS NOT NULL AND c.vec_id <> q.query_id
+  WHERE qe.embedding IS NOT NULL
+), vec AS (
+  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) DESC,
+             neighbor_id ASC) AS BIGINT) AS rank
+    FROM pair
+  ) WHERE rank <= {BM25_TOPK}
+), fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         l.rank AS rank_lex, v.rank AS rank_vec,
+         CAST(COALESCE(1000000 // (60 + l.rank), 0)
+            + COALESCE(1000000 // (60 + v.rank), 0) AS BIGINT) AS rrf_e6
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rank_lex, rank_vec, rrf_e6,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id ASC) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {RRF_FUSE_K}
+ORDER BY query_id, fused_rank
+"""

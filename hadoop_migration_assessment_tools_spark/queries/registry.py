@@ -291,6 +291,14 @@ QUERIES: dict[str, Query] = {
     # LM; a unigram model provably can't tell them apart, the bigram flags the
     # scramble; pair-count parity is an in-hash structural invariant
     "docs_bigram_surprisal": llm.docs_bigram_surprisal,
+    # r12: the retrieval stack (ext/retrieval.py) — Okapi BM25 with the
+    # per-term contribution quantized once to BIGINT (exact cross-term sums,
+    # no float aggregation), query terms broadcast + left-semi posting filter
+    # so the corpus never reshuffles; then integer reciprocal-rank fusion of
+    # the lexical and exact-cosine rankings (the production hybrid
+    # lexical+vector condition, partial corpus overlap included)
+    "docs_bm25_topk": llm.docs_bm25_topk,
+    "docs_hybrid_rrf": llm.docs_hybrid_rrf,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
     "emb_random_projection": llm.emb_random_projection,
     "emb_cosine_topk": llm.emb_cosine_topk,
@@ -678,4 +686,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_sliding_priority_sums": ea.EVENTS_SLIDING_PRIORITY_SUMS_ORACLE,
     "emb_pq_topk": llm.EMB_PQ_TOPK_ORACLE,
     "emb_ivfpq_topk": llm.EMB_IVFPQ_TOPK_ORACLE,
+    "docs_bm25_topk": llm.DOCS_BM25_TOPK_ORACLE,
+    "docs_hybrid_rrf": llm.DOCS_HYBRID_RRF_ORACLE,
 }

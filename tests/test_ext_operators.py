@@ -4188,3 +4188,89 @@ def test_synthesize_media_jpeg_arith_variant(spark):
         assert payload[:2] == b"\xff\xd8" and b"\xff\xc9" in payload[:200]
         px = parse_jpeg(payload)
         assert px.ndim == 3 and px.shape[2] == 3
+
+
+# --- retrieval: BM25 + RRF ---------------------------------------------------------------
+
+
+def test_bm25_topk_matches_python_replay(spark):
+    """ext/retrieval.bm25_topk vs a sequential pure-Python replay of the same
+    quantized Okapi formula — exact integer equality on every score, plus the
+    obvious ranking facts (repetition beats single mention with the same dl;
+    rare-term hits outrank common-term hits)."""
+    import math
+
+    from hadoop_migration_assessment_tools_spark.ext.retrieval import (
+        RETRIEVAL_SCALE,
+        bm25_topk,
+    )
+
+    corpus = [
+        (0, "apple banana cherry date egg"),
+        (1, "apple apple apple banana fig"),
+        (2, "banana banana banana banana banana"),
+        (3, "zebra apple cherry plum kiwi"),
+        (4, "zebra zebra quince plum fig"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "apple zebra")], "query_id long, query_text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_terms_matched"], r["score_e6"], r["rank"])
+        for r in bm25_topk(docs, queries, k=5).collect()
+    }
+
+    # python replay
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {}
+    for terms in toks.values():
+        for t in set(terms):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    expect = {}
+    for i, terms in toks.items():
+        s, m = 0, 0
+        for t in ("apple", "zebra"):
+            tf = terms.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(terms) / avgdl))
+            s += math.floor(idf * tfn * float(RETRIEVAL_SCALE))
+        if m:
+            expect[i] = (m, s)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    for rank, (i, (m, s)) in enumerate(ranked, 1):
+        assert got[(100, i)] == (m, s, rank), (i, got.get((100, i)), (m, s, rank))
+    # doc 2 (no query terms) absent entirely
+    assert (100, 2) not in got
+    # tf repetition beats single mention at equal dl: doc1 (3x apple) > doc0
+    assert got[(100, 1)][1] > got[(100, 0)][1]
+
+
+def test_rrf_fuse_integer_exact_and_absence_handling(spark):
+    """rrf_fuse: pure integer RRF — hand-computed 1e6 div (60+rank) sums,
+    docs present in only one system's list score only that term, ranking ties
+    break by doc_id."""
+    from hadoop_migration_assessment_tools_spark.ext.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        r["doc_id"]: (r["rank_lex"], r["rank_vec"], r["rrf_e6"], r["fused_rank"])
+        for r in rrf_fuse(lex, vec, k=10).collect()
+    }
+    d = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    assert got[11] == (2, 1, d(2) + d(1), 1)  # both systems
+    assert got[10] == (1, None, d(1), 2)      # lexical only
+    assert got[13] == (None, 2, d(2), 3)      # vector only
+    assert got[12] == (3, None, d(3), 4)

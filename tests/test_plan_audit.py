@@ -65,6 +65,22 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_topk_scaled_bruteforce": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
+    # r12 retrieval stack: the corpus token stream is left-semi filtered
+    # against the BROADCAST query-term set before any aggregation (bhj 4 =
+    # semi + dfreq + qterms + nothing shuffled corpus-side beyond the matched
+    # postings' groupBys); the single bnlj is the accepted 1-row corpus-stats
+    # crossJoin (the tfidf/median pattern). window 3 = rank + its two
+    # WindowGroupLimit pushdown stages.
+    "docs_bm25_topk": dict(
+        shuffle_exchange=10, broadcast_exchange=5, bnlj=1, cartesian=0, smj=0, bhj=4, shj=0, window=3
+    ),
+    # r12 hybrid fusion: BM25 leg as above + the exact-cosine leg (corpus
+    # never shuffles; queries broadcast) + ONE SortMergeJoin for the
+    # full-outer rank fusion — both fusion inputs are top-k relations
+    # (queries x k rows), so the SMJ is small by construction.
+    "docs_hybrid_rrf": dict(
+        shuffle_exchange=14, broadcast_exchange=11, bnlj=2, cartesian=0, smj=1, bhj=9, shj=0, window=9
+    ),
     # r9: learned path re-planned around fixed-point Lloyd (oracled) — the
     # centroid crossJoin became a literal-array transform and the probe window
     # an array_sort, so the plan NARROWED: bnlj 1 -> 0, broadcast 2 -> 1,
@@ -402,6 +418,11 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",
     "docs_temperature_mixture",
     "docs_hybrid_search",
+    # r12: BM25's corpus stats (N, avgdl) re-enter as a 1-row broadcast
+    # crossJoin (the tfidf/median pattern) — in both the standalone row and
+    # the RRF fusion's lexical leg
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
     "events_gap_fill",
     # round-5 sweep additions — every BNLJ below is a crossJoin of 1-row scalar
     # aggregates (funnel/parity counters, a share-of-total denominator, the IDF
