@@ -6322,7 +6322,10 @@ EMB_RESIDUAL_RERANK_SCALED_ORACLE = _residual_pq_oracle_ctes(
 # doc length rides the postings groupBy key; corpus stats re-enter as a broadcast
 # 1-row relation; the vector leg is the existing certified bruteforce ranking.
 
-BM25_QMOD = 20
+# QMOD 50: the synthetic corpus draws from a ~30-word vocabulary, so every
+# query term matches most docs and scored pairs grow as queries x corpus —
+# 100 queries at sf0.1 certify the same mechanics at 2.5x less bench cost
+BM25_QMOD = 50
 BM25_QREM = 7
 BM25_QTERMS = 12
 BM25_TOPK = 10

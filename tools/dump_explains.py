@@ -103,6 +103,11 @@ TRACKED = [
     # round-11: the Hilbert-vs-Z comparison (watch the two distributed-rank
     # pipelines and the per-level projection chain staying collapsed-free)
     "orders_hilbert_locality",
+    # round-12: the retrieval stack — watch the left-semi posting filter
+    # staying BEFORE the groupBys (the corpus must never reshuffle) and the
+    # fusion's full-outer staying on the two top-k relations only
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
