@@ -66,38 +66,11 @@ def _bm25_contrib_e6(
     return F.floor(idf * tfn * F.lit(float(RETRIEVAL_SCALE))).cast("long")
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    query_id_col: str = "query_id",
-    query_text_col: str = "query_text",
-    q_terms: int = 12,
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str, q_terms: int
 ) -> DataFrame:
-    """Top-k corpus docs per query under Okapi BM25, deterministic ranking.
-
-    ``queries`` is a (query_id, query_text) relation; its distinct tokens
-    (first ``q_terms`` per query) form the term bag — query-side term
-    frequency is ignored, the standard short-query simplification. A query
-    doc drawn from the corpus never retrieves itself (self-exclusion on id).
-
-    Returns (query_id, doc_id, n_terms_matched, score_e6, rank) where
-    score_e6 is the exact BIGINT sum of quantized per-term contributions and
-    rank orders by (score_e6 DESC, doc_id ASC) — fully engine-portable.
-    """
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        tokens(F.lower(F.col(text_col))).alias("_toks"),
-    ).select("_id", "_toks", F.size("_toks").cast("long").alias("_dl"))
-
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
-    )
-
-    qterms = (
+    """Distinct (qid, term) pairs from the first ``q_terms`` tokens per query."""
+    return (
         queries.select(
             F.col(query_id_col).alias("_qid"),
             F.explode(
@@ -106,18 +79,27 @@ def bm25_topk(
         )
         .distinct()
     )
-    qterm_set = qterms.select("_term").distinct()
 
-    posting = (
-        base.select("_id", "_dl", F.explode("_toks").alias("_term"))
-        .join(F.broadcast(qterm_set), "_term", "left_semi")
-        .groupBy("_id", "_dl", "_term")
-        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
-    )
+
+def _score_postings(
+    posting: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The shared BM25 scoring tail: posting is (_id, _dl, _term, _tf)
+    restricted to query-matched terms (for a term in the query set every doc
+    containing it must be present, so the in-stream document frequency equals
+    the global df); stats is the 1-row (_n_docs, _avgdl) relation; qterms the
+    (qid, term) pairs. Used identically by the direct path (bm25_topk) and
+    the materialized-index path (bm25_topk_from_index) — ONE expression tree,
+    so the streamed-index parity row certifies index content, not a second
+    formula implementation."""
     dfreq = posting.groupBy("_term").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
-
     scored = (
         posting.join(F.broadcast(dfreq), "_term")
         .join(F.broadcast(qterms), "_term")
@@ -151,6 +133,105 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    q_terms: int = 12,
+) -> DataFrame:
+    """Top-k corpus docs per query under Okapi BM25, deterministic ranking.
+
+    ``queries`` is a (query_id, query_text) relation; its distinct tokens
+    (first ``q_terms`` per query) form the term bag — query-side term
+    frequency is ignored, the standard short-query simplification. A query
+    doc drawn from the corpus never retrieves itself (self-exclusion on id).
+
+    Returns (query_id, doc_id, n_terms_matched, score_e6, rank) where
+    score_e6 is the exact BIGINT sum of quantized per-term contributions and
+    rank orders by (score_e6 DESC, doc_id ASC) — fully engine-portable.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("_id", "_toks", F.size("_toks").cast("long").alias("_dl"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+
+    qterms = _query_terms(queries, query_id_col, query_text_col, q_terms)
+    qterm_set = qterms.select("_term").distinct()
+
+    posting = (
+        base.select("_id", "_dl", F.explode("_toks").alias("_term"))
+        .join(F.broadcast(qterm_set), "_term", "left_semi")
+        .groupBy("_id", "_dl", "_term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    return _score_postings(posting, stats, qterms, k, id_col, query_id_col)
+
+
+def build_bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The materializable inverted-index relation for a (batch of) docs:
+    (doc_id, dl, term, tf) with a sentinel (term NULL, tf 0) row for empty
+    documents, so document count and length stats are recoverable from the
+    index alone. One narrow tokenize + one map-side-combined groupBy —
+    batch-local (a doc's tokens live in one batch), which is what makes the
+    incremental/streaming ingest below exact by construction."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("doc_id", "_toks", F.size("_toks").cast("long").alias("dl"))
+    return (
+        base.select("doc_id", "dl", F.explode_outer("_toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        # count("term") counts NON-NULL values: group size for real terms,
+        # 0 for the empty-doc sentinel group
+        .agg(F.count("term").cast("long").alias("tf"))
+    )
+
+
+def bm25_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    q_terms: int = 12,
+) -> DataFrame:
+    """bm25_topk over a MATERIALIZED index (build_bm25_index layout) instead
+    of raw text — the production shape: the corpus is tokenized once at
+    ingest, scoring reads only the (tiny, query-term-pruned) posting slices.
+    Same scoring tail as bm25_topk, so results are identical by construction
+    when the index matches the corpus."""
+    doclens = index.select("doc_id", "dl").distinct()
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    qterms = _query_terms(queries, query_id_col, query_text_col, q_terms)
+    qterm_set = qterms.select("_term").distinct()
+    posting = (
+        index.filter(F.col("term").isNotNull())
+        .select(
+            F.col("doc_id").alias("_id"),
+            F.col("dl").alias("_dl"),
+            F.col("term").alias("_term"),
+            F.col("tf").alias("_tf"),
+        )
+        .join(F.broadcast(qterm_set), "_term", "left_semi")
+    )
+    return _score_postings(posting, stats, qterms, k, id_col, query_id_col)
 
 
 def rrf_fuse(

@@ -6483,3 +6483,56 @@ FROM fused
 QUALIFY fused_rank <= {RRF_FUSE_K}
 ORDER BY query_id, fused_rank
 """
+
+
+# --- docs_bm25_stream_index_parity ----------------------------------------------------
+# [EXT] The retrieval stack's PRODUCTION ingest loop: documents arrive as a real
+# 4-micro-batch stream, each batch is tokenized once into a batch-id-addressed
+# inverted-index tree (streaming/indexing.BM25IndexIngestSink — replay-idempotent by
+# construction), and BM25 scoring then runs FROM THE MATERIALIZED INDEX
+# (ext/retrieval.bm25_topk_from_index) — the corpus text is never re-tokenized after
+# ingest. The oracle recomputes BM25 from the raw documents table in SQL, so the hash
+# certifies the whole loop: stream-built index content == full-corpus derivation,
+# AND the from-index scoring path == the formula. Same constants as docs_bm25_topk,
+# hence the same certified output relation through a completely different physical
+# path (the strongest parity form this repo uses: qe_stream_batch_parity's pattern
+# applied to retrieval).
+
+
+def docs_bm25_stream_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config import scratch_dir
+    from ..ext.retrieval import bm25_topk_from_index
+    from ..streaming.indexing import BM25IndexIngestSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = scratch_dir("docs_bm25_stream_index", sf_dir, wipe=True)
+    src = f"{tmp}/src"
+    # 4 files + maxFilesPerTrigger=1 forces a genuinely multi-batch ingest
+    docs.coalesce(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = BM25IndexIngestSink(f"{tmp}/index")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")  # tiny per-batch groupBys
+    try:
+        sink.attach(
+            stream, checkpoint_dir=f"{tmp}/ckpt", available_now=True
+        ).awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    index = spark.read.parquet(f"{tmp}/index").select("doc_id", "dl", "term", "tf")
+    return bm25_topk_from_index(
+        index, _bm25_queries(docs), k=BM25_TOPK, q_terms=BM25_QTERMS
+    ).orderBy("query_id", "rank")
+
+
+#: identical output to docs_bm25_topk — the whole point: a different physical
+#: path (stream-built materialized index) must land on the same certified rows
+DOCS_BM25_STREAM_INDEX_PARITY_ORACLE = DOCS_BM25_TOPK_ORACLE

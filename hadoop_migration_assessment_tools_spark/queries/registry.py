@@ -299,6 +299,11 @@ QUERIES: dict[str, Query] = {
     # lexical+vector condition, partial corpus overlap included)
     "docs_bm25_topk": llm.docs_bm25_topk,
     "docs_hybrid_rrf": llm.docs_hybrid_rrf,
+    # r12: the retrieval stack's production ingest loop — a real 4-micro-batch
+    # stream builds the batch-id-addressed inverted index (replay-idempotent),
+    # scoring runs FROM the materialized index, and the oracle recomputes BM25
+    # from raw text: one hash certifies index content AND the from-index path
+    "docs_bm25_stream_index_parity": llm.docs_bm25_stream_index_parity,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
     "emb_random_projection": llm.emb_random_projection,
     "emb_cosine_topk": llm.emb_cosine_topk,
@@ -688,4 +693,5 @@ ORACLE_SQL: dict[str, str] = {
     "emb_ivfpq_topk": llm.EMB_IVFPQ_TOPK_ORACLE,
     "docs_bm25_topk": llm.DOCS_BM25_TOPK_ORACLE,
     "docs_hybrid_rrf": llm.DOCS_HYBRID_RRF_ORACLE,
+    "docs_bm25_stream_index_parity": llm.DOCS_BM25_STREAM_INDEX_PARITY_ORACLE,
 }

@@ -1327,3 +1327,66 @@ def test_cms_maintainer_kill_restart_matches_batch(spark, tmp_path):
         for r in cms_counters(day_df, "event_type").collect():
             want[(day_row["day"], r["row"], r["pos"])] = r["cnt"]
     assert got == want and len(want) > 20
+
+
+def test_bm25_index_ingest_kill_restart_matches_batch_index(spark, tmp_path):
+    """r12 — the retrieval stack's ingest loop survives a mid-stream kill:
+    documents streamed file-by-file through BM25IndexIngestSink (batch-id
+    addressed, replay-idempotent), killed after the first committed batch,
+    restarted on the SAME checkpoint, drained — the read-back index must
+    equal build_bm25_index over the full corpus EXACTLY (doc x term x tf x dl,
+    empty-doc sentinels included), and hold each doc exactly once."""
+    import os
+
+    from hadoop_migration_assessment_tools_spark.ext.retrieval import build_bm25_index
+    from hadoop_migration_assessment_tools_spark.streaming.indexing import (
+        BM25IndexIngestSink,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(4).write.parquet(src)
+    index_dir, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    sink = BM25IndexIngestSink(index_dir)
+
+    def start(available_now: bool):
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return sink.attach(
+            stream,
+            checkpoint_dir=ckpt,
+            trigger_seconds=None if available_now else 1,
+            available_now=available_now,
+        )
+
+    q = start(False)
+    assert _wait_for_batches(os.path.join(index_dir, "batch_id=*/_SUCCESS"), 1) >= 1
+    q.stop()  # the kill — may interrupt a later batch mid-write
+    q.awaitTermination(60)
+    start(True).awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in spark.read.parquet(index_dir)
+        .select("doc_id", "dl", "term", "tf")
+        .collect()
+    }
+    want = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in build_bm25_index(docs).collect()
+    }
+    assert got == want and len(got) > 0
+    # every doc present exactly once across batch dirs (no replay duplicates)
+    import collections
+
+    doc_batches = collections.Counter(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(index_dir).select("doc_id", "batch_id").distinct().collect()
+    )
+    per_doc = collections.Counter(d for d, _ in doc_batches)
+    assert max(per_doc.values()) == 1
