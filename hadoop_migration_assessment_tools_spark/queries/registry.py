@@ -183,7 +183,16 @@ QUERIES: dict[str, Query] = {
     # certifying it admits exactly what the self-contained reference form
     # admits. quality/tfidf stay oracled below the line; quality-style scoring
     # also remains scored inside docs_training_prep_pipeline's stage 1.
-    "docs_repeated_spans": llm.docs_repeated_spans,
+    # Round-12 second reviewed swap: the RETRIEVAL family (new this round,
+    # zero scored presence) takes a scored row in its strongest form — the
+    # streamed-inverted-index production loop, where the oracle recomputes
+    # BM25 from raw text while the engine path scores FROM the stream-built
+    # materialized index (one hash: index content + from-index scoring +
+    # ingest idempotence). docs_repeated_spans rotates below the line (still
+    # oracled; the dedup family keeps FIVE scored rows: exact, minhash,
+    # semantic, simhash, dup_clusters — span-level dedup keeps pytest
+    # coverage and its oracle).
+    "docs_bm25_stream_index_parity": llm.docs_bm25_stream_index_parity,
     "docs_ingest_indexed_parity": llm.docs_ingest_indexed_parity,
     # Round-5 swaps (reviewed, see tests/test_registry_contract.py): the text-
     # stats family held SIX scored rows; two make room for families that had
@@ -299,11 +308,10 @@ QUERIES: dict[str, Query] = {
     # lexical+vector condition, partial corpus overlap included)
     "docs_bm25_topk": llm.docs_bm25_topk,
     "docs_hybrid_rrf": llm.docs_hybrid_rrf,
-    # r12: the retrieval stack's production ingest loop — a real 4-micro-batch
-    # stream builds the batch-id-addressed inverted index (replay-idempotent),
-    # scoring runs FROM the materialized index, and the oracle recomputes BM25
-    # from raw text: one hash certifies index content AND the from-index path
-    "docs_bm25_stream_index_parity": llm.docs_bm25_stream_index_parity,
+    # r12 second reviewed swap: span-level dedup rotated below the line when
+    # the streamed-index retrieval row took its scored slot (see the scored
+    # window comment); still oracled, pytest coverage unchanged
+    "docs_repeated_spans": llm.docs_repeated_spans,
     "events_jsonl_roundtrip": ea.events_jsonl_roundtrip,
     "emb_random_projection": llm.emb_random_projection,
     "emb_cosine_topk": llm.emb_cosine_topk,

@@ -103,10 +103,14 @@ SCORED_WINDOW = [
     # the narrow text-map shape keeps scored presence via docs_pii_scrub and
     # the capstone's quality stage)
     "emb_semantic_dedup",
-    # round-6 reviewed swaps (VERDICT r5 #1): substring-level span dedup and the
-    # production indexed-ingest parity replace two of the three narrow-map
-    # text-stat rows (quality/tfidf — still oracled below the line)
-    "docs_repeated_spans",
+    # round-12 second reviewed swap: the retrieval family's strongest form —
+    # streamed inverted index + from-index BM25 scoring certified against the
+    # raw-text SQL derivation — in for docs_repeated_spans (still oracled
+    # below the line; dedup keeps five scored rows)
+    "docs_bm25_stream_index_parity",
+    # round-6 reviewed swap (VERDICT r5 #1): the production indexed-ingest
+    # parity replaced a narrow-map text-stat row (quality — still oracled
+    # below the line)
     "docs_ingest_indexed_parity",
     # round-5 reviewed swaps: hamming-banding LSH and the cross-split
     # contamination audit gain scored rows; lang_scores/gopher_filters (two of
