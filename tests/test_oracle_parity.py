@@ -45,6 +45,11 @@ PARTITIONING_SENSITIVE = [
     # round 7: the FFD fold must be layout-independent — its group key is an
     # explicit portable expression, not the physical partitioner
     "docs_pack_sequences",
+    # round 12: BM25's integer score sums and the rank windows must not depend
+    # on partition layout (the quantize-once discipline is exactly what makes
+    # cross-partition sum order irrelevant — keep it exercised)
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
 ]
 
 

@@ -909,3 +909,61 @@ def test_bigram_pairs_reversal_identity(spark, toks):
     assert [(p["t1"], p["t2"]) for p in rev] == [
         (b, a) for a, b in reversed(want_fwd)
     ]
+
+
+bm25_corpora = st.lists(
+    st.text(alphabet=st.sampled_from(list("ab c dd ee")), min_size=0, max_size=40),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(bm25_corpora)
+def test_bm25_matches_python_replay_property(spark, texts):
+    """ext/retrieval.bm25_topk == a sequential pure-Python replay of the same
+    quantized Okapi formula on ANY corpus (tiny alphabet -> heavy term
+    collisions, empty docs, dup texts): exact integer equality on every
+    (query, doc) score, matched-term count, and rank. The first doc is the
+    query; the replay orders by (-score, doc_id) like the engine."""
+    import math
+
+    from hadoop_migration_assessment_tools_spark.ext.retrieval import (
+        RETRIEVAL_SCALE,
+        bm25_topk,
+    )
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame([(0, texts[0])], "query_id long, query_text string")
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score_e6"], r["rank"])
+        for r in bm25_topk(docs, queries, k=len(texts), q_terms=12).collect()
+    }
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq: dict = {}
+    for terms in toks.values():
+        for t in set(terms):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    qterms = sorted(set(toks[0][:12]))
+    expect = {}
+    for i, terms in toks.items():
+        if i == 0:  # self-exclusion
+            continue
+        s, m = 0, 0
+        for t in qterms:
+            tf = terms.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(terms) / avgdl))
+            s += math.floor(idf * tfn * float(RETRIEVAL_SCALE))
+        if m:
+            expect[i] = (m, s)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    want = {i: (m, s, rank) for rank, (i, (m, s)) in enumerate(ranked, 1)}
+    assert got == want
