@@ -32,7 +32,10 @@ def _historical_floors(sf: str) -> dict[str, float]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     floors: dict[str, float] = {}
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    # last 3 rounds only: a query whose DEFINITION legitimately grew (e.g.
+    # multimodal_features gained oracle probes in r9) must not trip forever
+    # against an obsolete all-time floor
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-3:]:
         try:
             with open(path) as f:
                 doc = json.load(f)
