@@ -289,3 +289,123 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+#: precomputed nDCG discounts floor(SCALE / log2(rank+1)) for ranks 1..10 —
+#: a LITERAL table consumed identically by both engines, so the one
+#: irrational function in the metric carries zero cross-engine float risk
+#: (log2 of non-powers-of-2 can differ in the last ulp between libm and the
+#: JVM; a quantized literal cannot)
+NDCG_DISCOUNT_E6 = {
+    1: 1_000_000, 2: 630_929, 3: 500_000, 4: 430_676, 5: 386_852,
+    6: 356_207, 7: 333_333, 8: 315_464, 9: 301_029, 10: 289_064,
+}
+
+
+def _discount_col(rank: Column) -> Column:
+    expr = F.lit(0).cast("long")
+    for r, d in sorted(NDCG_DISCOUNT_E6.items(), reverse=True):
+        expr = F.when(rank == r, F.lit(d).cast("long")).otherwise(expr)
+    return expr
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query ranking-quality metrics against a relevance set — the eval
+    half of the retrieval loop, integer-exact end to end.
+
+    ``ranked``: (query_id, doc_id, rank) with rank 1..k per query.
+    ``relevance``: (query_id, doc_id) pairs judged relevant — its per-query
+    size is the recall denominator.
+
+    Returns one row per query: n_rel, hits_at_k, precision_e6
+    ((hits*SCALE) div k), recall_e6 ((hits*SCALE) div n_rel), rr_e6
+    (SCALE div first-relevant-rank; 0 when no hit — integer MRR), dcg_e6 /
+    idcg_e6 (quantized-literal discount sums; ideal = the top-min(k, n_rel)
+    discounts), and ndcg (the ONE float: ROUND(dcg/idcg, 6), a single
+    division of two identical integers in any engine). Queries with an empty
+    relevance set are dropped (undefined denominators).
+
+    Scale shape: ranked is a top-k relation (queries x k rows); relevance
+    joins it per (query, doc) and aggregates per query — nothing here touches
+    the corpus. Both inputs are small by construction at any corpus size.
+    """
+    if k > max(NDCG_DISCOUNT_E6):
+        raise ValueError(
+            f"retrieval_metrics supports k <= {max(NDCG_DISCOUNT_E6)}; got {k}"
+        )
+    r = ranked.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).alias("_rank"),
+    ).filter(F.col("_rank") <= k)
+    rel = relevance.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(id_col).alias("_id"),
+        F.lit(1).alias("_rel"),
+    ).distinct()
+    n_rel = rel.groupBy("_qid").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+
+    joined = r.join(rel, ["_qid", "_id"], "left")
+    per_q = joined.groupBy("_qid").agg(
+        F.sum(F.when(F.col("_rel").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_k"),
+        F.min(F.when(F.col("_rel").isNotNull(), F.col("_rank"))).alias("_first_rel"),
+        F.sum(
+            F.when(F.col("_rel").isNotNull(), _discount_col(F.col("_rank"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("dcg_e6"),
+    )
+    # ideal DCG: the top-min(k, n_rel) discounts — a closed-form prefix sum of
+    # the literal table, expressible as one CASE over min(k, n_rel)
+    prefix = {0: 0}
+    acc = 0
+    for i in range(1, k + 1):
+        acc += NDCG_DISCOUNT_E6[i]
+        prefix[i] = acc
+    ideal_n = F.least(F.lit(k).cast("long"), F.col("n_rel"))
+    idcg = F.lit(0).cast("long")
+    for i, v in sorted(prefix.items(), reverse=True):
+        idcg = F.when(ideal_n == i, F.lit(v).cast("long")).otherwise(idcg)
+
+    out = (
+        n_rel.join(per_q, "_qid", "left")
+        .select(
+            F.col("_qid").alias(query_id_col),
+            "n_rel",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("long").alias("hits_at_k"),
+            F.expr(f"(coalesce(hits_at_k, 0) * {RETRIEVAL_SCALE}) div {k}")
+            .cast("long")
+            .alias("precision_e6"),
+            F.expr(f"(coalesce(hits_at_k, 0) * {RETRIEVAL_SCALE}) div n_rel")
+            .cast("long")
+            .alias("recall_e6"),
+            F.coalesce(
+                F.expr(f"{RETRIEVAL_SCALE} div _first_rel"), F.lit(0)
+            )
+            .cast("long")
+            .alias("rr_e6"),
+            F.coalesce(F.col("dcg_e6"), F.lit(0)).cast("long").alias("dcg_e6"),
+            idcg.alias("idcg_e6"),
+        )
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg_e6") > 0,
+                F.round(
+                    F.col("dcg_e6").cast("double") / F.col("idcg_e6").cast("double"), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out

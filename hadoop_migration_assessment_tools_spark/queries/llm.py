@@ -6536,3 +6536,88 @@ def docs_bm25_stream_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 #: identical output to docs_bm25_topk — the whole point: a different physical
 #: path (stream-built materialized index) must land on the same certified rows
 DOCS_BM25_STREAM_INDEX_PARITY_ORACLE = DOCS_BM25_TOPK_ORACLE
+
+
+# --- docs_retrieval_metrics -----------------------------------------------------------
+# [EXT] The eval half of the retrieval loop (ext/retrieval.retrieval_metrics): the
+# BM25 ranking judged against a metadata relevance set (same-source docs — the
+# deterministic ground truth this corpus affords), per-query hits@k / precision /
+# recall / MRR / nDCG. Integer-exact end to end: counts and div-based ratios are
+# BIGINT, and the one irrational function (log2 discounts) enters as a PRECOMPUTED
+# LITERAL table consumed identically by both engines — zero cross-engine float risk;
+# the single reported float is ROUND(dcg/idcg, 6), one division of two identical
+# integers. Scale: metrics touch only the top-k relation and the per-query relevance
+# counts — nothing re-reads the corpus.
+
+
+def docs_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.retrieval import bm25_topk, retrieval_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = _bm25_queries(docs)
+    ranked = bm25_topk(docs, queries, k=BM25_TOPK, q_terms=BM25_QTERMS)
+    q_src = docs.filter(F.col("doc_id") % BM25_QMOD == BM25_QREM).select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("_qsrc")
+    )
+    relevance = (
+        q_src.join(
+            F.broadcast(docs.select("doc_id", "source")),
+            F.col("source") == F.col("_qsrc"),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(ranked, relevance, k=BM25_TOPK).orderBy("query_id")
+
+
+def _ndcg_case(col: str) -> str:
+    from ..ext.retrieval import NDCG_DISCOUNT_E6
+
+    whens = " ".join(f"WHEN {r} THEN {d}" for r, d in sorted(NDCG_DISCOUNT_E6.items()))
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+def _idcg_case(col: str, k: int) -> str:
+    from ..ext.retrieval import NDCG_DISCOUNT_E6
+
+    acc, parts = 0, []
+    for i in range(1, k + 1):
+        acc += NDCG_DISCOUNT_E6[i]
+        parts.append(f"WHEN {i} THEN {acc}")
+    return f"CASE {col} WHEN 0 THEN 0 " + " ".join(parts) + " ELSE 0 END"
+
+
+DOCS_RETRIEVAL_METRICS_ORACLE = f"""
+WITH {_BM25_ORACLE_CTES}, topk AS (
+  SELECT qid, id, rank FROM ranked WHERE rank <= {BM25_TOPK}
+), qsrc AS (
+  SELECT doc_id AS qid, source AS qs FROM documents
+  WHERE doc_id % {BM25_QMOD} = {BM25_QREM}
+), rel AS (
+  SELECT q.qid, d.doc_id AS id
+  FROM qsrc q JOIN documents d ON d.source = q.qs AND d.doc_id <> q.qid
+), nrel AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid
+), hits AS (
+  SELECT t.qid,
+         CAST(COUNT(r.id) AS BIGINT) AS hits_at_k,
+         MIN(CASE WHEN r.id IS NOT NULL THEN t.rank END) AS first_rel,
+         CAST(SUM(CASE WHEN r.id IS NOT NULL THEN {_ndcg_case('t.rank')} ELSE 0 END) AS BIGINT) AS dcg_e6
+  FROM topk t LEFT JOIN rel r ON r.qid = t.qid AND r.id = t.id
+  GROUP BY t.qid
+)
+SELECT n.qid AS query_id,
+       n.n_rel,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(h.hits_at_k, 0) * {1_000_000} // {BM25_TOPK} AS BIGINT) AS precision_e6,
+       CAST(COALESCE(h.hits_at_k, 0) * {1_000_000} // n.n_rel AS BIGINT) AS recall_e6,
+       CAST(COALESCE({1_000_000} // h.first_rel, 0) AS BIGINT) AS rr_e6,
+       CAST(COALESCE(h.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+       CAST({_idcg_case(f'LEAST({BM25_TOPK}, n.n_rel)', BM25_TOPK)} AS BIGINT) AS idcg_e6,
+       CASE WHEN {_idcg_case(f'LEAST({BM25_TOPK}, n.n_rel)', BM25_TOPK)} > 0
+            THEN ROUND(CAST(COALESCE(h.dcg_e6, 0) AS DOUBLE)
+                       / CAST({_idcg_case(f'LEAST({BM25_TOPK}, n.n_rel)', BM25_TOPK)} AS DOUBLE), 6)
+            ELSE 0.0 END AS ndcg
+FROM nrel n LEFT JOIN hits h ON h.qid = n.qid
+ORDER BY query_id
+"""

@@ -308,6 +308,10 @@ QUERIES: dict[str, Query] = {
     # lexical+vector condition, partial corpus overlap included)
     "docs_bm25_topk": llm.docs_bm25_topk,
     "docs_hybrid_rrf": llm.docs_hybrid_rrf,
+    # r12: the eval half of the retrieval loop — hits@k/precision/recall/MRR/
+    # nDCG against a metadata relevance set; integer-exact (the log2 discount
+    # enters as a precomputed literal table in BOTH engines)
+    "docs_retrieval_metrics": llm.docs_retrieval_metrics,
     # r12 second reviewed swap: span-level dedup rotated below the line when
     # the streamed-index retrieval row took its scored slot (see the scored
     # window comment); still oracled, pytest coverage unchanged
@@ -702,4 +706,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_bm25_topk": llm.DOCS_BM25_TOPK_ORACLE,
     "docs_hybrid_rrf": llm.DOCS_HYBRID_RRF_ORACLE,
     "docs_bm25_stream_index_parity": llm.DOCS_BM25_STREAM_INDEX_PARITY_ORACLE,
+    "docs_retrieval_metrics": llm.DOCS_RETRIEVAL_METRICS_ORACLE,
 }

@@ -4274,3 +4274,41 @@ def test_rrf_fuse_integer_exact_and_absence_handling(spark):
     assert got[10] == (1, None, d(1), 2)      # lexical only
     assert got[13] == (None, 2, d(2), 3)      # vector only
     assert got[12] == (3, None, d(3), 4)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """retrieval_metrics: hand-computed hits/precision/recall/MRR/nDCG on a
+    fixed ranking + relevance set, including the no-hit and missing-query
+    edge cases and the literal discount table."""
+    from hadoop_migration_assessment_tools_spark.ext.retrieval import (
+        NDCG_DISCOUNT_E6,
+        retrieval_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        # q1: relevant at ranks 1 and 3; q2: no relevant in top-k
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 10, 1), (2, 11, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    rel = spark.createDataFrame(
+        # q1 has 3 relevant docs total (one unretrieved); q2 has 2; q3 is
+        # judged but never retrieved at all
+        [(1, 10), (1, 12), (1, 99), (2, 98), (2, 99), (3, 10)],
+        "query_id long, doc_id long",
+    )
+    got = {r["query_id"]: r.asDict() for r in retrieval_metrics(ranked, rel, k=10).collect()}
+    d = NDCG_DISCOUNT_E6
+    q1 = got[1]
+    assert (q1["n_rel"], q1["hits_at_k"]) == (3, 2)
+    assert q1["precision_e6"] == 2 * 1_000_000 // 10
+    assert q1["recall_e6"] == 2 * 1_000_000 // 3
+    assert q1["rr_e6"] == 1_000_000 // 1
+    assert q1["dcg_e6"] == d[1] + d[3]
+    assert q1["idcg_e6"] == d[1] + d[2] + d[3]
+    assert q1["ndcg"] == round((d[1] + d[3]) / (d[1] + d[2] + d[3]), 6)
+    q2 = got[2]
+    assert (q2["hits_at_k"], q2["rr_e6"], q2["dcg_e6"]) == (0, 0, 0)
+    assert q2["idcg_e6"] == d[1] + d[2] and q2["ndcg"] == 0.0
+    q3 = got[3]
+    assert (q3["n_rel"], q3["hits_at_k"], q3["rr_e6"], q3["dcg_e6"]) == (1, 0, 0, 0)
+    assert q3["idcg_e6"] == d[1]

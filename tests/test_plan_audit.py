@@ -424,6 +424,7 @@ BNLJ_ALLOWED = {
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "docs_bm25_stream_index_parity",
+    "docs_retrieval_metrics",
     "events_gap_fill",
     # round-5 sweep additions — every BNLJ below is a crossJoin of 1-row scalar
     # aggregates (funnel/parity counters, a share-of-total denominator, the IDF
