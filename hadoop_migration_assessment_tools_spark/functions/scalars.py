@@ -53,7 +53,14 @@ def is_supported_hive_version(version: Column) -> Column:
     """
     maj = F.regexp_extract(version, _VERSION_RE, 1).try_cast("long")
     mino = F.regexp_extract(version, _VERSION_RE, 2).try_cast("long")
-    ok = F.when(maj == 2, mino >= 2).otherwise(maj == 3)
+    # the reference parses BOTH components before comparing, so an overflow
+    # in EITHER rejects — without the explicit null guard, major==3 would
+    # ignore an unparseable minor and diverge from that reading
+    ok = (
+        F.when(maj.isNull() | mino.isNull(), F.lit(False))
+        .when(maj == 2, mino >= 2)
+        .otherwise(maj == 3)
+    )
     return F.coalesce(ok, F.lit(False))
 
 

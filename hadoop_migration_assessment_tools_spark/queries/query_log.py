@@ -254,7 +254,10 @@ WITH versions AS (
   SELECT
     hive_version,
     COALESCE(
-      CASE WHEN TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS BIGINT) = 2
+      CASE WHEN TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS BIGINT) IS NULL
+             OR TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 2) AS BIGINT) IS NULL
+           THEN FALSE
+           WHEN TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS BIGINT) = 2
            THEN TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 2) AS BIGINT) >= 2
            ELSE TRY_CAST(regexp_extract(hive_version, '^(\\d+)\\.(\\d+).*', 1) AS BIGINT) = 3
       END, FALSE) AS supported

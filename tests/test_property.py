@@ -29,16 +29,21 @@ _SETTINGS = dict(
 
 def _py_version_supported(v: str) -> bool:
     """Reference semantics (VersionValidator.java:44-55): ^(\\d+)\\.(\\d+).* then
-    major==2 ? minor>=2 : major==3. Integer.parseInt rejects components that
-    overflow a 32-bit int (NumberFormatException -> unsupported); the engine's
-    try_cast-to-long mirrors that as null -> false (every overflowing value is
-    outside {2,3} anyway, so long-vs-int width cannot change the verdict)."""
+    major==2 ? minor>=2 : major==3 — made TOTAL. The reference's
+    Integer.parseInt throws an UNCAUGHT NumberFormatException on components
+    that overflow a 32-bit int (i.e. the reference crashes on
+    '2.3000000000'); an engine expression must never crash, so the gate
+    parses each component with try_cast-to-long and applies the same
+    comparison: a long-overflowing component nulls to false, and an
+    int-overflowing minor under major 2 is simply a very large minor
+    (>= 2 -> supported) — the order-preserving total extension of the
+    reference's comparison. This model mirrors that long-width parse."""
     m = re.match(r"^(\d+)\.(\d+).*", v)
     if not m:
         return False
     major, minor = int(m.group(1)), int(m.group(2))
-    if major > 2**31 - 1 or minor > 2**31 - 1:
-        return False
+    if major > 2**63 - 1 or minor > 2**63 - 1:
+        return False  # try_cast('long') -> null -> coalesce(false)
     return minor >= 2 if major == 2 else major == 3
 
 
@@ -967,3 +972,30 @@ def test_bm25_matches_python_replay_property(spark, texts):
     ranked = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))
     want = {i: (m, s, rank) for rank, (i, (m, s)) in enumerate(ranked, 1)}
     assert got == want
+
+
+def test_version_gate_boundary_pins(spark):
+    """Deterministic pins for the gate's edges (beyond hypothesis's reach on
+    any single run): int-overflow minors under major 2/3 are LARGE minors
+    (total extension -> supported); a LONG-overflow in EITHER component
+    rejects even when the other alone would decide; exact long max parses."""
+    cases = {
+        "2.3000000000": True,            # minor > int max, fits long
+        "3.9223372036854775807": True,   # minor == long max
+        "3.9223372036854775808": False,  # minor == long max + 1 -> null -> reject
+        "9223372036854775808.0": False,  # major overflows long
+        "2.2": True,
+        "2.1": False,
+        "3.0": True,
+        "4.0": False,
+        "garbage": False,
+    }
+    df = spark.createDataFrame([(v,) for v in cases], ["v"])
+    got = {
+        r["v"]: r["ok"]
+        for r in df.select(
+            "v", is_supported_hive_version(F.col("v")).alias("ok")
+        ).collect()
+    }
+    assert got == cases
+    assert got == {v: _py_version_supported(v) for v in cases}
