@@ -55,11 +55,20 @@ def _historical_floors(sf: str) -> dict[str, float]:
 def _tripped_queries(
     timings: dict[str, float], floors: dict[str, float], limit: int = 8
 ) -> list[str]:
-    """Queries whose measured time exceeds 3x their cross-round floor (and 1 s
-    absolute — sub-second swings are noise, not session sickness), worst ratio
-    first, capped so the fresh-session pass stays bounded."""
+    """Queries worth a fresh-session re-measure, worst ratio first, capped so the
+    pass stays bounded. Two tiers (VERDICT r12 #2):
+      - >3x floor and >1 s: the original session-sickness trip.
+      - >1.5x floor and >2 s: the r12 blind spot — drift big enough to matter on
+        an expensive query (docs_dup_pagerank 2.6->4.3 s sat between the +-35%
+        noise band and the 3x trip for a full round) but below the old trip.
+    Sub-second swings stay untripped: they are scheduler noise, not sickness."""
     return sorted(
-        (n for n, t in timings.items() if n in floors and t > 1.0 and t > 3.0 * floors[n]),
+        (
+            n
+            for n, t in timings.items()
+            if n in floors
+            and ((t > 1.0 and t > 3.0 * floors[n]) or (t > 2.0 and t > 1.5 * floors[n]))
+        ),
         key=lambda n: -timings[n] / floors[n],
     )[:limit]
 
@@ -172,7 +181,7 @@ def main() -> None:
     # 8 queries re-run.
     floors = _historical_floors(sf)
     tripped = _tripped_queries(timings, floors)
-    reruns: dict[str, dict[str, float]] = {}
+    reruns: dict[str, dict[str, object]] = {}
     if tripped:
         spark.stop()
         spark = get_spark(
@@ -189,7 +198,13 @@ def main() -> None:
                 QUERIES[name](spark, sf_dir).count()
                 fresh = time.perf_counter() - t0
             except Exception as exc:  # noqa: BLE001
-                errors[name] = f"rerun {type(exc).__name__}: {exc}"[:500]
+                # The aged-session timing in out['queries'] is still a valid
+                # measurement; a rerun-only failure must not read as a query
+                # failure downstream (ADVICE r12), so it lives here, not errors.
+                reruns[name] = {
+                    "aged_session": round(aged, 4),
+                    "rerun_error": f"{type(exc).__name__}: {exc}"[:500],
+                }
                 continue
             timings[name] = round(min(aged, fresh), 4)
             reruns[name] = {

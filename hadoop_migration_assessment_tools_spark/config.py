@@ -54,27 +54,55 @@ INSTANCE_CLI = "CLI"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_SCRATCH_DIRS: set[str] = set()
+_SCRATCH_ATEXIT_REGISTERED = False
+
+
+def _cleanup_scratch_dirs() -> None:
+    import shutil
+
+    for path in list(_SCRATCH_DIRS):
+        shutil.rmtree(path, ignore_errors=True)
+        _SCRATCH_DIRS.discard(path)
+
+
 def scratch_dir(name: str, sf_dir: str = "", wipe: bool = False) -> str:
-    """Deterministic per-(query, sf) scratch path for roundtrip queries.
+    """Deterministic per-(query, sf, PROCESS) scratch path for roundtrip queries.
 
     Roundtrip queries write-then-read a dataset as part of the query itself; a fresh
     mkdtemp per invocation leaked a full dataset copy to /tmp on every bench or
     correctness run (ADVICE r3). A deterministic path + mode('overwrite') reuses one
-    location per (query, scale factor) — repeated runs cost zero net disk.
+    location per (query, scale factor) within a process — repeated runs cost zero
+    net disk.
+
+    The path carries ``os.getpid()`` (VERDICT r12 #1): two concurrent sessions
+    running the same roundtrip query at the same SF previously shared one path and
+    corrupted each other (observed: docs_bm25_stream_index_parity FAILED_READ_FILE
+    when a verify sweep ran beside the pytest suite). Per-process paths make
+    concurrent runs disjoint; an atexit hook removes everything this process
+    created, preserving the ADVICE-r3 no-leak guarantee across processes too.
 
     ``wipe=True`` clears the dir first — for sinks with append semantics (the avro
     OCF writer names every file uniquely) and streaming checkpoints (offset state
     must not leak across runs), where 'overwrite' can't be expressed in the writer.
     """
+    import atexit
     import hashlib
     import shutil
     import tempfile
 
+    global _SCRATCH_ATEXIT_REGISTERED
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8] if sf_dir else "nosf"
-    path = os.path.join(tempfile.gettempdir(), f"spark_engine_scratch_{name}_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_engine_scratch_{name}_{tag}_p{os.getpid()}"
+    )
     if wipe:
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    if not _SCRATCH_ATEXIT_REGISTERED:
+        atexit.register(_cleanup_scratch_dirs)
+        _SCRATCH_ATEXIT_REGISTERED = True
+    _SCRATCH_DIRS.add(path)
     return path
 
 
