@@ -1115,6 +1115,200 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# --- emb_hier_ivf_topk ----------------------------------------------------------------
+# [EXT] Two-level IVF (VERDICT r12 #3 — the 100 TB routing depth). At N~1e11
+# vectors, nlist~sqrt(N)~300k centroids cannot broadcast as one relation and a
+# flat query-to-all-centroids probe is a 300k-wide matmul per query; production
+# systems (Faiss IVF_HNSW / SPANN) route hierarchically: a small coarse level
+# first, then only the probed cells' fine centroids. Training, both assignment
+# levels, and probe routing are all fixed-point-exact (the scaled-IVF Lloyd
+# discipline applied per cell), so the whole stack replays in unrolled CTEs —
+# hash-certified, not just recall-floored. The test-scale layout keeps the
+# TOTAL fine-cell count equal to the flat control's nlist (4x8 = 32) and the
+# scan budget equal (4 cells probed), so the pytest recall comparison
+# (test_hier_ivf_recall_at_equal_budget) is apples-to-apples: hier recall >=
+# flat recall at every SF. SCALE.md carries the 1e11 centroid arithmetic.
+
+HIER_NCOARSE = 4
+HIER_NFINE = 8
+HIER_NPROBE_COARSE = 2
+HIER_NPROBE_FINE = 4
+HIER_COARSE_ITERS = 3
+HIER_FINE_ITERS = 2
+
+
+def emb_hier_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (coarse->fine) IVF top-k on the replicated corpus, fully
+    oracled: coarse Lloyd on the sample, per-cell fine Lloyd over the cell's
+    members in sample order, two-stage exact-integer routing, one broadcast
+    equi-join on the fine cell id, exact-cosine re-rank. Plan shape equals the
+    flat learned path (no corpus shuffle; probes broadcast)."""
+    from ..ext.similarity import cosine_topk_hier_ivf_quantized
+
+    scaled = _scaled_embeddings(spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    queries = base.filter(F.col("vec_id") < SCALED_QUERIES)
+    return cosine_topk_hier_ivf_quantized(
+        scaled,
+        queries,
+        k=TOPK_K,
+        n_coarse=HIER_NCOARSE,
+        n_fine=HIER_NFINE,
+        nprobe_coarse=HIER_NPROBE_COARSE,
+        nprobe_fine=HIER_NPROBE_FINE,
+        sample_n=SCALED_IVF_SAMPLE_N,
+        coarse_iters=HIER_COARSE_ITERS,
+        fine_iters=HIER_FINE_ITERS,
+        train_sample=base,
+    )
+
+
+def _hier_fine_lloyd_iteration_sql(i: int) -> str:
+    """One unrolled PER-CELL fixed-point Lloyd round for the fine level: each
+    sample row competes only against ITS coarse cell's fine centroids (join on
+    cid), floor-div means per (cid, j), empty fine clusters keep their
+    previous centroid — exactly ext/similarity._lloyd_int run cell-by-cell."""
+    return f"""fa{i} AS MATERIALIZED (
+  SELECT o.sid, o.xq, o.cid, f.j,
+         list_sum(list_transform(list_zip(o.xq, f.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM ordm o JOIN f{i - 1} f ON f.cid = o.cid
+), fb{i} AS MATERIALIZED (
+  SELECT sid, xq, cid, j FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d ASC, j ASC) AS rn
+    FROM fa{i}) WHERE rn = 1
+), fm{i} AS (
+  SELECT cid, j, u.i AS dim, SUM(xq[u.i]) AS sv, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM fb{i}, generate_series(1, 64) u(i)
+  GROUP BY cid, j, u.i
+), fu{i} AS (
+  SELECT cid, j,
+         list(CAST((sv - (((sv % cnt) + cnt) % cnt)) // cnt AS BIGINT)
+              ORDER BY dim) AS c
+  FROM fm{i} GROUP BY cid, j
+), f{i} AS MATERIALIZED (
+  SELECT p.cid, p.j, COALESCE(fu{i}.c, p.c) AS c
+  FROM f{i - 1} p LEFT JOIN fu{i} ON fu{i}.cid = p.cid AND fu{i}.j = p.j
+)"""
+
+
+EMB_HIER_IVF_TOPK_ORACLE = f"""
+WITH reps AS (
+  SELECT vec_id, embedding, r.rep FROM embeddings, generate_series(0, {SCALED_REPS - 1}) r(rep)
+), scaled AS (
+  SELECT vec_id + rep * {_SCALED_ID_STRIDE} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+             i -> CAST(CAST(embedding[i] AS DOUBLE)
+                       + ((rep * (i + 2)) % 11) * 0.003 AS REAL)) AS embedding
+  FROM reps
+), s AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {SCALED_IVF_SAMPLE_N}
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s
+), c0 AS (
+  SELECT g.i AS cid, s.xq AS c
+  FROM generate_series(0, {HIER_NCOARSE - 1}) g(i), nn
+  JOIN s ON s.sid = (g.i * (nn.n - 1)) // {HIER_NCOARSE - 1}
+), {_scaled_ivf_lloyd_iteration_sql(1)}, {_scaled_ivf_lloyd_iteration_sql(2)},
+{_scaled_ivf_lloyd_iteration_sql(3)},
+sa0 AS MATERIALIZED (
+  -- assign the sample to its final coarse cell (exact int, lowest-cid ties)
+  SELECT s.sid, s.xq, c.cid,
+         list_sum(list_transform(list_zip(s.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM s, c{HIER_COARSE_ITERS} c
+), ordm AS MATERIALIZED (
+  -- per-cell member positions IN SAMPLE ORDER (the python trainer's implicit order)
+  SELECT sid, xq, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sid) - 1 AS pos
+  FROM (SELECT sid, xq, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d ASC, cid ASC) AS rn
+          FROM sa0) WHERE rn = 1)
+), cellsz AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS m FROM ordm GROUP BY cid
+), f0 AS MATERIALIZED (
+  -- per-cell integer-formula init: fine j starts at member pos j*(m-1)//(nfine-1);
+  -- a cell with no members inherits its coarse centroid (deterministic, unroutable)
+  SELECT c.cid, gj.j, COALESCE(o.xq, c.c) AS c
+  FROM c{HIER_COARSE_ITERS} c
+  CROSS JOIN generate_series(0, {HIER_NFINE - 1}) gj(j)
+  LEFT JOIN cellsz z ON z.cid = c.cid
+  LEFT JOIN ordm o ON o.cid = c.cid AND o.pos = (gj.j * (z.m - 1)) // {HIER_NFINE - 1}
+), {_hier_fine_lloyd_iteration_sql(1)}, {_hier_fine_lloyd_iteration_sql(2)},
+corpq AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM scaled
+), cad AS MATERIALIZED (
+  -- corpus: nearest coarse cell
+  SELECT cq.vec_id, cq.embedding, cq.xq, c.cid,
+         list_sum(list_transform(list_zip(cq.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM corpq cq, c{HIER_COARSE_ITERS} c
+), cas AS MATERIALIZED (
+  SELECT vec_id, embedding, xq, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM cad) WHERE rn = 1
+), fad AS MATERIALIZED (
+  -- then nearest fine centroid WITHIN that cell; global id = cid*nfine + j
+  SELECT a.vec_id, a.embedding, a.cid * {HIER_NFINE} + f.j AS fid,
+         list_sum(list_transform(list_zip(a.xq, f.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM cas a JOIN f{HIER_FINE_ITERS} f ON f.cid = a.cid
+), assigned AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, fid AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, fid ASC) AS rn
+        FROM fad) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS qq
+  FROM embeddings WHERE vec_id < {SCALED_QUERIES}
+), qcd AS (
+  -- query routing stage 1: nprobe_coarse nearest coarse cells
+  SELECT q.query_id, q.qv, q.qq, c.cid,
+         list_sum(list_transform(list_zip(q.qq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q, c{HIER_COARSE_ITERS} c
+), qcs AS MATERIALIZED (
+  SELECT query_id, qv, qq, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
+        FROM qcd) WHERE rn <= {HIER_NPROBE_COARSE}
+), qfd AS (
+  -- stage 2: nprobe_fine nearest fine cells among the probed cells' union
+  SELECT p.query_id, p.qv, f.cid * {HIER_NFINE} + f.j AS fid,
+         list_sum(list_transform(list_zip(p.qq, f.c),
+                  p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2]))) AS d
+  FROM qcs p JOIN f{HIER_FINE_ITERS} f ON f.cid = p.cid
+), probes AS MATERIALIZED (
+  SELECT query_id, qv, fid AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, fid ASC) AS rn
+        FROM qfd) WHERE rn <= {HIER_NPROBE_FINE}
+), pair AS MATERIALIZED (
+  SELECT p.query_id, a.neighbor_id,
+    list_sum(list_transform(list_zip(p.qv, a.cvec),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(p.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(a.cvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+), rankedc AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pair
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM rankedc
+) WHERE rank <= {TOPK_K}
+"""
+
+
 # --- emb_near_dup_pairs -------------------------------------------------------------
 # [EXT] embedding-cosine near-dup. The corpus has no natural near-dups (max pairwise
 # cosine ~0.51), so duplicates are planted exactly like the docs queries: vec_id % 25

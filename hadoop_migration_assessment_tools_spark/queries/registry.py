@@ -519,6 +519,11 @@ QUERIES: dict[str, Query] = {
     # oracle computes the DEFINITIONAL one-window top-k; split stats (>= 4x
     # max-bucket shrink) certified in the same hash
     "events_salted_group_topk": ea.events_salted_group_topk,
+    # r13 (VERDICT r12 #3): two-level coarse->fine IVF — the 1e11-vector
+    # routing depth (a sqrt(N) flat centroid table cannot broadcast); per-cell
+    # fixed-point Lloyd + two-stage exact-integer routing, hash-certified via
+    # unrolled CTEs; recall >= flat IVF at equal scan budget pinned in pytest
+    "emb_hier_ivf_topk": llm.emb_hier_ivf_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -707,4 +712,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_hybrid_rrf": llm.DOCS_HYBRID_RRF_ORACLE,
     "docs_bm25_stream_index_parity": llm.DOCS_BM25_STREAM_INDEX_PARITY_ORACLE,
     "docs_retrieval_metrics": llm.DOCS_RETRIEVAL_METRICS_ORACLE,
+    "emb_hier_ivf_topk": llm.EMB_HIER_IVF_TOPK_ORACLE,
 }

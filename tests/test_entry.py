@@ -69,9 +69,11 @@ def _load_bench_module():
 
 
 def test_bench_historical_floors_and_trip_logic():
-    """The fresh-session escape hatch (r12, VERDICT r11 #8): floors come from
-    same-SF BENCH history only, and the trip condition needs >3x floor AND >1 s
-    absolute, worst-first, bounded."""
+    """The fresh-session escape hatch (r12, VERDICT r11 #8; second tier r13,
+    VERDICT r12 #2): floors come from same-SF BENCH history only, and the trip
+    condition is two-tiered — >3x floor AND >1 s absolute (session sickness),
+    or >1.5x floor AND >2 s absolute (the expensive-query drift blind spot) —
+    worst-first, bounded."""
     bench = _load_bench_module()
     floors = bench._historical_floors("0.1")
     # the repo ships sf0.1 BENCH history; every floor must be a positive time
@@ -84,14 +86,16 @@ def test_bench_historical_floors_and_trip_logic():
     # never trip a rerun)
     assert bench._historical_floors("0.31337") == {}
 
-    f = {"a": 0.5, "b": 0.2, "c": 2.0, "d": 0.1}
+    f = {"a": 0.5, "b": 0.2, "c": 2.0, "d": 0.1, "e": 2.6, "g": 1.0}
     t = {
-        "a": 1.6,   # >3x floor and >1 s -> tripped
+        "a": 1.6,   # tier 1: >3x floor and >1 s -> tripped
         "b": 0.9,   # >3x floor but under the 1 s absolute gate -> not tripped
-        "c": 5.0,   # 2.5x floor -> not tripped
+        "c": 5.0,   # tier 2: 2.5x floor and >2 s -> tripped (the r12 pagerank case)
         "d": 1.2,   # 12x floor -> tripped, and worse ratio than 'a'
+        "e": 4.3,   # 1.65x floor and >2 s -> tripped (docs_dup_pagerank verbatim)
+        "g": 1.4,   # 1.4x floor, >1 s but under BOTH tier thresholds -> not tripped
         "new": 99,  # no floor (new query) -> not tripped
     }
-    assert bench._tripped_queries(t, f) == ["d", "a"]
+    assert bench._tripped_queries(t, f) == ["d", "a", "c", "e"]
     assert bench._tripped_queries(t, f, limit=1) == ["d"]
     assert bench._tripped_queries({}, f) == []

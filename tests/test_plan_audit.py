@@ -88,6 +88,13 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_topk_scaled_ivf": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
+    # r13 (VERDICT r12 #3): two-level routing, SAME plan envelope as the flat
+    # learned path — corpus side is scan + Arrow assignment (never shuffles),
+    # the two routing stages live inside the probe kernel on the tiny query
+    # side, probes broadcast into one fine-cell BHJ, one rank-window shuffle.
+    "emb_hier_ivf_topk": dict(
+        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
+    ),
     "docs_minhash_near_dup": dict(
         shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
