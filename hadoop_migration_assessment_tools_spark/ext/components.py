@@ -171,44 +171,58 @@ def pagerank_fixed_point(
     dangling-mass redistribution is deliberately out of scope). Returns
     (node, rank_fp, outdeg).
 
-    Scale shape: per round, one shuffle join of ranks onto the edge list keyed
-    by src and one groupBy(dst) with map-side partial sums; `localCheckpoint`
-    per round cuts the iterative lineage exactly as connected_components does.
-    The tiny n-count is crossJoin-broadcast, never collected per row.
+    Scale shape (r13): outdegree is STATIC across rounds, so it rides the
+    checkpointed edge list (the GraphX adjacency pattern) — per round there is
+    exactly ONE shuffle join of ranks onto the degree-annotated edges keyed by
+    src and one groupBy(dst) with map-side partial sums. The former per-round
+    ranks-onto-deg join was a full extra shuffle of the rank table every
+    iteration (5 shuffles on a 1e11-edge graph). `localCheckpoint` per round
+    cuts the iterative lineage exactly as connected_components does. The tiny
+    n-count is crossJoin-broadcast, never collected per row.
     """
     # checkpoint the canonical edge set ONCE (connected_components discipline):
-    # e and deg sit inside every iteration's join — without the cut, the
-    # caller's full edge derivation re-executes ~2x per round plus final join
+    # without the cut, the caller's full edge derivation re-executes per round.
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-    nodes = e.select(F.col("_s").alias("node")).distinct()
+    degd = deg.select(F.col("_s").alias("_d2"), F.col("outdeg").alias("_outdeg_d"))
+    # degree-annotated edges, checkpointed: outdeg of the SOURCE (the per-round
+    # contribution divisor) and of the DESTINATION (so rank rows leave the last
+    # groupBy already carrying their own outdeg — no final degree join). The
+    # dst-side join is LEFT so contract-violating sink nodes (outdeg 0) drop
+    # from the OUTPUT (the old inner final-join behavior) without perturbing
+    # the edge set the contributions flow over.
+    ed = (
+        e.join(deg, "_s")
+        .join(degd, e["_d"] == degd["_d2"], "left")
+        .select("_s", "_d", "outdeg", "_outdeg_d")
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(e)
+    nodes = ed.select(F.col("_s").alias("node"), "outdeg").distinct()
     n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     base_pct = 100 - int(damping_pct)
 
     ranks = (
         nodes.join(F.broadcast(n_df))
-        .select("node", F.expr(f"{int(scale)} div _n").alias("rank_fp"), "_n")
+        .select(
+            "node", F.expr(f"{int(scale)} div _n").alias("rank_fp"), "_n", "outdeg"
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(int(iterations)):
-        contrib = (
-            ranks.join(deg, ranks["node"] == deg["_s"])
-            .select(
-                F.col("node").alias("_u"),
-                F.expr("rank_fp div outdeg").alias("_c"),
-                "_n",
-            )
-        )
         nxt = (
-            e.join(contrib, e["_s"] == F.col("_u"))
+            ed.join(
+                ranks.select("node", "rank_fp", "_n"), ed["_s"] == F.col("node")
+            )
             .groupBy(F.col("_d").alias("node"))
             .agg(
-                F.sum("_c").cast("long").alias("_msum"),
+                F.sum(F.expr("rank_fp div outdeg")).cast("long").alias("_msum"),
                 F.first("_n").alias("_n"),
+                F.first("_outdeg_d").cast("long").alias("outdeg"),
             )
             .select(
                 "node",
@@ -216,9 +230,10 @@ def pagerank_fixed_point(
                     f"({base_pct} * ({int(scale)} div _n) + {int(damping_pct)} * _msum) div 100"
                 ).alias("rank_fp"),
                 "_n",
+                "outdeg",
             )
         )
         old = ranks
         ranks = nxt.localCheckpoint(eager=True)
         free_local_checkpoint(old)
-    return ranks.join(deg, ranks["node"] == deg["_s"]).select("node", "rank_fp", "outdeg")
+    return ranks.filter(F.col("outdeg").isNotNull()).select("node", "rank_fp", "outdeg")

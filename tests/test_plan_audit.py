@@ -339,10 +339,14 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_cdc_chunking": dict(
         shuffle_exchange=6, broadcast_exchange=2, bnlj=2, cartesian=0, smj=1, bhj=0, shj=0, window=0
     ),
-    # round 7: fixed-point PageRank — post-checkpoint remainder (the iterative
-    # rounds each end in a checkpoint): final rank-degree join + output sort.
+    # r13 re-pin (VERDICT r12 #2): outdeg now rides the degree-annotated edge
+    # list, so rank rows leave the last checkpointed round already carrying
+    # their outdeg — the final rank-degree join (and with it the whole
+    # post-checkpoint remainder: 2 shuffles + 1 SMJ) collapsed to a
+    # filter + TakeOrderedAndProject. Per round the join count dropped from
+    # 2 (ranks->deg, then ->edges) to 1 (ranks->annotated edges).
     "docs_dup_pagerank": dict(
-        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=1, bhj=0, shj=0, window=0
+        shuffle_exchange=0, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     # round 7: sliding HLL — post-checkpoint of the daily registers: the spine
     # window merge, the per-day estimate agg, and the exact control's
