@@ -6781,6 +6781,157 @@ def _idcg_case(col: str, k: int) -> str:
     return f"CASE {col} WHEN 0 THEN 0 " + " ".join(parts) + " ELSE 0 END"
 
 
+# --- docs_hybrid_metrics ----------------------------------------------------------------
+# [EXT] VERDICT r12 #4: judge the HYBRID ranking, not just BM25 — the lexical leg,
+# the vector leg, and the RRF-fused ranking all scored against the SAME relevance
+# relation (same-source docs, restricted to the hybrid query set), per-leg rows in
+# ONE hash. The r12 fusion row's quality claim is now a certified measured output
+# instead of an assumption: dcg_e6 is integer-exact and idcg is identical across
+# legs per query, so per-query leg comparisons are exact integer comparisons.
+# MEASURED OUTCOME (pin date r13): on THIS synthetic corpus hybrid does NOT beat
+# the better leg — total dcg_e6 (lex, rrf, vec) = (1.78M, 1.47M, 1.47M) at
+# sf0.001, (4.75M, 3.35M, 2.54M) at sf0.01, (4.12M, 3.36M, 5.85M) at sf0.1. The
+# ~30-word synthetic vocabulary and random same-source relevance make the two
+# legs' signals nearly independent noise, so RRF averages rather than amplifies
+# (Cormack et al.'s gains assume correlated-but-complementary rankers). That is
+# exactly what this row exists to surface: the fusion pipeline's value claim is
+# corpus-dependent, and this engine MEASURES it instead of assuming it.
+# Scale: every input here is a top-k relation (queries x k rows); the metrics
+# never touch the corpus.
+
+
+def docs_hybrid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.retrieval import bm25_topk, retrieval_metrics, rrf_fuse
+    from ..ext.similarity import cosine_topk_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q_ids = _bm25_queries(docs).join(
+        emb.select(F.col("vec_id").alias("query_id")), "query_id", "left_semi"
+    )
+    lex = bm25_topk(docs, q_ids, k=BM25_TOPK, q_terms=BM25_QTERMS)
+    qvec = emb.join(
+        q_ids.select(F.col("query_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vec = cosine_topk_bruteforce(emb, qvec, k=BM25_TOPK).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(lex, vec, k=RRF_FUSE_K).select(
+        "query_id", "doc_id", F.col("fused_rank").alias("rank")
+    )
+    q_src = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("_qsrc")
+    ).join(q_ids, "query_id", "left_semi")
+    relevance = (
+        q_src.join(
+            F.broadcast(docs.select("doc_id", "source")),
+            F.col("source") == F.col("_qsrc"),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    out = None
+    for leg, ranked in (("lex", lex), ("rrf", fused), ("vec", vec)):
+        m = retrieval_metrics(ranked, relevance, k=BM25_TOPK).withColumn(
+            "leg", F.lit(leg)
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.select(
+        "query_id",
+        "leg",
+        "n_rel",
+        "hits_at_k",
+        "precision_e6",
+        "recall_e6",
+        "rr_e6",
+        "dcg_e6",
+        "idcg_e6",
+        "ndcg",
+    ).orderBy("query_id", "leg")
+
+
+def _leg_metrics_sql(leg: str, topk_rel: str, k: int) -> str:
+    """One leg's per-query metrics block against the shared rel/nrel CTEs —
+    the DOCS_RETRIEVAL_METRICS_ORACLE body parameterized by the top-k
+    relation, with the leg as a literal tag column."""
+    idcg = _idcg_case(f"LEAST({k}, n.n_rel)", k)
+    return f"""
+SELECT n.qid AS query_id, '{leg}' AS leg, n.n_rel,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(h.hits_at_k, 0) * {1_000_000} // {k} AS BIGINT) AS precision_e6,
+       CAST(COALESCE(h.hits_at_k, 0) * {1_000_000} // n.n_rel AS BIGINT) AS recall_e6,
+       CAST(COALESCE({1_000_000} // h.first_rel, 0) AS BIGINT) AS rr_e6,
+       CAST(COALESCE(h.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+       CAST({idcg} AS BIGINT) AS idcg_e6,
+       CASE WHEN {idcg} > 0
+            THEN ROUND(CAST(COALESCE(h.dcg_e6, 0) AS DOUBLE) / CAST({idcg} AS DOUBLE), 6)
+            ELSE 0.0 END AS ndcg
+FROM nrel n LEFT JOIN (
+  SELECT t.qid,
+         CAST(COUNT(r.id) AS BIGINT) AS hits_at_k,
+         MIN(CASE WHEN r.id IS NOT NULL THEN t.rank END) AS first_rel,
+         CAST(SUM(CASE WHEN r.id IS NOT NULL THEN {_ndcg_case('t.rank')} ELSE 0 END) AS BIGINT) AS dcg_e6
+  FROM {topk_rel} t LEFT JOIN rel r ON r.qid = t.qid AND r.id = t.id
+  GROUP BY t.qid) h ON h.qid = n.qid"""
+
+
+def _docs_hybrid_metrics_oracle() -> str:
+    return f"""
+WITH {_BM25_ORACLE_CTES}, qset AS (
+  SELECT DISTINCT b.id AS query_id
+  FROM base b JOIN embeddings e ON e.vec_id = b.id
+  WHERE b.id % {BM25_QMOD} = {BM25_QREM} AND e.embedding IS NOT NULL
+), lex AS (
+  SELECT r.qid, r.id, r.rank
+  FROM ranked r JOIN qset ON qset.query_id = r.qid
+  WHERE r.rank <= {BM25_TOPK}
+), pair AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(qe.embedding, c.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(qe.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM qset q
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  JOIN embeddings c ON c.embedding IS NOT NULL AND c.vec_id <> q.query_id
+  WHERE qe.embedding IS NOT NULL
+), vec AS (
+  SELECT query_id AS qid, neighbor_id AS id, rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) DESC,
+             neighbor_id ASC) AS BIGINT) AS rank
+    FROM pair
+  ) WHERE rank <= {BM25_TOPK}
+), fused AS (
+  SELECT COALESCE(l.qid, v.qid) AS qid,
+         COALESCE(l.id, v.id) AS id,
+         CAST(COALESCE(1000000 // (60 + l.rank), 0)
+            + COALESCE(1000000 // (60 + v.rank), 0) AS BIGINT) AS rrf_e6
+  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id
+), rrf AS (
+  SELECT qid, id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_e6 DESC, id ASC) AS BIGINT) AS rank
+  FROM fused
+  QUALIFY rank <= {RRF_FUSE_K}
+), qsrc AS (
+  SELECT d.doc_id AS qid, d.source AS qs
+  FROM documents d JOIN qset ON qset.query_id = d.doc_id
+), rel AS (
+  SELECT q.qid, d.doc_id AS id
+  FROM qsrc q JOIN documents d ON d.source = q.qs AND d.doc_id <> q.qid
+), nrel AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid
+)
+{_leg_metrics_sql('lex', 'lex', BM25_TOPK)}
+UNION ALL
+{_leg_metrics_sql('rrf', 'rrf', BM25_TOPK)}
+UNION ALL
+{_leg_metrics_sql('vec', 'vec', BM25_TOPK)}
+ORDER BY query_id, leg
+"""
+
+
 DOCS_RETRIEVAL_METRICS_ORACLE = f"""
 WITH {_BM25_ORACLE_CTES}, topk AS (
   SELECT qid, id, rank FROM ranked WHERE rank <= {BM25_TOPK}
@@ -6815,3 +6966,5 @@ SELECT n.qid AS query_id,
 FROM nrel n LEFT JOIN hits h ON h.qid = n.qid
 ORDER BY query_id
 """
+
+DOCS_HYBRID_METRICS_ORACLE = _docs_hybrid_metrics_oracle()

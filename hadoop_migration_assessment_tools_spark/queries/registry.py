@@ -524,6 +524,10 @@ QUERIES: dict[str, Query] = {
     # fixed-point Lloyd + two-stage exact-integer routing, hash-certified via
     # unrolled CTEs; recall >= flat IVF at equal scan budget pinned in pytest
     "emb_hier_ivf_topk": llm.emb_hier_ivf_topk,
+    # r13 (VERDICT r12 #4): the hybrid ranking judged, not just BM25 — lexical,
+    # vector and RRF-fused legs scored against ONE relevance relation; per-leg
+    # rows certified in one hash (integer dcg comparisons are exact per query)
+    "docs_hybrid_metrics": llm.docs_hybrid_metrics,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -713,4 +717,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_bm25_stream_index_parity": llm.DOCS_BM25_STREAM_INDEX_PARITY_ORACLE,
     "docs_retrieval_metrics": llm.DOCS_RETRIEVAL_METRICS_ORACLE,
     "emb_hier_ivf_topk": llm.EMB_HIER_IVF_TOPK_ORACLE,
+    "docs_hybrid_metrics": llm.DOCS_HYBRID_METRICS_ORACLE,
 }

@@ -4366,3 +4366,39 @@ def test_retrieval_metrics_hand_computed(spark):
     q3 = got[3]
     assert (q3["n_rel"], q3["hits_at_k"], q3["rr_e6"], q3["dcg_e6"]) == (1, 0, 0, 0)
     assert q3["idcg_e6"] == d[1]
+
+
+def test_hybrid_metrics_legs_comparable_and_bounded(spark):
+    """docs_hybrid_metrics (r13, VERDICT r12 #4) structural invariants: all
+    three legs are judged against the SAME relevance relation, so every query
+    appears exactly once per leg with IDENTICAL (n_rel, idcg_e6) across legs —
+    that is what makes the per-query integer dcg comparison well-defined; and
+    every metric respects its bounds. The quality ORDERING itself is
+    deliberately unpinned: it is corpus-dependent (measured at pin time: lex
+    wins at sf0.001/0.01, vec at sf0.1 — the fusion row's docstring records
+    the numbers), and this row exists to MEASURE it, not assume it."""
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        BM25_TOPK,
+        docs_hybrid_metrics,
+    )
+
+    rows = docs_hybrid_metrics(spark, SF).collect()
+    assert rows, "hybrid query set is empty"
+    by_leg: dict = {}
+    for r in rows:
+        by_leg.setdefault(r["leg"], {})[r["query_id"]] = r
+    assert set(by_leg) == {"lex", "rrf", "vec"}
+    qids = set(by_leg["lex"])
+    assert set(by_leg["rrf"]) == qids and set(by_leg["vec"]) == qids
+    for q in qids:
+        base = by_leg["lex"][q]
+        for leg in ("rrf", "vec"):
+            r = by_leg[leg][q]
+            assert (r["n_rel"], r["idcg_e6"]) == (base["n_rel"], base["idcg_e6"])
+        for leg in ("lex", "rrf", "vec"):
+            r = by_leg[leg][q]
+            assert 0 <= r["hits_at_k"] <= min(BM25_TOPK, r["n_rel"])
+            assert 0 <= r["precision_e6"] <= 1_000_000
+            assert 0 <= r["recall_e6"] <= 1_000_000
+            assert 0 <= r["dcg_e6"] <= r["idcg_e6"]
+            assert 0.0 <= r["ndcg"] <= 1.0
