@@ -528,6 +528,11 @@ QUERIES: dict[str, Query] = {
     # vector and RRF-fused legs scored against ONE relevance relation; per-leg
     # rows certified in one hash (integer dcg comparisons are exact per query)
     "docs_hybrid_metrics": llm.docs_hybrid_metrics,
+    # r13 (VERDICT r12 #5): SentencePiece-style unigram Viterbi segmentation —
+    # corpus-derived piece table (integer surprisal costs), vocabulary-sized
+    # Arrow DP, per-doc reassembly; table + DP + assembly certified by one
+    # hash via a WORD_CAP-round unrolled-argmin CTE oracle
+    "docs_viterbi_tokenize": llm.docs_viterbi_tokenize,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -718,4 +723,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_retrieval_metrics": llm.DOCS_RETRIEVAL_METRICS_ORACLE,
     "emb_hier_ivf_topk": llm.EMB_HIER_IVF_TOPK_ORACLE,
     "docs_hybrid_metrics": llm.DOCS_HYBRID_METRICS_ORACLE,
+    "docs_viterbi_tokenize": llm.DOCS_VITERBI_TOKENIZE_ORACLE,
 }

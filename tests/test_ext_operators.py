@@ -4402,3 +4402,83 @@ def test_hybrid_metrics_legs_comparable_and_bounded(spark):
             assert 0 <= r["recall_e6"] <= 1_000_000
             assert 0 <= r["dcg_e6"] <= r["idcg_e6"]
             assert 0.0 <= r["ndcg"] <= 1.0
+
+
+def test_viterbi_segment_matches_independent_reference(spark):
+    """ext/unigram Viterbi vs an INDEPENDENTLY-written reference segmenter
+    (recursive with memo, iterating pieces instead of positions — a different
+    algorithmic shape, so a shared misreading cannot cancel out), on a fixed
+    piece table exercising tie-breaks and the unk fallback."""
+    from functools import lru_cache
+
+    from hadoop_migration_assessment_tools_spark.ext.unigram import (
+        UNK_COST_BITS,
+        viterbi_segment_words,
+    )
+
+    costs = {
+        "a": 3, "b": 3, "c": 4, "d": 5,
+        "ab": 5, "bc": 5, "abc": 9, "cd": 6, "abcd": 14,
+    }
+
+    def ref_segment(w):
+        # best (cost, pieces-tuple); ties -> the LONGEST FINAL piece, i.e. the
+        # candidate whose last piece starts earliest (smallest j)
+        @lru_cache(maxsize=None)
+        def best(i):  # best segmentation of w[:i]
+            if i == 0:
+                return (0, ())
+            cands = []
+            for piece, c in list(costs.items()) + [(w[i - 1], UNK_COST_BITS)]:
+                L = len(piece)
+                if L <= i and w[i - L : i] == piece:
+                    if piece in costs:
+                        c = costs[piece]
+                    elif L != 1:
+                        continue
+                    prev = best(i - L)
+                    cands.append((prev[0] + c, i - L, prev[1] + (piece,)))
+            # min cost, then smallest start-of-last-piece j
+            cands.sort(key=lambda t: (t[0], t[1]))
+            return (cands[0][0], cands[0][2])
+
+        c, pieces = best(len(w))
+        return c, "+".join(pieces), len(pieces)
+
+    words = ["abcd", "abcabc", "dcba", "aabb", "xax", "d", "abcdabcd"]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r for r in viterbi_segment_words(wdf, costs).collect()}
+    for w in words:
+        c, seg, np = ref_segment(w)
+        assert (got[w]["cost_bits"], got[w]["seg"], got[w]["n_pieces"]) == (c, seg, np), w
+    # hand-check one: abcd = min(a+b+c+d=15, ab+cd=11, abc+d=14, abcd=14, a+bc+d=13,
+    # ab+c+d=14, abc... ) -> ab+cd at 11
+    assert got["abcd"]["seg"] == "ab+cd" and got["abcd"]["cost_bits"] == 11
+    # unk fallback: 'x' is uncovered -> single-char UNK cost
+    assert got["xax"]["cost_bits"] == 2 * UNK_COST_BITS + 3
+
+
+def test_viterbi_tokenize_docs_pipeline(spark):
+    """End-to-end self-contained pipeline invariants on the real corpus:
+    segmented text reconstructs the original tokens when separators are
+    stripped, n_pieces >= n_words, and empty/whitespace docs are absent."""
+    from hadoop_migration_assessment_tools_spark.queries.llm import docs_viterbi_tokenize
+
+    rows = docs_viterbi_tokenize(spark, SF).collect()
+    assert rows
+    import re
+
+    docs = {r["doc_id"]: r for r in rows}
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+
+    for r in load_table(spark, SF, "documents").collect():
+        toks = r["text"].split() if r["text"] and r["text"].strip() else []
+        toks = [t[:12] for t in toks]
+        if not toks:
+            assert r["doc_id"] not in docs
+            continue
+        out = docs[r["doc_id"]]
+        assert out["n_words"] == len(toks)
+        assert out["segmented"].replace("+", "") == " ".join(toks)
+        assert out["n_pieces"] >= out["n_words"]
+        assert out["cost_bits"] > 0

@@ -95,6 +95,13 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_hier_ivf_topk": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
+    # r13 (VERDICT r12 #5): unigram Viterbi — 3 map-side-combined shuffles
+    # (piece counts, vocab distinct, per-doc reassembly) + ONE broadcast join
+    # of the finished word segmentations onto the token stream. The DP itself
+    # lives in a vocabulary-sized Arrow kernel: zero corpus-sized joins.
+    "docs_viterbi_tokenize": dict(
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+    ),
     "docs_minhash_near_dup": dict(
         shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
@@ -436,6 +443,9 @@ BNLJ_ALLOWED = {
     "docs_hybrid_rrf",
     "docs_bm25_stream_index_parity",
     "docs_retrieval_metrics",
+    # r13: the per-leg judged hybrid — its 4 BNLJ are the same 1-row corpus
+    # stats crossJoins, once per BM25 evaluation inside the lex/rrf legs
+    "docs_hybrid_metrics",
     "events_gap_fill",
     # round-5 sweep additions — every BNLJ below is a crossJoin of 1-row scalar
     # aggregates (funnel/parity counters, a share-of-total denominator, the IDF
