@@ -43,7 +43,14 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["advise_join", "apply_join_advice", "strategy_expr"]
+__all__ = [
+    "advise_join",
+    "apply_join_advice",
+    "strategy_expr",
+    "advise_window",
+    "apply_window_topk_advice",
+    "window_strategy_expr",
+]
 
 #: Default broadcast byte ceiling: 256 MiB. Spark's conf default
 #: (autoBroadcastJoinThreshold) is 10 MiB — deliberately timid for AUTO
@@ -331,3 +338,112 @@ def apply_join_advice(
         + [c for c in right.columns if c not in keys]
     )
     return strategy, out.select(*cols)
+
+
+def window_strategy_expr(skew_share: float) -> Column:
+    """The window decision as a column expression over (total_rows, top_share)
+    — shared by the MG-based advisor and any exact-share oracle replay, so
+    both walk literally the same branch (the strategy_expr discipline applied
+    to windows)."""
+    return F.when(F.col("top_share") > skew_share, F.lit("salt_group_topk")).otherwise(
+        F.lit("plain_window")
+    )
+
+
+def advise_window(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    skew_share: float = 0.2,
+) -> DataFrame:
+    """One-row decision relation for ``row_number().over(partitionBy(group))``
+    (VERDICT r12 #6 — the join advisor's window twin; SCALE.md names hot-key
+    windows as the one AQE-blind spot: AQE splits skewed JOIN partitions, but
+    a skewed WINDOW partition still funnels through one task).
+
+    (total_rows, top_group, top_share, strategy) where strategy is
+    ``salt_group_topk`` when one group holds > skew_share of the rows (the
+    plans/ranking.salted_group_topk two-phase rewrite is the guaranteed fix)
+    else ``plain_window``. Cost: ONE bounded single-column Misra-Gries scan of
+    the composite group key (cap 64 — est >= true - total/64, and EXACT
+    whenever the group count is below the cap, so callers pinning a branch
+    should keep planted shares ~2 x total/cap away from skew_share).
+    NULL-group rows are excluded exactly as the window itself would place them
+    in their own partition.
+    """
+    from ..ext.sketch import _mg_summaries
+
+    keys = _as_keys(group_cols)
+    keyed = df.where(_not_null(keys)).select(_sketch_key(keys).alias("k"))
+    hh = (
+        _mg_summaries(keyed, "k", cap=64)
+        .orderBy(F.desc("est_count"), F.asc("item"))
+        .limit(1)
+        .select(
+            F.col("total_rows"),
+            F.col("item").alias("top_group"),
+            F.round(
+                F.col("est_count") / F.greatest(F.col("total_rows"), F.lit(1)), 6
+            ).alias("top_share"),
+        )
+    )
+    # an EMPTY input still yields a row (0, NULL, 0.0) -> plain_window
+    stats = (
+        hh.unionByName(
+            keyed.sparkSession.createDataFrame(
+                [(0, None, 0.0)], "total_rows long, top_group string, top_share double"
+            )
+        )
+        .orderBy(F.desc("total_rows"))
+        .limit(1)
+    )
+    return stats.select(
+        "total_rows",
+        "top_group",
+        "top_share",
+        window_strategy_expr(skew_share).alias("strategy"),
+    )
+
+
+def apply_window_topk_advice(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    skew_share: float = 0.2,
+    salt_buckets: int = 16,
+    salt: Column | None = None,
+    rank_col: str = "rank",
+) -> tuple[str, DataFrame]:
+    """Walk the SAME decision as ``advise_window`` and EXECUTE the chosen
+    per-group top-k (the apply_join_advice pattern). Returns ``(strategy,
+    df)`` where df carries ``rank_col`` 1..k per group — IDENTICAL rows under
+    either branch for any total order (callers must include a tie-breaker in
+    ``order_by``, the salted_group_topk contract):
+
+    - ``salt_group_topk`` — the two-phase salted rewrite: local top-k per
+      (group, salt) fans the hot group across ``salt_buckets`` tasks, then
+      the <= k*salt_buckets survivors re-rank per group.
+    - ``plain_window`` — one window; right when no group dominates, and
+      cheaper by one narrow shuffle.
+
+    The one-row advice is a bounded driver materialization (the
+    plans/median.py class). At 100 TB the single-column MG scan is the
+    premium against a window straggler no AQE feature can split."""
+    from pyspark.sql.window import Window
+
+    from .ranking import salted_group_topk
+
+    keys = _as_keys(group_cols)
+    advice = advise_window(df, keys, skew_share).collect()[0]
+    strategy = advice["strategy"]
+    kept = df.where(_not_null(keys))
+    if strategy == "salt_group_topk":
+        out = salted_group_topk(
+            kept, keys, list(order_by), k, salt_buckets, rank_col=rank_col, salt=salt
+        )
+    else:
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        out = kept.withColumn(rank_col, F.row_number().over(w).cast("long")).where(
+            F.col(rank_col) <= k
+        )
+    return strategy, out

@@ -2440,6 +2440,108 @@ ORDER BY t.grp, t.rank
 """
 
 
+# --- events_window_advice_applied -------------------------------------------------------
+# [EXT] The WINDOW skew advisor ACTUATED (VERDICT r12 #6 — the join advisor's window
+# twin; SCALE.md names hot-key windows as the one AQE-blind spot: AQE splits skewed
+# JOIN partitions at runtime, but a skewed WINDOW partition still funnels through
+# one task). plans/advisor.advise_window measures the group key with ONE bounded
+# Misra-Gries scan and chooses plain_window vs salt_group_topk;
+# apply_window_topk_advice EXECUTES the choice. The group derivation
+# 'g' || (user_id div 100) is BRANCH-DIVERGENT across SFs by construction against
+# the fixture's uniform user population (15 users per 1000 x SF): at sf0.001 all 15
+# users land in g0 (top_share 1.0 -> salt), at sf0.01 users 0-99 of 150 do
+# (~0.667 -> salt), at sf0.1 the 1500 users spread over 15 groups (~0.067 ->
+# plain) — so the certified hash proves a DIFFERENT branch per SF, the
+# events_join_advice_applied pattern. The MG cap (64) exceeds the group count at
+# every SF, so est == exact and the oracle replays the share from exact GROUP BY
+# stats; the salt is the portable 60-bit event_id hash (deterministic buckets), so
+# both branches reproduce the DEFINITIONAL one-window top-k the oracle computes.
+# The advice relation itself rides the output (total_rows, top_share, strategy, one
+# 1-row broadcast crossJoin — the documented BNLJ class).
+
+WADV_K = 5
+WADV_SALT_BUCKETS = 8
+WADV_GROUP_DIV = 100
+WADV_SKEW_SHARE = 0.2
+
+
+def events_window_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketch import portable_hash60
+    from ..plans.advisor import advise_window, apply_window_topk_advice
+
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    grp = F.concat(
+        F.lit("g"), F.expr(f"user_id div {WADV_GROUP_DIV}").cast("string")
+    )
+    base = ev.select(grp.alias("grp"), "event_id", "value")
+    salt = F.pmod(portable_hash60(F.col("event_id")), F.lit(WADV_SALT_BUCKETS))
+    strategy, top = apply_window_topk_advice(
+        base,
+        ["grp"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        WADV_K,
+        skew_share=WADV_SKEW_SHARE,
+        salt_buckets=WADV_SALT_BUCKETS,
+        salt=salt,
+    )
+    # the in-plan advice row (same computation that chose the branch) rides the
+    # certified output; the actuated literal must agree with it (pinned below
+    # via the hash itself: the oracle recomputes strategy from exact stats)
+    advice = advise_window(base, ["grp"], WADV_SKEW_SHARE).select(
+        "total_rows", "top_share", F.col("strategy").alias("advised")
+    )
+    return (
+        top.crossJoin(F.broadcast(advice))
+        .select(
+            "grp",
+            "rank",
+            "event_id",
+            "value",
+            "total_rows",
+            "top_share",
+            F.col("advised").alias("strategy"),
+            (F.col("advised") == F.lit(strategy)).alias("actuated_matches"),
+        )
+        .orderBy("grp", "rank")
+    )
+
+
+EVENTS_WINDOW_ADVICE_APPLIED_ORACLE = f"""
+WITH base AS (
+  SELECT 'g' || CAST(user_id // {WADV_GROUP_DIV} AS VARCHAR) AS grp,
+         event_id, value
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+), topk AS (
+  -- the DEFINITIONAL form: one window per group — both engine branches must
+  -- reproduce exactly these rows
+  SELECT grp, rank, event_id, value FROM (
+    SELECT grp, event_id, value,
+           row_number() OVER (PARTITION BY grp ORDER BY value DESC, event_id ASC)
+             AS rank
+    FROM base
+  ) WHERE rank <= {WADV_K}
+), stats AS (
+  -- exact shares: the MG cap (64) exceeds the group count at every SF, so the
+  -- engine's sketch numbers ARE the exact numbers
+  SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+         ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS top_share
+  FROM (SELECT grp, COUNT(*) AS n FROM base GROUP BY grp)
+)
+SELECT t.grp, t.rank, t.event_id, t.value,
+       s.total_rows, s.top_share,
+       CASE WHEN s.top_share > {WADV_SKEW_SHARE} THEN 'salt_group_topk'
+            ELSE 'plain_window' END AS strategy,
+       TRUE AS actuated_matches
+FROM topk t, stats s
+ORDER BY t.grp, t.rank
+"""
+
+
 # --- events_stream_hll_parity -----------------------------------------------------------
 # [EXT] The streaming sketch MAINTAINER scored-line evidence (VERDICT r9 #6):
 # the per-day HLL register state is maintained by a REAL multi-batch stream

@@ -533,6 +533,11 @@ QUERIES: dict[str, Query] = {
     # Arrow DP, per-doc reassembly; table + DP + assembly certified by one
     # hash via a WORD_CAP-round unrolled-argmin CTE oracle
     "docs_viterbi_tokenize": llm.docs_viterbi_tokenize,
+    # r13 (VERDICT r12 #6): the join advisor's WINDOW twin actuated — MG scan
+    # chooses plain_window vs salt_group_topk, branch-divergent across SFs
+    # (salt at sf0.001/0.01, plain at sf0.1); both branches reproduce the
+    # definitional one-window top-k the oracle computes
+    "events_window_advice_applied": ea.events_window_advice_applied,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -724,4 +729,5 @@ ORACLE_SQL: dict[str, str] = {
     "emb_hier_ivf_topk": llm.EMB_HIER_IVF_TOPK_ORACLE,
     "docs_hybrid_metrics": llm.DOCS_HYBRID_METRICS_ORACLE,
     "docs_viterbi_tokenize": llm.DOCS_VITERBI_TOKENIZE_ORACLE,
+    "events_window_advice_applied": ea.EVENTS_WINDOW_ADVICE_APPLIED_ORACLE,
 }

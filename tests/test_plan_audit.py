@@ -446,6 +446,9 @@ BNLJ_ALLOWED = {
     # r13: the per-leg judged hybrid — its 4 BNLJ are the same 1-row corpus
     # stats crossJoins, once per BM25 evaluation inside the lex/rrf legs
     "docs_hybrid_metrics",
+    # r13: the window advisor row crossJoins its 1-row advice relation
+    # (total_rows, top_share, strategy) onto the top-k output
+    "events_window_advice_applied",
     "events_gap_fill",
     # round-5 sweep additions — every BNLJ below is a crossJoin of 1-row scalar
     # aggregates (funnel/parity counters, a share-of-total denominator, the IDF

@@ -1214,3 +1214,71 @@ def test_salted_group_topk_equals_plain_window_and_splits_hot_group(spark):
     max_salted = keyed.groupBy("grp", "s").count().agg(F.max("count")).collect()[0][0]
     assert max_plain >= 8000
     assert max_salted <= max_plain / 4
+
+
+def test_apply_window_topk_advice_both_branches_equal_plain_window(spark):
+    """apply_window_topk_advice (r13, VERDICT r12 #6): the actuated result is
+    identical to the definitional one-window top-k under EITHER branch — a
+    planted hot group forces salt_group_topk, a uniform key forces
+    plain_window, and both reproduce the same rows (total order via the
+    unique id tie-breaker)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hadoop_migration_assessment_tools_spark.plans.advisor import (
+        advise_window,
+        apply_window_topk_advice,
+    )
+
+    n = 600
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    # hot: ~75% of rows in one group
+    hot = base.select(
+        F.when(F.col("id") % 4 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 5).cast("string")))
+        .alias("grp"),
+        "id",
+        "v",
+    )
+    # uniform: 20 groups, 5% each
+    uni = base.select(
+        F.concat(F.lit("g"), (F.col("id") % 20).cast("string")).alias("grp"),
+        "id",
+        "v",
+    )
+    for df, want in ((hot, "salt_group_topk"), (uni, "plain_window")):
+        advice = advise_window(df, ["grp"]).collect()[0]
+        assert advice["strategy"] == want, advice
+        strategy, got = apply_window_topk_advice(
+            df, ["grp"], [F.col("v").desc(), F.col("id").asc()], 3, salt_buckets=4
+        )
+        assert strategy == want
+        w = Window.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id").asc())
+        plain = (
+            df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_window_advice_branches_diverge_across_sfs(spark):
+    """The registry row's branch-divergence claim as an executable assertion
+    (the events_join_advice pattern): the SAME query chooses salt_group_topk
+    at sf0.001/sf0.01 and plain_window at sf0.1, with the actuated literal
+    agreeing with the in-plan advice at every SF."""
+    from hadoop_migration_assessment_tools_spark.queries.events_analytics import (
+        events_window_advice_applied,
+    )
+
+    want = {
+        "/root/testdata/sf0.001": "salt_group_topk",
+        "/root/testdata/sf0.01": "salt_group_topk",
+        "/root/testdata/sf0.1": "plain_window",
+    }
+    for sf_dir, branch in want.items():
+        row = events_window_advice_applied(spark, sf_dir).limit(1).collect()[0]
+        assert row["strategy"] == branch, (sf_dir, row)
+        assert row["actuated_matches"] is True, (sf_dir, row)
