@@ -108,6 +108,15 @@ TRACKED = [
     # fusion's full-outer staying on the two top-k relations only
     "docs_bm25_topk",
     "docs_hybrid_rrf",
+    # round-13: hierarchical IVF (watch the corpus side staying scan + Arrow
+    # assignment with probes broadcast), the PageRank remainder (must stay
+    # join-free post-checkpoint), the Viterbi pipeline (one broadcast of the
+    # finished segmentations, DP never in the plan), and the window advisor
+    # (the chosen branch's window stack + the 1-row advice crossJoin)
+    "emb_hier_ivf_topk",
+    "docs_dup_pagerank",
+    "docs_viterbi_tokenize",
+    "events_window_advice_applied",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
