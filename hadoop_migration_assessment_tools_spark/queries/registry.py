@@ -208,13 +208,14 @@ QUERIES: dict[str, Query] = {
     # quality stage of docs_training_prep_pipeline (token_stats/quality/tfidf
     # all moved below the line across the r6-r7 swaps).
     "docs_simhash_near_dup": llm.docs_simhash_near_dup,
-    # Round-8 fourth swap (supersession within the IVF family): emb_ivfpq_topk
-    # in for emb_ivf_fixed_topk — IVFADC CONTAINS the IVF-fixed probe pipeline
-    # (same deterministic centroids, same probe lists) and adds the PQ layer
-    # (codebooks, encoding argmins, per-query ADC tables, codes-only ranking),
-    # so the scored hash certifies strictly more. emb_ivf_fixed_topk stays
-    # oracled below the line (it remains the pure-IVF shape's regression row).
-    "emb_ivfpq_topk": llm.emb_ivfpq_topk,
+    # Round-13 reviewed swap (supersession within the IVF family, the r8
+    # precedent applied again): the TWO-LEVEL hierarchical IVF — coarse +
+    # per-cell fine fixed-point Lloyd, two-stage exact-integer routing, the
+    # 1e11-vector depth where a flat centroid table cannot broadcast — in for
+    # emb_ivfpq_topk, whose IVFADC shape stays scored via the CONTAINING
+    # emb_residual_pq_rerank_topk two rows below (learned IVF + residual PQ +
+    # ADC + refine); emb_ivfpq_topk stays oracled below the line.
+    "emb_hier_ivf_topk": llm.emb_hier_ivf_topk,
     # r11 reviewed swap (VERDICT r10 #8): the FULL production ANN stack —
     # learned IVF + residual PQ + ADC shortlist + exact integer refine, every
     # stage in one hash (the single strongest end-to-end certification in the
@@ -231,7 +232,14 @@ QUERIES: dict[str, Query] = {
     # container; the stronger real-container evidence subsumes it, and the
     # frame-sampling shape itself stays oracled below the line).
     "media_mp4_container_stats": llm.media_mp4_container_stats,
-    "emb_label_centroids": llm.emb_label_centroids,
+    # Round-13 second reviewed swap: the window skew advisor ACTUATED with
+    # BRANCH-DIVERGENT evidence (salt_group_topk at sf0.001/0.01 including the
+    # sf0.01 scoring SF, plain_window at sf0.1; decision + definitional top-k
+    # + actuated==advised in one hash) — in for emb_label_centroids, whose
+    # grouped-centroid aggregation shape keeps scored presence via
+    # emb_semantic_dedup's cluster-scoped centroids; label_centroids stays
+    # oracled below the line.
+    "events_window_advice_applied": ea.events_window_advice_applied,
     # Round-7 swap (VERDICT r6 #5): lineitem_bloom_prefilter in for
     # emb_near_dup_pairs — the engine-portable Bloom semi-join reduction (the
     # canonical 100 TB fact-table join-pruning move: k=3 Kirsch-Mitzenmacher
@@ -519,11 +527,12 @@ QUERIES: dict[str, Query] = {
     # oracle computes the DEFINITIONAL one-window top-k; split stats (>= 4x
     # max-bucket shrink) certified in the same hash
     "events_salted_group_topk": ea.events_salted_group_topk,
-    # r13 (VERDICT r12 #3): two-level coarse->fine IVF — the 1e11-vector
-    # routing depth (a sqrt(N) flat centroid table cannot broadcast); per-cell
-    # fixed-point Lloyd + two-stage exact-integer routing, hash-certified via
-    # unrolled CTEs; recall >= flat IVF at equal scan budget pinned in pytest
-    "emb_hier_ivf_topk": llm.emb_hier_ivf_topk,
+    # r13 swap-out: IVFADC (codes-only ranking) rotated below the line for the
+    # hierarchical IVF — its shape stays scored via emb_residual_pq_rerank_topk
+    "emb_ivfpq_topk": llm.emb_ivfpq_topk,
+    # r13 second swap-out: grouped label centroids below the line (shape kept
+    # scored via emb_semantic_dedup's cluster-scoped centroid work)
+    "emb_label_centroids": llm.emb_label_centroids,
     # r13 (VERDICT r12 #4): the hybrid ranking judged, not just BM25 — lexical,
     # vector and RRF-fused legs scored against ONE relevance relation; per-leg
     # rows certified in one hash (integer dcg comparisons are exact per query)
@@ -533,11 +542,6 @@ QUERIES: dict[str, Query] = {
     # Arrow DP, per-doc reassembly; table + DP + assembly certified by one
     # hash via a WORD_CAP-round unrolled-argmin CTE oracle
     "docs_viterbi_tokenize": llm.docs_viterbi_tokenize,
-    # r13 (VERDICT r12 #6): the join advisor's WINDOW twin actuated — MG scan
-    # chooses plain_window vs salt_group_topk, branch-divergent across SFs
-    # (salt at sf0.001/0.01, plain at sf0.1); both branches reproduce the
-    # definitional one-window top-k the oracle computes
-    "events_window_advice_applied": ea.events_window_advice_applied,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -123,7 +123,11 @@ SCORED_WINDOW = [
     # round-8 fourth reviewed swap: IVFADC (which CONTAINS the IVF-fixed probe
     # pipeline and adds the PQ layer) takes the scored row; emb_ivf_fixed_topk
     # stays oracled below the line
-    "emb_ivfpq_topk",
+    # round-13 reviewed swap (the same supersession logic): the two-level
+    # hierarchical IVF in for emb_ivfpq_topk, whose IVFADC shape stays scored
+    # via the containing emb_residual_pq_rerank_topk below; ivfpq stays
+    # oracled below the line
+    "emb_hier_ivf_topk",
     # round-11 reviewed swap (VERDICT r10 #8): the composed production ANN
     # stack — learned IVF + residual PQ + ADC shortlist + exact integer
     # refine, one hash certifying every stage — gains the scored row it was
@@ -136,7 +140,11 @@ SCORED_WINDOW = [
     # round-8 reviewed swap: the real ISO-BMFF container certification replaces
     # the toy-PVID frame sample (which stays oracled below the line)
     "media_mp4_container_stats",
-    "emb_label_centroids",
+    # round-13 second reviewed swap: the actuated window skew advisor
+    # (branch-divergent across SFs; salt fires at the sf0.01 scoring SF) in
+    # for emb_label_centroids, whose grouped-centroid shape keeps scored
+    # presence via emb_semantic_dedup; label_centroids stays oracled below
+    "events_window_advice_applied",
     # round-7 reviewed swap (VERDICT r6 #5): the engine-portable Bloom semi-join
     # reduction (join pruning certified via SQL bitmap replay + exact control)
     # replaces emb_near_dup_pairs, whose sign-bucket-LSH shape emb_ann_recall
