@@ -653,3 +653,200 @@ def with_residual_adc_probes(
             )
 
     return queries.mapInPandas(kernel, out_schema)
+
+
+def _hier_assign_int(x, coarse, fine):
+    """Exact-int hierarchical assignment of quantized rows: nearest coarse
+    cell (first-min ties == lowest cid), then nearest fine centroid WITHIN
+    that cell (ties == lowest j). Returns global fine ids c*n_fine + j.
+    Shared by the hier codebook trainer and both hier Arrow kernels so the
+    three can never diverge."""
+    import numpy as np
+
+    n_coarse = len(coarse)
+    n_fine = len(fine) // n_coarse
+    c = ((coarse * coarse).sum(axis=1)[None, :] - 2 * (x @ coarse.T)).argmin(axis=1)
+    df_all = ((fine * fine).sum(axis=1)[None, :] - 2 * (x @ fine.T)).reshape(
+        len(x), n_coarse, n_fine
+    )
+    j = df_all[np.arange(len(x)), c, :].argmin(axis=1)
+    return c * n_fine + j
+
+
+def hier_residual_pq_codebooks_int(
+    df: DataFrame,
+    coarse_int,
+    fine_int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """residual_pq_codebooks_int with HIERARCHICAL assignment: the residuals
+    are taken against each vector's hier-assigned FINE centroid (the cell the
+    IVFADC scan will route through). Same bounded ksub-row driver
+    materialization; an external engine recomputes the identical set
+    relationally."""
+    import numpy as np
+
+    from .similarity import QUANT_SCALE, _check_quantized_envelope
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    x = np.floor(
+        np.asarray([r[vec_col] for r in rows], dtype=np.float64) * QUANT_SCALE
+    ).astype(np.int64)
+    _check_quantized_envelope(x)
+    coarse = np.asarray(coarse_int, dtype=np.int64)
+    fine = np.asarray(fine_int, dtype=np.int64)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    fid = _hier_assign_int(x, coarse, fine)
+    r = x - fine[fid]
+    sub = dim // m
+    return np.stack([r[:, s * sub : (s + 1) * sub] for s in range(m)])
+
+
+def with_hier_residual_pq_codes(
+    df: DataFrame,
+    coarse_int,
+    fine_int,
+    codebooks_int,
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid_id",
+    prefix: str = "pq",
+) -> DataFrame:
+    """with_ivf_residual_pq_codes with TWO-LEVEL assignment (VERDICT r12 #3
+    composed into the production stack): one fused Arrow pass quantizes,
+    routes coarse->fine (N x (n_coarse + n_fine) distance evaluations instead
+    of N x n_coarse*n_fine — the 1e11-vector assignment cut), takes the
+    integer residual against the FINE centroid, and encodes. centroid_col is
+    the global fine id. All exact int64; NULL vectors get NULL ids + codes."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from .similarity import QUANT_SCALE, _check_quantized_envelope
+
+    cb = np.asarray(codebooks_int, dtype=np.int64)
+    coarse = np.asarray(coarse_int, dtype=np.int64)
+    fine = np.asarray(fine_int, dtype=np.int64)
+    m, _, sub = cb.shape
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(centroid_col, IntegerType(), True)]
+        + [StructField(f"{prefix}_{s}", IntegerType(), True) for s in range(m)]
+    )
+    vec_idx = df.columns.index(vec_col)
+
+    def kernel(batches):
+        for pdf in batches:
+            col = pdf.iloc[:, vec_idx]
+            mask = col.notna().to_numpy()
+            cid = np.full(len(pdf), -1, dtype=np.int32)
+            codes = np.full((len(pdf), m), -1, dtype=np.int32)
+            if mask.any():
+                x = np.floor(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in col[mask]])
+                    * QUANT_SCALE
+                ).astype(np.int64)
+                _check_quantized_envelope(x)
+                fid = _hier_assign_int(x, coarse, fine)
+                cid[mask] = fid
+                r = x - fine[fid]
+                for s in range(m):
+                    sl = r[:, s * sub : (s + 1) * sub]
+                    d = (cb[s] * cb[s]).sum(axis=1)[None, :] - 2 * (sl @ cb[s].T)
+                    codes[mask, s] = d.argmin(axis=1)
+            res = pdf.copy()
+            c = cid.astype(object)
+            c[~mask] = None
+            res[centroid_col] = c
+            for s in range(m):
+                cs = codes[:, s].astype(object)
+                cs[~mask] = None
+                res[f"{prefix}_{s}"] = cs
+            yield res
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def with_hier_residual_adc_probes(
+    queries: DataFrame,
+    coarse_int,
+    fine_int,
+    codebooks_int,
+    nprobe_coarse: int,
+    nprobe_fine: int,
+    vec_col: str = "qv",
+    prefix: str = "_pqt",
+    centroid_col: str = "centroid_id",
+) -> DataFrame:
+    """with_residual_adc_probes with TWO-LEVEL routing: the query touches
+    n_coarse + nprobe_coarse*n_fine centroids instead of n_coarse*n_fine
+    (the ~29x routing-FLOP cut of SCALE.md r13), then emits one row per
+    probed FINE cell with that cell's per-list residual ADC tables. Probe
+    set: the nprobe_fine nearest fine ids among the probed coarse cells'
+    union, ascending by (exact distance, fine id) — exactly hier_probe_ids'
+    rule, replayed in SQL as ROW_NUMBER ORDER BY d, fid."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .similarity import QUANT_SCALE, _check_quantized_envelope
+
+    cb = np.asarray(codebooks_int, dtype=np.int64)
+    coarse = np.asarray(coarse_int, dtype=np.int64)
+    fine = np.asarray(fine_int, dtype=np.int64)
+    n_coarse = len(coarse)
+    n_fine = len(fine) // n_coarse
+    m, _, sub = cb.shape
+    out_schema = StructType(
+        queries.schema.fields
+        + [StructField(centroid_col, IntegerType(), True)]
+        + [StructField(f"{prefix}_{s}", ArrayType(LongType()), True) for s in range(m)]
+    )
+    vec_idx = queries.columns.index(vec_col)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            col = pdf.iloc[:, vec_idx]
+            out_rows = []
+            for i in range(len(pdf)):
+                v = col.iloc[i]
+                if v is None:
+                    continue
+                x = np.floor(np.asarray(v, dtype=np.float64) * QUANT_SCALE).astype(
+                    np.int64
+                )
+                _check_quantized_envelope(x[None, :])
+                cd = ((coarse - x[None, :]) ** 2).sum(axis=1)
+                cells = np.argsort(cd, kind="stable")[:nprobe_coarse]
+                cand = np.concatenate(
+                    [np.arange(c * n_fine, (c + 1) * n_fine) for c in cells]
+                )
+                cand.sort()  # ascending ids -> stable argsort ties to lowest fid
+                fd = ((fine[cand] - x[None, :]) ** 2).sum(axis=1)
+                for fid in cand[np.argsort(fd, kind="stable")[:nprobe_fine]]:
+                    rq = x - fine[fid]
+                    row = dict(pdf.iloc[i])
+                    row[centroid_col] = int(fid)
+                    for s in range(m):
+                        t = ((rq[s * sub : (s + 1) * sub][None, :] - cb[s]) ** 2).sum(
+                            axis=1
+                        )
+                        row[f"{prefix}_{s}"] = [int(z) for z in t]
+                    out_rows.append(row)
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in out_schema.fields]
+            ) if out_rows else pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+            )
+
+    return queries.mapInPandas(kernel, out_schema)

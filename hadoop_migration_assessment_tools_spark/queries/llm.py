@@ -1192,6 +1192,52 @@ def _hier_fine_lloyd_iteration_sql(i: int) -> str:
 )"""
 
 
+def _hier_train_sql(
+    n_coarse: int, n_fine: int, coarse_iters: int, fine_iters: int
+) -> str:
+    """The two-level trainer's CTE chain, parameterized (r13 — shared by the
+    hier top-k oracle and the hier residual-PQ stack). Expects a CTE named
+    ``s`` (sid, xq) — the quantized training sample in id order. Produces the
+    final coarse table ``c{coarse_iters}`` and fine table ``f{fine_iters}``
+    (cid, j, c)."""
+    coarse_rounds = ", ".join(
+        _scaled_ivf_lloyd_iteration_sql(i) for i in range(1, coarse_iters + 1)
+    )
+    fine_rounds = ", ".join(
+        _hier_fine_lloyd_iteration_sql(i) for i in range(1, fine_iters + 1)
+    )
+    return f"""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s
+), c0 AS (
+  SELECT g.i AS cid, s.xq AS c
+  FROM generate_series(0, {n_coarse - 1}) g(i), nn
+  JOIN s ON s.sid = (g.i * (nn.n - 1)) // {n_coarse - 1}
+), {coarse_rounds},
+sa0 AS MATERIALIZED (
+  -- assign the sample to its final coarse cell (exact int, lowest-cid ties)
+  SELECT s.sid, s.xq, c.cid,
+         list_sum(list_transform(list_zip(s.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM s, c{coarse_iters} c
+), ordm AS MATERIALIZED (
+  -- per-cell member positions IN SAMPLE ORDER (the python trainer's implicit order)
+  SELECT sid, xq, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sid) - 1 AS pos
+  FROM (SELECT sid, xq, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d ASC, cid ASC) AS rn
+          FROM sa0) WHERE rn = 1)
+), cellsz AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS m FROM ordm GROUP BY cid
+), f0 AS MATERIALIZED (
+  -- per-cell integer-formula init: fine j starts at member pos j*(m-1)//(nfine-1);
+  -- a cell with no members inherits its coarse centroid (deterministic, unroutable)
+  SELECT c.cid, gj.j, COALESCE(o.xq, c.c) AS c
+  FROM c{coarse_iters} c
+  CROSS JOIN generate_series(0, {n_fine - 1}) gj(j)
+  LEFT JOIN cellsz z ON z.cid = c.cid
+  LEFT JOIN ordm o ON o.cid = c.cid AND o.pos = (gj.j * (z.m - 1)) // {n_fine - 1}
+), {fine_rounds}"""
+
+
 EMB_HIER_IVF_TOPK_ORACLE = f"""
 WITH reps AS (
   SELECT vec_id, embedding, r.rep FROM embeddings, generate_series(0, {SCALED_REPS - 1}) r(rep)
@@ -1207,37 +1253,7 @@ WITH reps AS (
              v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
   FROM embeddings
   QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {SCALED_IVF_SAMPLE_N}
-), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s
-), c0 AS (
-  SELECT g.i AS cid, s.xq AS c
-  FROM generate_series(0, {HIER_NCOARSE - 1}) g(i), nn
-  JOIN s ON s.sid = (g.i * (nn.n - 1)) // {HIER_NCOARSE - 1}
-), {_scaled_ivf_lloyd_iteration_sql(1)}, {_scaled_ivf_lloyd_iteration_sql(2)},
-{_scaled_ivf_lloyd_iteration_sql(3)},
-sa0 AS MATERIALIZED (
-  -- assign the sample to its final coarse cell (exact int, lowest-cid ties)
-  SELECT s.sid, s.xq, c.cid,
-         list_sum(list_transform(list_zip(s.xq, c.c),
-                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-  FROM s, c{HIER_COARSE_ITERS} c
-), ordm AS MATERIALIZED (
-  -- per-cell member positions IN SAMPLE ORDER (the python trainer's implicit order)
-  SELECT sid, xq, cid,
-         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sid) - 1 AS pos
-  FROM (SELECT sid, xq, cid FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d ASC, cid ASC) AS rn
-          FROM sa0) WHERE rn = 1)
-), cellsz AS (
-  SELECT cid, CAST(COUNT(*) AS BIGINT) AS m FROM ordm GROUP BY cid
-), f0 AS MATERIALIZED (
-  -- per-cell integer-formula init: fine j starts at member pos j*(m-1)//(nfine-1);
-  -- a cell with no members inherits its coarse centroid (deterministic, unroutable)
-  SELECT c.cid, gj.j, COALESCE(o.xq, c.c) AS c
-  FROM c{HIER_COARSE_ITERS} c
-  CROSS JOIN generate_series(0, {HIER_NFINE - 1}) gj(j)
-  LEFT JOIN cellsz z ON z.cid = c.cid
-  LEFT JOIN ordm o ON o.cid = c.cid AND o.pos = (gj.j * (z.m - 1)) // {HIER_NFINE - 1}
-), {_hier_fine_lloyd_iteration_sql(1)}, {_hier_fine_lloyd_iteration_sql(2)},
+), {_hier_train_sql(HIER_NCOARSE, HIER_NFINE, HIER_COARSE_ITERS, HIER_FINE_ITERS)},
 corpq AS MATERIALIZED (
   SELECT vec_id, embedding,
          list_transform(embedding,
@@ -7071,3 +7087,210 @@ ORDER BY doc_id
 
 
 DOCS_VITERBI_TOKENIZE_ORACLE = _docs_viterbi_tokenize_oracle()
+
+
+# --- emb_hier_residual_rerank_topk ------------------------------------------------------
+# [EXT] The 1e11-vector PRODUCTION configuration composed end to end: TWO-LEVEL
+# routing (emb_hier_ivf_topk's coarse->fine trainer) feeding the residual-PQ +
+# ADC-shortlist + exact-integer-refine stack (emb_residual_pq_rerank_topk's
+# seam). This is Faiss's IVF_HNSW-coarse-quantizer + IndexIVFPQ + IndexRefine
+# triple — the architecture a 1e11-vector deployment actually runs, where the
+# flat sqrt(N)~300k centroid table can neither broadcast nor be probed as one
+# matmul (SCALE.md r13). Residuals are taken against the hier-assigned FINE
+# centroid; every stage is exact int64, so ONE oracle hash certifies coarse
+# Lloyd, per-cell fine Lloyd, hierarchical assignment, residual encoding,
+# two-stage routing, per-list ADC tables, the shortlist cut AND the exact
+# refine. Layout keeps total fine cells (8x8 = 64) and the scanned-cell budget
+# (8) equal to the flat production row (nlist=64, nprobe=8) — the recall
+# comparison in pytest is apples-to-apples.
+
+HRES_NCOARSE = 8
+HRES_NFINE = 8
+HRES_NPC = 4
+HRES_NPF = RES_PQ_NPROBE  # 8 — same scanned-cell budget as the flat row
+HRES_CI = 2
+HRES_FI = 1
+
+
+def emb_hier_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.quantize import (
+        PQ_M,
+        hier_residual_pq_codebooks_int,
+        with_hier_residual_adc_probes,
+        with_hier_residual_pq_codes,
+    )
+    from ..ext.similarity import (
+        int_sq_l2,
+        quantize_vec,
+        train_hier_centroids_quantized,
+    )
+
+    corpus = _clustered_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    sample = [
+        r[0]
+        for r in corpus.orderBy("vec_id")
+        .limit(RES_PQ_SAMPLE_N)
+        .select("embedding")
+        .collect()
+    ]
+    coarse, fine = train_hier_centroids_quantized(
+        sample, HRES_NCOARSE, HRES_NFINE, HRES_CI, HRES_FI
+    )
+    cbs = hier_residual_pq_codebooks_int(corpus, coarse, fine)
+    coded = with_hier_residual_pq_codes(corpus, coarse, fine, cbs).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        *[F.col(f"pq_{s}") for s in range(PQ_M)],
+    )
+    queries = corpus.where(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = with_hier_residual_adc_probes(
+        queries, coarse, fine, cbs, HRES_NPC, HRES_NPF
+    ).drop("qv")
+    cand = coded.join(F.broadcast(probes), "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.lit(0).cast("long")
+    for s in range(PQ_M):
+        adc = adc + F.element_at(F.col(f"_pqt_{s}"), F.col(f"pq_{s}") + F.lit(1))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id").asc()
+    )
+    # the tail is _residual_rerank_pipeline's verbatim: shortlist shuffle
+    # carries only (query_id, neighbor_id, adc_d); quantized vectors re-enter
+    # post-shortlist via broadcasts — never a corpus shuffle
+    shortlist = (
+        cand.withColumn("adc_d", adc)
+        .select("query_id", "neighbor_id", "adc_d")
+        .withColumn("_radc", F.row_number().over(w_adc))
+        .where(F.col("_radc") <= RES_RERANK_R)
+        .drop("_radc")
+    )
+    nvecs = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), quantize_vec(F.col("embedding")).alias("nq")
+    )
+    qvecs = corpus.where(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), quantize_vec(F.col("embedding")).alias("qq")
+    )
+    w_true = Window.partitionBy("query_id").orderBy(
+        F.col("true_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("true_d", int_sq_l2(F.col("qq"), F.col("nq")))
+        .select("query_id", "neighbor_id", "adc_d", "true_d")
+        .withColumn("rank", F.row_number().over(w_true).cast("long"))
+        .where(F.col("rank") <= PQ_TOPK_K)
+        .select("query_id", "rank", "neighbor_id", "adc_d", "true_d")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hier_residual_oracle_ctes() -> str:
+    """The hier residual stack's relational replay: _residual_pq_oracle_ctes
+    with the flat-Lloyd training / assignment / probing blocks swapped for the
+    two-level forms (_hier_train_sql + coarse->fine argmins); the encode /
+    codesp / qadc / pair sections are the flat oracle's verbatim — the PQ seam
+    is identical, only the routing changed."""
+    nf = HRES_NFINE
+    return f"""
+WITH {_RES_PQ_CORPUS_CTES}, s AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM clustered
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {RES_PQ_SAMPLE_N}
+), {_hier_train_sql(HRES_NCOARSE, HRES_NFINE, HRES_CI, HRES_FI)},
+corpq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM clustered
+), had AS MATERIALIZED (
+  SELECT cq.vec_id, cq.xq, c.cid,
+         list_sum(list_transform(list_zip(cq.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM corpq cq, c{HRES_CI} c
+), hca AS MATERIALIZED (
+  SELECT vec_id, xq, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM had) WHERE rn = 1
+), hfd AS (
+  SELECT a.vec_id, a.xq, f.cid * {nf} + f.j AS fid, f.c,
+         list_sum(list_transform(list_zip(a.xq, f.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM hca a JOIN f{HRES_FI} f ON f.cid = a.cid
+), assigned AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, fid AS centroid_id,
+         list_transform(list_zip(xq, c), p -> p[1] - p[2]) AS rq
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, fid ASC) AS rn
+        FROM hfd) WHERE rn = 1
+), cw AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1 AS code, rq
+  FROM assigned
+  QUALIFY ROW_NUMBER() OVER (ORDER BY neighbor_id) <= 16
+), enc AS MATERIALIZED (
+  SELECT a.neighbor_id, a.centroid_id, s2.s, w.code,
+         list_sum(list_transform(
+             list_zip(a.rq[s2.s*16+1 : s2.s*16+16], w.rq[s2.s*16+1 : s2.s*16+16]),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM assigned a, generate_series(0, 3) s2(s), cw w
+), codesp AS MATERIALIZED (
+  SELECT neighbor_id, centroid_id,
+         MAX(CASE WHEN s = 0 THEN code END) AS k0,
+         MAX(CASE WHEN s = 1 THEN code END) AS k1,
+         MAX(CASE WHEN s = 2 THEN code END) AS k2,
+         MAX(CASE WHEN s = 3 THEN code END) AS k3
+  FROM (SELECT neighbor_id, centroid_id, s, code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id, s
+                                           ORDER BY d ASC, code ASC) AS rn FROM enc)
+        WHERE rn = 1)
+  GROUP BY neighbor_id, centroid_id
+), q AS (
+  SELECT vec_id AS query_id, xq FROM corpq WHERE vec_id < {TOPK_QUERIES}
+), hqd AS (
+  SELECT q.query_id, q.xq, c.cid,
+         list_sum(list_transform(list_zip(q.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q, c{HRES_CI} c
+), hqc AS MATERIALIZED (
+  SELECT query_id, xq, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
+        FROM hqd) WHERE rn <= {HRES_NPC}
+), hqf AS (
+  SELECT p.query_id, p.xq, f.cid * {nf} + f.j AS fid, f.c,
+         list_sum(list_transform(list_zip(p.xq, f.c),
+                  p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2]))) AS d
+  FROM hqc p JOIN f{HRES_FI} f ON f.cid = p.cid
+), probes AS MATERIALIZED (
+  SELECT query_id, fid AS centroid_id,
+         list_transform(list_zip(xq, c), p -> p[1] - p[2]) AS qrq
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, fid ASC) AS rn
+        FROM hqf) WHERE rn <= {HRES_NPF}
+), qadc AS MATERIALIZED (
+  SELECT p.query_id, p.centroid_id, s2.s, w.code,
+         list_sum(list_transform(
+             list_zip(p.qrq[s2.s*16+1 : s2.s*16+16], w.rq[s2.s*16+1 : s2.s*16+16]),
+             z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+  FROM probes p, generate_series(0, 3) s2(s), cw w
+), pair AS MATERIALIZED (
+  SELECT p.query_id, a.neighbor_id, t0.d + t1.d + t2.d + t3.d AS adc_d
+  FROM probes p
+  JOIN codesp a ON a.centroid_id = p.centroid_id
+  JOIN qadc t0 ON t0.query_id = p.query_id AND t0.centroid_id = p.centroid_id
+              AND t0.s = 0 AND t0.code = a.k0
+  JOIN qadc t1 ON t1.query_id = p.query_id AND t1.centroid_id = p.centroid_id
+              AND t1.s = 1 AND t1.code = a.k1
+  JOIN qadc t2 ON t2.query_id = p.query_id AND t2.centroid_id = p.centroid_id
+              AND t2.s = 2 AND t2.code = a.k2
+  JOIN qadc t3 ON t3.query_id = p.query_id AND t3.centroid_id = p.centroid_id
+              AND t3.s = 3 AND t3.code = a.k3
+  WHERE a.neighbor_id <> p.query_id
+)"""
+
+
+EMB_HIER_RESIDUAL_RERANK_TOPK_ORACLE = (
+    _hier_residual_oracle_ctes() + _residual_rerank_oracle_tail(RES_RERANK_R, PQ_TOPK_K)
+)

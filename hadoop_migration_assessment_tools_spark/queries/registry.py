@@ -542,6 +542,11 @@ QUERIES: dict[str, Query] = {
     # Arrow DP, per-doc reassembly; table + DP + assembly certified by one
     # hash via a WORD_CAP-round unrolled-argmin CTE oracle
     "docs_viterbi_tokenize": llm.docs_viterbi_tokenize,
+    # r13 stretch: the 1e11-vector production configuration composed — two-
+    # level routing feeding residual PQ + ADC shortlist + exact integer
+    # refine; one hash certifies the entire stack (equal cells/scan budget
+    # vs the flat production row, recall parity pinned in pytest)
+    "emb_hier_residual_rerank_topk": llm.emb_hier_residual_rerank_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -734,4 +739,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_hybrid_metrics": llm.DOCS_HYBRID_METRICS_ORACLE,
     "docs_viterbi_tokenize": llm.DOCS_VITERBI_TOKENIZE_ORACLE,
     "events_window_advice_applied": ea.EVENTS_WINDOW_ADVICE_APPLIED_ORACLE,
+    "emb_hier_residual_rerank_topk": llm.EMB_HIER_RESIDUAL_RERANK_TOPK_ORACLE,
 }

@@ -4482,3 +4482,43 @@ def test_viterbi_tokenize_docs_pipeline(spark):
         assert out["segmented"].replace("+", "") == " ".join(toks)
         assert out["n_pieces"] >= out["n_words"]
         assert out["cost_bits"] > 0
+
+
+def test_hier_residual_rerank_recall_matches_flat_production_row(spark):
+    """r13 stretch row: the two-level routed residual stack must not pay for
+    its depth in recall — equal cells (8x8 = 64 = flat nlist) and scanned-cell
+    budget (8), recall vs exact integer L2 >= the flat production row's and
+    >= 0.8 (measured 1.0 / 1.0 at every SF at pin time)."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.queries.llm import (
+        PQ_TOPK_K,
+        TOPK_QUERIES,
+        _clustered_embeddings,
+        emb_hier_residual_rerank_topk,
+        emb_residual_pq_rerank_topk,
+    )
+
+    rows = _clustered_embeddings(spark, SF).collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(X)
+    M = np.stack([X[i] for i in ids])
+    idx = np.array(ids)
+    exact = set()
+    for q in range(TOPK_QUERIES):
+        dq = ((M - X[q][None, :]) ** 2).sum(1)
+        dq[idx == q] = np.inf
+        order = np.lexsort((idx, dq))[:PQ_TOPK_K]
+        exact.update((q, int(idx[o])) for o in order)
+    flat = {
+        (r["query_id"], r["neighbor_id"])
+        for r in emb_residual_pq_rerank_topk(spark, SF).collect()
+    }
+    hier = {
+        (r["query_id"], r["neighbor_id"])
+        for r in emb_hier_residual_rerank_topk(spark, SF).collect()
+    }
+    r_flat = len(flat & exact) / len(exact)
+    r_hier = len(hier & exact) / len(exact)
+    assert r_hier >= r_flat, f"hier {r_hier} < flat {r_flat} at equal budget"
+    assert r_hier >= 0.8, r_hier

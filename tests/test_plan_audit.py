@@ -49,6 +49,13 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_ivfpq_rerank_topk": dict(
         shuffle_exchange=3, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
     ),
+    # r13: the two-level routed residual stack lands on the SAME production
+    # IVFADC+refine envelope — the hierarchical routing lives inside the two
+    # Arrow kernels (assignment scan + probe pass) and costs ZERO extra plan
+    # structure: same 3 shuffles / 3 broadcasts / 3 BHJ / 0 BNLJ / window 6.
+    "emb_hier_residual_rerank_topk": dict(
+        shuffle_exchange=3, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+    ),
     # round 6: fixed-centroid cluster profile — scan-local assignment + one
     # centroid/label agg + the profile windows (+ output-order sort). Zero joins.
     "emb_cluster_profile": dict(
