@@ -50,6 +50,12 @@ PARTITIONING_SENSITIVE = [
     # cross-partition sum order irrelevant — keep it exercised)
     "docs_bm25_topk",
     "docs_hybrid_rrf",
+    # round 13: the hier router's two-stage argmins, the Viterbi per-doc
+    # reassembly (array_sort over (pos, seg) structs), and the window
+    # advisor's salted branch must all be layout-independent
+    "emb_hier_ivf_topk",
+    "docs_viterbi_tokenize",
+    "events_window_advice_applied",
 ]
 
 
