@@ -74,19 +74,32 @@ def _substrings(word: Column, max_len: int) -> Column:
     )
 
 
+def word_frequency(words: DataFrame) -> DataFrame:
+    """(word, n): the distinct-word relation with occurrence counts — the
+    vocabulary-sized intermediate every downstream stage works from (one
+    map-side-combined corpus groupBy; everything after is |vocab|-sized)."""
+    return words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
 def unigram_piece_table(
     words: DataFrame,
     max_len: int = MAX_PIECE_LEN,
     top_k: int = PIECE_TOP_K,
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, cnt, cost_bits): every single character + the top_k longer
     pieces by (cnt DESC, piece ASC), costed by whole-bit surprisal against the
-    total count of KEPT pieces. One corpus-wide groupBy on the piece key; the
-    kept relation is alphabet + top_k rows."""
+    total count of KEPT pieces. Counts are over word OCCURRENCES but computed
+    from the word-TYPE table weighted by frequency (r13 perf: the corpus-wide
+    substring explode — ~26 substrings per occurrence — collapses to one
+    corpus groupBy on the word key plus a vocabulary-sized explode; identical
+    counts because explode preserves within-word substring multiplicity).
+    The kept relation is alphabet + top_k rows."""
+    wf = word_freq if word_freq is not None else word_frequency(words)
     cnts = (
-        words.select(F.explode(_substrings(F.col("word"), max_len)).alias("piece"))
+        wf.select(F.explode(_substrings(F.col("word"), max_len)).alias("piece"), "n")
         .groupBy("piece")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("n").cast("long").alias("cnt"))
     )
     chars = cnts.filter(F.length("piece") == 1)
     multis = (
@@ -198,9 +211,10 @@ def viterbi_tokenize_docs(
     relation is a few dozen rows by construction.
     """
     ws = word_stream(docs, text_col, word_cap)
-    table = unigram_piece_table(ws, max_len, top_k)
+    wf = word_frequency(ws)
+    table = unigram_piece_table(ws, max_len, top_k, word_freq=wf)
     costs = {r["piece"]: r["cost_bits"] for r in table.collect()}  # bounded
-    vocab = ws.select("word").distinct()
+    vocab = wf.select("word")
     wseg = viterbi_segment_words(vocab, costs, max_len)
     joined = ws.join(F.broadcast(wseg), "word")
     return joined.groupBy("doc_id").agg(

@@ -413,12 +413,16 @@ def apply_window_topk_advice(
     salt_buckets: int = 16,
     salt: Column | None = None,
     rank_col: str = "rank",
+    advice=None,
 ) -> tuple[str, DataFrame]:
     """Walk the SAME decision as ``advise_window`` and EXECUTE the chosen
     per-group top-k (the apply_join_advice pattern). Returns ``(strategy,
     df)`` where df carries ``rank_col`` 1..k per group — IDENTICAL rows under
     either branch for any total order (callers must include a tie-breaker in
-    ``order_by``, the salted_group_topk contract):
+    ``order_by``, the salted_group_topk contract). Pass ``advice`` (a
+    collected advise_window Row) to reuse an advice relation the caller has
+    already materialized — e.g. one it also emits as output columns — instead
+    of paying the MG scan twice:
 
     - ``salt_group_topk`` — the two-phase salted rewrite: local top-k per
       (group, salt) fans the hot group across ``salt_buckets`` tasks, then
@@ -434,7 +438,8 @@ def apply_window_topk_advice(
     from .ranking import salted_group_topk
 
     keys = _as_keys(group_cols)
-    advice = advise_window(df, keys, skew_share).collect()[0]
+    if advice is None:
+        advice = advise_window(df, keys, skew_share).collect()[0]
     strategy = advice["strategy"]
     kept = df.where(_not_null(keys))
     if strategy == "salt_group_topk":

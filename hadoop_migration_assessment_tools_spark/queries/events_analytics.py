@@ -2479,6 +2479,16 @@ def events_window_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = ev.select(grp.alias("grp"), "event_id", "value")
     salt = F.pmod(portable_hash60(F.col("event_id")), F.lit(WADV_SALT_BUCKETS))
+    # ONE advice computation (r13 perf): checkpoint the 1-row relation, collect
+    # it for the branch choice, and let the SAME materialization ride the
+    # certified output — the actuated literal must agree with it (pinned via
+    # the hash itself: the oracle recomputes strategy from exact stats)
+    advice = (
+        advise_window(base, ["grp"], WADV_SKEW_SHARE)
+        .select("total_rows", "top_share", F.col("strategy").alias("advised"))
+        .localCheckpoint(eager=True)
+    )
+    row = advice.collect()[0]
     strategy, top = apply_window_topk_advice(
         base,
         ["grp"],
@@ -2487,12 +2497,7 @@ def events_window_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew_share=WADV_SKEW_SHARE,
         salt_buckets=WADV_SALT_BUCKETS,
         salt=salt,
-    )
-    # the in-plan advice row (same computation that chose the branch) rides the
-    # certified output; the actuated literal must agree with it (pinned below
-    # via the hash itself: the oracle recomputes strategy from exact stats)
-    advice = advise_window(base, ["grp"], WADV_SKEW_SHARE).select(
-        "total_rows", "top_share", F.col("strategy").alias("advised")
+        advice={"strategy": row["advised"]},
     )
     return (
         top.crossJoin(F.broadcast(advice))

@@ -7294,3 +7294,107 @@ corpq AS MATERIALIZED (
 EMB_HIER_RESIDUAL_RERANK_TOPK_ORACLE = (
     _hier_residual_oracle_ctes() + _residual_rerank_oracle_tail(RES_RERANK_R, PQ_TOPK_K)
 )
+
+
+# --- emb_hier_ivf_stream_index_parity ---------------------------------------------------
+# [EXT] Streaming ANN index maintenance — the retrieval stack's production ingest
+# loop applied to VECTORS (the docs_bm25_stream_index_parity certification trick):
+# the replicated corpus arrives as a REAL 4-micro-batch stream, each batch is routed
+# through the two-level assigner into a batch-id-addressed cell-assigned index tree
+# (streaming/indexing.HierIVFIndexIngestSink — replay-idempotent because assignment
+# is per-row deterministic against FIXED pre-trained centroids), and the top-k query
+# then probes THE MATERIALIZED INDEX — raw unrouted vectors are never touched again
+# after ingest. The oracle is EMB_HIER_IVF_TOPK_ORACLE verbatim (the full-corpus
+# derivation), so one hash certifies stream-built index content == batch routing AND
+# the from-index probe path == the definitional hier search. This is how a vector
+# store actually ingests at 1e11 scale: new vectors route cell-by-cell as they
+# arrive; a full-corpus re-assignment never happens again.
+
+
+def emb_hier_ivf_stream_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config import scratch_dir
+    from ..ext.similarity import (
+        _paired_cosine,
+        hier_probe_ids,
+        l2_norm,
+        train_hier_centroids_quantized,
+    )
+    from ..streaming.indexing import HierIVFIndexIngestSink
+
+    base = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        r[0]
+        for r in base.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(SCALED_IVF_SAMPLE_N)
+        .select("embedding")
+        .collect()
+    ]
+    coarse, fine = train_hier_centroids_quantized(
+        sample, HIER_NCOARSE, HIER_NFINE, HIER_COARSE_ITERS, HIER_FINE_ITERS
+    )
+
+    tmp = scratch_dir("emb_hier_stream_index", sf_dir, wipe=True)
+    src = f"{tmp}/src"
+    # 4 files + maxFilesPerTrigger=1 forces a genuinely multi-batch ingest
+    _scaled_embeddings(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = HierIVFIndexIngestSink(f"{tmp}/index", coarse, fine)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")  # tiny per-batch writes
+    try:
+        sink.attach(
+            stream, checkpoint_dir=f"{tmp}/ckpt", available_now=True
+        ).awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    index = spark.read.parquet(f"{tmp}/index").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cvec"),
+        l2_norm(F.col("embedding")).alias("_cnorm"),
+        "centroid_id",
+    )
+    probes = (
+        base.filter(F.col("vec_id") < SCALED_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qvec"),
+            l2_norm(F.col("embedding")).alias("_qnorm"),
+        )
+        .withColumn(
+            "_probe_ids",
+            hier_probe_ids(coarse, fine, HIER_NPROBE_COARSE, HIER_NPROBE_FINE)(
+                F.col("_qvec")
+            ),
+        )
+        .select(
+            "query_id",
+            "_qvec",
+            "_qnorm",
+            F.explode(F.col("_probe_ids")).alias("centroid_id"),
+        )
+    )
+    scored = (
+        index.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _paired_cosine())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+#: identical output to emb_hier_ivf_topk — the point: a completely different
+#: physical path (stream-built materialized cell index) must land on the same
+#: certified rows as the full-corpus derivation
+EMB_HIER_IVF_STREAM_INDEX_PARITY_ORACLE = EMB_HIER_IVF_TOPK_ORACLE

@@ -547,6 +547,11 @@ QUERIES: dict[str, Query] = {
     # refine; one hash certifies the entire stack (equal cells/scan budget
     # vs the flat production row, recall parity pinned in pytest)
     "emb_hier_residual_rerank_topk": llm.emb_hier_residual_rerank_topk,
+    # r13: streaming ANN index maintenance — vectors routed cell-by-cell as
+    # they arrive (4 real micro-batches) into a batch-id-addressed index;
+    # top-k probes the MATERIALIZED index and must land on the full-corpus
+    # derivation's certified rows (oracle = EMB_HIER_IVF_TOPK_ORACLE verbatim)
+    "emb_hier_ivf_stream_index_parity": llm.emb_hier_ivf_stream_index_parity,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -740,4 +745,5 @@ ORACLE_SQL: dict[str, str] = {
     "docs_viterbi_tokenize": llm.DOCS_VITERBI_TOKENIZE_ORACLE,
     "events_window_advice_applied": ea.EVENTS_WINDOW_ADVICE_APPLIED_ORACLE,
     "emb_hier_residual_rerank_topk": llm.EMB_HIER_RESIDUAL_RERANK_TOPK_ORACLE,
+    "emb_hier_ivf_stream_index_parity": llm.EMB_HIER_IVF_STREAM_INDEX_PARITY_ORACLE,
 }

@@ -1390,3 +1390,44 @@ def test_bm25_index_ingest_kill_restart_matches_batch_index(spark, tmp_path):
     )
     per_doc = collections.Counter(d for d, _ in doc_batches)
     assert max(per_doc.values()) == 1
+
+
+def test_hier_ivf_index_sink_replay_idempotent(spark, tmp_path):
+    """r13 streaming ANN ingest: a replayed batch (checkpoint recovery) must
+    rewrite byte-identical index content, and the stream-built tree must equal
+    the batch assigner's output row-for-row — the BM25IndexIngestSink
+    discipline applied to vectors."""
+    from pyspark.sql import functions as F
+
+    from hadoop_migration_assessment_tools_spark.ext.similarity import (
+        assign_centroids_hier_quantized,
+        train_hier_centroids_quantized,
+    )
+    from hadoop_migration_assessment_tools_spark.sources.readers import load_table
+    from hadoop_migration_assessment_tools_spark.streaming.indexing import (
+        HierIVFIndexIngestSink,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sample = [r[0] for r in emb.orderBy("vec_id").limit(256).select("embedding").collect()]
+    coarse, fine = train_hier_centroids_quantized(sample, 4, 4, 2, 1)
+    sink = HierIVFIndexIngestSink(str(tmp_path / "index"), coarse, fine)
+
+    batch = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding")
+    sink(batch, 0)
+    first = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(str(tmp_path / "index")).collect()
+    )
+    sink(batch, 0)  # replay: same batch id, same rows -> identical content
+    second = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(str(tmp_path / "index")).collect()
+    )
+    assert first == second and len(first) == 100
+    # stream-built content == the batch assigner's output
+    expect = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_centroids_hier_quantized(batch, coarse, fine).collect()
+    )
+    assert first == expect
