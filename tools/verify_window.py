@@ -4,6 +4,8 @@ entries) — run after ANY registry change, before committing:
     python tools/verify_window.py            # scored window only (driver-like)
     python tools/verify_window.py --all      # every oracled entry
     python tools/verify_window.py --only a b # just the named entries
+    python tools/verify_window.py --all --hostile  # local[5]/shuffle=7/parallelism=5
+                                             # (the partitioning-invariance sweep)
 
 Uses a bare SparkSession.builder session (no get_spark tuning) to mirror the
 driver's conditions; a query that only passes under our session config is a
@@ -29,13 +31,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main(argv: list[str]) -> int:
+    hostile = "--hostile" in argv
+    argv = [a for a in argv if a != "--hostile"]
     if "--only" in argv:
         names = argv[argv.index("--only") + 1 :]
     elif "--all" in argv:
         names = list(ORACLE_SQL)
     else:
         names = list(QUERIES)[:50]
-    spark = SparkSession.builder.master("local[8]").appName("verify-window").getOrCreate()
+    builder = SparkSession.builder.appName("verify-window")
+    if hostile:
+        # a deliberately adversarial layout: odd tiny parallelism + odd shuffle
+        # width vs the usual local[32]/32 — any partitioning-dependent result
+        # (rank ties, fold order, sampling, dedup survivors) breaks parity here
+        builder = (
+            builder.master("local[5]")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.default.parallelism", "5")
+        )
+    else:
+        builder = builder.master("local[8]")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     fails = []
     for name in names:
