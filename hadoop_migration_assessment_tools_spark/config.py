@@ -102,8 +102,30 @@ def scratch_dir(name: str, sf_dir: str = "", wipe: bool = False) -> str:
     if not _SCRATCH_ATEXIT_REGISTERED:
         atexit.register(_cleanup_scratch_dirs)
         _SCRATCH_ATEXIT_REGISTERED = True
+        _scavenge_dead_scratch_dirs()  # once per process
     _SCRATCH_DIRS.add(path)
     return path
+
+
+def _scavenge_dead_scratch_dirs() -> None:
+    """Remove siblings left by processes that died without running atexit
+    (SIGKILL, OOM): a dir whose _p<pid> suffix names a no-longer-running pid
+    is orphaned by construction — pids this process could race are alive."""
+    import glob
+    import re
+    import shutil
+    import tempfile
+
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), "spark_engine_scratch_*_p*")):
+        m = re.search(r"_p(\d+)$", p)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave it
 
 
 # Tables in the driver-provided relational corpus (TESTDATA.md).
