@@ -117,6 +117,11 @@ TRACKED = [
     "docs_dup_pagerank",
     "docs_viterbi_tokenize",
     "events_window_advice_applied",
+    # round-13 late: the composed 1e11 stack (must keep the flat production
+    # row's exact envelope) and the judged hybrid (three top-k legs + metrics,
+    # nothing corpus-sized after the leg scans)
+    "emb_hier_residual_rerank_topk",
+    "docs_hybrid_metrics",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
