@@ -999,3 +999,110 @@ def test_version_gate_boundary_pins(spark):
     }
     assert got == cases
     assert got == {v: _py_version_supported(v) for v in cases}
+
+
+# ---------------------------------------------------------------------------
+# r13 kernel properties: pure-NUMPY invariants (no Spark job per example —
+# the kernels' inner math is what the oracles' bit-parity depends on)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(2, 4),  # n_coarse
+    st.integers(2, 4),  # n_fine
+    st.lists(
+        st.lists(st.integers(-1000, 1000), min_size=4, max_size=4),
+        min_size=8,
+        max_size=40,
+    ),
+)
+def test_hier_assign_matches_nested_argmin_reference(nc, nf, rows):
+    """_hier_assign_int (shared by the hier trainer and BOTH Arrow kernels)
+    vs an independently-written per-row nested argmin with the documented tie
+    rules (coarse ties -> lowest cid, fine ties WITHIN the chosen cell ->
+    lowest j)."""
+    import numpy as np
+
+    from hadoop_migration_assessment_tools_spark.ext.quantize import _hier_assign_int
+
+    x = np.asarray(rows, dtype=np.int64)
+    # centroids drawn deterministically from the data (duplicates likely at
+    # small ranges -> the tie rules are actually exercised)
+    coarse = x[: nc].copy()
+    fine = np.vstack([x[(i * 7 + 3) % len(x)] for i in range(nc * nf)]).astype(np.int64)
+    got = _hier_assign_int(x, coarse, fine)
+    for r in range(len(x)):
+        dc = [int(((x[r] - coarse[c]) ** 2).sum()) for c in range(nc)]
+        c = min(range(nc), key=lambda i: (dc[i], i))
+        dfv = [int(((x[r] - fine[c * nf + j]) ** 2).sum()) for j in range(nf)]
+        j = min(range(nf), key=lambda i: (dfv[i], i))
+        assert got[r] == c * nf + j, (r, got[r], c, j)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=10), min_size=1, max_size=6),
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_viterbi_kernel_matches_recursive_reference(words, costs):
+    """The Viterbi Arrow kernel's DP vs the independently-written recursive
+    reference under RANDOM piece tables (tie rule: min cost, then smallest
+    start-of-last-piece), including words forced onto the single-char UNK
+    fallback."""
+    from functools import lru_cache
+
+    from hadoop_migration_assessment_tools_spark.ext.unigram import (
+        MAX_PIECE_LEN,
+        UNK_COST_BITS,
+    )
+
+    # pure-python twin of the kernel's inner loop (no Spark session needed —
+    # the kernel body is deterministic per word; exercised through Spark in
+    # test_viterbi_segment_matches_independent_reference)
+    def kernel_segment(w):
+        n = len(w)
+        dp = [None] * (n + 1)
+        dp[0] = (0, 0, "")
+        for i in range(1, n + 1):
+            best = None
+            for j in range(max(0, i - MAX_PIECE_LEN), i):
+                piece = w[j:i]
+                c = costs.get(piece)
+                if c is None:
+                    if i - j > 1:
+                        continue
+                    c = UNK_COST_BITS
+                cand = dp[j][0] + c
+                if best is None or cand < best[0]:
+                    best = (cand, dp[j][1] + 1, (dp[j][2] + "+" + piece).lstrip("+"))
+            dp[i] = best
+        return dp[n]
+
+    def ref_segment(w):
+        @lru_cache(maxsize=None)
+        def best(i):
+            if i == 0:
+                return (0, 0, ())
+            cands = []
+            for L in range(1, min(MAX_PIECE_LEN, i) + 1):
+                piece = w[i - L : i]
+                c = costs.get(piece)
+                if c is None:
+                    if L != 1:
+                        continue
+                    c = UNK_COST_BITS
+                prev = best(i - L)
+                cands.append((prev[0] + c, i - L, prev[1] + 1, prev[2] + (piece,)))
+            cands.sort(key=lambda t: (t[0], t[1]))
+            return (cands[0][0], cands[0][2], cands[0][3])
+
+        c, np_, pieces = best(len(w))
+        return (c, np_, "+".join(pieces))
+
+    for w in words:
+        assert kernel_segment(w) == ref_segment(w), (w, costs)
