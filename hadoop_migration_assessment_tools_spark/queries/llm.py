@@ -7398,3 +7398,275 @@ def emb_hier_ivf_stream_index_parity(spark: SparkSession, sf_dir: str) -> DataFr
 #: physical path (stream-built materialized cell index) must land on the same
 #: certified rows as the full-corpus derivation
 EMB_HIER_IVF_STREAM_INDEX_PARITY_ORACLE = EMB_HIER_IVF_TOPK_ORACLE
+
+
+# --- emb_filtered_topk ------------------------------------------------------------------
+# [EXT] Metadata-FILTERED vector search — THE production vector-store feature
+# (Qdrant/Milvus/Vespa all ship it): top-k restricted to corpus rows matching a
+# metadata predicate, with the STRATEGY chosen from measured selectivity (the
+# advisor discipline applied to ANN):
+#   - selective filter (share <= tau): PRE-FILTER + exact brute force — the
+#     filtered set is small, scanning it exactly is cheaper and recall-perfect;
+#   - unselective filter (share > tau): probe the SHARED two-level IVF index
+#     (built over the WHOLE corpus — one index serves every filter) and
+#     POST-FILTER the probed candidates before ranking.
+# The query runs BOTH live branches in one output (a ~14% lang='de' filter and a
+# ~60% lang<>'en' filter — stable at every SF), each tagged with its integer
+# selectivity and the CASE-derived strategy, so one hash certifies the decision
+# AND both result sets; the oracle replays the exact cosine for the prefilter
+# branch and the full hier train/assign/probe/post-filter pipeline for the other.
+# 100 TB shape: the selectivity probe is one map-side-combined 1-row aggregate;
+# the prefilter branch scans only the filtered rows; the postfilter branch adds a
+# WHERE to the existing probed-cells join — neither reshuffles the corpus.
+
+FILT_SEL_TAU_E6 = 250_000  # <= 25% of corpus -> prefilter + exact scan
+
+
+def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import (
+        _paired_cosine,
+        assign_centroids_hier_quantized,
+        hier_probe_ids,
+        l2_norm,
+        train_hier_centroids_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # the SCALED corpus (the structured one IVF is built for), each replica
+    # inheriting its base row's metadata — the realistic shape: vectors carry
+    # filterable attributes from their source documents
+    corpus = (
+        _scaled_embeddings(spark, sf_dir)
+        .withColumn("_base", F.col("vec_id") % _SCALED_ID_STRIDE)
+        .join(F.broadcast(meta), F.col("_base") == F.col("doc_id"))
+        .select("vec_id", "embedding", "lang")
+    )
+    # ONE bounded 1-row aggregate measures every filter's selectivity
+    sel = corpus.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).cast("long").alias("n_de"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).cast("long").alias("n_ne"),
+    ).collect()[0]
+    sel_e6 = {
+        "de_only": sel["n_de"] * 1_000_000 // sel["n"],
+        "non_en": sel["n_ne"] * 1_000_000 // sel["n"],
+    }
+    preds = {"de_only": F.col("lang") == "de", "non_en": F.col("lang") != "en"}
+
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        l2_norm(F.col("embedding")).alias("_qnorm"),
+    )
+    # the SHARED index: trained and assigned ONCE over the whole corpus,
+    # reused by every postfilter-branch filter (built lazily below)
+    hier = {}
+
+    def shared_index():
+        if not hier:
+            sample = [
+                r[0]
+                for r in emb.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(SCALED_IVF_SAMPLE_N)
+                .select("embedding")
+                .collect()
+            ]
+            coarse, fine = train_hier_centroids_quantized(
+                sample, HIER_NCOARSE, HIER_NFINE, HIER_COARSE_ITERS, HIER_FINE_ITERS
+            )
+            hier["cents"] = (coarse, fine)
+            hier["assigned"] = assign_centroids_hier_quantized(
+                corpus, coarse, fine, "embedding"
+            ).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_cvec"),
+                l2_norm(F.col("embedding")).alias("_cnorm"),
+                "lang",
+                "centroid_id",
+            )
+        return hier["cents"], hier["assigned"]
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = None
+    for name in ("de_only", "non_en"):
+        if sel_e6[name] <= FILT_SEL_TAU_E6:
+            strategy = "prefilter_bruteforce"
+            cand = corpus.filter(preds[name]).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_cvec"),
+                l2_norm(F.col("embedding")).alias("_cnorm"),
+            )
+            scored = cand.join(F.broadcast(queries)).where(
+                F.col("neighbor_id") != F.col("query_id")
+            )
+        else:
+            strategy = "probe_postfilter"
+            (coarse, fine), assigned = shared_index()
+            # the production probe-widening rule, integer-exact: a filter that
+            # keeps share s of the corpus thins every probed cell by ~s, so
+            # the fine probe width scales by 1/s (ceil division), capped at
+            # the routed candidate set (npc x n_fine cells)
+            npf_eff = min(
+                HIER_NPROBE_COARSE * HIER_NFINE,
+                (HIER_NPROBE_FINE * 1_000_000 + sel_e6[name] - 1) // sel_e6[name],
+            )
+            probes = queries.withColumn(
+                "_probe_ids",
+                hier_probe_ids(coarse, fine, HIER_NPROBE_COARSE, npf_eff)(
+                    F.col("_qvec")
+                ),
+            ).select(
+                "query_id",
+                "_qvec",
+                "_qnorm",
+                F.explode(F.col("_probe_ids")).alias("centroid_id"),
+            )
+            scored = (
+                assigned.filter(preds[name])
+                .join(F.broadcast(probes), "centroid_id")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+            )
+        ranked = (
+            scored.withColumn("cosine", _paired_cosine())
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_K)
+            .select(
+                F.lit(name).alias("filter_name"),
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                "rank",
+                F.lit(sel_e6[name]).cast("long").alias("selectivity_e6"),
+                F.lit(strategy).alias("strategy"),
+            )
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out.orderBy("filter_name", "query_id", "rank")
+
+
+def _emb_filtered_topk_oracle() -> str:
+    return f"""
+WITH reps AS (
+  SELECT vec_id, embedding, r.rep FROM embeddings, generate_series(0, {SCALED_REPS - 1}) r(rep)
+), scaledf AS (
+  SELECT vec_id + rep * {_SCALED_ID_STRIDE} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+             i -> CAST(CAST(embedding[i] AS DOUBLE)
+                       + ((rep * (i + 2)) % 11) * 0.003 AS REAL)) AS embedding
+  FROM reps
+), corpus AS MATERIALIZED (
+  SELECT s.vec_id, s.embedding, d.lang
+  FROM scaledf s JOIN documents d ON d.doc_id = s.vec_id % {_SCALED_ID_STRIDE}
+), sel AS (
+  SELECT CAST(COUNT(*) FILTER (lang = 'de') * 1000000 // COUNT(*) AS BIGINT) AS de_e6,
+         CAST(COUNT(*) FILTER (lang <> 'en') * 1000000 // COUNT(*) AS BIGINT) AS ne_e6
+  FROM corpus
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS qq
+  FROM embeddings WHERE vec_id < {TOPK_QUERIES} AND embedding IS NOT NULL
+), pairA AS MATERIALIZED (
+  -- de_only branch: PRE-FILTER + exact cosine over the filtered rows only
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.qv, c.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM corpus c, q
+  WHERE c.lang = 'de' AND c.vec_id <> q.query_id
+), rankedA AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pairA
+), s AS MATERIALIZED (
+  -- non_en branch: the SHARED hier index over the WHOLE corpus, then post-filter
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {SCALED_IVF_SAMPLE_N}
+), {_hier_train_sql(HIER_NCOARSE, HIER_NFINE, HIER_COARSE_ITERS, HIER_FINE_ITERS)},
+corpq AS MATERIALIZED (
+  SELECT vec_id, embedding, lang,
+         list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+  FROM corpus
+), cad AS MATERIALIZED (
+  SELECT cq.vec_id, cq.embedding, cq.lang, cq.xq, c.cid,
+         list_sum(list_transform(list_zip(cq.xq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM corpq cq, c{HIER_COARSE_ITERS} c
+), cas AS MATERIALIZED (
+  SELECT vec_id, embedding, lang, xq, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM cad) WHERE rn = 1
+), fad AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, a.lang, a.cid * {HIER_NFINE} + f.j AS fid,
+         list_sum(list_transform(list_zip(a.xq, f.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM cas a JOIN f{HIER_FINE_ITERS} f ON f.cid = a.cid
+), assigned AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, lang, fid AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, fid ASC) AS rn
+        FROM fad) WHERE rn = 1
+), qcd AS (
+  SELECT q.query_id, q.qv, q.qq, c.cid,
+         list_sum(list_transform(list_zip(q.qq, c.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q, c{HIER_COARSE_ITERS} c
+), qcs AS MATERIALIZED (
+  SELECT query_id, qv, qq, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
+        FROM qcd) WHERE rn <= {HIER_NPROBE_COARSE}
+), qfd AS (
+  SELECT p.query_id, p.qv, f.cid * {HIER_NFINE} + f.j AS fid,
+         list_sum(list_transform(list_zip(p.qq, f.c),
+                  p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2]))) AS d
+  FROM qcs p JOIN f{HIER_FINE_ITERS} f ON f.cid = p.cid
+), probes AS MATERIALIZED (
+  -- the probe-widening rule, same integer arithmetic as the engine:
+  -- npf_eff = min(npc*n_fine, ceil(npf / selectivity))
+  SELECT query_id, qv, fid AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, fid ASC) AS rn
+        FROM qfd) t, sel
+  WHERE rn <= LEAST({HIER_NPROBE_COARSE * HIER_NFINE},
+                    ({HIER_NPROBE_FINE} * 1000000 + sel.ne_e6 - 1) // sel.ne_e6)
+), pairB AS MATERIALIZED (
+  SELECT p.query_id, a.neighbor_id,
+    list_sum(list_transform(list_zip(p.qv, a.cvec),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_qc,
+    sqrt(list_sum(list_transform(p.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(a.cvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nc
+  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+  WHERE a.lang <> 'en' AND a.neighbor_id <> p.query_id
+), rankedB AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CASE WHEN nq > 0 AND nc > 0 THEN dot_qc / (nq * nc) ELSE 0.0 END, 6) AS cosine
+  FROM pairB
+)
+SELECT 'de_only' AS filter_name, query_id, neighbor_id, cosine, rank,
+       sel.de_e6 AS selectivity_e6,
+       CASE WHEN sel.de_e6 <= {FILT_SEL_TAU_E6} THEN 'prefilter_bruteforce'
+            ELSE 'probe_postfilter' END AS strategy
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM rankedA), sel
+WHERE rank <= {TOPK_K}
+UNION ALL
+SELECT 'non_en' AS filter_name, query_id, neighbor_id, cosine, rank,
+       sel.ne_e6 AS selectivity_e6,
+       CASE WHEN sel.ne_e6 <= {FILT_SEL_TAU_E6} THEN 'prefilter_bruteforce'
+            ELSE 'probe_postfilter' END AS strategy
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM rankedB), sel
+WHERE rank <= {TOPK_K}
+ORDER BY filter_name, query_id, rank
+"""
+
+
+EMB_FILTERED_TOPK_ORACLE = _emb_filtered_topk_oracle()

@@ -552,6 +552,11 @@ QUERIES: dict[str, Query] = {
     # top-k probes the MATERIALIZED index and must land on the full-corpus
     # derivation's certified rows (oracle = EMB_HIER_IVF_TOPK_ORACLE verbatim)
     "emb_hier_ivf_stream_index_parity": llm.emb_hier_ivf_stream_index_parity,
+    # r13: metadata-FILTERED vector search with selectivity-chosen strategy —
+    # a ~14% filter takes prefilter+exact scan, a ~60% filter post-filters the
+    # shared hier index's probed cells; decision + both result sets certified
+    # in one hash (the advisor discipline applied to ANN)
+    "emb_filtered_topk": llm.emb_filtered_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -746,4 +751,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_window_advice_applied": ea.EVENTS_WINDOW_ADVICE_APPLIED_ORACLE,
     "emb_hier_residual_rerank_topk": llm.EMB_HIER_RESIDUAL_RERANK_TOPK_ORACLE,
     "emb_hier_ivf_stream_index_parity": llm.EMB_HIER_IVF_STREAM_INDEX_PARITY_ORACLE,
+    "emb_filtered_topk": llm.EMB_FILTERED_TOPK_ORACLE,
 }

@@ -56,6 +56,15 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "emb_hier_residual_rerank_topk": dict(
         shuffle_exchange=3, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
     ),
+    # r13: filtered ANN, both live branches in one plan — the prefilter
+    # branch's query-set crossJoin (bnlj 1, the emb_cosine_topk pattern) over
+    # ONLY the filtered slice + its rank window, and the postfilter branch's
+    # broadcast probe join into the shared assigned index (bhj; the corpus
+    # never shuffles in either branch). window 6 = two rank windows x
+    # (Window + 2 WindowGroupLimit).
+    "emb_filtered_topk": dict(
+        shuffle_exchange=3, broadcast_exchange=4, bnlj=1, cartesian=0, smj=0, bhj=3, shj=0, window=6
+    ),
     # round 6: fixed-centroid cluster profile — scan-local assignment + one
     # centroid/label agg + the profile windows (+ output-order sort). Zero joins.
     "emb_cluster_profile": dict(
@@ -456,6 +465,10 @@ BNLJ_ALLOWED = {
     # r13: the window advisor row crossJoins its 1-row advice relation
     # (total_rows, top_share, strategy) onto the top-k output
     "events_window_advice_applied",
+    # r13: filtered ANN — the prefilter branch's BNLJ is the deliberate
+    # broadcast crossJoin of the tiny query set against the FILTERED corpus
+    # slice (the emb_cosine_topk pattern); the postfilter branch is pure BHJ
+    "emb_filtered_topk",
     "events_gap_fill",
     # round-5 sweep additions — every BNLJ below is a crossJoin of 1-row scalar
     # aggregates (funnel/parity counters, a share-of-total denominator, the IDF
