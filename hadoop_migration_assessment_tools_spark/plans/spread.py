@@ -1,0 +1,78 @@
+"""Scale-adaptive scan spreading (optimization guide §2.2/§2.5/§6).
+
+The driver corpus ships each table as ONE single-row-group parquet file, so a
+scan produces ONE task no matter how many cores the session has — and every
+narrow map chained on that scan (HOF shingling, per-pair cosine folds, Arrow
+decode kernels) runs single-threaded while 31 cores idle. The multimodal
+pipeline measured this at 27 s -> ~3 s from one repartition (llm.py r9 note).
+
+``spread_small_scan`` generalizes that fix WITHOUT baking in a local-mode
+constant: it compares the scan's NATURAL split count (input bytes /
+``spark.sql.files.maxPartitionBytes``) against the session's parallelism and
+adds a round-robin repartition ONLY when the scan is under-parallel. At 100 TB
+the same call is a no-op — the input splits past the core count on its own and
+the plan is untouched — so the helper is exactly the "derive partitioning from
+input size, not a constant tuned for either deployment" rule from the guide.
+
+The repartition shuffles the SMALL pre-derivation rows (the full corpus table
+here is under a megabyte), never a derived/exploded stream, and an explicit
+numPartitions is preserved by AQE (coalescing only applies to non-user-
+specified shuffles), so the spread survives into every downstream narrow map.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def _size_bytes(path: str) -> int:
+    """Total bytes under a file or directory; 0 when the path is unknown."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return 0
+
+
+def _conf_bytes(value: str) -> int:
+    """Parse a Spark size conf ('134217728', '128m', '1g') to bytes."""
+    v = value.strip().lower()
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
+
+
+def spread_small_scan(df: DataFrame, *input_paths: str) -> DataFrame:
+    """Round-robin repartition ``df`` to the session's default parallelism when
+    its input files are too small to split into that many scan tasks; identity
+    (zero plan change) otherwise.
+
+    ``input_paths``: the files/directories the frame scans. An unknown path
+    (size 0 contribution) is fine — missing evidence only ever UNDER-counts the
+    input, which keeps the repartition; it never suppresses a spread that the
+    bytes would have justified. Results are partitioning-invariant by the
+    registry's own certification (full-registry hostile-layout sweep, r12), so
+    spreading can never change a query's output — only its parallelism.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if target <= 1:
+        return df
+    max_split = _conf_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    total = sum(_size_bytes(p) for p in input_paths)
+    natural_splits = max(1, -(-total // max_split))  # ceil-div
+    if natural_splits >= target:
+        return df  # the scan already parallelizes; leave the plan alone
+    return df.repartition(target)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """The on-disk path of a corpus table (readers.load_table's convention)."""
+    return f"{sf_dir}/{name}.parquet"
