@@ -41,6 +41,19 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # AQE coalescing floor (r13 optimization, guide §2.2/§2.5). The default
+        # 1m floor caps a small shuffle's post-coalesce parallelism at
+        # totalBytes/1m partitions — measured 1-6 tasks on this corpus's 1-6 MB
+        # shuffles while the CPU-heavy work hanging off them (shingle explodes,
+        # posting joins, pair verification) left 26+ cores idle. 256k keeps
+        # parallelismFirst's totalBytes/defaultParallelism target in charge down
+        # to 256 KB/task (A/B min-of-3: -23% on the affected set, no query
+        # slower). Scale-neutral by construction: the floor only binds when
+        # bytes/parallelism < 256k — at production shuffle sizes the coalesce
+        # target is unchanged. Env-overridable for cluster tuning.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+            "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"
+        ),
         # Shuffle width: 2×cores locally; AQE coalesces down when partitions are small.
         "spark.sql.shuffle.partitions": str(shuffle_partitions or max(32, 2 * cores)),
         # Arrow for every Python<->JVM columnar boundary (pandas_udf, toPandas).

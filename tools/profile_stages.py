@@ -30,8 +30,29 @@ def parse_event_log(path: str) -> dict[str, list[dict]]:
     jobs: dict[int, dict] = {}
     stages: dict[tuple[int, int], dict] = {}
     tasks: dict[tuple[int, int], list[dict]] = {}
-    with open(path) as f:
-        for line in f:
+    if os.path.isdir(path):  # Spark 4 rolling event-log dir (eventlog_v2_*)
+        files = sorted(
+            p for p in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+        )
+    else:
+        files = [path]
+    def _lines(p):
+        with open(p, "rb") as fb:
+            head = fb.read(4)
+        if head[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame magic
+            import subprocess
+
+            out = subprocess.run(
+                ["zstd", "-dc", p], capture_output=True, check=True
+            ).stdout
+            yield from out.decode("utf-8", errors="replace").splitlines(keepends=True)
+        else:
+            yield from open(p, encoding="utf-8", errors="replace")
+
+    lines = (line for p in files for line in _lines(p))
+    for line in lines:
+        if True:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
