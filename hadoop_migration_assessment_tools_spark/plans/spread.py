@@ -49,7 +49,7 @@ def _conf_bytes(value: str) -> int:
     return int(v)
 
 
-def spread_small_scan(df: DataFrame, *input_paths: str) -> DataFrame:
+def spread_small_scan(df: DataFrame, *input_paths: str, factor: int = 1) -> DataFrame:
     """Round-robin repartition ``df`` to the session's default parallelism when
     its input files are too small to split into that many scan tasks; identity
     (zero plan change) otherwise.
@@ -60,11 +60,19 @@ def spread_small_scan(df: DataFrame, *input_paths: str) -> DataFrame:
     bytes would have justified. Results are partitioning-invariant by the
     registry's own certification (full-registry hostile-layout sweep, r12), so
     spreading can never change a query's output — only its parallelism.
+
+    ``factor``: partitions per core. 1 for uniform-cost rows; 2-4 when per-row
+    cost varies widely (codec decode, variable-length payloads) so the
+    scheduler can rebalance the tail (guide §2.6) instead of one max-cost
+    partition setting the stage wall time.
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if target <= 1:
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):  # measurement/debug toggle
         return df
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if cores <= 1:
+        return df
+    target = cores * max(1, factor)
     max_split = _conf_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     total = sum(_size_bytes(p) for p in input_paths)
     natural_splits = max(1, -(-total // max_split))  # ceil-div

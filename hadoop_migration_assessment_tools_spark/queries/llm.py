@@ -38,9 +38,20 @@ from ..ext.text import (
     token_count,
 )
 from ..functions.parity import count_big
+from ..plans.spread import spread_small_scan, table_path
 from ..sources.readers import load_table
 
 DUP_OFFSET = 1_000_000
+
+
+def _spread(df: DataFrame, sf_dir: str, table: str = "documents", factor: int = 1) -> DataFrame:
+    """Scale-adaptive scan spread (r13 optimization, guide §2.5/§2.6): the corpus
+    ships one single-row-group parquet file per table, so a scan is ONE task and
+    every CPU-heavy narrow map chained on it (shingling, MinHash, per-position
+    CDC hashing, codec kernels) ran single-threaded — the profiled serial hot
+    stages. A no-op whenever the input's natural split count already covers the
+    session's parallelism (i.e. always at production input sizes)."""
+    return spread_small_scan(df, table_path(sf_dir, table), factor=factor)
 
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +59,7 @@ def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + DUP_OFFSET
     )
-    return docs.unionByName(dups)
+    return _spread(docs.unionByName(dups), sf_dir)
 
 _DOCS_AUG_CTE = f"""
 WITH docs_aug AS (
@@ -91,7 +102,7 @@ ORDER BY keeper_id
 
 
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     nt = token_count(F.col("text"))
     return (
         docs.withColumn("n_tokens", nt)
@@ -310,7 +321,7 @@ TOPK_K = 5
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
     return cosine_topk_bruteforce(emb, queries, k=TOPK_K)
 
@@ -709,7 +720,7 @@ IVF_FIXED_NPROBE = 2
 def emb_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import cosine_topk_ivf_fixed
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
     return cosine_topk_ivf_fixed(
         emb, queries, k=TOPK_K, nlist=IVF_FIXED_NLIST, nprobe=IVF_FIXED_NPROBE
@@ -785,8 +796,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JPEG encode+decode is the CPU-heavy honest path: spread the corpus across
     # the executor cores BEFORE the Arrow UDFs (the parquet source arrives in a
     # handful of splits, which serialized the whole pipeline onto few workers —
-    # measured 27 s -> ~3 s at sf0.1 from this repartition alone).
-    docs = docs.repartition(64, "doc_id")
+    # measured 27 s -> ~3 s at sf0.1 from this repartition alone). r13: the
+    # fixed repartition(64, doc_id) became the scale-adaptive round-robin
+    # spread — factor 2 over-partitions so variable-cost payloads rebalance
+    # instead of one max-cost hash partition setting the stage wall time.
+    docs = _spread(docs, sf_dir, factor=2)
     media = synthesize_media(docs, image_format="jpeg")
     feats = extract_features(
         media.withColumn("format", F.col("meta.format")),
@@ -852,7 +866,7 @@ ORDER BY kind, format
 
 
 def multimodal_decode_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(64, "doc_id")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir, factor=2)
     media = synthesize_media(docs, image_format="jpeg")
     feats = extract_features(
         media.withColumn("format", F.col("meta.format")), passthrough=["format"]
@@ -906,7 +920,7 @@ def _scaled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replicate the corpus SCALED_REPS times with a deterministic per-replica
     perturbation — array HOFs only, so scaling happens executor-side (no generation
     shuffle; the explode is a narrow map)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     reps = emb.select(
         "vec_id",
         "embedding",
@@ -1000,7 +1014,7 @@ def emb_topk_scaled_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import cosine_topk_ivf_quantized
 
     scaled = _scaled_embeddings(spark, sf_dir)
-    base = load_table(spark, sf_dir, "embeddings")
+    base = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     queries = base.filter(F.col("vec_id") < SCALED_QUERIES)
     return cosine_topk_ivf_quantized(
         scaled,
@@ -1146,7 +1160,7 @@ def emb_hier_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import cosine_topk_hier_ivf_quantized
 
     scaled = _scaled_embeddings(spark, sf_dir)
-    base = load_table(spark, sf_dir, "embeddings")
+    base = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     queries = base.filter(F.col("vec_id") < SCALED_QUERIES)
     return cosine_topk_hier_ivf_quantized(
         scaled,
@@ -1342,7 +1356,7 @@ NEAR_DUP_THRESHOLD = 0.9
 
 
 def _embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     dups = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
         "vec_id", F.col("vec_id") + DUP_OFFSET
     )
@@ -1499,7 +1513,7 @@ CLUSTER_NLIST = 10
 def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import assign_centroids_fixed, fixed_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     cents = fixed_centroids(emb, CLUSTER_NLIST)
     assigned = assign_centroids_fixed(emb, cents)
     label_counts = assigned.groupBy("centroid_id", "label").agg(
@@ -1616,7 +1630,7 @@ def docs_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sketch import heavy_hitters_verified
     from ..ext.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
     return heavy_hitters_verified(toks, "term", k=20)
 
@@ -1648,7 +1662,7 @@ def docs_shingle_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import token_shingles
     from ..ext.sketch import hll_certified
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     sh = docs.select(
         F.explode(token_shingles(F.lower(F.col("text")), k=HLL_SHINGLE_K)).alias("shingle")
     )
@@ -1734,7 +1748,7 @@ def docs_split_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = HLL_HASH_BITS - p + 1
     scale = 1 << sb
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     split = F.when(
         F.substring(F.md5(F.concat(F.lit("ovl"), F.col("doc_id").cast("string"))), 1, 4)
         < "8000",
@@ -1901,7 +1915,7 @@ def docs_shingle_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import token_shingles
     from ..ext.sketch import hll_grouped_certified
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     sh = docs.select(
         "lang",
         F.explode(token_shingles(F.lower(F.col("text")), k=HLL_SHINGLE_K)).alias(
@@ -2011,7 +2025,7 @@ def docs_shingle_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import shingle_index
     from ..ext.sketch import cms_counters_weighted, cms_lookup
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).select(
         F.col("doc_id"), F.lower(F.col("text")).alias("text")
     )
     occ = shingle_index(docs, k=CMS_SHINGLE_K, distinct=False)
@@ -2544,7 +2558,7 @@ def docs_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement over planted prefix-perturbed twins (doc_id % 5 == 0)."""
     from ..ext.cdc import cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).select("doc_id", "text")
     twins = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + CDC_TWIN_OFFSET).alias("doc_id"),
         F.concat(F.lit(CDC_TWIN_PREFIX), F.col("text")).alias("text"),
@@ -2664,7 +2678,7 @@ def docs_fuzzy_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted single-substitution typo twins (doc_id % 6 == 0)."""
     from ..ext.dedup import deletion_neighborhood_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).select(
         "doc_id",
         F.regexp_replace(F.lower(F.substring("text", 1, 24)), "[^a-z0-9 ]", "").alias(
             "key"
@@ -2730,8 +2744,12 @@ DHASH_TWIN_OFFSET = 30_000_000
 def media_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, w, h, dhash) for formula-keyed images plus brightness twins
     (doc_id % 10 == 0). Engine path: numpy image -> PPM bytes -> parse -> dHash."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").filter(
-        F.col("n_chars").isNotNull()
+    docs = _spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull()),
+        sf_dir,
+        factor=2,
     )
 
     def gen(batches):
@@ -3129,7 +3147,7 @@ DECON_LEAK_OFFSET = 2_000_000
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import contaminated_ids
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
     leaks = ev.withColumn("doc_id", F.col("doc_id") + DECON_LEAK_OFFSET).withColumn(
         "source", F.lit("leaked")
@@ -3506,7 +3524,7 @@ def docs_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import contamination_ratio
     from ..ext.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
     nb = docs.select(
         F.col("doc_id").alias("nb_id"), F.col("text").alias("nb_text")
@@ -3935,7 +3953,7 @@ UNIGRAM_HIGH_BITS = 9.0
 def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.lm import score_surprisal, unigram_vocab
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     vocab = unigram_vocab(docs, top_k=UNIGRAM_TOP_K).localCheckpoint()
     # Bounded driver action (1 long), same cost class as the documented IVF
     # training sample: the vocabulary relation is already materialized above.
@@ -4028,7 +4046,7 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.lm import bigram_vocab, score_bigram_surprisal, unigram_vocab
     from ..ext.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     uni = unigram_vocab(docs, top_k=UNIGRAM_TOP_K).localCheckpoint()
     pairs = bigram_vocab(docs, top_k=BIGRAM_TOP_K).localCheckpoint()
     toks = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
@@ -4215,7 +4233,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ext.projection import nano_array
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
     proj = random_project(emb, "embedding", RP_OUT_DIM, RP_IN_DIM).withColumn(
         "_micro", nano_array(F.col("embedding"), 6)
     )
@@ -4305,7 +4323,7 @@ EMB_RANDOM_PROJECTION_ORACLE = _rp_oracle()
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.multimodal import sample_video_frames, synthesize_media
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir, factor=2)
     media = synthesize_media(docs, video_format="pvid")
     frames = sample_video_frames(media, every_k=2)
     return (
@@ -4367,10 +4385,12 @@ ORDER BY lang
 def media_mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.multimodal import synthesize_media
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.pmod(F.col("doc_id"), F.lit(3)) == 2)  # the video slice
-        .repartition(32, "doc_id")
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 2  # the video slice
+        ),
+        sf_dir,
+        factor=2,
     )
     media = synthesize_media(docs, video_format="mp4")
 
@@ -4458,10 +4478,12 @@ MP3_BITRATE_VBR_ALT = 224  # index 12, alternated on odd frames in VBR streams
 def media_mp3_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.multimodal import synthesize_media
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.pmod(F.col("doc_id"), F.lit(3)) == 1)  # the audio slice
-        .repartition(32, "doc_id")
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 1  # the audio slice
+        ),
+        sf_dir,
+        factor=2,
     )
     media = synthesize_media(docs, audio_encoding="mp3")
 
@@ -4612,9 +4634,16 @@ def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.ingest import incremental_ingest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    incoming = _ingest_incoming(docs)
+    # Spread ONLY the corpus side: its shingle index is the profiled serial hot
+    # spot (2x ~1.45 s single-task stages). The incoming batch is a 5-way union
+    # of slices of `docs` — spreading `docs` itself multiplied the union into
+    # 160 partitions across every checkpointed admission stage (measured 2x
+    # slower from per-task overheads), so the batch side stays scan-partitioned.
     admitted, audit = incremental_ingest(
-        docs, incoming, jaccard_threshold=INGEST_THRESHOLD, shingle_k=INGEST_SHINGLE_K
+        _spread(docs, sf_dir),
+        _ingest_incoming(docs),
+        jaccard_threshold=INGEST_THRESHOLD,
+        shingle_k=INGEST_SHINGLE_K,
     )
     return _admission_rollup(admitted, audit)
 
@@ -4717,8 +4746,11 @@ def docs_ingest_indexed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index_path = scratch_dir("ingest_index", sf_dir)
     build_corpus_index(
-        docs, index_path, shingle_k=INGEST_SHINGLE_K
+        _spread(docs, sf_dir), index_path, shingle_k=INGEST_SHINGLE_K
     )  # fingerprint-cached: reruns on an unchanged corpus skip the build entirely
+    # (spread the corpus into the build: parallel index write AND a multi-file
+    # index that reads back parallel; the incoming batch side stays
+    # scan-partitioned — see docs_incremental_ingest)
     admitted, audit = incremental_ingest_indexed(
         spark,
         index_path,
@@ -4990,7 +5022,7 @@ DOCS_BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_NUM_MERGES)
 def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.bpe import train_bpe_merges_batched
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).filter(F.col("lang") == "en")
     merges = train_bpe_merges_batched(docs, BPE_NUM_MERGES)
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
@@ -5113,7 +5145,7 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import cosine
     from ..ext.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings")
     n_docs = docs.count()  # bounded 1-value driver action (IDF normalizer)
 
@@ -5358,7 +5390,7 @@ def docs_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import token_shingles
     from ..ext.sketch import HLL_HASH_BITS, kmv_bottom_k_hashes, kmv_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     # one corpus scan: tokenize/shingle/hash once into the distinct (split, h)
     # level; everything downstream (global sketch, split sketches, exact
     # control) reads the checkpoint, never the corpus
@@ -5485,7 +5517,7 @@ def docs_split_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import token_shingles
     from ..ext.sketch import HLL_HASH_BITS, kmv_bottom_k_hashes, kmv_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     base = (
         docs.select(
             F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("split"),
@@ -5622,7 +5654,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..ext.similarity import sq_l2
 
-    emb = load_table(spark, sf_dir, "embeddings").where(
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(
         F.col("embedding").isNotNull()
     )
     cbs = pq_codebooks(emb)  # bounded driver rows: ksub vectors
@@ -5743,7 +5775,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.quantize import PQ_M, pq_codebooks, with_pq_codes, with_query_adc_probes
     from ..ext.similarity import assign_centroids_fixed, fixed_centroids, sq_l2
 
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
     cents = fixed_centroids(emb, IVF_FIXED_NLIST)
     cbs = pq_codebooks(emb)
 
@@ -5910,7 +5942,7 @@ def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..ext.similarity import fixed_centroids, with_sq_l2
 
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
     cents = fixed_centroids(emb, IVF_FIXED_NLIST)
     cbs = pq_codebooks(emb)
 
@@ -6090,7 +6122,7 @@ RES_PQ_SAMPLE_N = 512
 def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec pulled 9/10 toward its vec_id%64 anchor — deterministic float32
     arithmetic both engines reproduce bit-for-bit."""
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
     anchors = emb.where(F.col("vec_id") < RES_PQ_ANCHORS).select(
         F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
     )
@@ -6551,6 +6583,10 @@ def _bm25_queries(docs: DataFrame) -> DataFrame:
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.retrieval import bm25_topk
 
+    # NOT spread (r13 A/B/A: 2.9/3.2 s unspread vs 4.3 s spread): the corpus
+    # feeds the broadcast-built qterm/stats sides as well as the posting leg,
+    # and those broadcast builds then wait on the repartition exchange instead
+    # of streaming straight off the scan.
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(
         docs, _bm25_queries(docs), k=BM25_TOPK, q_terms=BM25_QTERMS
@@ -6633,6 +6669,8 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.retrieval import bm25_topk, rrf_fuse
     from ..ext.similarity import cosine_topk_bruteforce
 
+    # NOT spread (r13 A/B/A: 3.5/4.1 s unspread vs 4.7 s spread) — same
+    # broadcast-behind-exchange effect as docs_bm25_topk, on both legs.
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
@@ -6714,7 +6752,7 @@ def docs_bm25_stream_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..ext.retrieval import bm25_topk_from_index
     from ..streaming.indexing import BM25IndexIngestSink
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     tmp = scratch_dir("docs_bm25_stream_index", sf_dir, wipe=True)
     src = f"{tmp}/src"
     # 4 files + maxFilesPerTrigger=1 forces a genuinely multi-batch ingest
@@ -6820,8 +6858,8 @@ def docs_hybrid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.retrieval import bm25_topk, retrieval_metrics, rrf_fuse
     from ..ext.similarity import cosine_topk_bruteforce
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
     q_ids = _bm25_queries(docs).join(
         emb.select(F.col("vec_id").alias("query_id")), "query_id", "left_semi"
     )
@@ -7005,7 +7043,7 @@ DOCS_HYBRID_METRICS_ORACLE = _docs_hybrid_metrics_oracle()
 def docs_viterbi_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.unigram import viterbi_tokenize_docs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
     return viterbi_tokenize_docs(docs).orderBy("doc_id")
 
 
@@ -7431,7 +7469,7 @@ def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_hier_centroids_quantized,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
     meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     # the SCALED corpus (the structured one IVF is built for), each replica
     # inheriting its base row's metadata — the realistic shape: vectors carry

@@ -29,6 +29,7 @@ from ..operators.correlate import (
     table_access_frequency,
 )
 from ..operators.events import as_query_events
+from ..plans.spread import spread_small_scan, table_path
 from ..sources.readers import load_table
 
 
@@ -36,9 +37,32 @@ def _user(col: Column) -> Column:
     return F.concat(F.lit("user_"), (col % 10).cast("string"))
 
 
-def synthetic_query_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the deterministic QueryEvents log from orders (rules in module docstring)."""
-    orders = load_table(spark, sf_dir, "orders")
+def _spread_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders arrives as one single-row-group parquet file → a 1-task scan, so
+    the heavy synthetic-event expression trees (struct/array building, JSON
+    encode) ran single-threaded (r13 profiler: 0.6-4 s serial stages across the
+    qe_* family). Scale-adaptive: a no-op once the input splits past the core
+    count (guide §2.5/§6)."""
+    return spread_small_scan(
+        load_table(spark, sf_dir, "orders"), table_path(sf_dir, "orders")
+    )
+
+
+def synthetic_query_log(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """Build the deterministic QueryEvents log from orders (rules in module docstring).
+
+    ``spread=False`` opts a consumer out of the scan spread — for plans whose
+    cost is dominated by many small post-checkpoint jobs rather than the event
+    construction itself (qe_runtime_percentiles: A/B/A measured 3.0/2.8 s
+    unspread vs 4.4 s spread from the extra partitions flowing through its
+    localCheckpoint + three quantile passes)."""
+    orders = (
+        _spread_orders(spark, sf_dir)
+        if spread
+        else load_table(spark, sf_dir, "orders")
+    )
     qid = F.col("o_orderkey").cast("string")
     sub = as_query_events(
         orders,
@@ -436,7 +460,7 @@ ORDER BY group_name, counter_name
 def _hook_input_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schema import HOOK_INPUT_SCHEMA
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _spread_orders(spark, sf_dir)
     k = F.col("o_orderkey")
     cust = (F.col("o_custkey") % 10).cast("string")
     bucket = k % 6
@@ -571,7 +595,7 @@ def qe_yarn_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.events import construct_events
     from ..schema import HOOK_INPUT_SCHEMA
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _spread_orders(spark, sf_dir)
     supplier = load_table(spark, sf_dir, "supplier")
     k = F.col("o_orderkey")
 
@@ -845,7 +869,7 @@ def qe_perf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.events import perf_json
     from ..schema import PERF_OBJECT_SCHEMA
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _spread_orders(spark, sf_dir)
     start_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     event_time = F.expr(
         "timestampadd(SECOND, o_orderkey % 3600, CAST(o_orderdate AS TIMESTAMP))"
@@ -960,7 +984,7 @@ ORDER BY l_orderkey
 def qe_query_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalars import normalize_query_text
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _spread_orders(spark, sf_dir)
     text = (
         F.when(
             F.col("o_orderkey") % 3 == 0,
@@ -1056,7 +1080,7 @@ ORDER BY fingerprint
 def qe_runtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.median import distributed_quantiles
 
-    log = synthetic_query_log(spark, sf_dir)
+    log = synthetic_query_log(spark, sf_dir, spread=False)
     corr = correlate_submit_complete(deduplicate_events(log))
     # Materialize the (queue, duration) relation once: the quantile selector
     # references its input three times (bounds, histogram, candidates), and

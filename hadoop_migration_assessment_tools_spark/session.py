@@ -64,6 +64,17 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.host": "127.0.0.1",
+        # JIT code-cache headroom (r13 optimization). A long mixed session
+        # generates thousands of codegen classes; at the JVM default
+        # (ReservedCodeCacheSize=240m) the code cache fills mid-suite, C2
+        # compilation stops, and hot generated code runs interpreted — the
+        # documented "aged session" phantom slowdowns (BASELINE.md r9-r12
+        # history; measured this round: the same shingle+hash stage cost
+        # 8x more task-time late in a session than fresh). 512m keeps
+        # compiled code resident across the whole registry. Only applies
+        # when this call launches the JVM (bench, tools, tests — all do).
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize="
+        + os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m"),
     }
     if extra_conf:
         conf.update(extra_conf)

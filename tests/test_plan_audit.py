@@ -24,11 +24,19 @@ SF = "/root/testdata/sf0.001"
 # strategies fire at every scale; only AQE's runtime coalescing differs, and these
 # signatures are taken from the pre-execution plan).
 #
+# r13 optimization note: queries that gained a scale-adaptive scan spread
+# (plans/spread.py) count EXTRA shuffle_exchange nodes in the STATIC plan — one
+# per reference to the spread frame, because the pre-execution plan does not
+# collapse identical exchanges. At runtime AQE's stage cache executes the spread
+# exchange ONCE and serves every other reference from ReusedExchange (verified in
+# the r13 event-log profiles: a single shuffle-write stage for the spread).
+# Join strategies, windows and BNLJ counts are unchanged by the spreads.
+#
 # key: (shuffle_exchange, broadcast_exchange, bnlj, cartesian, smj, bhj, shj, window)
 PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # BNLJ here is the deliberate broadcast crossJoin of the tiny query set.
     "emb_cosine_topk": dict(
-        shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
     # round 6 (VERDICT r5 #5): deterministic-centroid IVF — scan-local argmin
     # assignment (NO join, no corpus shuffle), probe explode on the tiny query
@@ -36,7 +44,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # certification twin of the learned path with a STRICTLY narrower plan.
     # (window=3: the rank Window plus its two WindowGroupLimit pushdown stages)
     "emb_ivf_fixed_topk": dict(
-        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
     # r10 (VERDICT r9 #1): IVFADC + exact refine, fully Arrow-vectorized —
     # corpus assign+encode fused in one mapInPandas, query ADC tables + probe
@@ -47,7 +55,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # 3 joins are BHJ equi-joins and the window shuffles move 3 narrow
     # columns. window=6: two rank windows x (Window + 2 WindowGroupLimit).
     "emb_ivfpq_rerank_topk": dict(
-        shuffle_exchange=3, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+        shuffle_exchange=7, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
     ),
     # r13: the two-level routed residual stack lands on the SAME production
     # IVFADC+refine envelope — the hierarchical routing lives inside the two
@@ -63,12 +71,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # never shuffles in either branch). window 6 = two rank windows x
     # (Window + 2 WindowGroupLimit).
     "emb_filtered_topk": dict(
-        shuffle_exchange=3, broadcast_exchange=4, bnlj=1, cartesian=0, smj=0, bhj=3, shj=0, window=6
+        shuffle_exchange=7, broadcast_exchange=4, bnlj=1, cartesian=0, smj=0, bhj=3, shj=0, window=6
     ),
     # round 6: fixed-centroid cluster profile — scan-local assignment + one
     # centroid/label agg + the profile windows (+ output-order sort). Zero joins.
     "emb_cluster_profile": dict(
-        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=3
+        shuffle_exchange=4, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
     # round 6: Bloom semi-join reduction — the probe (lineitem) side never
     # shuffles: k=3 broadcast word-lookups + the broadcast exact-join control;
@@ -79,7 +87,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
         shuffle_exchange=4, broadcast_exchange=4, bnlj=0, cartesian=0, smj=0, bhj=4, shj=0, window=0
     ),
     "emb_topk_scaled_bruteforce": dict(
-        shuffle_exchange=1, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=1, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
     # r12 retrieval stack: the corpus token stream is left-semi filtered
     # against the BROADCAST query-term set before any aggregation (bhj 4 =
@@ -102,24 +110,24 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # an array_sort, so the plan NARROWED: bnlj 1 -> 0, broadcast 2 -> 1,
     # window 5 -> 3 (rank window + its two WindowGroupLimit pushdown stages)
     "emb_topk_scaled_ivf": dict(
-        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
     # r13 (VERDICT r12 #3): two-level routing, SAME plan envelope as the flat
     # learned path — corpus side is scan + Arrow assignment (never shuffles),
     # the two routing stages live inside the probe kernel on the tiny query
     # side, probes broadcast into one fine-cell BHJ, one rank-window shuffle.
     "emb_hier_ivf_topk": dict(
-        shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=3
     ),
     # r13 (VERDICT r12 #5): unigram Viterbi — 3 map-side-combined shuffles
     # (piece counts, vocab distinct, per-doc reassembly) + ONE broadcast join
     # of the finished word segmentations onto the token stream. The DP itself
     # lives in a vocabulary-sized Arrow kernel: zero corpus-sized joins.
     "docs_viterbi_tokenize": dict(
-        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     "docs_minhash_near_dup": dict(
-        shuffle_exchange=8, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
+        shuffle_exchange=12, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
     # r8: post-checkpoint remainder (the tokenize+distinct+window index is
     # localCheckpointed so the self-join's two consumers share ONE pipeline
@@ -128,14 +136,14 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
         shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     "docs_simhash_near_dup": dict(
-        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     "emb_near_dup_lsh": dict(
-        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=6, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     # The r3->r4 fix: the SCORED near-dup entry must stay the bucketed plan.
     "emb_near_dup_pairs": dict(
-        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=6, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     # Re-pinned round 4: distributed_row_number's correctness lineage cut
     # (localCheckpoint before the rank/offset branches) moves the pre-checkpoint
@@ -163,16 +171,16 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
         shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=1, bhj=0, shj=0, window=0
     ),
     "docs_decontaminate": dict(
-        shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
+        shuffle_exchange=9, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
     ),
     "docs_contamination_ratio": dict(
-        shuffle_exchange=6, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=0
+        shuffle_exchange=15, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=0
     ),
     "qe_submit_complete_join": dict(
-        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=6
+        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=6
     ),
     "docs_exact_dedup": dict(
-        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     "docs_dup_clusters": dict(
         shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
@@ -210,7 +218,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # upstream lineage — 49 static shuffles without the cuts, 5 with. bnlj=4 is
     # the 1-row funnel cross joins.
     "docs_training_prep_pipeline": dict(
-        shuffle_exchange=5, broadcast_exchange=4, bnlj=4, cartesian=0, smj=0, bhj=0, shj=0, window=0
+        shuffle_exchange=6, broadcast_exchange=4, bnlj=4, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     # Round-4 TPC-H shape completion. At sf0.001 size-based stats let Catalyst
     # broadcast more sides than it would at scale (e.g. Q21's semi/anti self-joins
@@ -241,7 +249,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # LM scoring: vocab build (token shuffle) + broadcast vocab join + doc_id agg;
     # zero corpus self-shuffle beyond the id re-agg.
     "docs_unigram_surprisal": dict(
-        shuffle_exchange=3, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
+        shuffle_exchange=5, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
     ),
     # bnlj=1 = the 1-row total-weight broadcast cross join inside domain_rates.
     "docs_temperature_mixture": dict(
@@ -250,7 +258,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # Pure narrow map + label roll-up: any join/window appearing here means the
     # projection stopped being a scan-local expression.
     "emb_random_projection": dict(
-        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     # Integer shift/mask z-key is scan-local; the only exchanges are the group agg.
     "orders_zorder_locality": dict(
@@ -263,7 +271,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # output instead of reusing the window's full-token-stream partitioning —
     # more exchanges, strictly less shuffled volume.
     "docs_incremental_ingest": dict(
-        shuffle_exchange=21, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=0
+        shuffle_exchange=26, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=0
     ),
     # r7: Count-Min certification — vocab relation is localCheckpointed (its
     # build shuffle is behind the lineage cut); visible plan = one counter
@@ -286,7 +294,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # bnlj=1 = the deliberate 1-row query-vector broadcast crossJoin; the window
     # ranks only the LEX_TOPK candidate rows.
     "docs_hybrid_search": dict(
-        shuffle_exchange=3, broadcast_exchange=5, bnlj=1, cartesian=0, smj=0, bhj=4, shj=0, window=1
+        shuffle_exchange=7, broadcast_exchange=5, bnlj=1, cartesian=0, smj=0, bhj=4, shj=0, window=1
     ),
     # bnlj=1 = the tiny types x days spine crossJoin (both broadcast-sized);
     # the fill window is partitioned per type.
@@ -300,7 +308,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     ),
     # Regex normalization is scan-local; exchanges are the fingerprint roll-up.
     "qe_query_fingerprints": dict(
-        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+        shuffle_exchange=4, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     # localCheckpoint of the (queue, duration) relation before the quantile
     # selector's three references — without it: 13 shuffles / 19 windows.
@@ -309,7 +317,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     ),
     # Monthly mix + share-of-month window (tiny per-month partitions).
     "qe_mode_migration_trend": dict(
-        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
+        shuffle_exchange=4, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
     ),
     # round 5: MG candidates -> broadcast-semi exact count (one gram shuffle,
     # one map-side-combined count; the corpus never shuffles by term).
@@ -318,7 +326,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # rows), computing the k-th count vs the n/capacity floor for the in-plan
     # assert_true. The corpus-side shape is unchanged.
     "docs_heavy_terms": dict(
-        shuffle_exchange=5, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=3
+        shuffle_exchange=8, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=3
     ),
     # round 5: k-gram span detection — gram-keyed dup count + semi join back +
     # per-doc interval-union window + coverage join.
@@ -330,7 +338,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # shingle windows left with the explode-form shingle_index; the remaining 2
     # are the candidate-rank windows).
     "docs_split_leakage": dict(
-        shuffle_exchange=9, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
+        shuffle_exchange=13, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
     # round 5: composed assessment report — four section aggregates over the
     # checkpointed correlated log (pre-checkpoint dedup+correlate not re-shown);
@@ -354,7 +362,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # round 7: FastSS deletion-variant self-join — one equi BHJ on the variant
     # (never a nested loop), distinct/groupBy shuffles around it.
     "docs_fuzzy_typo_pairs": dict(
-        shuffle_exchange=4, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=8, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     # round 7: CDC report — post-checkpoint remainder (the per-position md5
     # pass is materialized once and not re-shown); BNLJs are the 1-row
@@ -380,7 +388,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # round 7: dHash — ONE narrow mapInPandas + the output sort. Anything more
     # means the byte-roundtrip pipeline grew a join or extra shuffle.
     "media_image_dhash": dict(
-        shuffle_exchange=1, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     # round 7: HLL split overlap — post-checkpoint: three register estimates +
     # exact control crossJoined (the 3 BNLJs are all 1-row sides).
