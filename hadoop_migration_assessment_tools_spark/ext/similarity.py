@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.localrel import local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float-array columns, accumulated in array order (double)."""
@@ -182,9 +184,10 @@ def cosine_topk_ivf(
     )
 
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)],
-        schema="centroid_id int, _cent array<double>",
+        "centroid_id int, _cent array<double>",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -43,6 +43,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.localrel import local_df
+
 __all__ = [
     "advise_join",
     "apply_join_advice",
@@ -194,8 +196,8 @@ def advise_join(
         # an EMPTY side still yields a row (rows 0, share 0) so the decision
         # tree sees numbers, not NULL-propagated branches: 0 rows -> broadcast
         stats = hh.unionByName(
-            keyed.sparkSession.createDataFrame(
-                [(0, 0.0)], f"{tag}_rows long, {tag}_top_share double"
+            local_df(
+                keyed.sparkSession, [(0, 0.0)], f"{tag}_rows long, {tag}_top_share double"
             )
         ).orderBy(F.desc(f"{tag}_rows")).limit(1)
         # bytes = exact rows x avg serialized row size over a BOUNDED sample
@@ -389,8 +391,10 @@ def advise_window(
     # an EMPTY input still yields a row (0, NULL, 0.0) -> plain_window
     stats = (
         hh.unionByName(
-            keyed.sparkSession.createDataFrame(
-                [(0, None, 0.0)], "total_rows long, top_group string, top_share double"
+            local_df(
+                keyed.sparkSession,
+                [(0, None, 0.0)],
+                "total_rows long, top_group string, top_share double",
             )
         )
         .orderBy(F.desc("total_rows"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.localrel import local_df
+
 __all__ = ["distributed_median"]
 
 
@@ -71,9 +73,10 @@ def distributed_median(
                 targets.append((*key, b, k - below))
                 break
             below += h[b]
-    spec = df.sparkSession.createDataFrame(
+    spec = local_df(
+        df.sparkSession,
         targets,
-        schema=hist.select(*group_cols).schema.add("_tb", "integer").add("_tk", "long"),
+        hist.select(*group_cols).schema.add("_tb", "integer").add("_tk", "long"),
     )
     w = Window.partitionBy(*group_cols).orderBy(v.asc())
     candidates = (
@@ -138,9 +141,10 @@ def distributed_quantiles(
                     targets.append((*key, qname, b, k - below))
                     break
                 below += h[b]
-    spec = df.sparkSession.createDataFrame(
+    spec = local_df(
+        df.sparkSession,
         targets,
-        schema=hist.select(*group_cols)
+        hist.select(*group_cols)
         .schema.add("_q", "string")
         .add("_tb", "integer")
         .add("_tk", "long"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.localrel import local_df
 from ..functions.parity import avg_exact, count_big, money, sum_money
 from ..sources.readers import load_table
 
@@ -1611,7 +1612,7 @@ def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("value", "h")).alias("rn"),
         F.count(F.lit(1)).over(w_all).cast("long").alias("sample_k"),
     )
-    qs_df = spark.createDataFrame(list(SQ_QS), "qname string, q double")
+    qs_df = local_df(spark, list(SQ_QS), "qname string, q double")
     sq = (
         ranked.crossJoin(F.broadcast(qs_df))
         .where(F.col("rn") == F.ceil(F.col("q") * F.col("sample_k")).cast("int"))
@@ -1623,7 +1624,8 @@ def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample job runs once (median.py targets pattern).
     srows = sq.collect()
     thresholds = {r["qname"]: float(r["sample_quantile"]) for r in srows}
-    sq = spark.createDataFrame(
+    sq = local_df(
+        spark,
         [
             (r["qname"], float(r["q"]), float(r["sample_quantile"]), int(r["sample_k"]))
             for r in srows
@@ -3072,7 +3074,7 @@ def events_grouped_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
         F.row_number().over(wv).alias("rn"),
         F.count(F.lit(1)).over(wall).cast("long").alias("sample_k"),
     )
-    qs_df = spark.createDataFrame(list(GSQ_QS), "qname string, q double")
+    qs_df = local_df(spark, list(GSQ_QS), "qname string, q double")
     sq = (
         ranked.crossJoin(F.broadcast(qs_df))
         .where(F.col("rn") == F.ceil(F.col("q") * F.col("sample_k")).cast("int"))

@@ -37,6 +37,7 @@ from ..ext.text import (
     quality_score,
     token_count,
 )
+from ..functions.localrel import local_df
 from ..functions.parity import count_big
 from ..plans.spread import spread_small_scan, table_path
 from ..sources.readers import load_table
@@ -5024,8 +5025,8 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).filter(F.col("lang") == "en")
     merges = train_bpe_merges_batched(docs, BPE_NUM_MERGES)
-    return spark.createDataFrame(
-        merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
+    return local_df(
+        spark, merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
     ).orderBy("rank")
 
 

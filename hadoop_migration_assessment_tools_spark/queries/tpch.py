@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.localrel import local_df
 from ..functions.parity import avg_exact, count_big, money, sum_money
 from ..sources.readers import load_table
 
@@ -857,7 +858,7 @@ def lineitem_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_quantity", "l_discount"
     )
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    bands = local_df(spark, PRICE_BANDS, "band string, lo double, hi double")
     joined = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=10000.0)
     revenue = (
         money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..config import DEFAULT_ROLLOVER_INTERVAL_SECONDS
+from ..functions.localrel import local_df
 
 PARTITION_COL = "EventDate"
 
@@ -297,8 +298,8 @@ def compact_log_tree(
         for day, b in per_date_bytes.items()
         if "=" in day
     }
-    spec = spark.createDataFrame(
-        [(d, n) for d, n in slots.items()], schema="_day string, _n int"
+    spec = local_df(
+        spark, [(d, n) for d, n in slots.items()], "_day string, _n int"
     )
     total_slots = max(1, sum(slots.values()))
 

@@ -430,7 +430,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # ranking window, the single-scan conditional count, and the 3-row report
     # equi joins (BHJ).
     "events_sampled_quantiles": dict(
-        shuffle_exchange=10, broadcast_exchange=5, bnlj=2, cartesian=0, smj=1, bhj=3, shj=0, window=1
+        shuffle_exchange=8, broadcast_exchange=6, bnlj=2, cartesian=0, smj=0, bhj=4, shj=0, window=1
     ),
     # round 8: MP4 container certification — synthesize + box-walk + decode are
     # all narrow mapInPandas stages; the only exchanges are the deliberate
