@@ -55,12 +55,19 @@ def _spread(df: DataFrame, sf_dir: str, table: str = "documents", factor: int = 
     return spread_small_scan(df, table_path(sf_dir, table), factor=factor)
 
 
-def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_planted_dups(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """``spread=False`` opts a consumer out of the scan spread — for plans whose
+    per-row work is too light to amortize the exchange (docs_exact_dedup:
+    sha2 + one window; A/B/A 0.43 s unspread vs 0.88 s spread). The shingle/
+    MinHash/pair-graph consumers keep it (0.5-0.7x ratios measured)."""
     docs = load_table(spark, sf_dir, "documents")
     dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + DUP_OFFSET
     )
-    return _spread(docs.unionByName(dups), sf_dir)
+    aug = docs.unionByName(dups)
+    return _spread(aug, sf_dir) if spread else aug
 
 _DOCS_AUG_CTE = f"""
 WITH docs_aug AS (
@@ -76,7 +83,7 @@ WITH docs_aug AS (
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = _docs_with_planted_dups(spark, sf_dir)
+    aug = _docs_with_planted_dups(spark, sf_dir, spread=False)
     return (
         duplicate_groups(aug, "text", "doc_id")
         .select("text_hash", "dup_count", F.col("keeper_id").cast("long").alias("keeper_id"))
@@ -103,7 +110,7 @@ ORDER BY keeper_id
 
 
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     nt = token_count(F.col("text"))
     return (
         docs.withColumn("n_tokens", nt)
@@ -1357,7 +1364,7 @@ NEAR_DUP_THRESHOLD = 0.9
 
 
 def _embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     dups = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
         "vec_id", F.col("vec_id") + DUP_OFFSET
     )
@@ -1514,7 +1521,7 @@ CLUSTER_NLIST = 10
 def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import assign_centroids_fixed, fixed_centroids
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     cents = fixed_centroids(emb, CLUSTER_NLIST)
     assigned = assign_centroids_fixed(emb, cents)
     label_counts = assigned.groupBy("centroid_id", "label").agg(
@@ -1631,7 +1638,7 @@ def docs_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sketch import heavy_hitters_verified
     from ..ext.text import tokens
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
     return heavy_hitters_verified(toks, "term", k=20)
 
@@ -2026,7 +2033,7 @@ def docs_shingle_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import shingle_index
     from ..ext.sketch import cms_counters_weighted, cms_lookup
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).select(
+    docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.lower(F.col("text")).alias("text")
     )
     occ = shingle_index(docs, k=CMS_SHINGLE_K, distinct=False)
@@ -2679,7 +2686,7 @@ def docs_fuzzy_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted single-substitution typo twins (doc_id % 6 == 0)."""
     from ..ext.dedup import deletion_neighborhood_pairs
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(F.lower(F.substring("text", 1, 24)), "[^a-z0-9 ]", "").alias(
             "key"
@@ -3148,7 +3155,7 @@ DECON_LEAK_OFFSET = 2_000_000
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import contaminated_ids
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
     leaks = ev.withColumn("doc_id", F.col("doc_id") + DECON_LEAK_OFFSET).withColumn(
         "source", F.lit("leaked")
@@ -3525,7 +3532,7 @@ def docs_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import contamination_ratio
     from ..ext.text import tokens
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
     nb = docs.select(
         F.col("doc_id").alias("nb_id"), F.col("text").alias("nb_text")
@@ -3954,7 +3961,7 @@ UNIGRAM_HIGH_BITS = 9.0
 def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.lm import score_surprisal, unigram_vocab
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     vocab = unigram_vocab(docs, top_k=UNIGRAM_TOP_K).localCheckpoint()
     # Bounded driver action (1 long), same cost class as the documented IVF
     # training sample: the vocabulary relation is already materialized above.
@@ -4047,7 +4054,7 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.lm import bigram_vocab, score_bigram_surprisal, unigram_vocab
     from ..ext.text import tokens
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     uni = unigram_vocab(docs, top_k=UNIGRAM_TOP_K).localCheckpoint()
     pairs = bigram_vocab(docs, top_k=BIGRAM_TOP_K).localCheckpoint()
     toks = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
@@ -4324,7 +4331,7 @@ EMB_RANDOM_PROJECTION_ORACLE = _rp_oracle()
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.multimodal import sample_video_frames, synthesize_media
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir, factor=2)
+    docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, video_format="pvid")
     frames = sample_video_frames(media, every_k=2)
     return (
@@ -4641,7 +4648,7 @@ def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 160 partitions across every checkpointed admission stage (measured 2x
     # slower from per-task overheads), so the batch side stays scan-partitioned.
     admitted, audit = incremental_ingest(
-        _spread(docs, sf_dir),
+        docs,
         _ingest_incoming(docs),
         jaccard_threshold=INGEST_THRESHOLD,
         shingle_k=INGEST_SHINGLE_K,
@@ -4747,7 +4754,7 @@ def docs_ingest_indexed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index_path = scratch_dir("ingest_index", sf_dir)
     build_corpus_index(
-        _spread(docs, sf_dir), index_path, shingle_k=INGEST_SHINGLE_K
+        docs, index_path, shingle_k=INGEST_SHINGLE_K
     )  # fingerprint-cached: reruns on an unchanged corpus skip the build entirely
     # (spread the corpus into the build: parallel index write AND a multi-file
     # index that reads back parallel; the incoming batch side stays
@@ -5023,7 +5030,7 @@ DOCS_BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_NUM_MERGES)
 def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.bpe import train_bpe_merges_batched
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).filter(F.col("lang") == "en")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     merges = train_bpe_merges_batched(docs, BPE_NUM_MERGES)
     return local_df(
         spark, merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
@@ -5146,7 +5153,7 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import cosine
     from ..ext.text import tokens
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir).select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings")
     n_docs = docs.count()  # bounded 1-value driver action (IDF normalizer)
 
@@ -5518,7 +5525,7 @@ def docs_split_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import token_shingles
     from ..ext.sketch import HLL_HASH_BITS, kmv_bottom_k_hashes, kmv_hash
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     base = (
         docs.select(
             F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("split"),
@@ -5655,7 +5662,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..ext.similarity import sq_l2
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(
+    emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
     cbs = pq_codebooks(emb)  # bounded driver rows: ksub vectors
@@ -5776,7 +5783,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.quantize import PQ_M, pq_codebooks, with_pq_codes, with_query_adc_probes
     from ..ext.similarity import assign_centroids_fixed, fixed_centroids, sq_l2
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     cents = fixed_centroids(emb, IVF_FIXED_NLIST)
     cbs = pq_codebooks(emb)
 
@@ -5943,7 +5950,7 @@ def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..ext.similarity import fixed_centroids, with_sq_l2
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     cents = fixed_centroids(emb, IVF_FIXED_NLIST)
     cbs = pq_codebooks(emb)
 
@@ -6123,7 +6130,7 @@ RES_PQ_SAMPLE_N = 512
 def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec pulled 9/10 toward its vec_id%64 anchor — deterministic float32
     arithmetic both engines reproduce bit-for-bit."""
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), sf_dir, table="embeddings").where(F.col("embedding").isNotNull())
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     anchors = emb.where(F.col("vec_id") < RES_PQ_ANCHORS).select(
         F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
     )
@@ -6753,7 +6760,7 @@ def docs_bm25_stream_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..ext.retrieval import bm25_topk_from_index
     from ..streaming.indexing import BM25IndexIngestSink
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     tmp = scratch_dir("docs_bm25_stream_index", sf_dir, wipe=True)
     src = f"{tmp}/src"
     # 4 files + maxFilesPerTrigger=1 forces a genuinely multi-batch ingest
@@ -7044,7 +7051,7 @@ DOCS_HYBRID_METRICS_ORACLE = _docs_hybrid_metrics_oracle()
 def docs_viterbi_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.unigram import viterbi_tokenize_docs
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     return viterbi_tokenize_docs(docs).orderBy("doc_id")
 
 

@@ -49,15 +49,18 @@ def _spread_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthetic_query_log(
-    spark: SparkSession, sf_dir: str, spread: bool = True
+    spark: SparkSession, sf_dir: str, spread: bool = False
 ) -> DataFrame:
     """Build the deterministic QueryEvents log from orders (rules in module docstring).
 
-    ``spread=False`` opts a consumer out of the scan spread — for plans whose
-    cost is dominated by many small post-checkpoint jobs rather than the event
-    construction itself (qe_runtime_percentiles: A/B/A measured 3.0/2.8 s
-    unspread vs 4.4 s spread from the extra partitions flowing through its
-    localCheckpoint + three quantile passes)."""
+    spread defaults to FALSE here (r13 paired A/B over every consumer): the
+    log's event construction is light (3 projection branches), and its
+    consumers chain dedup windows + correlation joins + checkpoints whose many
+    small post-exchange partitions cost more than the spread buys
+    (qe_submit_complete_join 1.6 s unspread vs 3.7 spread; user_rollup 1.5 vs
+    2.0; mode_migration 1.1 vs 1.9; stream parity 5.8 vs 7.9). The HEAVY
+    expression-tree generator (_hook_input_from_orders: struct/array/JSON
+    building per row) keeps its spread — 0.7x measured."""
     orders = (
         _spread_orders(spark, sf_dir)
         if spread
@@ -1080,7 +1083,7 @@ ORDER BY fingerprint
 def qe_runtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.median import distributed_quantiles
 
-    log = synthetic_query_log(spark, sf_dir, spread=False)
+    log = synthetic_query_log(spark, sf_dir)
     corr = correlate_submit_complete(deduplicate_events(log))
     # Materialize the (queue, duration) relation once: the quantile selector
     # references its input three times (bounds, histogram, candidates), and

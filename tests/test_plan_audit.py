@@ -55,7 +55,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # 3 joins are BHJ equi-joins and the window shuffles move 3 narrow
     # columns. window=6: two rank windows x (Window + 2 WindowGroupLimit).
     "emb_ivfpq_rerank_topk": dict(
-        shuffle_exchange=7, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
+        shuffle_exchange=3, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=6
     ),
     # r13: the two-level routed residual stack lands on the SAME production
     # IVFADC+refine envelope — the hierarchical routing lives inside the two
@@ -76,7 +76,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # round 6: fixed-centroid cluster profile — scan-local assignment + one
     # centroid/label agg + the profile windows (+ output-order sort). Zero joins.
     "emb_cluster_profile": dict(
-        shuffle_exchange=4, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=3
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=3
     ),
     # round 6: Bloom semi-join reduction — the probe (lineitem) side never
     # shuffles: k=3 broadcast word-lookups + the broadcast exact-join control;
@@ -124,7 +124,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # of the finished word segmentations onto the token stream. The DP itself
     # lives in a vocabulary-sized Arrow kernel: zero corpus-sized joins.
     "docs_viterbi_tokenize": dict(
-        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     "docs_minhash_near_dup": dict(
         shuffle_exchange=12, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
@@ -139,11 +139,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
         shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     "emb_near_dup_lsh": dict(
-        shuffle_exchange=6, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     # The r3->r4 fix: the SCORED near-dup entry must stay the bucketed plan.
     "emb_near_dup_pairs": dict(
-        shuffle_exchange=6, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     # Re-pinned round 4: distributed_row_number's correctness lineage cut
     # (localCheckpoint before the rank/offset branches) moves the pre-checkpoint
@@ -171,16 +171,16 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
         shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=1, bhj=0, shj=0, window=0
     ),
     "docs_decontaminate": dict(
-        shuffle_exchange=9, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
+        shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
     ),
     "docs_contamination_ratio": dict(
-        shuffle_exchange=15, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=0
+        shuffle_exchange=6, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=0
     ),
     "qe_submit_complete_join": dict(
-        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=6
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=6
     ),
     "docs_exact_dedup": dict(
-        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
+        shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     "docs_dup_clusters": dict(
         shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
@@ -249,7 +249,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # LM scoring: vocab build (token shuffle) + broadcast vocab join + doc_id agg;
     # zero corpus self-shuffle beyond the id re-agg.
     "docs_unigram_surprisal": dict(
-        shuffle_exchange=5, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
+        shuffle_exchange=3, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=0
     ),
     # bnlj=1 = the 1-row total-weight broadcast cross join inside domain_rates.
     "docs_temperature_mixture": dict(
@@ -271,7 +271,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # output instead of reusing the window's full-token-stream partitioning —
     # more exchanges, strictly less shuffled volume.
     "docs_incremental_ingest": dict(
-        shuffle_exchange=26, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=0
+        shuffle_exchange=21, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=0
     ),
     # r7: Count-Min certification — vocab relation is localCheckpointed (its
     # build shuffle is behind the lineage cut); visible plan = one counter
@@ -294,7 +294,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # bnlj=1 = the deliberate 1-row query-vector broadcast crossJoin; the window
     # ranks only the LEX_TOPK candidate rows.
     "docs_hybrid_search": dict(
-        shuffle_exchange=7, broadcast_exchange=5, bnlj=1, cartesian=0, smj=0, bhj=4, shj=0, window=1
+        shuffle_exchange=3, broadcast_exchange=5, bnlj=1, cartesian=0, smj=0, bhj=4, shj=0, window=1
     ),
     # bnlj=1 = the tiny types x days spine crossJoin (both broadcast-sized);
     # the fill window is partitioned per type.
@@ -317,7 +317,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     ),
     # Monthly mix + share-of-month window (tiny per-month partitions).
     "qe_mode_migration_trend": dict(
-        shuffle_exchange=4, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
+        shuffle_exchange=3, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
     ),
     # round 5: MG candidates -> broadcast-semi exact count (one gram shuffle,
     # one map-side-combined count; the corpus never shuffles by term).
@@ -326,7 +326,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # rows), computing the k-th count vs the n/capacity floor for the in-plan
     # assert_true. The corpus-side shape is unchanged.
     "docs_heavy_terms": dict(
-        shuffle_exchange=8, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=3
+        shuffle_exchange=5, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=3
     ),
     # round 5: k-gram span detection — gram-keyed dup count + semi join back +
     # per-doc interval-union window + coverage join.
@@ -362,7 +362,7 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # round 7: FastSS deletion-variant self-join — one equi BHJ on the variant
     # (never a nested loop), distinct/groupBy shuffles around it.
     "docs_fuzzy_typo_pairs": dict(
-        shuffle_exchange=8, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=4, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     # round 7: CDC report — post-checkpoint remainder (the per-position md5
     # pass is materialized once and not re-shown); BNLJs are the 1-row
