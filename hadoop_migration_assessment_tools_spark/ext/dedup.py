@@ -561,10 +561,16 @@ def two_band_decontaminate(
     check) OR if at least ``tau`` of its distinct ``k_short``-grams hit (the ratio
     band that catches paraphrase-adjacent leakage a single long n-gram misses).
 
-    One tokenize pass serves BOTH bands: the train corpus is exploded once and a
-    single per-doc window derives the short and long shingles together (running the
-    two single-band operators back to back would tokenize and shuffle the corpus
-    twice). Both eval k-gram sets broadcast; the probe joins are map-side.
+    One tokenize pass serves BOTH bands: the token array is materialized once per
+    row and the short and long shingle windows are both derived from it with the
+    NARROW zip_with chain every other dedup kernel uses (r13 optimization: the
+    previous form posexploded the whole corpus token stream through a per-doc
+    lead() window — a shuffle and sort of EVERY TOKEN in the training set, the
+    single most scale-hostile shape in the module; the zip_with form never
+    shuffles the corpus before the per-doc counting aggregation, and that
+    aggregation is plain map-side-combinable counts over already-distinct
+    exploded shingles instead of count_distinct over raw windows). Both eval
+    k-gram sets broadcast; the probe joins are map-side.
 
     Returns (id_col, n_short_shingles, n_short_hits, short_ratio, long_hit,
     flagged); docs shorter than ``k_short`` tokens have ratio 0 and rely on the
@@ -573,38 +579,52 @@ def two_band_decontaminate(
     if k_short >= k_long:
         raise ValueError(f"need k_short < k_long, got {k_short}/{k_long}")
 
-    def _both(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    def _bands(df: DataFrame) -> DataFrame:
+        """(_id, _shs: distinct short shingles, _shl: distinct long shingles)."""
+        toks_df = df.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
         )
-        w = Window.partitionBy("_id").orderBy("_pos")
-        parts = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k_long)]
-        short = F.when(
-            parts[k_short - 1].isNotNull(), F.concat_ws(" ", *parts[:k_short])
+        w_s, n = _shingle_windows_from_tokens(F.col("_toks"), k_short)
+        w_l, _ = _shingle_windows_from_tokens(F.col("_toks"), k_long)
+        empty = F.array().cast("array<string>")
+        return toks_df.select(
+            "_id",
+            F.when(n < k_short, empty).otherwise(F.array_distinct(w_s)).alias("_shs"),
+            F.when(n < k_long, empty).otherwise(F.array_distinct(w_l)).alias("_shl"),
         )
-        long = F.when(parts[k_long - 1].isNotNull(), F.concat_ws(" ", *parts))
-        return toks.select("_id", short.alias("_sh_s"), long.alias("_sh_l"))
 
-    ev = _both(eval_df)
-    ev_s = ev.select("_sh_s").filter(F.col("_sh_s").isNotNull()).distinct()
-    ev_l = ev.select("_sh_l").filter(F.col("_sh_l").isNotNull()).distinct()
+    ev = _bands(eval_df)
+    ev_s = ev.select(F.explode("_shs").alias("_sh_s")).distinct()
+    ev_l = ev.select(F.explode("_shl").alias("_sh_l")).distinct()
     if broadcast_eval:
         ev_s, ev_l = F.broadcast(ev_s), F.broadcast(ev_l)
 
-    tr = (
-        _both(train)
+    tr = _bands(train)
+    # short band: explode the per-doc DISTINCT shingles (explode_outer keeps
+    # shingle-less docs as a null row -> counts 0), probe the broadcast set,
+    # plain counts (map-side combinable; distinctness is per-doc by construction)
+    shorts = (
+        tr.select("_id", F.explode_outer("_shs").alias("_sh_s"))
         .join(ev_s.withColumn("_hit_s", F.lit(1)), "_sh_s", "left")
-        .join(ev_l.withColumn("_hit_l", F.lit(1)), "_sh_l", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("_sh_s").cast("long").alias("n_short_shingles"),
+            F.count("_hit_s").cast("long").alias("n_short_hits"),
+        )
     )
-    per_doc = tr.groupBy("_id").agg(
-        F.count_distinct("_sh_s").cast("long").alias("n_short_shingles"),
-        F.count_distinct(F.when(F.col("_hit_s").isNotNull(), F.col("_sh_s")))
-        .cast("long")
-        .alias("n_short_hits"),
-        (F.max(F.when(F.col("_hit_l").isNotNull(), 1).otherwise(0)) == 1).alias(
-            "long_hit"
-        ),
+    # long band: ANY hit -> a semi join keeps only hitting docs (usually few)
+    longs = (
+        tr.select("_id", F.explode("_shl").alias("_sh_l"))
+        .join(ev_l, "_sh_l", "left_semi")
+        .select("_id")
+        .distinct()
+        .withColumn("_long_hit", F.lit(True))
+    )
+    per_doc = shorts.join(longs, "_id", "left").select(
+        "_id",
+        "n_short_shingles",
+        "n_short_hits",
+        F.coalesce(F.col("_long_hit"), F.lit(False)).alias("long_hit"),
     )
     ratio = F.when(
         F.col("n_short_shingles") > 0,
