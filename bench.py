@@ -32,10 +32,22 @@ def _historical_floors(sf: str) -> dict[str, float]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     floors: dict[str, float] = {}
+
+    def _absorb(qmap: dict) -> None:
+        for name, val in qmap.items():
+            if name in QUERIES and isinstance(val, (int, float)) and val > 0:
+                floors[name] = min(floors.get(name, float(val)), float(val))
+
     # last 3 rounds only: a query whose DEFINITION legitimately grew (e.g.
     # multimodal_features gained oracle probes in r9) must not trip forever
-    # against an obsolete all-time floor
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-3:]:
+    # against an obsolete all-time floor. Both sources count: the driver's
+    # BENCH_r*.json at the repo root AND the builder's committed closing
+    # benches under plans/r*/ (VERDICT r13 #2: the driver files used to be
+    # mined by regexing a 2000-char tail, so most of the registry had no
+    # floor and a 10x-floor outlier sailed past the fresh-session hatch).
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-3:]
+    paths += sorted(glob.glob(os.path.join(here, "plans", "r*", "BENCH_*.json")))[-3:]
+    for path in paths:
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -43,12 +55,18 @@ def _historical_floors(sf: str) -> dict[str, float]:
             continue
         if str(doc.get("sf")) != str(sf):
             continue
+        # Preferred: a full parsed per-query map (driver files carry it under
+        # "parsed", our own bench output carries it top-level as "queries").
+        parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else {}
+        qmap = parsed.get("queries") or doc.get("queries")
+        if isinstance(qmap, dict) and qmap:
+            _absorb(qmap)
+            continue
+        # Fallback: regex over whatever survived (e.g. a 2000-char tail).
         blob = doc.get("tail") if isinstance(doc.get("tail"), str) else json.dumps(doc)
-        for name, val in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', blob):
-            if name in QUERIES:
-                t = float(val)
-                if t > 0:
-                    floors[name] = min(floors.get(name, t), t)
+        _absorb(
+            {n: float(v) for n, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', blob)}
+        )
     return floors
 
 

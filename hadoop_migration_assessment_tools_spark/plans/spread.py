@@ -27,8 +27,13 @@ import os
 from pyspark.sql import DataFrame
 
 
-def _size_bytes(path: str) -> int:
-    """Total bytes under a file or directory; 0 when the path is unknown."""
+def _size_bytes(path: str) -> int | None:
+    """Total bytes under a local file or directory; ``None`` when the path is
+    not a readable local file/dir (remote URI, missing path). ``None`` means
+    "no evidence", which must DISABLE the spread — treating an hdfs://... or
+    s3a://... production table as 0 bytes would repartition (full-shuffle AND
+    parallelism-cap) a huge input, the opposite of the documented no-op-at-
+    scale guarantee (ADVICE r13)."""
     if os.path.isfile(path):
         return os.path.getsize(path)
     if os.path.isdir(path):
@@ -37,13 +42,26 @@ def _size_bytes(path: str) -> int:
             for root, _, files in os.walk(path)
             for f in files
         )
-    return 0
+    return None
 
 
 def _conf_bytes(value: str) -> int:
-    """Parse a Spark size conf ('134217728', '128m', '1g') to bytes."""
+    """Parse a Spark size conf ('134217728', '128m', '128mb', '1g') to bytes.
+    Longest-suffix-first so the two-letter forms Spark also accepts ('kb',
+    'mb', 'gb', 'tb') don't strip just the trailing 'b' and crash on
+    int('128m') (ADVICE r13)."""
     v = value.strip().lower()
-    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suffix, mult in (
+        ("kb", 1 << 10),
+        ("mb", 1 << 20),
+        ("gb", 1 << 30),
+        ("tb", 1 << 40),
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("t", 1 << 40),
+        ("b", 1),
+    ):
         if v.endswith(suffix):
             return int(float(v[: -len(suffix)]) * mult)
     return int(v)
@@ -54,12 +72,13 @@ def spread_small_scan(df: DataFrame, *input_paths: str, factor: int = 1) -> Data
     its input files are too small to split into that many scan tasks; identity
     (zero plan change) otherwise.
 
-    ``input_paths``: the files/directories the frame scans. An unknown path
-    (size 0 contribution) is fine — missing evidence only ever UNDER-counts the
-    input, which keeps the repartition; it never suppresses a spread that the
-    bytes would have justified. Results are partitioning-invariant by the
-    registry's own certification (full-registry hostile-layout sweep, r12), so
-    spreading can never change a query's output — only its parallelism.
+    ``input_paths``: the files/directories the frame scans. Any path that is
+    not a readable LOCAL file/dir (remote hdfs://, s3a://, a missing path)
+    disables the spread entirely: with no size evidence the safe direction is
+    identity — never a full repartition of what might be a 100 TB production
+    table (ADVICE r13). Results are partitioning-invariant by the registry's
+    own certification (full-registry hostile-layout sweep, r12), so spreading
+    can never change a query's output — only its parallelism.
 
     ``factor``: partitions per core. 1 for uniform-cost rows; 2-4 when per-row
     cost varies widely (codec decode, variable-length payloads) so the
@@ -74,7 +93,10 @@ def spread_small_scan(df: DataFrame, *input_paths: str, factor: int = 1) -> Data
         return df
     target = cores * max(1, factor)
     max_split = _conf_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    total = sum(_size_bytes(p) for p in input_paths)
+    sizes = [_size_bytes(p) for p in input_paths]
+    if any(s is None for s in sizes):
+        return df  # un-sizeable input (remote/missing): no evidence, no spread
+    total = sum(sizes)
     natural_splits = max(1, -(-total // max_split))  # ceil-div
     if natural_splits >= target:
         return df  # the scan already parallelizes; leave the plan alone

@@ -4756,9 +4756,8 @@ def docs_ingest_indexed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_corpus_index(
         docs, index_path, shingle_k=INGEST_SHINGLE_K
     )  # fingerprint-cached: reruns on an unchanged corpus skip the build entirely
-    # (spread the corpus into the build: parallel index write AND a multi-file
-    # index that reads back parallel; the incoming batch side stays
-    # scan-partitioned — see docs_incremental_ingest)
+    # (a corpus spread into the build was tried in r13 and REVERTED as a net
+    # loss in the paired A/B — this path runs unspread; see 6d39e28)
     admitted, audit = incremental_ingest_indexed(
         spark,
         index_path,

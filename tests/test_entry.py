@@ -82,6 +82,13 @@ def test_bench_historical_floors_and_trip_logic():
     from hadoop_migration_assessment_tools_spark.queries.registry import QUERIES
 
     assert set(floors) <= set(QUERIES)
+    # VERDICT r13 #2: floors must come from full parsed.queries maps (driver
+    # files) or committed closing benches (plans/r*/BENCH_*.json), not the
+    # accident of a 2000-char tail — near-total registry coverage is the pin
+    # that a 10x-floor outlier can actually trip the fresh-session hatch.
+    assert len(floors) >= 0.95 * len(QUERIES), (
+        f"floor coverage collapsed: {len(floors)}/{len(QUERIES)}"
+    )
     # a scale factor with no recorded history yields no floors (and thus can
     # never trip a rerun)
     assert bench._historical_floors("0.31337") == {}

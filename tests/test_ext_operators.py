@@ -1371,6 +1371,13 @@ def test_two_band_decontaminate_bands_and_edges(spark):
         (3, " ".join(f"c{i}" for i in range(30))),
         # shorter than k_short: no shingles either band, never flagged
         (4, "tiny doc only five tokens"),
+        # zero tokens (ADVICE r13: the r13 explode_outer rewrite KEEPS such
+        # docs with (0, 0, 0.0, false, false) — the old posexplode form
+        # silently dropped them; every train doc getting a verdict row is the
+        # intended contract, and both registry consumers left-join onto train
+        # so either coverage yields identical declared-query results)
+        (5, ""),
+        (6, "   "),
     ]
     train = spark.createDataFrame(rows, "doc_id long, text string")
     ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
@@ -1384,6 +1391,15 @@ def test_two_band_decontaminate_bands_and_edges(spark):
     assert out[2]["short_ratio"] == 1.0  # all five 8-grams of e0..e11 are in eval
     assert not out[3]["flagged"] and out[3]["n_short_hits"] == 0
     assert not out[4]["flagged"] and out[4]["n_short_shingles"] == 0
+    for empty_id in (5, 6):  # zero-token docs: present, all-zero, never flagged
+        r = out[empty_id]
+        assert (
+            r["n_short_shingles"] == 0
+            and r["n_short_hits"] == 0
+            and r["short_ratio"] == 0.0
+            and not r["long_hit"]
+            and not r["flagged"]
+        )
 
     with pytest.raises(ValueError):
         two_band_decontaminate(train, ev, k_long=8, k_short=8)

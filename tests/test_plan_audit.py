@@ -191,12 +191,16 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "signup_purchase_asof": dict(
         shuffle_exchange=1, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
     ),
-    # round-4 additions. two_band: both eval k-gram sets broadcast (bhj), one corpus
-    # explode feeding both bands. ann_recall: BNLJ = the deliberate broadcast
+    # round-4 additions. two_band (re-pinned r14 for the r13 zip_with rewrite,
+    # ext/dedup.py: the posexplode + per-doc lead() window — a shuffle+sort of
+    # every training token — became narrow zip_with shingling + map-side-
+    # combinable counts + a left-semi long-band probe: shuffle 10->7, window
+    # 3->0, +1 bhj; re-oracled tri-SF on the rewritten tree).
+    # ann_recall: BNLJ = the deliberate broadcast
     # query-set crossJoin inside the exact baseline. pack_invariants: BNLJ = the
     # 1-row x 1-row aggregate crossJoin (the single-job funnel discipline).
     "docs_two_band_decon": dict(
-        shuffle_exchange=10, broadcast_exchange=4, bnlj=0, cartesian=0, smj=1, bhj=4, shj=0, window=3
+        shuffle_exchange=7, broadcast_exchange=5, bnlj=0, cartesian=0, smj=2, bhj=5, shj=0, window=0
     ),
     "events_column_profile": dict(
         shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
