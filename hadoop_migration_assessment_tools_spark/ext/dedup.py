@@ -561,16 +561,19 @@ def two_band_decontaminate(
     check) OR if at least ``tau`` of its distinct ``k_short``-grams hit (the ratio
     band that catches paraphrase-adjacent leakage a single long n-gram misses).
 
-    One tokenize pass serves BOTH bands: the token array is materialized once per
-    row and the short and long shingle windows are both derived from it with the
-    NARROW zip_with chain every other dedup kernel uses (r13 optimization: the
-    previous form posexploded the whole corpus token stream through a per-doc
-    lead() window — a shuffle and sort of EVERY TOKEN in the training set, the
-    single most scale-hostile shape in the module; the zip_with form never
-    shuffles the corpus before the per-doc counting aggregation, and that
-    aggregation is plain map-side-combinable counts over already-distinct
-    exploded shingles instead of count_distinct over raw windows). Both eval
-    k-gram sets broadcast; the probe joins are map-side.
+    ONE corpus pass serves BOTH bands (r14, guide §2.1 one-scan rule; the r13
+    zip_with rewrite still consumed the banded frame twice — once per band —
+    so the tokenize + two zip_with shingle chains re-executed per band, the
+    dominant CPU of docs_training_prep_pipeline at 128 s + 46 s of task time
+    in the r14 profile): the short and long shingle arrays are tagged with a
+    band prefix ("s\\0" / "l\\0" — distinct prefixes, no cross-band key
+    collisions), concatenated, and exploded ONCE; a single broadcast probe
+    join against the identically-tagged eval set and a single map-side-
+    combinable groupBy produce both bands' evidence per doc. The long band's
+    ANY-hit is bool_or in the same aggregation (replacing the r13 semi-join +
+    distinct + join-back — two fewer shuffles and a whole corpus
+    tokenize+shingle pass removed). explode_outer keeps shingle-less docs as
+    a null row -> counts 0, long_hit false.
 
     Returns (id_col, n_short_shingles, n_short_hits, short_ratio, long_hit,
     flagged); docs shorter than ``k_short`` tokens have ratio 0 and rely on the
@@ -578,9 +581,93 @@ def two_band_decontaminate(
     """
     if k_short >= k_long:
         raise ValueError(f"need k_short < k_long, got {k_short}/{k_long}")
+    import os
+
+    if os.environ.get("SPARK_GRAFT_TWOBAND_TWOPASS"):  # measurement/A-B toggle
+        return two_band_decontaminate_twopass(
+            train, eval_df, text_col, id_col, k_long, k_short, tau, broadcast_eval
+        )
+
+    def _tagged_bands(df: DataFrame) -> DataFrame:
+        """(_id, _tsh: band-tagged distinct shingles of BOTH bands, one array)."""
+        toks_df = df.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+        )
+        w_s, n = _shingle_windows_from_tokens(F.col("_toks"), k_short)
+        w_l, _ = _shingle_windows_from_tokens(F.col("_toks"), k_long)
+        empty = F.array().cast("array<string>")
+        tag = lambda prefix: (lambda sh: F.concat(F.lit(prefix + "\x00"), sh))  # noqa: E731
+        return toks_df.select(
+            "_id",
+            F.concat(
+                F.transform(
+                    F.when(n < k_short, empty).otherwise(F.array_distinct(w_s)),
+                    tag("s"),
+                ),
+                F.transform(
+                    F.when(n < k_long, empty).otherwise(F.array_distinct(w_l)),
+                    tag("l"),
+                ),
+            ).alias("_tsh"),
+        )
+
+    ev = (
+        _tagged_bands(eval_df)
+        .select(F.explode("_tsh").alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+
+    is_s = F.col("_sh").startswith("s")
+    per_doc = (
+        _tagged_bands(train)
+        .select("_id", F.explode_outer("_tsh").alias("_sh"))
+        .join(ev, "_sh", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.when(is_s, 1)).cast("long").alias("n_short_shingles"),
+            F.count(F.when(is_s, F.col("_hit"))).cast("long").alias("n_short_hits"),
+            F.coalesce(
+                F.bool_or(~is_s & F.col("_hit").isNotNull()), F.lit(False)
+            ).alias("long_hit"),
+        )
+    )
+    ratio = F.when(
+        F.col("n_short_shingles") > 0,
+        F.round(F.col("n_short_hits") / F.col("n_short_shingles"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_short_shingles",
+        "n_short_hits",
+        ratio.alias("short_ratio"),
+        "long_hit",
+        (F.col("long_hit") | (ratio >= tau)).alias("flagged"),
+    )
+
+
+def two_band_decontaminate_twopass(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_long: int = 13,
+    k_short: int = 8,
+    tau: float = 0.3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The r13 per-band form of ``two_band_decontaminate``, kept as the
+    certified reference twin (and the A/B baseline behind the
+    SPARK_GRAFT_TWOBAND_TWOPASS toggle): each band consumes the banded corpus
+    frame separately, so the tokenize + zip_with shingle chains execute once
+    PER BAND and the long band pays a semi-join + distinct + join-back.
+    Results are identical to the fused form (pinned by pytest parity)."""
+    if k_short >= k_long:
+        raise ValueError(f"need k_short < k_long, got {k_short}/{k_long}")
 
     def _bands(df: DataFrame) -> DataFrame:
-        """(_id, _shs: distinct short shingles, _shl: distinct long shingles)."""
         toks_df = df.select(
             F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
         )
@@ -600,9 +687,6 @@ def two_band_decontaminate(
         ev_s, ev_l = F.broadcast(ev_s), F.broadcast(ev_l)
 
     tr = _bands(train)
-    # short band: explode the per-doc DISTINCT shingles (explode_outer keeps
-    # shingle-less docs as a null row -> counts 0), probe the broadcast set,
-    # plain counts (map-side combinable; distinctness is per-doc by construction)
     shorts = (
         tr.select("_id", F.explode_outer("_shs").alias("_sh_s"))
         .join(ev_s.withColumn("_hit_s", F.lit(1)), "_sh_s", "left")
@@ -612,7 +696,6 @@ def two_band_decontaminate(
             F.count("_hit_s").cast("long").alias("n_short_hits"),
         )
     )
-    # long band: ANY hit -> a semi join keeps only hitting docs (usually few)
     longs = (
         tr.select("_id", F.explode("_shl").alias("_sh_l"))
         .join(ev_l, "_sh_l", "left_semi")

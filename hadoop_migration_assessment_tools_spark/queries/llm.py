@@ -3635,6 +3635,11 @@ def docs_two_band_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import two_band_decontaminate
     from ..ext.text import tokens
 
+    # NOT spread (r14 interleaved A/B with InferFiltersFromGenerate excluded:
+    # 0.92 s unspread vs 1.31 s spread min-of-5) — the docs scan feeds the
+    # broadcast eval build, the leaked-pair join AND the train side, so the
+    # repartition stalls the broadcast builds (the r13 retrieval conflict)
+    # for less parallel-compute than it buys on this corpus
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
     nb = docs.select(F.col("doc_id").alias("nb_id"), F.col("text").alias("nb_text"))
@@ -3764,9 +3769,13 @@ def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= QUALITY_KEEP_THRESHOLD)
         .localCheckpoint(eager=False)
     )
-    ev = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % DECON_EVAL_MOD == 3
-    )
+    # the eval side feeds ONLY the broadcast probe set, so spreading it cannot
+    # stall a big-side exchange (the r13 retrieval conflict) — it just
+    # parallelizes the tokenize + both-band shingle build that was an 8.4 s
+    # single-task stage in the r14 profile
+    ev = _spread(
+        load_table(spark, sf_dir, "documents"), sf_dir
+    ).filter(F.col("doc_id") % DECON_EVAL_MOD == 3)
     decon = two_band_decontaminate(
         kept, ev, k_long=DECON_K_LONG, k_short=DECON_K, tau=DECON_RATIO_TAU
     )

@@ -64,6 +64,24 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.host": "127.0.0.1",
+        # r14 optimization (guide §1.2 step 1 via §7.2 plan reading):
+        # InferFiltersFromGenerate turns every non-outer explode(expr) into an
+        # inferred `size(expr) > 0 AND isnotnull(expr)` filter, and predicate
+        # pushdown then SUBSTITUTES expr all the way down to the scan. For this
+        # engine's HOF-built arrays (zip_with shingle chains, tagged band
+        # arrays, CDC windows) that plants a copy of the whole tokenize+shingle
+        # expression tree in the scan stage as a DataFilter, evaluated per row
+        # and discarded — measured 12.2 s -> 4.9 s on
+        # docs_training_prep_pipeline and -10% on the minhash/jaccard family
+        # (interleaved same-session A/B, r14). The rule's upside (skipping
+        # empty-array rows early) is a no-op here: the explode drops them
+        # anyway, one operator later. Results are plan-identical in content;
+        # env-overridable for workloads whose generates feed from stored
+        # columns where the inferred filter is cheap and selective.
+        "spark.sql.optimizer.excludedRules": os.environ.get(
+            "SPARK_GRAFT_EXCLUDED_RULES",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
         # JIT code-cache headroom (r13 optimization). A long mixed session
         # generates thousands of codegen classes; at the JVM default
         # (ReservedCodeCacheSize=240m) the code cache fills mid-suite, C2

@@ -191,16 +191,19 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "signup_purchase_asof": dict(
         shuffle_exchange=1, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=1
     ),
-    # round-4 additions. two_band (re-pinned r14 for the r13 zip_with rewrite,
-    # ext/dedup.py: the posexplode + per-doc lead() window — a shuffle+sort of
-    # every training token — became narrow zip_with shingling + map-side-
-    # combinable counts + a left-semi long-band probe: shuffle 10->7, window
-    # 3->0, +1 bhj; re-oracled tri-SF on the rewritten tree).
+    # round-4 additions. two_band (re-pinned twice in r14: first for the r13
+    # zip_with rewrite — posexplode + per-doc lead() window, a shuffle+sort of
+    # every training token, became narrow zip_with shingling (shuffle 10->7,
+    # window 3->0) — then for the r14 FUSED one-pass form, ext/dedup.py: both
+    # bands tagged + exploded once, one broadcast probe + one map-side-
+    # combinable groupBy replaces the per-band passes and the long band's
+    # semi-join + distinct + join-back (shuffle 7->5, bhj 5->3, smj 2->1);
+    # re-oracled tri-SF after each re-shape).
     # ann_recall: BNLJ = the deliberate broadcast
     # query-set crossJoin inside the exact baseline. pack_invariants: BNLJ = the
     # 1-row x 1-row aggregate crossJoin (the single-job funnel discipline).
     "docs_two_band_decon": dict(
-        shuffle_exchange=7, broadcast_exchange=5, bnlj=0, cartesian=0, smj=2, bhj=5, shj=0, window=0
+        shuffle_exchange=5, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=0
     ),
     "events_column_profile": dict(
         shuffle_exchange=2, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
