@@ -76,22 +76,34 @@ def incremental_ingest(
     # broadcast exchanges for the registry query's 5-way-union batch; with the
     # cuts, a handful. The checkpointed relations are batch-sized.
     inc = incoming.withColumn("_th", th).localCheckpoint()
-    ex_hashes = existing.select(
-        F.xxhash64(F.col(text_col)).alias("_th"), F.col(text_col).alias("_ex_text")
+    # DISTINCT (hash, text) pairs: dedup makes the marker join below safe (a
+    # left join must not multiply batch rows when the corpus holds duplicate
+    # texts) and is ONE map-side-combinable corpus pass — where the r13 shape
+    # paid two (a semi + an anti join each re-derived the corpus hash
+    # relation: the twinned 2.1 s serial stages in the r14 profile).
+    ex_hashes = (
+        existing.select(
+            F.xxhash64(F.col(text_col)).alias("_ex_th"),
+            F.col(text_col).alias("_ex_text"),
+        )
+        .distinct()
+        .withColumn("_corpus_hit", F.lit(1))
     )
 
-    # Stage 1 — exact vs corpus: semi join on the 8-byte hash with text residual.
-    hit1 = inc.join(
+    # Stage 1 — exact vs corpus: ONE marker join on the 8-byte hash with text
+    # residual; the checkpointed batch-sized result partitions into
+    # rejected/passed by filter instead of semi+anti twin joins (guide §2.1).
+    marked = inc.join(
         ex_hashes,
-        (inc["_th"] == ex_hashes["_th"]) & (inc[text_col] == ex_hashes["_ex_text"]),
-        "left_semi",
-    )
-    s1_rejected = hit1.select(F.col(id_col), F.lit(REASON_EXACT_CORPUS).alias("reason"))
-    s1_pass = inc.join(
-        ex_hashes,
-        (inc["_th"] == ex_hashes["_th"]) & (inc[text_col] == ex_hashes["_ex_text"]),
-        "left_anti",
+        (inc["_th"] == ex_hashes["_ex_th"]) & (inc[text_col] == ex_hashes["_ex_text"]),
+        "left",
     ).localCheckpoint()
+    s1_rejected = marked.filter(F.col("_corpus_hit").isNotNull()).select(
+        F.col(id_col), F.lit(REASON_EXACT_CORPUS).alias("reason")
+    )
+    s1_pass = marked.filter(F.col("_corpus_hit").isNull()).drop(
+        "_corpus_hit", "_ex_th", "_ex_text"
+    )
 
     # Stage 2 — exact dedup inside the batch: deterministic min-id survivor.
     min_ids = s1_pass.groupBy("_th", text_col).agg(F.min(id_col).alias("_min_id"))
@@ -102,10 +114,20 @@ def incremental_ingest(
     s2_pass = s2.filter(F.col(id_col) == F.col("_min_id")).drop("_min_id").localCheckpoint()
 
     # Stage 3 — near-dup vs corpus: exact shingle-Jaccard over the inverted index.
-    inc_sh = shingle_index(s2_pass, text_col, id_col, k=shingle_k)
+    # Both shingle relations feed TWO consumers (size aggregate + intersection
+    # join); without a lineage cut each consumer re-runs the whole
+    # tokenize+explode+distinct derivation (the twinned 3.2 s/4.4 MB corpus
+    # stages in the r14 profile). The cut materializes each ONCE — exactly the
+    # "corpus artifacts are materialized once and reused" production shape the
+    # module docstring promises (incremental_ingest_indexed makes it durable).
+    inc_sh = shingle_index(s2_pass, text_col, id_col, k=shingle_k).localCheckpoint(
+        eager=False
+    )
     inc_sizes = inc_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_na"))
-    ex_sh = shingle_index(existing, text_col, id_col, k=shingle_k).select(
-        F.col("_id").alias("_ex_id"), F.col("_sh")
+    ex_sh = (
+        shingle_index(existing, text_col, id_col, k=shingle_k)
+        .select(F.col("_id").alias("_ex_id"), F.col("_sh"))
+        .localCheckpoint(eager=False)
     )
     ex_sizes = ex_sh.groupBy("_ex_id").agg(F.count(F.lit(1)).alias("_nb"))
     inter = (
@@ -194,7 +216,10 @@ def build_corpus_index(
             )
         ).alias("content2"),
     ).first()
-    fingerprint = f"{row['n']}:{row['content']}:{row['content2']}:k={shingle_k}"
+    # v2: hashes/ is written DISTINCT so the admission path can use ONE marker
+    # join instead of semi+anti twins; the version tag forces stale v1 indexes
+    # (non-distinct — a marker join would multiply batch rows) to rebuild.
+    fingerprint = f"v2:{row['n']}:{row['content']}:{row['content2']}:k={shingle_k}"
     marker = os.path.join(index_path, "_FINGERPRINT")
     try:
         with open(marker) as fh:
@@ -204,7 +229,7 @@ def build_corpus_index(
         pass  # no/unreadable marker: build
     existing.select(
         F.xxhash64(F.col(text_col)).alias("_th"), F.col(text_col).alias("_ex_text")
-    ).write.mode("overwrite").parquet(f"{index_path}/hashes")
+    ).distinct().write.mode("overwrite").parquet(f"{index_path}/hashes")
     sh = shingle_index(existing, text_col, id_col, k=shingle_k)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_nb"))
     sh.join(sizes, "_id").select(
@@ -232,11 +257,21 @@ def incremental_ingest_indexed(
 
     incoming, s0_rejected = _route_null_text(incoming, text_col, id_col)
     inc = incoming.withColumn("_th", F.xxhash64(F.col(text_col))).localCheckpoint()
-    cond = (inc["_th"] == ex_hashes["_th"]) & (inc[text_col] == ex_hashes["_ex_text"])
-    s1_rejected = inc.join(ex_hashes, cond, "left_semi").select(
+    # hashes/ is distinct by construction (v2 build above), so ONE marker join
+    # partitions the batch into rejected/passed — the r13 semi+anti twins paid
+    # two scans of the index and two joins per batch (guide §2.1).
+    ex_marked = ex_hashes.withColumn("_corpus_hit", F.lit(1))
+    cond = (inc["_th"] == ex_marked["_th"]) & (inc[text_col] == ex_marked["_ex_text"])
+    marked = (
+        inc.join(ex_marked, cond, "left")
+        .drop(ex_marked["_th"])
+        .drop("_ex_text")
+        .localCheckpoint()
+    )
+    s1_rejected = marked.filter(F.col("_corpus_hit").isNotNull()).select(
         F.col(id_col), F.lit(REASON_EXACT_CORPUS).alias("reason")
     )
-    s1_pass = inc.join(ex_hashes, cond, "left_anti").localCheckpoint()
+    s1_pass = marked.filter(F.col("_corpus_hit").isNull()).drop("_corpus_hit")
 
     min_ids = s1_pass.groupBy("_th", text_col).agg(F.min(id_col).alias("_min_id"))
     s2 = s1_pass.join(F.broadcast(min_ids), ["_th", text_col])

@@ -277,8 +277,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # gone; each consumer now exchanges its own (smaller, partially-aggregated)
     # output instead of reusing the window's full-token-stream partitioning —
     # more exchanges, strictly less shuffled volume.
+    # r14: stage-1 semi+anti twin joins fused into one marker join over a
+    # DISTINCT corpus hash relation, stage-3 shingle relations checkpointed so
+    # their two consumers (sizes + intersection) stop re-deriving them:
+    # shuffle 21->13, bhj 8->7.
     "docs_incremental_ingest": dict(
-        shuffle_exchange=21, broadcast_exchange=8, bnlj=0, cartesian=0, smj=1, bhj=8, shj=0, window=0
+        shuffle_exchange=13, broadcast_exchange=7, bnlj=0, cartesian=0, smj=1, bhj=7, shj=0, window=0
     ),
     # r7: Count-Min certification — vocab relation is localCheckpointed (its
     # build shuffle is behind the lineage cut); visible plan = one counter
