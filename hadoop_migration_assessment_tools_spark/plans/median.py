@@ -16,6 +16,16 @@ The scale-safe exact algorithm is two-phase histogram selection:
 
 Ties are safe: equal values share a bucket (the bucket function is monotone),
 and the k-th smallest VALUE is order-independent under duplicates.
+
+r14 fusion (guide §2.1/§2.4, VERDICT r13 #6): the histogram rows carry the
+group's (lo, hi, n_rows) — constants within a group, free under map-side
+partial aggregation — so the driver-built broadcast spec can hand them back
+to the selection pass. Before the fusion the input relation was aggregated
+for bounds THREE times (the bucket-expression broadcast, the candidates'
+bucket-expression broadcast again, and the final n_rows join — an extra
+SortMergeJoin); now exactly once, and the selection job's only join inputs
+are LocalTableScan broadcasts. Input passes: 3 (bounds, histogram,
+candidates) — the algorithm's minimum.
 """
 
 from __future__ import annotations
@@ -55,42 +65,54 @@ def distributed_median(
     hist = (
         with_b.withColumn("_b", bucket)
         .groupBy(*group_cols, "_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("_bn"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_bn"),
+            # constant within the group (from the bounds broadcast): carrying
+            # them here lets the selection pass run without re-aggregating df
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.first("n_rows").alias("n_rows"),
+        )
     )
     # bounded driver step: #groups x <=B rows of integers
     rows = hist.collect()
     counts: dict[tuple, dict[int, int]] = {}
+    meta: dict[tuple, tuple] = {}  # group -> (_lo, _hi, n_rows)
     for r in rows:
         key = tuple(r[c] for c in group_cols)
         counts.setdefault(key, {})[r["_b"]] = r["_bn"]
-    targets = []  # (group..., candidate bucket, rank within bucket)
+        meta[key] = (r["_lo"], r["_hi"], r["n_rows"])
+    targets = []  # (group..., lo, hi, n_rows, candidate bucket, rank within bucket)
     for key, h in counts.items():
         n = sum(h.values())
         k = (n + 1) // 2
         below = 0
         for b in sorted(h):
             if below + h[b] >= k:
-                targets.append((*key, b, k - below))
+                targets.append((*key, *meta[key], b, k - below))
                 break
             below += h[b]
     spec = local_df(
         df.sparkSession,
         targets,
-        hist.select(*group_cols).schema.add("_tb", "integer").add("_tk", "long"),
+        df.select(*group_cols)
+        .schema.add("_lo", "double")
+        .add("_hi", "double")
+        .add("n_rows", "long")
+        .add("_tb", "integer")
+        .add("_tk", "long"),
     )
+    # selection pass: the ONLY remaining df reference; bounds ride the spec
     w = Window.partitionBy(*group_cols).orderBy(v.asc())
     candidates = (
-        with_b.withColumn("_b", bucket)
-        .join(F.broadcast(spec), on=group_cols)
+        df.join(F.broadcast(spec), on=group_cols)
+        .withColumn("_b", bucket)
         .filter(F.col("_b") == F.col("_tb"))
     )
     ranked = candidates.withColumn("_rn", F.row_number().over(w))
-    med = ranked.filter(F.col("_rn") == F.col("_tk")).select(
-        *group_cols, v.alias("median")
-    )
     return (
-        bounds.select(*group_cols, "n_rows")
-        .join(med, group_cols)
+        ranked.filter(F.col("_rn") == F.col("_tk"))
+        .select(*group_cols, "n_rows", v.alias("median"))
         .orderBy(*group_cols)
     )
 
@@ -123,41 +145,63 @@ def distributed_quantiles(
     hist = (
         with_b.withColumn("_b", bucket)
         .groupBy(*group_cols, "_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("_bn"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_bn"),
+            # group constants (from the bounds broadcast) so the selection
+            # pass never re-aggregates df — see the module docstring
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.first("n_rows").alias("n_rows"),
+        )
     )
     rows = hist.collect()  # bounded: #groups x <=B integers
     counts: dict[tuple, dict[int, int]] = {}
+    meta: dict[tuple, tuple] = {}  # group -> (_lo, _hi, n_rows)
     for r in rows:
         key = tuple(r[c] for c in group_cols)
         counts.setdefault(key, {})[r["_b"]] = r["_bn"]
+        meta[key] = (r["_lo"], r["_hi"], r["n_rows"])
     targets = []  # (group..., qname, bucket, rank-within-bucket)
+    buckets = []  # (group..., lo, hi, n_rows, distinct candidate bucket)
+    seen_b: set[tuple] = set()
     for key, h in counts.items():
-        n = sum(h.values())
         for qname, q in qs.items():
+            n = sum(h.values())
             k = max(1, math.ceil(q * n))
             below = 0
             for b in sorted(h):
                 if below + h[b] >= k:
                     targets.append((*key, qname, b, k - below))
+                    if (*key, b) not in seen_b:
+                        seen_b.add((*key, b))
+                        buckets.append((*key, *meta[key], b))
                     break
                 below += h[b]
+    # StructType.add mutates in place — build each spec schema from a fresh select
     spec = local_df(
         df.sparkSession,
         targets,
-        hist.select(*group_cols)
+        df.select(*group_cols)
         .schema.add("_q", "string")
         .add("_tb", "integer")
         .add("_tk", "long"),
     )
+    gmeta = local_df(
+        df.sparkSession,
+        buckets,
+        df.select(*group_cols)
+        .schema.add("_lo", "double")
+        .add("_hi", "double")
+        .add("n_rows", "long")
+        .add("_tb", "integer"),
+    )
     # rank once per (group, candidate bucket); a bucket hosting two quantile
-    # targets is ranked once and matched twice via the spec join
+    # targets is ranked once and matched twice via the spec join. gmeta hands
+    # bounds back to the bucket expression: the ONLY remaining df reference.
     wb = Window.partitionBy(*group_cols, "_b").orderBy(v.asc())
     candidates = (
-        with_b.withColumn("_b", bucket)
-        .join(
-            F.broadcast(spec.select(*group_cols, "_tb").distinct()),
-            on=group_cols,
-        )
+        df.join(F.broadcast(gmeta), on=group_cols)
+        .withColumn("_b", bucket)
         .filter(F.col("_b") == F.col("_tb"))
         .drop("_tb")
         .withColumn("_rn", F.row_number().over(wb))
@@ -172,10 +216,11 @@ def distributed_quantiles(
     )
     hits = cand_a.join(F.broadcast(spec_a), cond).select(
         *[F.col(f"c.{g}") for g in group_cols],
+        F.col("c.n_rows").alias("n_rows"),
         F.col("s._q").alias("_q"),
         F.col(f"c.{value_col}").cast("double").alias("_val"),
     )
-    wide = hits.groupBy(*group_cols).pivot("_q", list(qs)).agg(F.first("_val"))
-    return (
-        bounds.select(*group_cols, "n_rows").join(wide, group_cols).orderBy(*group_cols)
+    wide = (
+        hits.groupBy(*group_cols, "n_rows").pivot("_q", list(qs)).agg(F.first("_val"))
     )
+    return wide.select(*group_cols, "n_rows", *list(qs)).orderBy(*group_cols)

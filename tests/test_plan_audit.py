@@ -312,19 +312,22 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "events_gap_fill": dict(
         shuffle_exchange=4, broadcast_exchange=2, bnlj=1, cartesian=0, smj=0, bhj=1, shj=0, window=1
     ),
-    # Two-phase median: bounds/histogram aggs + broadcast spec; the single window
-    # ranks only the candidate bucket's rows.
+    # Two-phase median: the r14 fusion hands bounds back via the driver-built
+    # broadcast spec, so the final plan is ONE aggregate-free selection pass:
+    # broadcast spec join + candidate ranking window + output sort.
     "lineitem_exact_median": dict(
-        shuffle_exchange=4, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=1
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=1
     ),
     # Regex normalization is scan-local; exchanges are the fingerprint roll-up.
     "qe_query_fingerprints": dict(
         shuffle_exchange=4, broadcast_exchange=0, bnlj=0, cartesian=0, smj=0, bhj=0, shj=0, window=0
     ),
     # localCheckpoint of the (queue, duration) relation before the quantile
-    # selector's three references — without it: 13 shuffles / 19 windows.
+    # selector's references — without it: 13 shuffles / 19 windows. r14 spec
+    # fusion drops the selector's two bounds re-aggregations and the n_rows
+    # SortMergeJoin (shuffle 7->4, smj 1->0).
     "qe_runtime_percentiles": dict(
-        shuffle_exchange=7, broadcast_exchange=3, bnlj=0, cartesian=0, smj=1, bhj=3, shj=0, window=1
+        shuffle_exchange=4, broadcast_exchange=2, bnlj=0, cartesian=0, smj=0, bhj=2, shj=0, window=1
     ),
     # Monthly mix + share-of-month window (tiny per-month partitions).
     "qe_mode_migration_trend": dict(
@@ -440,8 +443,10 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # quantile (the two 1-row-broadcast BNLJ, see BNLJ_ALLOWED), one candidate
     # ranking window, the single-scan conditional count, and the 3-row report
     # equi joins (BHJ).
+    # r14 spec fusion: the exact control's bounds ride the broadcast spec
+    # (shuffle 8->5, one of the two 1-row-broadcast BNLJ gone).
     "events_sampled_quantiles": dict(
-        shuffle_exchange=8, broadcast_exchange=6, bnlj=2, cartesian=0, smj=0, bhj=4, shj=0, window=1
+        shuffle_exchange=5, broadcast_exchange=4, bnlj=1, cartesian=0, smj=0, bhj=3, shj=0, window=1
     ),
     # round 8: MP4 container certification — synthesize + box-walk + decode are
     # all narrow mapInPandas stages; the only exchanges are the deliberate
