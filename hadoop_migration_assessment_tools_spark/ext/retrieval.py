@@ -100,21 +100,30 @@ def _score_postings(
     dfreq = posting.groupBy("_term").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
-    scored = (
+    # r14 (guide §1.2 step 2): the BM25 contribution depends only on the
+    # (doc, term) posting row — computing it BEFORE the query-term join
+    # evaluates ln + divisions once per posting instead of once per exploded
+    # (query, doc, term) row (~#queries-sharing-the-term times more; the
+    # profiled 50 s scored-stage CPU at sf0.1). The exploded rows then carry
+    # only (_qid, _id, _c) into the map-side partial aggregation.
+    contrib = (
         posting.join(F.broadcast(dfreq), "_term")
-        .join(F.broadcast(qterms), "_term")
-        .filter(F.col("_id") != F.col("_qid"))
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_c",
+        .select(
+            "_id",
+            "_term",
             _bm25_contrib_e6(
                 F.col("_tf").cast("double"),
                 F.col("_df").cast("double"),
                 F.col("_dl").cast("double"),
                 F.col("_n_docs"),
                 F.col("_avgdl"),
-            ),
+            ).alias("_c"),
         )
+    )
+    scored = (
+        contrib.join(F.broadcast(qterms), "_term")
+        .filter(F.col("_id") != F.col("_qid"))
         .groupBy("_qid", "_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_terms_matched"),

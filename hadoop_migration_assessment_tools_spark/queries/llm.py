@@ -6599,10 +6599,11 @@ def _bm25_queries(docs: DataFrame) -> DataFrame:
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.retrieval import bm25_topk
 
-    # NOT spread (r13 A/B/A: 2.9/3.2 s unspread vs 4.3 s spread): the corpus
-    # feeds the broadcast-built qterm/stats sides as well as the posting leg,
-    # and those broadcast builds then wait on the repartition exchange instead
-    # of streaming straight off the scan.
+    # NOT spread — measured twice. r13 all-spread: 2.9 unspread vs 4.3 s. r14
+    # retried VERDICT r13 #7's split (corpus leg spread, query-term builds off
+    # the raw scan): STILL loses, interleaved A/B 2.35 unspread vs 2.96 s —
+    # the repartition exchange write is itself ONE task carrying the full
+    # text payload, so it costs more than the serial tokenizes it replaces.
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(
         docs, _bm25_queries(docs), k=BM25_TOPK, q_terms=BM25_QTERMS
@@ -6685,8 +6686,9 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.retrieval import bm25_topk, rrf_fuse
     from ..ext.similarity import cosine_topk_bruteforce
 
-    # NOT spread (r13 A/B/A: 3.5/4.1 s unspread vs 4.7 s spread) — same
-    # broadcast-behind-exchange effect as docs_bm25_topk, on both legs.
+    # NOT spread — r13 all-spread lost (3.5 vs 4.7 s); the r14 split-leg retry
+    # (VERDICT r13 #7: corpus leg spread, query builds off the raw scan) ALSO
+    # lost, interleaved A/B 3.30 unspread vs 4.14 s — see docs_bm25_topk.
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
