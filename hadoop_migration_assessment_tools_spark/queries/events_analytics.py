@@ -2269,6 +2269,9 @@ def events_join_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("u"), F.pmod(F.col("user_id"), F.lit(APPLIED_KEY_MOD)).cast("string")
         )
     )
+    # NOT spread (r14 interleaved A/B: 2.90 unspread vs 4.24 s spread) — the
+    # advisor's sketch/sample/dim consumers run as SEPARATE collect jobs, so
+    # each re-pays the repartition exchange instead of sharing it
     left = ev.select(k.alias("k"), "value")
     # the dim is an aggregate consumed by the advisor's two sketch scans AND
     # the join — checkpoint the (tiny) per-key relation once
