@@ -787,7 +787,12 @@ def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "QueryId", "EventType", "QueryText", "RequestUser", "ExecutionMode",
         "Queue", "StartTime", "EndTime", "Status", "ErrorMessage",
     ]
-    log.select(*stream_cols).coalesce(2).write.mode("overwrite").parquet(src)
+    # r14: 16 source files instead of coalesce(2) — the synthetic-log
+    # derivation runs 16-way instead of as two 2.4 s serial tasks, and the
+    # stream's per-branch map stages (profiled 4-5 s single-task each) get
+    # real parallelism once maxPartitionBytes/openCost stop packing every
+    # file into one split (restored with the other stream confs below).
+    log.select(*stream_cols).repartition(16).write.mode("overwrite").parquet(src)
 
     from pyspark.sql import types as T
 
@@ -807,7 +812,13 @@ def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not data). Session-restored after the stream finishes.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # one scan task per source file (default openCost packs ~30 small files
+    # into one split); session-restored below with the other stream confs
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
     # No-data micro-batches exist to advance the watermark so watermark-GATED
     # output (outer-join nulls, appended window finals) can emit with no new
     # input. This query's operators emit on DATA batches — inner join emits
@@ -828,6 +839,8 @@ def qe_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
     streamed = spark.table(table).select(
         "QueryId", "RequestUser", "StartTime", "EndTime", "Status", "DurationMillis"
     )
