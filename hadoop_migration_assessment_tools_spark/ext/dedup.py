@@ -264,6 +264,12 @@ def minhash_near_dup_pairs(
             F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
             "_shset",
         )
+        # r14: ReuseExchange does NOT fire across the banding and verification
+        # branches — column pruning gives each branch a different aggregation
+        # subtree, so the tokenize+shingle map side ran TWICE (profiled as twin
+        # ~50 s task-CPU stages at sf0.1). The lazy checkpoint materializes the
+        # per-doc table once; banding and both verify joins read it back.
+        .localCheckpoint(eager=False)
     )
     banded = per_doc.select(
         "_id",
@@ -483,7 +489,13 @@ def simhash_near_pairs(
     the exact all-pairs answer — which is what the DuckDB oracle computes when
     ``hash_mode="portable"`` makes the fingerprints engine-independent."""
     bits_per = 64 // bands
-    fp = simhash_fingerprints(df, text_col, id_col, hash_mode=hash_mode)
+    # r14: the banded self-join recomputed the whole tokenize+vote pipeline on
+    # BOTH sides (the broadcast side has no shuffle exchange to reuse — the
+    # r13 plan shows two complete fingerprint subtrees, zero ReusedExchange).
+    # The lazy checkpoint materializes the tiny (id, simhash) relation once.
+    fp = simhash_fingerprints(df, text_col, id_col, hash_mode=hash_mode).localCheckpoint(
+        eager=False
+    )
     mask = (1 << bits_per) - 1
     banded = fp.select(
         F.col(id_col).alias("_id"),

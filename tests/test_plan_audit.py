@@ -126,8 +126,12 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_viterbi_tokenize": dict(
         shuffle_exchange=3, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
+    # r14: the per-doc (signature, shingle-set) table is localCheckpointed —
+    # column pruning had split the banding and verify branches into different
+    # aggregation subtrees (no ReuseExchange), running the tokenize+shingle
+    # map side twice; the pinned plan is the post-checkpoint remainder.
     "docs_minhash_near_dup": dict(
-        shuffle_exchange=12, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
+        shuffle_exchange=4, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
     # r8: post-checkpoint remainder (the tokenize+distinct+window index is
     # localCheckpointed so the self-join's two consumers share ONE pipeline
@@ -135,8 +139,11 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     "docs_shingle_jaccard": dict(
         shuffle_exchange=1, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
+    # r14: the (id, simhash) fingerprint table is localCheckpointed — the
+    # banded self-join's broadcast side recomputed the whole tokenize+vote
+    # pipeline (no exchange to reuse); post-checkpoint remainder pinned.
     "docs_simhash_near_dup": dict(
-        shuffle_exchange=5, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
+        shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
     ),
     "emb_near_dup_lsh": dict(
         shuffle_exchange=2, broadcast_exchange=1, bnlj=0, cartesian=0, smj=0, bhj=1, shj=0, window=0
@@ -351,8 +358,9 @@ PLAN_SIGNATURES: dict[str, dict[str, int]] = {
     # shuffle; split assignment is scan-local. r7 re-pin: windows 6 -> 2 (the
     # shingle windows left with the explode-form shingle_index; the remaining 2
     # are the candidate-rank windows).
+    # r14: fused-MinHash per-doc checkpoint (see docs_minhash_near_dup).
     "docs_split_leakage": dict(
-        shuffle_exchange=13, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
+        shuffle_exchange=5, broadcast_exchange=3, bnlj=0, cartesian=0, smj=0, bhj=3, shj=0, window=2
     ),
     # round 5: composed assessment report — four section aggregates over the
     # checkpointed correlated log (pre-checkpoint dedup+correlate not re-shown);
