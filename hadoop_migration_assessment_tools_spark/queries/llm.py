@@ -5534,6 +5534,9 @@ def docs_split_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sketch import HLL_HASH_BITS, kmv_bottom_k_hashes, kmv_hash
 
     docs = load_table(spark, sf_dir, "documents")
+    # lazy checkpoints (r14): the eager chain paid four serial driver
+    # actions before the report even started; lazy keeps the reuse cut
+    # (each level still materializes once) inside ONE job DAG
     base = (
         docs.select(
             F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("split"),
@@ -5543,11 +5546,15 @@ def docs_split_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("split", kmv_hash("shingle").alias("h"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    sk_a = kmv_bottom_k_hashes(base.filter(F.col("split") == 0), KMV_J_K).localCheckpoint()
-    sk_b = kmv_bottom_k_hashes(base.filter(F.col("split") == 1), KMV_J_K).localCheckpoint()
-    sk_u = kmv_bottom_k_hashes(sk_a.unionAll(sk_b), KMV_J_K).localCheckpoint()
+    sk_a = kmv_bottom_k_hashes(base.filter(F.col("split") == 0), KMV_J_K).localCheckpoint(
+        eager=False
+    )
+    sk_b = kmv_bottom_k_hashes(base.filter(F.col("split") == 1), KMV_J_K).localCheckpoint(
+        eager=False
+    )
+    sk_u = kmv_bottom_k_hashes(sk_a.unionAll(sk_b), KMV_J_K).localCheckpoint(eager=False)
 
     common = sk_u.join(sk_a, "h").join(sk_b, "h").agg(
         F.count(F.lit(1)).cast("long").alias("n_common")
@@ -7392,7 +7399,11 @@ def emb_hier_ivf_stream_index_parity(spark: SparkSession, sf_dir: str) -> DataFr
 
     tmp = scratch_dir("emb_hier_stream_index", sf_dir, wipe=True)
     src = f"{tmp}/src"
-    # 4 files + maxFilesPerTrigger=1 forces a genuinely multi-batch ingest
+    # 4 files + maxFilesPerTrigger=1 forces a genuinely multi-batch ingest.
+    # coalesce kept after r14 A/B: round-robin repartition(4) LOSES (5.12 vs
+    # 4.39 s — sortBeforeRepartition's local sort of the wide vector rows) and
+    # keyed repartition is a wash (4.2-5.1 vs 4.4-4.9 across rep pairs) — the
+    # wall here is the 4 deliberate serial micro-batches, not the write.
     _scaled_embeddings(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(src)
 
     stream = (
