@@ -2072,18 +2072,28 @@ JOIN_ADVICE_SKEW_SHARE = 0.2
 
 
 def events_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ext.sketch import cms_counters, cms_inner_product
+    from ..ext.sketch import cms_counters_weighted, cms_inner_product
     from ..plans.advisor import strategy_expr
 
     ev = _events(spark, sf_dir)
 
-    def side_stats(keyed: DataFrame, tag: str) -> DataFrame:
+    def grouped(keyed: DataFrame) -> DataFrame:
+        # r14 (§2.1 one-scan): this exact (key, n, bytes) relation is the ONE
+        # corpus-derived artifact per side — the stats aggregate over it and
+        # the CMS counters derive from it via cms_counters_weighted (identical
+        # to the raw-occurrence build by associativity of SUM, pytest-pinned),
+        # where previously each side paid a second full keyed scan for the
+        # sketch. The lazy checkpoint materializes it once per side.
+        return (
+            keyed.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("k")).alias("b"))
+            .localCheckpoint(eager=False)
+        )
+
+    def side_stats(g: DataFrame, tag: str) -> DataFrame:
         # bytes are EXACT here (sum of key octet lengths) — the twin replaces
         # the production advisor's sampled to_json estimate with a number the
         # oracle replays to the byte, so left/right_bytes join the hash
-        g = keyed.groupBy("k").agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("k")).alias("b")
-        )
         return g.agg(
             F.sum("n").cast("long").alias(f"{tag}_rows"),
             F.sum("b").cast("long").alias(f"{tag}_bytes"),
@@ -2094,8 +2104,8 @@ def events_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def advice(join_key: str, left: DataFrame, right: DataFrame) -> DataFrame:
         est = cms_inner_product(
-            cms_counters(left, "k", w=CMS_JOIN_W),
-            cms_counters(right, "k", w=CMS_JOIN_W),
+            cms_counters_weighted(left, "k", "n", w=CMS_JOIN_W),
+            cms_counters_weighted(right, "k", "n", w=CMS_JOIN_W),
         )
         return (
             side_stats(left, "left")
@@ -2141,10 +2151,12 @@ def events_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
         ).alias("k")
     )
+    g_a, g_b = grouped(by_user(CMS_JOIN_A)), grouped(by_user(CMS_JOIN_B))
+    g_type, g_pair = grouped(by_type), grouped(by_pair)
     return (
-        advice("user_id", by_user(CMS_JOIN_A), by_user(CMS_JOIN_B))
-        .unionByName(advice("event_type", by_type, by_type))
-        .unionByName(advice("uid16_type", by_pair, by_pair))
+        advice("user_id", g_a, g_b)
+        .unionByName(advice("event_type", g_type, g_type))
+        .unionByName(advice("uid16_type", g_pair, g_pair))
         .orderBy("join_key")
     )
 

@@ -4595,3 +4595,48 @@ def test_filtered_topk_branches_and_recall(spark):
         exact.update((q, i) for _, i in cands[:TOPK_K])
     recall = len(got & exact) / len(exact)
     assert recall >= 0.75, f"postfilter recall too low: {recall}"
+
+
+def test_mg_summaries_exact_when_distinct_within_cap(spark):
+    """r14 vectorized MG contract: whenever the per-partition distinct count
+    stays within capacity, no subtraction ever fires and est_count is EXACT —
+    the regime every oracled MG consumer is designed into (the
+    events_window_advice_applied hashed top_share depends on it). Checked
+    across partition layouts and with nulls present (nulls count toward
+    total_rows, never toward a counter)."""
+    import collections
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import _mg_summaries
+
+    rows = [(f"k{i % 23}",) for i in range(4000)] + [(None,)] * 50
+    counts = collections.Counter(v for v, in rows if v is not None)
+    for parts in (1, 5, 32):
+        df = spark.createDataFrame(rows, "term string").repartition(parts)
+        got = {
+            r["item"]: (r["est_count"], r["total_rows"])
+            for r in _mg_summaries(df, "term", cap=64).collect()
+        }
+        assert got == {k: (n, 4050) for k, n in counts.items()}, parts
+
+
+def test_mg_summaries_overflow_keeps_guarantees(spark):
+    """Above capacity the batch-merge MG must keep the two contractual bounds:
+    est_count <= true count everywhere, and every item with true count above
+    n/cap survives with est >= true - n/cap (the survival lemma
+    heavy_hitters_verified's guard arithmetic rests on)."""
+    import collections
+
+    from hadoop_migration_assessment_tools_spark.ext.sketch import _mg_summaries
+
+    rows = [(f"hot{i}",) for i in range(5) for _ in range(600 + 50 * i)]
+    rows += [(f"tail{j % 500}",) for j in range(2000)]
+    counts = collections.Counter(v for v, in rows)
+    n = len(rows)
+    cap = 32
+    df = spark.createDataFrame(rows, ["term"]).repartition(4)
+    got = {r["item"]: r["est_count"] for r in _mg_summaries(df, "term", cap=cap).collect()}
+    assert all(got[i] <= counts[i] for i in got)
+    for item, true_n in counts.items():
+        if true_n > n / cap:
+            assert item in got, item
+            assert got[item] >= true_n - n / cap, (item, got[item], true_n)
