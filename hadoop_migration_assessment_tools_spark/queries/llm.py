@@ -4651,13 +4651,14 @@ def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.ingest import incremental_ingest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Spread ONLY the corpus side: its shingle index is the profiled serial hot
-    # spot (2x ~1.45 s single-task stages). The incoming batch is a 5-way union
-    # of slices of `docs` — spreading `docs` itself multiplied the union into
-    # 160 partitions across every checkpointed admission stage (measured 2x
+    # Spread ONLY the corpus side: its hash-relation and shingle-index builds
+    # are the profiled serial single-task stages (r14 interleaved A/B: 4.56 s
+    # spread vs 5.24 unspread). The incoming batch is a 5-way union of slices
+    # of `docs` — spreading `docs` itself multiplied the union into 160
+    # partitions across every checkpointed admission stage (measured 2x
     # slower from per-task overheads), so the batch side stays scan-partitioned.
     admitted, audit = incremental_ingest(
-        docs,
+        _spread(docs, sf_dir),
         _ingest_incoming(docs),
         jaccard_threshold=INGEST_THRESHOLD,
         shingle_k=INGEST_SHINGLE_K,
